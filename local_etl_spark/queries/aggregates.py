@@ -1,0 +1,290 @@
+"""Aggregation queries (SURVEY.md §2.4-E) + the flagship TPC-H-Q1 shape.
+
+All Spark-side plans are single hash-aggregates with map-side partial
+aggregation (Catalyst plans ``HashAggregate(partial) → shuffle →
+HashAggregate(final)``) — the canonical scale-out shape: one shuffle of
+pre-combined partials, no driver-side work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import DEC6, davg, dec, dsum, t
+from local_etl_spark.registry import query
+
+# Exact decimal mirror of the arithmetic used in the oracle SQL below.
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+           * CAST(CAST(1 - CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))
+                  * CAST(1 + CAST(l_tax AS DECIMAL(18,6)) AS DECIMAL(18,6))
+                  AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_charge,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(l_quantity) AS avg_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+  CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(l_discount) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → 8-agg groupBy → sort.
+
+    The reference has no aggregations at all (SURVEY.md §2.3); this is the
+    flagship EXT query exercising scan/filter/project/hash-agg/sort in one
+    plan. Filter + column pruning push into the parquet scan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    one_m_disc = (F.lit(1) - dec("l_discount")).cast(DEC6)
+    one_p_tax = (F.lit(1) + dec("l_tax")).cast(DEC6)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec("l_quantity")).alias("sum_qty"),
+            dsum(dec("l_extendedprice")).alias("sum_base_price"),
+            dsum(dec("l_extendedprice") * one_m_disc).alias("sum_disc_price"),
+            dsum(dec("l_extendedprice") * (one_m_disc * one_p_tax).cast(DEC6)).alias("sum_charge"),
+            davg(dec("l_quantity")).alias("avg_qty"),
+            davg(dec("l_extendedprice")).alias("avg_price"),
+            davg(dec("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+query("agg_groupby", family="aggregations", oracle=_Q1_ORACLE)(tpch_q1)
+
+
+@query(
+    "agg_global",
+    family="aggregations",
+    oracle="""
+SELECT
+  count(*) AS n_rows,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS total_price,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(l_quantity) AS avg_qty,
+  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+  CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+  min(l_shipdate) AS first_ship,
+  max(l_shipdate) AS last_ship
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate: single-row global summary (partial-agg tree)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(dec("l_extendedprice")).alias("total_price"),
+        davg(dec("l_quantity")).alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_distinct",
+    family="aggregations",
+    oracle="""
+SELECT
+  o_orderstatus,
+  count(DISTINCT o_custkey) AS n_custs,
+  count(*) AS n_orders,
+  CAST(CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_distinct_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct)/sum(distinct) per group — Spark expands to a
+    two-phase distinct-aggregate plan (partial distinct → final)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum_distinct(dec("o_totalprice")).cast("double").alias("sum_distinct_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_stats",
+    family="aggregations",
+    oracle="""
+SELECT
+  l_returnflag,
+  round(stddev_samp(l_quantity), 3) AS sd_qty,
+  round(var_samp(l_quantity), 3) AS var_qty,
+  round(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price,
+  round(covar_samp(l_quantity, l_extendedprice), 1) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; rounded (float-tolerance policy — these are
+    inherently summation-order-sensitive, unlike the decimal sums)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 3).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 3).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 1).alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+  CAST(grouping(l_linestatus) AS INT) AS g_status,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty,
+  count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+@query("agg_rollup", family="aggregations", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping() indicators."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            dsum(dec("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_price,
+  count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
+@query("agg_cube", family="aggregations", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two order dimensions with grouping() indicators."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            dsum(dec("o_totalprice")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "sum_price", "n")
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_GSETS_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+  count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
+@query("agg_gsets", family="aggregations", oracle=_GSETS_ORACLE)
+def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — expressed via Spark SQL (the DataFrame API
+    has no direct grouping-sets builder; SQL is the idiomatic route)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+@query(
+    "agg_approx_cd",
+    family="aggregations",
+    tags=("rows-only",),
+)
+def agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) vs exact — rows-only check;
+    HLL implementations differ across engines, so the test asserts the
+    estimate is within 5% of exact instead of hash-matching."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query(
+    "agg_collect",
+    family="aggregations",
+    oracle="""
+SELECT
+  n_regionkey,
+  list(n_name ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation, sorted inside each group for determinism."""
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .orderBy("n_regionkey")
+    )

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]``; the same config block is what we'd
+ship to a 1000-executor cluster — AQE handles runtime re-planning
+(shuffle-partition coalescing, skew-join splitting), broadcast threshold
+keeps dimension joins shuffle-free, and the session timezone is pinned
+to UTC so results are byte-comparable with the DuckDB oracle
+(DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "local-etl-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Config rationale (each survives a 100 TB cluster unchanged unless noted):
+      - AQE on: runtime shuffle coalescing + skew-join mitigation.
+      - shuffle.partitions ~= cores locally; on a real cluster this would be
+        2-3x total executor cores, but AQE coalescing makes the static value
+        far less critical.
+      - Arrow enabled: vectorized pandas_udf / toPandas transfer.
+      - broadcast threshold 64 MB: region/nation/supplier-class dims never
+        shuffle.
+      - session timezone UTC: oracle comparability (DuckDB is UTC-naive).
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
+        # timestamp — read as long, catalog converts to µs (DuckDB parity).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
