@@ -1,3 +1,10 @@
 """Query modules — importing this package populates the registry."""
 
-from local_etl_spark.queries import aggregates  # noqa: F401
+from local_etl_spark.queries import (  # noqa: F401
+    aggregates,
+    filters,
+    functions,
+    joins,
+    sortset,
+    windows,
+)

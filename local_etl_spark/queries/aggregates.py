@@ -126,35 +126,62 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_stats",
-    family="aggregations",
-    oracle="""
-SELECT
-  l_returnflag,
-  round(stddev_samp(l_quantity), 3) AS sd_qty,
-  round(var_samp(l_quantity), 3) AS var_qty,
-  round(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price,
-  round(covar_samp(l_quantity, l_extendedprice), 1) AS covar_qty_price
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-""",
+_STATS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sy,
+         CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS syy,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
 )
+SELECT l_returnflag,
+       (sxx - sx*sx/n) / (n-1) AS var_qty,
+       sqrt((sxx - sx*sx/n) / (n-1)) AS sd_qty,
+       (sxy - sx*sy/n) / (n-1) AS covar_qty_disc,
+       (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_disc
+FROM m ORDER BY l_returnflag
+"""
+
+
+@query("agg_stats", family="aggregations", oracle=_STATS_ORACLE)
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates; rounded (float-tolerance policy — these are
-    inherently summation-order-sensitive, unlike the decimal sums)."""
+    """Statistical aggregates (variance/stddev/covariance/correlation).
+
+    Built-in stddev/corr are summation-order-sensitive doubles — a fixed
+    rounding tolerance can always straddle a boundary (observed at
+    sf0.01). Instead the moments Σx, Σx², Σxy are accumulated as exact
+    decimals and the statistics derived in closed form with IEEE-exact
+    double ops (+,*,/,sqrt are all correctly rounded) — bit-identical to
+    the oracle running the same formula, with no tolerance at all.
+    Magnitude check: qty ≤ 50, disc ≤ 0.1 ⇒ Σx² ≤ ~1.5e8·rows, inside
+    the DECIMAL(28,6)→double exact window (<9e9·1e6) through sf10.
+    """
     li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_quantity"), 3).alias("sd_qty"),
-            F.round(F.var_samp("l_quantity"), 3).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias("corr_qty_price"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 1).alias("covar_qty_price"),
-        )
-        .orderBy("l_returnflag")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(dec("l_quantity")).alias("sx"),
+        dsum(dec("l_quantity") * dec("l_quantity")).alias("sxx"),
+        dsum(dec("l_discount")).alias("sy"),
+        dsum(dec("l_discount") * dec("l_discount")).alias("syy"),
+        dsum(dec("l_quantity") * dec("l_discount")).alias("sxy"),
     )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var_q = (sxx - sx * sx / n) / (n - 1)
+    covar = (sxy - sx * sy / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag",
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("sd_qty"),
+        covar.alias("covar_qty_disc"),
+        corr.alias("corr_qty_disc"),
+    ).orderBy("l_returnflag")
 
 
 _ROLLUP_ORACLE = """

@@ -1,0 +1,258 @@
+"""Scalar-function family queries (SURVEY.md §2.4-H).
+
+One query per family, many functions each — all JVM-side built-ins
+(whole-stage codegen; no Python in the hot path). Where Spark and DuckDB
+name or type a function differently, both sides are written to the same
+result type (casts noted inline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+
+
+@query(
+    "fn_string",
+    family="functions",
+    oracle="""
+SELECT p_partkey AS partkey,
+       upper(p_name) AS up_name,
+       lower(p_brand) AS low_brand,
+       trim('  ' || p_name || ' ') AS trimmed,
+       substr(p_name, 1, 5) AS first5,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       str_split(p_name, ' ') AS words,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowelled,
+       upper(substr(p_name, 1, 1)) || lower(substr(p_name, 2)) AS capitalized,
+       replace(p_type, 'A', '@') AS replaced,
+       p_name LIKE '%widget%' AS is_widget
+FROM part
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, trim, substring, split, regexp_extract,
+    concat_ws, lpad, translate, replace, LIKE — plus a Python-
+    ``str.capitalize()`` equivalent (first-upper + rest-LOWER; note
+    ``initcap`` is NOT equivalent, it capitalizes every word — the same
+    distinction the reference's job-fix transform needs, main.py:124)."""
+    p = t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper(name).alias("up_name"),
+        F.lower(F.col("p_brand")).alias("low_brand"),
+        F.trim(F.concat(F.lit("  "), name, F.lit(" "))).alias("trimmed"),
+        F.substring(name, 1, 5).alias("first5"),
+        F.length(name).cast("long").alias("name_len"),
+        F.split(name, " ").alias("words"),
+        F.regexp_extract(name, r"([a-z]+)$", 1).alias("last_word"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+        F.translate(name, "aeiou", "AEIOU").alias("vowelled"),
+        F.concat(
+            F.upper(F.substring(name, 1, 1)),
+            F.lower(F.expr("substring(p_name, 2)")),
+        ).alias("capitalized"),
+        F.regexp_replace(F.col("p_type"), "A", "@").alias("replaced"),
+        name.like("%widget%").alias("is_widget"),
+    )
+
+
+@query(
+    "fn_date",
+    family="functions",
+    oracle="""
+SELECT o_orderkey AS orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INT) AS days_to_y2k,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: component extraction, truncation, diff,
+    arithmetic, epoch, formatting. DuckDB's dayofweek is 0=Sunday while
+    Spark's dayofweek is 1=Sunday → Spark side subtracts 1."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+        (F.dayofweek(d.cast("date")) - F.lit(1)).alias("dow"),
+    )
+
+
+@query(
+    "fn_math",
+    family="functions",
+    oracle="""
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+       round(l_extendedprice, 1) AS rounded,
+       abs(l_discount - 0.05) AS abs_dev,
+       CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q7,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q7,
+       round(pow(l_quantity, 2), 6) AS qty_sq,
+       round(ln(l_extendedprice), 6) AS ln_price,
+       round(exp(l_discount), 6) AS exp_disc,
+       round(sqrt(l_quantity), 6) AS sqrt_qty,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_dev,
+       l_linenumber % 3 AS mod3,
+       CAST(greatest(l_quantity, 25.0) AS DOUBLE) AS at_least_25,
+       CAST(least(l_quantity, 25.0) AS DOUBLE) AS at_most_25
+FROM lineitem
+WHERE l_returnflag = 'R'
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Transcendentals (pow/ln/exp/sqrt) are rounded to 6dp —
+    libm results can differ in the last ulp across engines; everything
+    else is exact."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.round(F.col("l_extendedprice"), 1).alias("rounded"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_dev"),
+        F.ceil(q / 7).alias("ceil_q7"),
+        F.floor(q / 7).alias("floor_q7"),
+        F.round(F.pow(q, 2), 6).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("exp_disc"),
+        F.round(F.sqrt(q), 6).alias("sqrt_qty"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_dev"),
+        (F.col("l_linenumber") % 3).alias("mod3"),
+        F.greatest(q, F.lit(25.0)).alias("at_least_25"),
+        F.least(q, F.lit(25.0)).alias("at_most_25"),
+    )
+
+
+@query(
+    "fn_array",
+    family="functions",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       embedding[1] AS first_val,
+       embedding[1:4] AS head4,
+       list_sort(embedding[1:4]) AS head4_sorted,
+       list_reverse_sort(embedding)[1] AS max_val,
+       CAST(round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS DOUBLE) AS vec_sum
+FROM embeddings
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family on the 64-d embedding column: size, indexing, slice,
+    sort, max-element, and a fold (aggregate) — all native array
+    expressions, no UDF."""
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).alias("first_val"),
+        F.slice(emb, 1, 4).alias("head4"),
+        F.sort_array(F.slice(emb, 1, 4)).alias("head4_sorted"),
+        F.array_max(emb).alias("max_val"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
+        ).alias("vec_sum"),
+    )
+
+
+@query(
+    "fn_explode",
+    family="functions",
+    oracle="""
+SELECT e.vec_id, u.pos AS pos, u.val AS val
+FROM (SELECT vec_id, unnest(embedding[1:8]) AS val,
+             CAST(generate_subscripts(embedding[1:8], 1) - 1 AS INT) AS pos
+      FROM embeddings) u
+JOIN embeddings e USING (vec_id)
+WHERE u.vec_id < 10
+""",
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UNNEST WITH ORDINALITY): one row per array element
+    with its position."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.where(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias("pos", "val"))
+        .select("vec_id", "pos", "val")
+    )
+
+
+@query(
+    "fn_map_json",
+    family="functions",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+FROM events
+""",
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction from the events.props JSON string, typed and
+    untyped, plus a missing-path null. Spark side also round-trips
+    through from_json→map to exercise MapType (same value)."""
+    e = t(spark, sf_dir, "events")
+    props_map = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
+    return e.select(
+        "event_id",
+        F.element_at(props_map, "k").alias("k_val"),
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        F.get_json_object(F.col("props"), "$.missing").cast("long").alias("missing_val"),
+    )
+
+
+@query(
+    "fn_cond",
+    family="functions",
+    oracle="""
+SELECT o_orderkey AS orderkey,
+       CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished' ELSE 'other' END AS status_word,
+       coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio_renamed,
+       nullif(o_orderstatus, 'P') AS status_nullable,
+       CAST(if(o_totalprice > 200000, o_totalprice, 0) AS DOUBLE) AS big_or_zero,
+       ifnull(nullif(o_orderstatus, 'O'), 'was-open') AS nvl_demo
+FROM orders
+""",
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE (simple form), coalesce, nullif, if, nvl."""
+    o = t(spark, sf_dir, "orders")
+    s = F.col("o_orderstatus")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.when(s == "O", "open").when(s == "F", "finished").otherwise("other").alias("status_word"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("URGENT!")).alias("prio_renamed"),
+        F.nullif(s, F.lit("P")).alias("status_nullable"),
+        F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(F.lit(0.0)).alias("big_or_zero"),
+        F.nvl(F.nullif(s, F.lit("O")), F.lit("was-open")).alias("nvl_demo"),
+    )

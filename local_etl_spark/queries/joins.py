@@ -1,0 +1,327 @@
+"""Join queries (SURVEY.md §2.4-D).
+
+The reference never joins two tables (SURVEY.md §2.3 — its only cross-table
+relationships are latent keys, e.g. the event_id FK written at
+reference main2.py:226); this whole family is a north-star extension.
+
+Scale notes per query are in the docstrings: dimension joins broadcast
+(no shuffle), fact-fact joins shuffle on the join key and rely on AQE for
+skew; the as-of join is a single-shuffle union+window — the scalable
+alternative to a per-key loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import dec, dsum, t
+from local_etl_spark.registry import query
+
+
+@query(
+    "join_inner",
+    family="joins",
+    oracle="""
+SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+       o.o_custkey AS custkey, o.o_orderstatus AS orderstatus,
+       CAST(l.l_extendedprice AS DOUBLE) AS price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join lineitem⋈orders; Catalyst/AQE picks the physical
+    strategy (SMJ or shuffled hash; broadcast at small SF)."""
+    li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .where(o.o_orderstatus == "F")
+        .select(
+            li.l_orderkey.alias("orderkey"),
+            li.l_linenumber.alias("linenumber"),
+            o.o_custkey.alias("custkey"),
+            o.o_orderstatus.alias("orderstatus"),
+            li.l_extendedprice.alias("price"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    family="joins",
+    oracle="""
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       o.o_orderkey AS orderkey, CAST(o.o_totalprice AS DOUBLE) AS totalprice
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with an ON-clause (not WHERE) secondary predicate —
+    preserves customers with no 'P' orders as null rows."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "P"), "left"
+    ).select(
+        c.c_custkey.alias("custkey"),
+        c.c_name.alias("name"),
+        o.o_orderkey.alias("orderkey"),
+        o.o_totalprice.alias("totalprice"),
+    )
+
+
+@query(
+    "join_right",
+    family="joins",
+    oracle="""
+SELECT o.o_orderkey AS orderkey, c.c_custkey AS custkey, c.c_mktsegment AS segment
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal < 1000
+""",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (Spark plans it as the mirrored left join)."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .where(c.c_acctbal < 1000)
+        .select(
+            o.o_orderkey.alias("orderkey"),
+            c.c_custkey.alias("custkey"),
+            c.c_mktsegment.alias("segment"),
+        )
+    )
+
+
+@query(
+    "join_full",
+    family="joins",
+    oracle="""
+WITH hi_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+     big_ord AS (SELECT o_custkey, count(*) AS n_big
+                 FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey)
+SELECT hc.c_custkey AS custkey, CAST(hc.c_acctbal AS DOUBLE) AS acctbal,
+       bo.o_custkey AS ord_custkey, bo.n_big AS n_big
+FROM hi_cust hc FULL JOIN big_ord bo ON hc.c_custkey = bo.o_custkey
+""",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two filtered derivations — rows survive from
+    both unmatched sides."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    hi = c.where(c.c_acctbal > 9000).select("c_custkey", "c_acctbal")
+    big = (
+        o.where(o.o_totalprice > 300000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return hi.join(big, hi.c_custkey == big.o_custkey, "full").select(
+        hi.c_custkey.alias("custkey"),
+        hi.c_acctbal.alias("acctbal"),
+        big.o_custkey.alias("ord_custkey"),
+        F.col("n_big"),
+    )
+
+
+@query(
+    "join_semi",
+    family="joins",
+    oracle="""
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one very large order."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return c.join(
+        o.where(o.o_totalprice > 400000),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select(c.c_custkey.alias("custkey"), c.c_name.alias("name"))
+
+
+@query(
+    "join_anti",
+    family="joins",
+    oracle="""
+SELECT c_custkey AS custkey, c_mktsegment AS segment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        c.c_custkey.alias("custkey"), c.c_mktsegment.alias("segment")
+    )
+
+
+@query(
+    "join_broadcast",
+    family="joins",
+    oracle="""
+SELECT n.n_name AS nation, r.r_name AS region,
+       count(*) AS n_custs,
+       CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+ORDER BY nation
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim with explicit broadcast hints: nation/region ship to
+    every executor, the customer scan never shuffles for the join (the
+    only shuffle is the final aggregation). This is the 100 TB shape —
+    dims are KBs, facts are TBs."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum(dec("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "join_theta",
+    family="joins",
+    oracle="""
+SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+       count(*) AS n_richer_custs
+FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY suppkey
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join — Spark plans BroadcastNestedLoopJoin with
+    the small supplier side broadcast; the pair count is aggregated
+    immediately so the blow-up never materializes."""
+    s, c = t(spark, sf_dir, "supplier"), t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(s)
+        .join(c, c.c_acctbal > s.s_acctbal)
+        .groupBy(s.s_suppkey.alias("suppkey"), s.s_name.alias("supp_name"))
+        .agg(F.count(F.lit(1)).alias("n_richer_custs"))
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "join_cross",
+    family="joins",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation
+FROM region r CROSS JOIN nation n
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two bounded dimensions."""
+    r, n = t(spark, sf_dir, "region"), t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    )
+
+
+@query(
+    "join_asof",
+    family="joins",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+       c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior-or-equal click
+    by the same user.
+
+    Spark has no native ASOF JOIN; the scalable pattern is union + last()
+    over an ordered window — ONE shuffle on user_id and a partition-local
+    sort, versus the quadratic range-join a naive implementation does.
+    Rows tagged kind=0 (click) sort before kind=1 (purchase) at equal ts,
+    so an exactly-simultaneous click is visible to the purchase — matching
+    DuckDB's ``>=`` ASOF semantics.
+    """
+    e = t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click", F.last("click_ts", ignorenulls=True).over(w))
+        .where((F.col("kind") == 1) & F.col("last_click").isNotNull())
+        .select(
+            F.col("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_click").alias("click_ts"),
+        )
+    )
+
+
+@query(
+    "join_multiway",
+    family="joins",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       count(DISTINCT c.c_custkey) AS n_custs,
+       count(o.o_orderkey) AS n_orders,
+       CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY r.r_name, n.n_name
+ORDER BY region, nation
+""",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table star: dims broadcast onto the orders→customer spine, so the
+    whole query costs one customer⋈orders shuffle + one agg shuffle."""
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_custs"),
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(dec("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("region", "nation")
+    )

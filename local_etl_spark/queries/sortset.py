@@ -1,0 +1,180 @@
+"""Sort / limit / top-k / set operations (SURVEY.md §2.4-G).
+
+The order-insensitive oracle hash can't see row order, so sort queries
+materialize their ordering as a rank column computed over the same total
+order — making sort correctness hash-visible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+
+
+@query(
+    "sort_multi",
+    family="sortset",
+    oracle="""
+SELECT c_custkey AS custkey, seg_nullable AS segment, CAST(c_acctbal AS DOUBLE) AS acctbal,
+       CAST(row_number() OVER (
+         ORDER BY seg_nullable ASC NULLS LAST, c_acctbal DESC, c_custkey ASC
+       ) AS BIGINT) AS pos
+FROM (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_nullable, c_acctbal
+      FROM customer)
+""",
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit NULLS LAST; the ordering is emitted as
+    a `pos` column so the oracle hash verifies it. The tie-breaking key
+    (c_custkey) makes the order total, hence deterministic."""
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullable"),
+        "c_acctbal",
+    )
+    w = Window.orderBy(
+        F.col("seg_nullable").asc_nulls_last(),
+        F.col("c_acctbal").desc(),
+        F.col("c_custkey").asc(),
+    )
+    return base.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("seg_nullable").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    ).orderBy("pos")
+
+
+@query(
+    "topk",
+    family="sortset",
+    oracle="""
+SELECT o_orderkey AS orderkey, o_custkey AS custkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject: each partition
+    keeps its local top 25, only 25×n_partitions rows reach the driver.
+    The orderkey tiebreak makes the boundary deterministic."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "topk_per_group",
+    family="sortset",
+    oracle="""
+SELECT * FROM (
+  SELECT c_mktsegment AS segment, c_custkey AS custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+         CAST(row_number() OVER (
+           PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+         ) AS BIGINT) AS rk
+  FROM customer
+) WHERE rk <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number ≤ k — one shuffle on the group key,
+    no global sort."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "set_union_all",
+    family="sortset",
+    oracle="""
+SELECT c_custkey AS key, 'customer' AS src FROM customer
+UNION ALL
+SELECT o_custkey AS key, 'orders' AS src FROM orders
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, no dedup shuffle)."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return c.select(F.col("c_custkey").alias("key"), F.lit("customer").alias("src")).unionAll(
+        o.select(F.col("o_custkey").alias("key"), F.lit("orders").alias("src"))
+    )
+
+
+@query(
+    "set_union",
+    family="sortset",
+    oracle="""
+SELECT c_custkey AS key FROM customer
+UNION
+SELECT o_custkey AS key FROM orders
+""",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT — union + hash-dedup shuffle on the full row."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        c.select(F.col("c_custkey").alias("key"))
+        .union(o.select(F.col("o_custkey").alias("key")))
+        .distinct()
+    )
+
+
+@query(
+    "set_intersect",
+    family="sortset",
+    oracle="""
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): customers with both open and
+    finished orders."""
+    o = t(spark, sf_dir, "orders")
+    open_k = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("key"))
+    done_k = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("key"))
+    return open_k.intersect(done_k)
+
+
+@query(
+    "set_except",
+    family="sortset",
+    oracle="""
+SELECT c_custkey AS key FROM customer
+EXCEPT
+SELECT o_custkey AS key FROM orders
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customer keys never appearing in orders.
+    ``subtract`` is Spark's EXCEPT DISTINCT (``exceptAll().distinct()``
+    would wrongly keep keys that occur in both sides with higher
+    multiplicity on the left)."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return c.select(F.col("c_custkey").alias("key")).subtract(
+        o.select(F.col("o_custkey").alias("key"))
+    )

@@ -1,0 +1,125 @@
+"""Window-function queries (SURVEY.md §2.4-F).
+
+Each window partitions on a real key so the physical plan is one
+shuffle + partition-local sort — no global ordering anywhere. Order-by
+keys always end in a unique column (orderkey/custkey) so every ranking
+is a total order → deterministic vs the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import dec, t
+from local_etl_spark.registry import query
+
+
+@query(
+    "win_rank",
+    family="windows",
+    oracle="""
+SELECT c_mktsegment AS segment, c_custkey AS custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per market segment."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "win_analytic",
+    family="windows",
+    oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_orderdate AS orderdate,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS latest_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last over each customer's order history. last_value
+    needs the explicit unbounded-following frame (the default frame stops
+    at CURRENT ROW in both engines — a classic window gotcha)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("latest_order"),
+    )
+
+
+@query(
+    "win_frame",
+    family="windows",
+    oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey, day_idx,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DECIMAL(28,6)) AS DOUBLE) AS running_spend,
+       count(*) OVER (
+         PARTITION BY o_custkey ORDER BY day_idx
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ) AS n_orders_30d
+FROM (SELECT *, CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS day_idx
+      FROM orders)
+""",
+)
+def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-frame running sum (exact decimal) + range-frame 30-day moving
+    count over a numeric day index — the standard trick for time-range
+    frames that stays inside native window exec."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "day_idx",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long"),
+    )
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("day_idx"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("day_idx"),
+        F.sum(dec("o_totalprice")).over(w_rows).cast("decimal(28,6)").cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w_range).alias("n_orders_30d"),
+    )
