@@ -1,0 +1,298 @@
+"""Config-driven ETL pipeline (SURVEY.md §2.2 R1-R17, §3.4).
+
+One validated scan fans out to three sinks — output table(s), quarantine,
+error log — as filtered writes over a persisted DataFrame (the Spark
+mapping of the reference's per-row dual-sink routing, SURVEY.md §3.4).
+
+Scale design: the whole per-table flow is a single partitioned pass; no
+collect, no driver-side loops. Each event file is one row (the
+reference's data model, main.py:163-172); at 100 TB the same pipeline
+runs over JSONL shards via ``read_event_lines`` with an identical plan
+past the scan node.
+
+Reference divergences (all engine-defined, documented in FIXTURES.md §1.4):
+corrupt JSON → quarantined (reference crashes); absent name/job on
+repaired rows → null-safe '' (reference raises); quarantine is a
+(file, raw) table rather than verbatim file copies (driver compares
+contents, not layout) with a local materializer for exact parity.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_etl_spark.etl import transforms
+from local_etl_spark.etl.schema_translate import (
+    EnvelopeSchema,
+    load_schema,
+    v1_field_names,
+    v2_field_names,
+)
+from local_etl_spark.etl.validate import (
+    CLASS_MISSING,
+    CLASS_VALID,
+    compile_validity,
+    render_value,
+)
+
+
+@dataclass(frozen=True)
+class TableConfig:
+    name: str
+    schema_file: str
+    data_dir: str
+    schema_mismatch_dir: str
+    output_file: str | None = None  # v1 denormalized sink
+    payload_file: str | None = None  # v2 normalized sinks
+    metadata_file: str | None = None
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    tables: tuple[TableConfig, ...]
+    replace_missing_data: bool = True  # reference main.py:15
+    errors_log: str = "errors.log"
+    base_dir: str = "."
+
+    def path(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.base_dir, p)
+
+
+@dataclass
+class TableMetrics:
+    """The reference's counter triple (main.py:195-197)."""
+
+    table: str
+    file_count: int = 0
+    valid_count: int = 0
+    invalid_count: int = 0
+
+
+def read_event_docs(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Scan a directory of one-JSON-document-per-file events (R1/R2).
+
+    wholetext=True gives one row per file (the envelope is pretty-printed
+    multi-line JSON); pathGlobFilter skips non-.json files exactly like
+    the reference's extension check (main.py:163-167); non-recursive like
+    ``next(os.walk(...))``. Corrupt documents become SQL-null variants
+    via try_parse_json instead of crashing.
+    """
+    return (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.json")
+        .load(data_dir)
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:", "").alias("file_path"),
+            F.col("value").alias("raw"),
+            F.try_parse_json(F.col("value")).alias("v"),
+        )
+    )
+
+
+def read_event_lines(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL variant of the same scan — the 100 TB ingestion path (one
+    event per line, splittable files). Same downstream plan."""
+    return (
+        spark.read.format("text")
+        .load(path)
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:", "").alias("file_path"),
+            F.col("value").alias("raw"),
+            F.try_parse_json(F.col("value")).alias("v"),
+        )
+    )
+
+
+def _render_field(v: Column, obj: str, fname: str) -> Column:
+    """Output rendering of one envelope field as the reference's CSV
+    writer would print it: missing key → '' (restval), None → ''
+    (csv module), str(value) otherwise."""
+    fv = F.variant_get(v, f"$.{obj}.{fname}", "variant")
+    sv = F.schema_of_variant(fv)
+    return F.coalesce(
+        F.when(F.is_variant_null(fv), F.lit("")).otherwise(
+            render_value(fv, sv, quote_strings=False)
+        ),
+        F.lit(""),
+    )
+
+
+def classify(docs: DataFrame, schema: EnvelopeSchema) -> DataFrame:
+    """Attach error_msg / error_class / is_valid columns (R4)."""
+    val = compile_validity(schema, F.col("v"))
+    return docs.select(
+        "*",
+        val.error_msg.alias("error_msg"),
+        val.error_class.alias("error_class"),
+        val.is_valid.alias("is_valid"),
+    )
+
+
+def _payload_columns(schema: EnvelopeSchema, version: int) -> dict[str, Column]:
+    """Rendered + transformed output columns for one event row."""
+    v = F.col("v")
+    payload_fields = list(schema.payload.required)
+    cols: dict[str, Column] = {
+        fname: _render_field(v, "payload", fname) for fname in payload_fields
+    }
+
+    # ad-hoc users fixes, gated on address presence in the DOCUMENT —
+    # the reference gates on `'address' in row_dict` (main.py:110), so a
+    # repaired row whose address is missing skips BOTH fixes.
+    if "address" in cols:
+        has_address = F.variant_get(v, "$.payload.address", "variant").isNotNull()
+        cols["address"] = F.when(
+            has_address, transforms.fix_address(cols["address"])
+        ).otherwise(cols["address"])
+        if "job" in cols:
+            cols["job"] = F.when(
+                has_address, transforms.fix_job(cols["job"])
+            ).otherwise(cols["job"])
+
+    if version == 2:
+        # FK propagation: metadata.event_id or '' (main2.py:226)
+        cols["event_id"] = _render_field(v, "metadata", "event_id")
+        # name/created_by_name prefix-suffix normalization (main2.py:234-256)
+        name_col = next(
+            (c for c in ("name", "created_by_name") if c in cols), None
+        )
+        if name_col:
+            norm = transforms.name_norm(cols[name_col])
+            cols["prefix"] = norm["prefix"]
+            cols[name_col] = norm["name"]
+            cols["suffix"] = norm["suffix"]
+    return cols
+
+
+def v1_rows(classified: DataFrame, schema: EnvelopeSchema) -> DataFrame:
+    """Denormalized output rows (v1, main.py): payload + metadata flat."""
+    cols = _payload_columns(schema, version=1)
+    v = F.col("v")
+    out = [cols[f].alias(f) for f in schema.payload.required] + [
+        _render_field(v, "metadata", f).alias(f) for f in schema.metadata.required
+    ]
+    return classified.select(*out)
+
+
+def v2_rows(
+    classified: DataFrame, schema: EnvelopeSchema
+) -> tuple[DataFrame, DataFrame]:
+    """Normalized outputs (v2, main2.py): payload(+FK,+prefix/suffix) and
+    metadata DataFrames."""
+    payload_fields, metadata_fields = v2_field_names(schema)
+    cols = _payload_columns(schema, version=2)
+    payload = classified.select(*[cols[f].alias(f) for f in payload_fields])
+    v = F.col("v")
+    metadata = classified.select(
+        *[_render_field(v, "metadata", f).alias(f) for f in metadata_fields]
+    )
+    return payload, metadata
+
+
+def error_log_lines(invalid: DataFrame) -> DataFrame:
+    """R6: '{dd/mm/yyyy hh:mm:ss AM/PM}, ERROR, SCHEMA ERR, {file}, {msg}'."""
+    return invalid.select(
+        F.concat_ws(
+            ", ",
+            F.date_format(F.current_timestamp(), "dd/MM/yyyy hh:mm:ss a"),
+            F.lit("ERROR"),
+            F.lit("SCHEMA ERR"),
+            F.col("file_path"),
+            F.col("error_msg"),
+        ).alias("value")
+    )
+
+
+def run_table(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    table: TableConfig,
+    version: int = 2,
+) -> TableMetrics:
+    """Full per-table pipeline: scan → validate → route to sinks → counters.
+
+    One persisted classification feeds all sinks (SURVEY.md §3.4's
+    dual-sink fan-out): output rows are valid ∪ repairable-missing (R7),
+    quarantine + error log get every invalid row (the reference copies
+    the file and logs BEFORE deciding repairability, main.py:179-187).
+    """
+    schema = load_schema(cfg.path(table.schema_file))
+    docs = read_event_docs(spark, cfg.path(table.data_dir))
+    classified = classify(docs, schema).persist()
+    try:
+        counts = {
+            r["error_class"]: r["n"]
+            for r in classified.groupBy("error_class")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(counts.values())
+        valid = counts.get(CLASS_VALID, 0)
+        metrics = TableMetrics(
+            table=table.name,
+            file_count=total,
+            valid_count=valid,
+            invalid_count=total - valid,
+        )
+
+        keep = F.col("is_valid") | (
+            F.lit(cfg.replace_missing_data)
+            & (F.col("error_class") == CLASS_MISSING)
+        )
+        kept = classified.where(keep)
+        invalid = classified.where(~F.col("is_valid"))
+
+        # output sink(s)
+        if version == 1:
+            v1_rows(kept, schema).write.mode("append").option(
+                "header", True
+            ).csv(cfg.path(table.output_file or f"{table.name}.csv"))
+        else:
+            payload, metadata = v2_rows(kept, schema)
+            payload.write.mode("append").option("header", True).csv(
+                cfg.path(table.payload_file or f"{table.name}.csv")
+            )
+            metadata.write.mode("append").option("header", True).csv(
+                cfg.path(table.metadata_file or "metadata.csv")
+            )
+
+        # quarantine sink (R5): original documents, verbatim
+        invalid.select("file_path", "raw").write.mode("append").parquet(
+            cfg.path(table.schema_mismatch_dir)
+        )
+        # error log sink (R6)
+        error_log_lines(invalid).write.mode("append").text(
+            cfg.path(f"{cfg.errors_log}.d")
+        )
+        return metrics
+    finally:
+        classified.unpersist()
+
+
+def run_pipeline(
+    spark: SparkSession, cfg: PipelineConfig, version: int = 2
+) -> list[TableMetrics]:
+    """Multi-table loop (R17) — tables sequential like the reference;
+    each table's work is fully distributed."""
+    return [run_table(spark, cfg, table, version) for table in cfg.tables]
+
+
+def materialize_quarantine(spark: SparkSession, quarantine_dir: str, out_dir: str) -> int:
+    """Local helper: re-create verbatim per-file quarantine copies from
+    the (file_path, raw) table — exact reference file layout for small
+    runs; the table form is what scales."""
+    rows = spark.read.parquet(quarantine_dir).select("file_path", "raw").collect()
+    os.makedirs(out_dir, exist_ok=True)
+    for r in rows:
+        with open(
+            os.path.join(out_dir, os.path.basename(r["file_path"])),
+            "w",
+            encoding="utf-8",
+        ) as fh:
+            fh.write(r["raw"])
+    return len(rows)

@@ -2,6 +2,7 @@
 
 from local_etl_spark.queries import (  # noqa: F401
     aggregates,
+    etl,
     filters,
     functions,
     joins,

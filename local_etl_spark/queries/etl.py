@@ -1,0 +1,267 @@
+"""ETL-surface queries (SURVEY.md §2.4-A) — the reference-semantics
+operators (R4-R13) exercised over testdata columns so the DuckDB oracle
+hash-checks the exact same Column expressions the pipeline uses.
+Golden-fixture coverage of the full pipeline lives in
+tests/test_etl_pipeline.py; these queries prove expression parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_etl_spark.etl import transforms
+from local_etl_spark.etl.schema_translate import parse_schema
+from local_etl_spark.etl.validate import compile_validity
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+
+
+@query(
+    "etl_flatten",
+    family="etl",
+    oracle="""
+SELECT event_id, user_id, event_type, ts, value
+FROM events
+""",
+)
+def etl_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 envelope flatten: rows are packed into {metadata, payload}
+    structs, then flattened with select('payload.*', 'metadata.*') — the
+    Spark equivalent of the reference's dict merge (main.py:100-107)."""
+    e = t(spark, sf_dir, "events")
+    enveloped = e.select(
+        F.struct(F.col("event_id"), F.col("ts")).alias("metadata"),
+        F.struct(F.col("user_id"), F.col("event_type"), F.col("value")).alias("payload"),
+    )
+    return enveloped.select("payload.*", "metadata.*")
+
+
+@query(
+    "etl_split_fk",
+    family="etl",
+    oracle="""
+SELECT user_id, event_type, value, coalesce(CAST(event_id AS VARCHAR), '') AS event_id
+FROM events
+""",
+)
+def etl_split_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 vertical split + FK propagation: the payload projection carries
+    metadata.event_id (default '') so payload⋈metadata re-joins —
+    the key the reference prepares but never joins on (main2.py:226)."""
+    e = t(spark, sf_dir, "events")
+    enveloped = e.select(
+        F.struct(F.col("event_id"), F.col("ts")).alias("metadata"),
+        F.struct(F.col("user_id"), F.col("event_type"), F.col("value")).alias("payload"),
+    )
+    return enveloped.select(
+        "payload.*",
+        F.coalesce(F.col("metadata.event_id").cast("string"), F.lit("")).alias("event_id"),
+    )
+
+
+@query(
+    "etl_fix_job",
+    family="etl",
+    oracle="""
+WITH j AS (
+  SELECT p_partkey, CASE WHEN p_partkey % 3 = 0
+                         THEN p_type || ', ' || p_brand
+                         ELSE p_type END AS job
+  FROM part
+), s AS (
+  SELECT p_partkey, job,
+         concat_ws(' ',
+                   regexp_replace(substr(job, strpos(job, ',') + 1), '^\\s+', ''),
+                   substr(job, 1, strpos(job, ',') - 1)) AS reordered
+  FROM j
+)
+SELECT p_partkey AS partkey, job,
+       CASE WHEN contains(job, ',')
+            THEN upper(substr(reordered, 1, 1)) || lower(substr(reordered, 2))
+            ELSE job END AS fixed_job
+FROM s
+""",
+)
+def etl_fix_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 job reformat, as used by the pipeline (transforms.fix_job):
+    'General, spec' → 'Spec general' with Python-capitalize semantics."""
+    p = t(spark, sf_dir, "part")
+    job = F.when(
+        F.col("p_partkey") % 3 == 0,
+        F.concat(F.col("p_type"), F.lit(", "), F.col("p_brand")),
+    ).otherwise(F.col("p_type"))
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        job.alias("job"),
+        transforms.fix_job(job).alias("fixed_job"),
+    )
+
+
+@query(
+    "etl_fix_address",
+    family="etl",
+    oracle="""
+SELECT c_custkey AS custkey,
+       replace(c_name || chr(10) || c_mktsegment, chr(10), ' ') AS fixed_address
+FROM customer
+""",
+)
+def etl_fix_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 newline strip (transforms.fix_address ≡ str.replace('\\n',' '))."""
+    c = t(spark, sf_dir, "customer")
+    addr = F.concat(F.col("c_name"), F.lit("\n"), F.col("c_mktsegment"))
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        transforms.fix_address(addr).alias("fixed_address"),
+    )
+
+
+_NAME_NORM_ORACLE = """
+WITH names AS (
+  SELECT p_partkey,
+         CASE p_partkey % 4
+           WHEN 0 THEN p_name
+           WHEN 1 THEN 'Mr. ' || p_name
+           WHEN 2 THEN p_name || ' PhD'
+           ELSE 'Dr. ' || p_name || ' Jr.'
+         END AS full_name
+  FROM part
+), tk AS (
+  SELECT p_partkey, full_name, str_split(full_name, ' ') AS ts FROM names
+)
+SELECT p_partkey AS partkey, full_name,
+  CASE WHEN len(ts) = 4 THEN ts[1]
+       WHEN len(ts) = 3 AND ts[1] IN ('Dr.','Mr.','Mrs.','Ms.') THEN ts[1]
+       ELSE '' END AS prefix,
+  CASE WHEN len(ts) = 4 THEN ts[2] || ' ' || ts[3]
+       WHEN len(ts) = 3 AND ts[1] IN ('Dr.','Mr.','Mrs.','Ms.') THEN ts[2] || ' ' || ts[3]
+       WHEN len(ts) = 3 THEN ts[1] || ' ' || ts[2]
+       ELSE full_name END AS name,
+  CASE WHEN len(ts) = 4 THEN ts[4]
+       WHEN len(ts) = 3 AND NOT ts[1] IN ('Dr.','Mr.','Mrs.','Ms.') THEN ts[3]
+       ELSE '' END AS suffix
+FROM tk
+"""
+
+
+@query("etl_name_norm", family="etl", oracle=_NAME_NORM_ORACLE)
+def etl_name_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 name prefix/suffix normalization over constructed 2/3/4-token
+    names covering every branch (title-prefix, suffix, both, none)."""
+    p = t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    full_name = (
+        F.when(k % 4 == 0, F.col("p_name"))
+        .when(k % 4 == 1, F.concat(F.lit("Mr. "), F.col("p_name")))
+        .when(k % 4 == 2, F.concat(F.col("p_name"), F.lit(" PhD")))
+        .otherwise(F.concat(F.lit("Dr. "), F.col("p_name"), F.lit(" Jr.")))
+    )
+    norm = transforms.name_norm(full_name)
+    return p.select(
+        k.alias("partkey"),
+        full_name.alias("full_name"),
+        norm["prefix"].alias("prefix"),
+        norm["name"].alias("name"),
+        norm["suffix"].alias("suffix"),
+    )
+
+
+@query(
+    "etl_default_fill",
+    family="etl",
+    oracle="""
+SELECT c_custkey AS custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '') AS segment_filled,
+       coalesce(CAST(NULL AS VARCHAR), '') AS always_filled
+FROM customer
+""",
+)
+def etl_default_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7/R10 default-fill: missing values → '' with fixed column order
+    (the DictWriter restval='' semantics, main.py:159)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("")).alias(
+            "segment_filled"
+        ),
+        F.coalesce(F.lit(None).cast("string"), F.lit("")).alias("always_filled"),
+    )
+
+
+_USERS_LIKE_SCHEMA = {
+    "properties": {
+        "metadata": {
+            "properties": {
+                "type": {"type": "string"},
+                "event_at": {"type": "string"},
+                "event_id": {"type": "string"},
+            },
+            "required": ["type", "event_at", "event_id"],
+        },
+        "payload": {
+            "properties": {
+                "id": {"type": "integer"},
+                "name": {"type": "string"},
+                "score": {"type": "number"},
+            },
+            "required": ["id", "name", "score"],
+        },
+    },
+    "required": ["metadata", "payload"],
+}
+
+_VALIDATE_ORACLE = """
+SELECT error_class, count(*) AS n FROM (
+  SELECT CASE
+    WHEN event_id % 13 = 0 THEN 'corrupt'
+    WHEN event_id % 7 = 0 THEN 'missing_required'
+    WHEN event_id % 5 = 0 THEN 'other'
+    ELSE 'valid' END AS error_class
+  FROM events
+) GROUP BY error_class ORDER BY error_class
+"""
+
+
+@query("etl_validate_route", family="etl", oracle=_VALIDATE_ORACLE)
+def etl_validate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4-R7 validate/classify/route: documents are synthesized from
+    events rows with defects injected by key arithmetic (corrupt JSON /
+    missing required field / wrong type), then classified by the real
+    validity compiler. The oracle derives expected class counts from the
+    same arithmetic independently — validating the classifier itself."""
+    schema = parse_schema(_USERS_LIKE_SCHEMA)
+    e = t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    meta = F.concat(
+        F.lit('{"type": "ev", "event_at": "t", "event_id": "'),
+        k.cast("string"),
+        F.lit('"}'),
+    )
+    payload_ok = F.concat(
+        F.lit('{"id": '), k.cast("string"),
+        F.lit(', "name": "'), F.col("event_type"),
+        F.lit('", "score": 1}'),
+    )
+    payload_missing = F.concat(  # drops required "name"
+        F.lit('{"id": '), k.cast("string"), F.lit(', "score": 1}')
+    )
+    payload_badtype = F.concat(  # id as string → type error
+        F.lit('{"id": "x'), k.cast("string"),
+        F.lit('", "name": "n", "score": 1}'),
+    )
+    raw = (
+        F.when(k % 13 == 0, F.lit("{broken json"))
+        .when(k % 7 == 0, F.concat(F.lit('{"metadata": '), meta, F.lit(', "payload": '), payload_missing, F.lit("}")))
+        .when(k % 5 == 0, F.concat(F.lit('{"metadata": '), meta, F.lit(', "payload": '), payload_badtype, F.lit("}")))
+        .otherwise(F.concat(F.lit('{"metadata": '), meta, F.lit(', "payload": '), payload_ok, F.lit("}")))
+    )
+    docs = e.select(F.try_parse_json(raw).alias("v"))
+    val = compile_validity(schema, F.col("v"))
+    return (
+        docs.select(val.error_class.alias("error_class"))
+        .groupBy("error_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("error_class")
+    )

@@ -1,0 +1,198 @@
+"""End-to-end golden test for the ETL pipeline (FIXTURES.md §1).
+
+Builds the §1.4 edge-case corpus as real one-doc-per-file inputs, runs
+both pipeline versions, and checks output rows, routing, quarantine,
+error log and the counter triple against expectations derived from the
+reference's semantics.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+import shutil
+
+import pytest
+
+from local_etl_spark.etl.config import load_config, reference_config
+from local_etl_spark.etl.pipeline import materialize_quarantine, run_pipeline
+
+USERS = {
+    # file_name -> (doc-or-raw, expectation)
+    "valid_2tok.json": {
+        "metadata": {"type": "user", "event_at": "2023-10-23 22:55:01", "event_id": "e1"},
+        "payload": {"id": 1, "name": "Lawrence Welch", "address": "8279 Rodriguez Ports\nPaulbury, VI 89148", "job": "Commercial horticulturist, retail", "score": 0.5},
+    },
+    "prefix_3tok.json": {
+        "metadata": {"type": "user", "event_at": "t", "event_id": "e2"},
+        "payload": {"id": 2, "name": "Mr. John Doe", "address": "a", "job": "Engineer", "score": 1.5},
+    },
+    "suffix_3tok.json": {
+        "metadata": {"type": "user", "event_at": "t", "event_id": "e3"},
+        "payload": {"id": 3, "name": "John Doe PhD", "address": "a", "job": "Engineer, software", "score": 2.0},
+    },
+    "both_4tok.json": {
+        "metadata": {"type": "user", "event_at": "t", "event_id": "e4"},
+        "payload": {"id": 4, "name": "Dr. John Doe Jr.", "address": "a", "job": "x", "score": 1},
+    },
+    "multi_comma.json": {
+        "metadata": {"type": "user", "event_at": "t", "event_id": "e5"},
+        "payload": {"id": 5, "name": "A B", "address": "a", "job": "A, b, c", "score": 1},
+    },
+    "missing_name.json": {  # repairable; engine null-safe where ref crashes
+        "metadata": {"type": "user", "event_at": "t", "event_id": "e6"},
+        "payload": {"id": 6, "address": "a", "job": "J, k", "score": 1},
+    },
+    "missing_address.json": {  # repair; job fix must be SKIPPED (gate)
+        "metadata": {"type": "user", "event_at": "t", "event_id": "e7"},
+        "payload": {"id": 7, "name": "A B", "job": "Engineer, software", "score": 1},
+    },
+    "bad_type.json": {  # dropped from output, quarantined + logged
+        "metadata": {"type": "user", "event_at": "t", "event_id": "e8"},
+        "payload": {"id": "NaN", "name": "A B", "address": "a", "job": "x", "score": 1},
+    },
+    "bad_date_ok.json": {  # format not enforced → VALID
+        "metadata": {"type": "user", "event_at": "not-a-date", "event_id": "e9"},
+        "payload": {"id": 9, "name": "A B", "address": "a", "job": "x", "score": 1},
+    },
+    "corrupt.json": "{definitely not json",
+    "ignored.txt": "not even considered",
+}
+
+CARDS = {
+    "complete.json": {
+        "payload": {"id": 1, "user_id": 9, "created_by_name": "Justin Miller", "updated_at": "u", "created_at": "c", "active": False},
+        "metadata": {"type": "card", "event_at": "t", "event_id": "c1"},
+    },
+    "incomplete.json": {  # missing user_id → repaired AND quarantined
+        "payload": {"id": 2, "created_by_name": "Dr. Jane Roe MD", "updated_at": "u", "created_at": "c", "active": True},
+        "metadata": {"type": "card", "event_at": "t", "event_id": "c2"},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def etl_run(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("etl"))
+    for d, files in (("users", USERS), ("cards", CARDS)):
+        os.makedirs(os.path.join(base, d))
+        for fn, doc in files.items():
+            with open(os.path.join(base, d, fn), "w", encoding="utf-8") as fh:
+                fh.write(doc if isinstance(doc, str) else json.dumps(doc, indent=2))
+    for s in ("user-events-schema.json", "card-events-schema.json"):
+        shutil.copy(f"/root/reference/{s}", os.path.join(base, s))
+    cfg = reference_config(base)
+    v2_metrics = run_pipeline(spark, cfg, version=2)
+    v1_metrics = run_pipeline(spark, cfg, version=1)
+    return base, cfg, {m.table: m for m in v2_metrics}, {m.table: m for m in v1_metrics}
+
+
+def read_csv_rows(path_dir: str) -> list[dict]:
+    rows = []
+    for part in sorted(glob.glob(os.path.join(path_dir, "part-*.csv"))):
+        with open(part, newline="", encoding="utf-8") as fh:
+            rows.extend(csv.DictReader(fh))
+    return rows
+
+
+def test_counters(etl_run):
+    _, _, v2m, _ = etl_run
+    # users: 11 files, 1 non-json ignored → 10; valid = 6 (incl bad_date),
+    # invalid = 4 (missing_name, missing_address, bad_type, corrupt)
+    assert (v2m["users"].file_count, v2m["users"].valid_count, v2m["users"].invalid_count) == (10, 6, 4)
+    assert (v2m["cards"].file_count, v2m["cards"].valid_count, v2m["cards"].invalid_count) == (2, 1, 1)
+
+
+def test_v2_users_payload(etl_run):
+    base, cfg, _, _ = etl_run
+    rows = {r["id"]: r for r in read_csv_rows(os.path.join(base, "users.csv"))}
+    # dropped: bad_type (id NaN string → type error), corrupt
+    assert set(rows) == {"1", "2", "3", "4", "5", "6", "7", "9"}
+    r1 = rows["1"]
+    assert r1["address"] == "8279 Rodriguez Ports Paulbury, VI 89148"
+    assert r1["job"] == "Retail commercial horticulturist"
+    assert (r1["prefix"], r1["name"], r1["suffix"]) == ("", "Lawrence Welch", "")
+    assert r1["event_id"] == "e1" and r1["score"] == "0.5"
+    assert (rows["2"]["prefix"], rows["2"]["name"], rows["2"]["suffix"]) == ("Mr.", "John Doe", "")
+    assert (rows["3"]["prefix"], rows["3"]["name"], rows["3"]["suffix"]) == ("", "John Doe", "PhD")
+    assert rows["3"]["job"] == "Software engineer"
+    assert rows["3"]["score"] == "2.0"  # float-typed JSON renders 2.0
+    assert (rows["4"]["prefix"], rows["4"]["name"], rows["4"]["suffix"]) == ("Dr.", "John Doe", "Jr.")
+    assert rows["4"]["score"] == "1"  # int-typed JSON renders 1
+    assert rows["5"]["job"] == "B, c a"  # split-limit-2 divergence
+    assert (rows["6"]["prefix"], rows["6"]["name"], rows["6"]["suffix"]) == ("", "", "")
+    assert rows["6"]["job"] == "K j"  # address present → job fix applies
+    assert rows["7"]["job"] == "Engineer, software"  # gate: no address → no fix
+    assert rows["7"]["address"] == ""
+
+
+def test_v2_cards_payload(etl_run):
+    base, _, _, _ = etl_run
+    rows = {r["id"]: r for r in read_csv_rows(os.path.join(base, "cards.csv"))}
+    assert set(rows) == {"1", "2"}
+    assert rows["1"]["active"] == "False" and rows["1"]["event_id"] == "c1"
+    assert (rows["2"]["prefix"], rows["2"]["created_by_name"], rows["2"]["suffix"]) == ("Dr.", "Jane Roe", "MD")
+    assert rows["2"]["user_id"] == ""  # repaired fill
+    assert rows["2"]["active"] == "True"
+
+
+def test_v2_metadata(etl_run):
+    base, _, _, _ = etl_run
+    rows = read_csv_rows(os.path.join(base, "users_metadata.csv"))
+    assert {r["event_id"] for r in rows} == {"e1", "e2", "e3", "e4", "e5", "e6", "e7", "e9"}
+    assert all(r["type"] == "user" for r in rows)
+
+
+def test_v1_flat_output(etl_run):
+    base, _, _, _ = etl_run
+    rows = {r["id"]: r for r in read_csv_rows(os.path.join(base, "users_flat.csv"))}
+    assert set(rows) == {"1", "2", "3", "4", "5", "6", "7", "9"}
+    # v1: no prefix/suffix columns (event_id IS present — it's a
+    # metadata required field in the v1 flat header), name untouched
+    assert "prefix" not in rows["1"] and "suffix" not in rows["1"]
+    assert rows["1"]["event_id"] == "e1"
+    assert rows["2"]["name"] == "Mr. John Doe"
+    assert rows["1"]["job"] == "Retail commercial horticulturist"
+
+
+def test_quarantine_and_errors(etl_run, spark):
+    base, cfg, _, _ = etl_run
+    qdir = os.path.join(base, "users_schema_mismatches")
+    q = spark.read.parquet(qdir)
+    names = {os.path.basename(r["file_path"]) for r in q.select("file_path").collect()}
+    # every invalid file (incl. repaired ones) is quarantined; ×2 runs
+    assert names == {"missing_name.json", "missing_address.json", "bad_type.json", "corrupt.json"}
+    out = os.path.join(base, "quarantine_materialized")
+    n = materialize_quarantine(spark, qdir, out)
+    assert n >= 4
+    with open(os.path.join(out, "bad_type.json"), encoding="utf-8") as fh:
+        assert json.load(fh)["payload"]["id"] == "NaN"  # verbatim copy
+
+    log_lines = []
+    for f in glob.glob(os.path.join(base, "errors.log.d", "part-*")):
+        log_lines.extend(open(f, encoding="utf-8").read().splitlines())
+    assert any("'name' is a required property" in l for l in log_lines)
+    assert any("SCHEMA ERR" in l and "bad_type.json" in l for l in log_lines)
+    assert any("'NaN' is not of type 'integer'" in l for l in log_lines)
+
+
+def test_toml_config_roundtrip(tmp_path):
+    toml = tmp_path / "pipeline.toml"
+    toml.write_text(
+        """
+replace_missing_data = false
+[[data]]
+name = "users"
+schema_file = "s.json"
+data_dir = "users"
+schema_mismatch_dir = "users_bad"
+payload_file = "users.csv"
+metadata_file = "meta.csv"
+"""
+    )
+    cfg = load_config(str(toml), base_dir=str(tmp_path))
+    assert not cfg.replace_missing_data
+    assert cfg.tables[0].name == "users"
+    assert cfg.tables[0].payload_file == "users.csv"

@@ -1,0 +1,118 @@
+"""Differential test: the engine's compiled validity expressions vs the
+real ``jsonschema.validate`` (the reference's validator, main.py:59-65)
+over an edge-case corpus covering every FIXTURES.md §1.4 path.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+try:
+    from jsonschema import validate as js_validate
+    from jsonschema.exceptions import ValidationError
+
+    HAVE_JSONSCHEMA = True
+except ImportError:  # pragma: no cover
+    HAVE_JSONSCHEMA = False
+
+from pyspark.sql import functions as F
+
+from local_etl_spark.etl.schema_translate import load_schema
+from local_etl_spark.etl.validate import compile_validity
+
+USERS_SCHEMA = "/root/reference/user-events-schema.json"
+CARDS_SCHEMA = "/root/reference/card-events-schema.json"
+
+UMD = {"type": "user", "event_at": "2023-10-23 22:55:01", "event_id": "0a1b"}
+UPL = {"id": 945, "name": "Lawrence Welch", "address": "a\nb", "job": "x, y", "score": 0.86}
+CMD = {"type": "card", "event_at": "2023-10-23 23:26:31", "event_id": "0088"}
+CPL = {
+    "id": 4965,
+    "user_id": 7,
+    "created_by_name": "Justin Miller",
+    "updated_at": "t",
+    "created_at": "t",
+    "active": False,
+}
+
+
+def _drop(d: dict, k: str) -> dict:
+    return {x: v for x, v in d.items() if x != k}
+
+
+def corpus(md: dict, pl: dict) -> list[str]:
+    docs = [
+        {"metadata": md, "payload": pl},  # valid
+        {"metadata": md, "payload": _drop(pl, list(pl)[1])},  # missing payload field
+        {"metadata": _drop(md, "event_id"), "payload": pl},  # missing metadata field
+        {"metadata": _drop(md, "event_at"), "payload": _drop(pl, "id")},  # both missing
+        {"payload": pl},  # no metadata
+        {"metadata": md},  # no payload
+        {},  # empty doc
+        {"metadata": md, "payload": {**pl, "id": "not-int"}},  # type error
+        {"metadata": md, "payload": {**pl, "id": 1.5}},  # non-integral float
+        {"metadata": md, "payload": {**pl, "id": 2.0}},  # integral float = VALID int
+        {"metadata": md, "payload": {**pl, "id": True}},  # bool is not integer
+        {"metadata": md, "payload": {**pl, "id": None}},  # explicit null
+        {"metadata": md, "payload": {**pl, "id": [1]}},  # array for scalar
+        {"metadata": {**md, "type": 5}, "payload": pl},  # metadata type error
+        {"metadata": {**md, "type": 5}, "payload": {**pl, "id": "x"}},  # two type errs
+        {"metadata": md, "payload": {**pl, "id": "x", list(pl)[1]: None}},  # mixed
+        {"metadata": md, "payload": "nope"},  # payload not an object
+        {"metadata": None, "payload": pl},  # explicit-null metadata
+        {"metadata": md, "payload": {**_drop(pl, "id"), "extra": 1}},  # extra+missing
+        {"metadata": {**md, "event_at": "not-a-date"}, "payload": pl},  # format NOT enforced
+        [1, 2],  # doc not an object
+        "just a string",
+        {"metadata": _drop(md, "type"), "payload": {**pl, "id": "x"}},  # miss+type cross
+    ]
+    return [json.dumps(d) for d in docs]
+
+
+@pytest.mark.skipif(not HAVE_JSONSCHEMA, reason="jsonschema not installed")
+@pytest.mark.parametrize(
+    "schema_path,md,pl",
+    [(USERS_SCHEMA, UMD, UPL), (CARDS_SCHEMA, CMD, CPL)],
+    ids=["users", "cards"],
+)
+def test_validity_matches_jsonschema(spark, schema_path, md, pl):
+    schema = load_schema(schema_path)
+    raws = corpus(md, pl)
+
+    with open(schema_path, encoding="utf-8") as fh:
+        raw_schema = json.load(fh)
+    expected = []
+    for raw in raws:
+        doc = json.loads(raw)
+        try:
+            js_validate(doc, raw_schema)
+            expected.append((True, None))
+        except ValidationError as e:
+            expected.append((False, e.message))
+
+    df = spark.createDataFrame([(r,) for r in raws], ["raw"]).select(
+        "raw", F.try_parse_json("raw").alias("v")
+    )
+    val = compile_validity(schema, F.col("v"))
+    got = df.select(
+        val.is_valid.alias("ok"), val.error_msg.alias("msg")
+    ).collect()
+
+    for raw, (exp_ok, exp_msg), row in zip(raws, expected, got):
+        assert row["ok"] == exp_ok, f"validity mismatch for {raw}: {row['msg']!r}"
+        if not exp_ok:
+            assert row["msg"] == exp_msg, (
+                f"message mismatch for {raw}:\n engine={row['msg']!r}\n jsonschema={exp_msg!r}"
+            )
+
+
+def test_corrupt_json_classifies(spark):
+    schema = load_schema(USERS_SCHEMA)
+    df = spark.createDataFrame([("{not valid json",)], ["raw"]).select(
+        F.try_parse_json("raw").alias("v")
+    )
+    val = compile_validity(schema, F.col("v"))
+    row = df.select(val.error_class.alias("c"), val.is_valid.alias("ok")).collect()[0]
+    assert row["c"] == "corrupt" and not row["ok"]
