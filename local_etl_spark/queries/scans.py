@@ -1,0 +1,192 @@
+"""Source/sink queries (SURVEY.md §2.4-B).
+
+The reference's only source is a directory-of-JSON-files scan
+(main.py:150-151,163-167) and its only sinks are CSV/error-log/quarantine
+(main.py:156-161,34-56). The engine generalizes both ends: parquet /
+JSON / CSV readers with explicit schemas, and partitioned columnar
+sinks — the 100 TB path is parquet in, partition-pruned parquet out.
+
+Round-trip strategy for the oracle: JSON/CSV scans materialize a
+testdata table to a /tmp cache, read it back through the format under
+test, and the oracle checks the *content* against the original parquet
+view — so correctness covers the full write→read cycle without the
+oracle needing to read the intermediate file.
+
+Scale notes:
+  - `scan_parquet` keeps selection declarative so Catalyst pushes the
+    filter into the scan (`PushedFilters` in explain) and prunes to the
+    two referenced columns (`ReadSchema`). At 100 TB this is the
+    difference between reading 2 columns × matching row-groups and
+    reading everything.
+  - `sink_partitioned` writes `partitionBy(o_orderpriority)`; the
+    read-back filter on the partition column is satisfied by directory
+    pruning (zero data files of other partitions opened).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "local_etl_spark_scan_cache")
+
+
+def _cache_dir(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_CACHE_ROOT, tag, name)
+
+
+def _materialize(df: DataFrame, path: str, fmt: str, **options) -> str:
+    """Write ``df`` to ``path`` as ``fmt`` once (marker-gated, overwrite-safe)."""
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        df.write.mode("overwrite").options(**options).format(fmt).save(path)
+    return path
+
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+SUPPLIER_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "scan_parquet",
+    family="scans",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_extendedprice > 4000.0
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projecting parquet scan with pushed-down filter.
+
+    Plan contract (asserted in tests/test_plan_shape.py): explain shows
+    ``PushedFilters: [GreaterThanOrEqual(l_shipdate,...), ...]`` and a
+    two-column ``ReadSchema`` — Catalyst, not the engine, does the work.
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_extendedprice") > 4000.0)
+        )
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+
+@query(
+    "scan_json",
+    family="scans",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with explicit schema (no inference pass).
+
+    Reference analog: R1/R2 directory JSON scan (main.py:150-172), there
+    one pretty-printed document per file read with ``multiLine``; the
+    engine's ETL pipeline (etl/pipeline.py) keeps that mode, while this
+    query exercises the scale-friendly JSONL layout. Explicit schema
+    matters at 100 TB: schema inference is a full extra pass over data.
+    """
+    path = _materialize(
+        t(spark, sf_dir, "nation"), _cache_dir(sf_dir, "nation_json"), "json"
+    )
+    return spark.read.schema(NATION_SCHEMA).json(path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "scan_csv",
+    family="scans",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(CAST(s_acctbal AS DECIMAL(18,6)) AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with explicit schema + header.
+
+    Reference analog: the CSV *sink* (R14, main.py:156-161) — here the
+    engine proves the reverse direction reads back losslessly. The
+    acctbal double goes through a text round-trip, so both sides pin it
+    to DECIMAL(18,6) (the testdata generates 2dp values; exact).
+    """
+    path = _materialize(
+        t(spark, sf_dir, "supplier"),
+        _cache_dir(sf_dir, "supplier_csv"),
+        "csv",
+        header="true",
+    )
+    df = spark.read.schema(SUPPLIER_SCHEMA).option("header", "true").csv(path)
+    return df.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.col("s_acctbal").cast("decimal(18,6)").cast("double").alias("s_acctbal"),
+    )
+
+
+@query(
+    "sink_partitioned",
+    family="scans",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned read-back.
+
+    Writes orders partitioned by ``o_orderpriority``, reads it back, and
+    aggregates only status-F rows. At scale the partition layout turns
+    the common per-priority query into a directory prune; the read-back
+    proves values and the partition column itself survive the cycle.
+    """
+    path = _cache_dir(sf_dir, "orders_by_priority")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("total"),
+        )
+    )
