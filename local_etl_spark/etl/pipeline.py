@@ -240,38 +240,54 @@ def run_table(
             invalid_count=total - valid,
         )
 
-        keep = F.col("is_valid") | (
-            F.lit(cfg.replace_missing_data)
-            & (F.col("error_class") == CLASS_MISSING)
-        )
-        kept = classified.where(keep)
-        invalid = classified.where(~F.col("is_valid"))
-
-        # output sink(s)
-        if version == 1:
-            v1_rows(kept, schema).write.mode("append").option(
-                "header", True
-            ).csv(cfg.path(table.output_file or f"{table.name}.csv"))
-        else:
-            payload, metadata = v2_rows(kept, schema)
-            payload.write.mode("append").option("header", True).csv(
-                cfg.path(table.payload_file or f"{table.name}.csv")
-            )
-            metadata.write.mode("append").option("header", True).csv(
-                cfg.path(table.metadata_file or "metadata.csv")
-            )
-
-        # quarantine sink (R5): original documents, verbatim
-        invalid.select("file_path", "raw").write.mode("append").parquet(
-            cfg.path(table.schema_mismatch_dir)
-        )
-        # error log sink (R6)
-        error_log_lines(invalid).write.mode("append").text(
-            cfg.path(f"{cfg.errors_log}.d")
-        )
+        write_sinks(cfg, table, schema, classified, version)
         return metrics
     finally:
         classified.unpersist()
+
+
+def write_sinks(
+    cfg: PipelineConfig,
+    table: TableConfig,
+    schema: EnvelopeSchema,
+    classified: DataFrame,
+    version: int = 2,
+) -> None:
+    """Route one classified batch to the three sinks (R5/R6/R14).
+
+    Shared by the batch pipeline (run_table) and the streaming ingest
+    (streaming/etl_stream.py foreachBatch) — identical routing semantics
+    in both execution modes.
+    """
+    keep = F.col("is_valid") | (
+        F.lit(cfg.replace_missing_data)
+        & (F.col("error_class") == CLASS_MISSING)
+    )
+    kept = classified.where(keep)
+    invalid = classified.where(~F.col("is_valid"))
+
+    # output sink(s)
+    if version == 1:
+        v1_rows(kept, schema).write.mode("append").option(
+            "header", True
+        ).csv(cfg.path(table.output_file or f"{table.name}.csv"))
+    else:
+        payload, metadata = v2_rows(kept, schema)
+        payload.write.mode("append").option("header", True).csv(
+            cfg.path(table.payload_file or f"{table.name}.csv")
+        )
+        metadata.write.mode("append").option("header", True).csv(
+            cfg.path(table.metadata_file or "metadata.csv")
+        )
+
+    # quarantine sink (R5): original documents, verbatim
+    invalid.select("file_path", "raw").write.mode("append").parquet(
+        cfg.path(table.schema_mismatch_dir)
+    )
+    # error log sink (R6)
+    error_log_lines(invalid).write.mode("append").text(
+        cfg.path(f"{cfg.errors_log}.d")
+    )
 
 
 def run_pipeline(

@@ -8,5 +8,6 @@ from local_etl_spark.queries import (  # noqa: F401
     joins,
     scans,
     sortset,
+    streaming,
     windows,
 )

@@ -1,0 +1,117 @@
+"""Streaming-shaped queries, batch-checked (SURVEY.md §2.4-I).
+
+Every query here delegates to local_etl_spark/streaming/core.py — the
+same functions run under Structured Streaming in
+tests/test_streaming.py. The DuckDB oracles re-derive the window
+semantics from first principles (date_trunc, epoch-floor buckets,
+lag/gap/cumsum sessionization), so a semantics drift in either
+representation breaks parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+from local_etl_spark.streaming import core
+
+_DSUM_SQL = (
+    "CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)"
+)
+
+
+@query(
+    "stream_tumbling",
+    family="streaming",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n_events, {_DSUM_SQL} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-h tumbling window counts (streaming twin: core.tumbling_counts)."""
+    return core.tumbling_counts(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding",
+    family="streaming",
+    oracle=f"""
+    -- every event belongs to the 4 epoch-aligned 15-min-sliding 1-h
+    -- windows ending after it: starts bucket-45m .. bucket-0m
+    SELECT to_timestamp(floor(epoch(ts) / 900) * 900
+                        - k.k * 900) AS win_start,
+           count(*) AS n_events, {_DSUM_SQL} AS total_value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-h window sliding 15 min (streaming twin: core.sliding_counts)."""
+    return core.sliding_counts(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session",
+    family="streaming",
+    oracle=f"""
+    -- lag/gap/cumsum sessionization: new session when the gap since the
+    -- previous event is >= 30 min (Spark merges only on strict overlap)
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g
+    )
+    SELECT user_id,
+           min(ts) AS sess_start,
+           max(ts) + INTERVAL 30 MINUTE AS sess_end,
+           count(*) AS n_events, {_DSUM_SQL} AS total_value
+    FROM s
+    GROUP BY user_id, sess
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap session windows per user (core.session_aggregate)."""
+    return core.session_aggregate(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup",
+    family="streaming",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user_id, event_type) (core.dedup_events)."""
+    return core.dedup_events(t(spark, sf_dir, "events"))
+
+
+@query("stream_watermark", family="streaming", oracle=None)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-drop semantics, batch-emulated (rows-only check).
+
+    Not SQL-oracle-able: the drop set depends on arrival order, which
+    DuckDB has no notion of. tests/test_streaming.py asserts the real
+    ``withWatermark`` stream converges to this answer on an ordered
+    replay with injected late rows.
+    """
+    return core.watermarked_tumbling(t(spark, sf_dir, "events"))

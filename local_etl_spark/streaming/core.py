@@ -1,0 +1,147 @@
+"""Windowed/stateful transforms shared by batch queries and streams.
+
+Each function is ``DataFrame -> DataFrame`` and is valid on BOTH a batch
+DataFrame and a ``readStream`` DataFrame — one definition, two execution
+modes. The batch mode is what the DuckDB oracle checks
+(queries/streaming.py); tests/test_streaming.py re-runs the same
+functions under Structured Streaming with a file source and asserts the
+results converge to the batch answer.
+
+Scale notes (1000-executor / 100 TB):
+  - Windowed aggregations shuffle once on (key, window); state lives in
+    the executor state store partitioned the same way — no second
+    shuffle between micro-batches.
+  - Watermarks bound state: without them session/dedup state grows
+    without limit. Every streaming entry point here takes a
+    ``watermark`` arg for that reason; batch mode ignores it.
+  - ``session_window`` uses Spark's native merging-session state
+    operator rather than a sort-within-partition emulation, so skewed
+    users don't serialize a whole partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+GAP = "30 minutes"
+
+
+def _dsum(c: Column) -> Column:
+    # Exact-decimal sum emitted as DOUBLE (engine-wide determinism policy,
+    # see queries/_util.py).
+    return F.sum(c.cast("decimal(18,6)")).cast("decimal(28,6)").cast("double")
+
+
+def _is_streaming(df: DataFrame) -> bool:
+    return df.isStreaming
+
+
+def _maybe_watermark(df: DataFrame, watermark: str | None) -> DataFrame:
+    if watermark and _is_streaming(df):
+        return df.withWatermark("ts", watermark)
+    return df
+
+
+def tumbling_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """1-hour tumbling window: count + value sum per (window, event_type)."""
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """1-hour window sliding every 15 minutes: count + value sum.
+
+    Each event lands in exactly 4 windows (duration/slide); Spark
+    expands to the window set and aggregates once — the expansion is a
+    projection, not a self-join.
+    """
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), _dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+def session_aggregate(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap.
+
+    Session semantics (Spark's, asserted against a lag/gap/cumsum oracle
+    in SQL): an event joins the previous session iff it arrives strictly
+    less than GAP after it; session end = last event + GAP.
+    """
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), _dsum(F.col("value")).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Keep one event per (user_id, event_type).
+
+    Streaming mode: stateful ``dropDuplicates`` — keeps the first
+    *arrival*, with watermark-bounded state. Batch mode: deterministic
+    keep-first-by-(ts, event_id) via row_number, which equals the
+    streaming answer whenever arrival order is event-time order (true
+    for replay of a time-ordered log, as in the tests).
+    """
+    if _is_streaming(events):
+        return _maybe_watermark(events, watermark).dropDuplicates(
+            ["user_id", "event_type"]
+        )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def late_data_filter(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Batch emulation of watermark drop semantics over an ordered replay.
+
+    Streaming: ``withWatermark`` drops events older than
+    max(event time seen) - delay. Batch twin: replay in ``event_id``
+    (arrival) order, track the running max of ``ts``, drop rows behind
+    the moving watermark. Used by ``stream_watermark`` (rows-only check)
+    and asserted equal to real watermark behavior in the streaming test.
+    """
+    arrival = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    delay_expr = F.expr(f"INTERVAL {delay}")
+    return (
+        events.withColumn("_wm", F.max("ts").over(arrival) - delay_expr)
+        .filter(F.col("ts") >= F.col("_wm"))
+        .drop("_wm")
+    )
+
+
+def watermarked_tumbling(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Tumbling counts over the watermark-surviving subset (batch twin).
+
+    In streaming mode this is ``withWatermark(delay)`` + window agg in
+    append mode; batch mode applies ``late_data_filter`` explicitly.
+    The single-column global sort in the batch twin exists only to make
+    the replay order deterministic for the oracle — the streaming path
+    has no such sort.
+    """
+    if _is_streaming(events):
+        return tumbling_counts(events, watermark=delay)
+    return tumbling_counts(late_data_filter(events, delay))

@@ -1,0 +1,166 @@
+"""Structured Streaming ≡ batch for the shared core transforms.
+
+Feeds sf0.001 events through a file JSON source in ts-ordered chunks
+(one micro-batch per file via maxFilesPerTrigger) and asserts every
+core transform converges to its batch answer — the same functions the
+DuckDB oracle checks in batch mode (queries/streaming.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from local_etl_spark.catalog import table
+from local_etl_spark.streaming import core
+
+SF = "/root/testdata/sf0.001"
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _write_chunks(spark, tmp_path, n_chunks=3):
+    """events → n ts-ordered JSONL chunk files with increasing mtimes."""
+    rows = (
+        table(spark, SF, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", TS_FMT).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        p = src / f"chunk{i}.json"
+        with open(p, "w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(json.dumps(r.asDict()) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(src)
+
+
+def _read_stream(spark, src):
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("timestampFormat", TS_FMT)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+
+
+def _batch_events(spark, src):
+    return (
+        spark.read.schema(EVENT_SCHEMA)
+        .option("timestampFormat", TS_FMT)
+        .json(src)
+    )
+
+
+def _run_to_memory(sdf, name, tmp_path, mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _canon(df):
+    return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+
+@pytest.fixture(scope="module")
+def src(spark, tmp_path_factory):
+    return _write_chunks(spark, tmp_path_factory.mktemp("stream"))
+
+
+@pytest.mark.parametrize(
+    "fn,mode",
+    [
+        (core.tumbling_counts, "complete"),
+        (core.sliding_counts, "complete"),
+        (core.session_aggregate, "complete"),
+        (core.dedup_events, "append"),
+    ],
+    ids=["tumbling", "sliding", "session", "dedup"],
+)
+def test_stream_equals_batch(spark, src, tmp_path, fn, mode):
+    name = f"mem_{fn.__name__}"
+    _run_to_memory(fn(_read_stream(spark, src)), name, tmp_path, mode)
+    got = _canon(spark.table(name))
+    want = _canon(fn(_batch_events(spark, src)))
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Real withWatermark vs the batch emulation (core.late_data_filter).
+
+    Spark's watermark guarantee is one-directional: data within the
+    delay is never dropped; data behind it MAY survive while its window
+    state is still live. So the late row here arrives only after a
+    whole day of event time has passed and the window state is evicted
+    — the deterministic drop case both modes must agree on. A final
+    far-future row flushes the watermark so real windows close in
+    append mode.
+    """
+    chunks = [
+        [
+            (0, "2024-01-01 01:02:00.000000", 1, "click", 1.0, "{}"),
+            (1, "2024-01-01 03:05:00.000000", 1, "click", 1.0, "{}"),
+        ],
+        [(2, "2024-01-02 00:00:00.000000", 1, "advance", 1.0, "{}")],
+        [(3, "2024-01-01 01:30:00.000000", 1, "click", 7.0, "{}")],  # late
+        [(4, "2024-01-03 12:00:00.000000", 9, "flush", 0.0, "{}")],
+    ]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(chunks):
+        p = src / f"c{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(cols, r))) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    _run_to_memory(
+        core.watermarked_tumbling(_read_stream(spark, str(src))),
+        "mem_wm",
+        tmp_path,
+        "append",
+    )
+    got = {tuple(r) for r in spark.table("mem_wm").collect()}
+
+    batch = core.watermarked_tumbling(_batch_events(spark, str(src)))
+    flush_cut = F.lit("2024-01-03").cast("timestamp")
+    want = {tuple(r) for r in batch.filter(F.col("win_start") < flush_cut).collect()}
+    assert got == want
+    # the late 01:30 row must NOT appear: hour-1 window keeps count 1
+    assert (
+        sum(r[2] for r in got if r[0].hour == 1 and r[1] == "click") == 1
+    )
