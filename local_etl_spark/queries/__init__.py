@@ -6,8 +6,13 @@ from local_etl_spark.queries import (  # noqa: F401
     filters,
     functions,
     joins,
+    llm_dedup,
+    llm_media,
+    llm_sim,
+    llm_text,
     scans,
     sortset,
     streaming,
+    udfs,
     windows,
 )

@@ -1,0 +1,309 @@
+"""Deduplication family for training-data pipelines (SURVEY.md §2.4-J).
+
+Five operators on ``documents``/``embeddings``, ordered by cost:
+
+  exact        hash-groupBy — one shuffle on the text hash
+  ngram        exact word-3-gram Jaccard — shingle-inverted-index join
+  minhash      MinHash(64)+LSH(16×4) candidate pairs → exact verify
+  simhash      64-bit SimHash + 16-bit block blocking → hamming verify
+  embed        cosine ≥ τ near-dup pairs on embeddings
+
+Scale notes (the whole point of the sketch variants):
+  - ``ngram``'s inverted-index join is exact but its worst case is a
+    quadratic blow-up on a hot shingle; at 100 TB you cap or drop
+    stop-shingles (df cap) — here the synthetic vocab is small enough
+    to keep it exact, and it doubles as the ground truth for the
+    sketches' recall tests.
+  - ``minhash`` computes all 64 permutations as ONE JVM array fold per
+    doc (no explode, no shuffle until the tiny candidate join): at J≥0.9
+    (the regime near-dup dedup cares about) LSH 16×4 recall is
+    1-(1-0.9^4)^16 ≈ 0.999; candidates are then verified with exact
+    Jaccard so precision is 1 by construction.
+  - ``simhash``'s blocking (4 × 16-bit blocks, pigeonhole: hamming ≤ 3
+    ⇒ some block equal) turns all-pairs hamming into 4 equi-joins.
+  - ``embed`` brute-forces pairs (fine at 500-5k vectors); the IVF
+    cell-assignment in llm_sim.py is the prefilter at real scale.
+
+Determinism: Jaccard/hamming are integer-derived (bit-exact); cosine
+follows llm_sim.py's sequential-double-fold policy. xxhash64-seeded
+sketches are rows-only for the driver (DuckDB's hash differs) with
+pytest ground-truth checks instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.queries.llm_sim import cosine, _duck_cosine
+from local_etl_spark.registry import query
+
+JACCARD_T = 0.5
+COSINE_T = 0.4
+N_PERM = 64
+N_BANDS = 16  # 4 rows per band
+HAMMING_T = 5  # true near-dups in this corpus sit at ≤5; random mass ≥9
+
+_SHINGLES = (
+    "CASE WHEN size(_w) >= 3 THEN array_distinct(transform("
+    "  sequence(1, size(_w) - 2),"
+    "  i -> concat_ws(' ', _w[i-1], _w[i], _w[i+1])))"
+    " ELSE array() END"
+)
+
+
+def with_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id + distinct word-3-gram shingle array (JVM expression)."""
+    return docs.select(
+        "doc_id", F.split("text", " ").alias("_w")
+    ).select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+
+
+@query(
+    "llm_dedup_exact",
+    family="llm",
+    oracle="""
+    SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per distinct text, keeper = min doc_id.
+
+    Single hash-shuffle on the text; at 100 TB group on sha2 instead of
+    the raw text to cut shuffle bytes (collision-negligible), which is
+    why the hash is part of the output contract here.
+    """
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select(F.sha2("text", 256).alias("text_hash"), "keep_id", "n_copies")
+    )
+
+
+_DUCK_SHINGLES = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        FROM w WHERE len(ws) >= 3
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "llm_dedup_ngram",
+    family="llm",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    SELECT d1, d2,
+           round(shared * 1.0 / (ca.n + cb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = d1
+    JOIN cnt cb ON cb.doc_id = d2
+    WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_T}
+    """,
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via a shingle inverted index.
+
+    shuffle 1: explode+groupBy builds (shingle → docs) postings;
+    shuffle 2: per-pair shared counts. Jaccard from integer counts —
+    bit-exact vs the oracle. Ground truth for the sketch variants.
+    """
+    sh = with_shingles(t(spark, sf_dir, "documents"))
+    counts = sh.select("doc_id", F.size("shingles").alias("n")).filter(
+        F.col("n") > 0
+    )
+    posting = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    pairs = (
+        posting.alias("a")
+        .join(posting.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(ca, "d1")
+        .join(cb, "d2")
+        .filter(jac >= JACCARD_T)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_col(i: int) -> Column:
+    return F.expr(
+        f"array_min(transform(shingles, s -> xxhash64({i}, s)))"
+    ).alias(f"mh{i}")
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """64 min-hashes per doc, computed as array folds — zero shuffles."""
+    nonempty = sh.filter(F.size("shingles") > 0)
+    return nonempty.select(
+        "doc_id", "shingles", *[_minhash_col(i) for i in range(N_PERM)]
+    )
+
+
+@query("llm_dedup_minhash", family="llm", oracle=None)
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified.
+
+    Pipeline: signatures (map-only) → band keys → explode(16 bands) →
+    bucket self-join on (band, band_hash) → distinct candidates →
+    verify with exact Jaccard on the shingle arrays. Output equals
+    llm_dedup_ngram wherever LSH recalls the pair (≈1 at J≥0.9);
+    tests/test_llm_dedup.py asserts exact agreement on the testdata.
+    Rows-only for the driver: xxhash64 seeds aren't DuckDB-reproducible.
+    """
+    sig = minhash_signatures(with_shingles(t(spark, sf_dir, "documents")))
+    rows_per_band = N_PERM // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    keyed = sig.select(
+        "doc_id", "shingles", F.explode(bands).alias("k")
+    ).select("doc_id", "shingles", "k.band", "k.bh")
+
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.shingles").alias("sa"),
+            F.col("b.shingles").alias("sb"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size(F.array_union("sa", "sb"))
+    jac = inter / uni
+    return cand.filter(jac >= JACCARD_T).select(
+        "d1", "d2", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from token-count-weighted bit votes."""
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+@query("llm_dedup_simhash", family="llm", oracle=None)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming(sig) ≤ 5 via 8-bit block LSH.
+
+    Pigeonhole: hamming ≤ 7 over 8 disjoint 8-bit blocks ⇒ at least
+    one block identical, so 8 equi-joins (one exploded self-join)
+    replace the all-pairs scan — complete for the ≤5 threshold.
+    Verification = popcount of XOR (integer-exact). Rows-only check;
+    pytest asserts every planted near-dup lands under the threshold.
+    """
+    sig = simhash_signatures(t(spark, sf_dir, "documents"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("blk"),
+                F.shiftright("simhash", 8 * k)
+                .bitwiseAND(F.lit(0xFF))
+                .alias("bv"),
+            )
+            for k in range(8)
+        ]
+    )
+    keyed = sig.select(
+        "doc_id", "simhash", F.explode(blocks).alias("k")
+    ).select("doc_id", "simhash", "k.blk", "k.bv")
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["blk", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.filter(ham <= HAMMING_T).select(
+        "d1", "d2", ham.alias("hamming")
+    )
+
+
+@query(
+    "llm_dedup_embed",
+    family="llm",
+    oracle=f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_T}
+    """,
+)
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, all-pairs).
+
+    Range-partitioned self-join: fine to |v| ~ 10^4; beyond that the
+    IVF cell assignment (llm_sim.py) prefilters pairs to same-cell
+    candidates. Cosine math is the bit-exact double fold.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    cos = cosine("ea", "eb")
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .filter(cos >= COSINE_T)
+        .select("v1", "v2", F.round(cos, 6).alias("score"))
+    )

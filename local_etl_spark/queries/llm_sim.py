@@ -1,0 +1,222 @@
+"""Similarity search over embeddings (SURVEY.md §2.4-J).
+
+64-d float vectors (`embeddings.embedding`). All exact math stays
+JVM-side as array-expression folds — no UDF: a 64-element
+``aggregate(zip_with(...))`` compiles into codegen and costs ~nothing
+next to the scan.
+
+Float determinism policy (verified empirically, see tests): each
+float32×float32 product is EXACT in double (24+24 mantissa bits < 53),
+and both engines fold the 64 products sequentially left→right, so
+dot products and norms are bit-identical across Spark and DuckDB;
+``round(score, 6)`` then removes any residual libm divergence in sqrt.
+
+Scale design:
+  - ``llm_simsearch``: brute force is a single scan + top-k — at 100 TB
+    it is embarrassingly parallel (per-partition top-k, then a k-row
+    driver merge via TakeOrderedAndProject). The right baseline.
+  - ``llm_knn_join``: the small (query) side is broadcast; the big side
+    streams — no shuffle of the corpus.
+  - ``llm_simsearch_ivf``: the scale path — partition the corpus by
+    nearest-centroid cell once (a write-time clustering at 100 TB),
+    then probe only nprobe cells per query: the scan drops from |corpus|
+    to nprobe/ncells of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+
+K = 10
+
+# sequential double fold over paired arrays (bit-identical in DuckDB)
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def dot(a: str, b: str) -> F.Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def cosine(a: str, b: str) -> F.Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+# DuckDB side of the same fold (list_transform+list_sum matches the
+# sequential double fold; list_dot_product does NOT — it accumulates in
+# float32)
+_DUCK_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    d = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_DOT.format(a=a, b=a)
+    nb = _DUCK_DOT.format(a=b, b=b)
+    return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+
+@query(
+    "llm_simsearch",
+    family="llm",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round({_duck_cosine('e.embedding', 'q.qv')}, 6) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY score DESC, e.vec_id
+    LIMIT {K}
+    """,
+)
+def llm_simsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    The 1-row query side is crossJoin(broadcast(...)) — a map-side
+    closed form; orderBy().limit(k) compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows, no global sort).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine("embedding", "qv"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(K)
+    )
+
+
+@query(
+    "llm_knn_join",
+    family="llm",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               round({_duck_cosine('e.embedding', 'q.qv')}, 6) AS score,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY round({_duck_cosine('e.embedding', 'q.qv')}, 6) DESC,
+                            e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, score FROM scored WHERE rn <= 3
+    """,
+)
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: 3 nearest corpus vectors for each query vector.
+
+    Query side (1% of rows) is broadcast; the corpus side never
+    shuffles for the join itself — only the per-query top-3 window
+    shuffles, and that input is already down to |corpus|×|queries|
+    scored pairs. At 100 TB with large query sets, swap the crossJoin
+    for the IVF cell-probe prefilter below.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine("embedding", "qv"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "score")
+    )
+
+
+@query("llm_simsearch_ivf", family="llm", oracle=None)
+def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: probe only the nearest cells.
+
+    Cells are defined by 16 deterministic pseudo-centroids (vectors
+    with vec_id < 16 — a stand-in for k-means output; the plumbing, not
+    the training, is the operator). Every corpus vector is assigned to
+    its nearest centroid; the query probes the 4 nearest cells and
+    brute-forces only within them (~25% of the corpus here; 100 TB
+    deployments write the corpus partitioned BY cell so a probe is a
+    partition prune, not a filter).
+
+    Approximate ⇒ rows-only driver check; tests/test_llm_sim.py asserts
+    recall ≥ 0.5 vs the exact top-k and exactness of returned scores.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+    )
+
+    from pyspark.sql import Window
+
+    # assign: nearest centroid per corpus vector (argmax cosine)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), "cid"
+    )
+    assigned = (
+        emb.crossJoin(cent)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "cid",
+            cosine("embedding", "cv").alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    # probe: 4 cells nearest to the query
+    probe = F.broadcast(
+        cent.crossJoin(qv)
+        .select("cid", cosine("cv", "qv").alias("cos_q"))
+        .orderBy(F.desc("cos_q"), "cid")
+        .limit(4)
+        .select("cid")
+    )
+
+    return (
+        assigned.join(probe, "cid")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine("embedding", "qv"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(K)
+    )

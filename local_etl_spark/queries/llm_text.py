@@ -1,0 +1,276 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.4-J).
+
+All hot-path logic is JVM array/regex expressions — the natural Spark
+translation of corpus heuristics (token counting, quality scoring,
+language ID, TF-IDF, winnowing fingerprints). No Python UDF anywhere:
+at 100 TB these run inside whole-stage codegen right on top of the
+parquet scan, shuffling only the (small) aggregated outputs.
+
+Determinism: scores are ratios of integers (bit-exact) or single
+ln()/divisions rounded to 6 dp — safely inside cross-engine libm
+agreement at these magnitudes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+
+# deterministic marker profiles over the corpus vocabulary — the
+# operator contract is the scoring mechanics (n-gram/stopword presence
+# voting), not real-world language detection, which needs real profiles.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "de": ("table", "window", "hash", "batch"),
+    "es": ("data", "sort", "row", "group"),
+    "fr": ("query", "join", "line", "order"),
+    "zh": ("spark", "stream", "scan", "merge"),
+}
+
+STOPWORDS = ("the", "a")
+
+# BPE-ish tokenizer: letter runs, digit runs, single other non-space
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "llm_text_stats",
+    family="llm",
+    oracle="""
+    SELECT doc_id, lang, source,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           round(list_sum(list_transform(string_split(text, ' '),
+                                         w -> len(w))) * 1.0
+                 / len(string_split(text, ' ')), 6) AS avg_word_len
+    FROM documents
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (counts, vocabulary, word length)."""
+    w = _words()
+    total_len = F.expr(
+        "aggregate(transform(split(text, ' '), w -> length(w)), 0, (a, x) -> a + x)"
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_unique"),
+        F.round(total_len / F.size(w), 6).alias("avg_word_len"),
+    )
+
+
+@query(
+    "llm_token_count",
+    family="llm",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_re_tokens
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_words()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias(
+            "n_re_tokens"
+        ),
+    )
+
+
+@query(
+    "llm_tfidf",
+    family="llm",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS score,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln(n.n * 1.0 / df.df), 6) DESC,
+                            tf.term) AS rn
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score FROM scored WHERE rn <= 3
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Two shuffles ((doc,term) and term); N (a 1-row agg) and df (one row
+    per vocab term) are broadcast back — no corpus-sized shuffle beyond
+    the first tokenize+count.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_words()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()  # scalar query parameter, not data motion
+    score = F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", "term", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
+    )
+
+
+def _duck_lang_score(markers: tuple[str, ...]) -> str:
+    toks = "string_split(text, ' ')"
+    return " + ".join(
+        f"CASE WHEN list_contains({toks}, '{m}') THEN 1 ELSE 0 END"
+        for m in markers
+    )
+
+
+def _spark_lang_score(markers: tuple[str, ...]) -> F.Column:
+    w = _words()
+    score = None
+    for m in markers:
+        c = F.array_contains(w, m).cast("int")
+        score = c if score is None else score + c
+    return score
+
+
+# the oracle is generated from LANG_MARKERS so Spark and SQL can never
+# disagree on the profile set: argmax + lexicographic tie-break as a
+# CASE cascade (first match in sorted lang order wins)
+_LANG_SCORES = ", ".join(
+    f"({_duck_lang_score(m)}) AS s_{lang}"
+    for lang, m in sorted(LANG_MARKERS.items())
+)
+_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS)) + ")"
+_PRED = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = {_BEST} THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    + " END"
+)
+
+
+@query(
+    "llm_lang_id",
+    family="llm",
+    oracle=f"""
+    WITH scores AS (SELECT doc_id, {_LANG_SCORES} FROM documents)
+    SELECT doc_id, {_PRED} AS pred_lang, {_BEST} AS score FROM scores
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: argmax of per-language presence votes,
+    ties broken by language code. A real deployment swaps LANG_MARKERS
+    for learned n-gram profiles; the dataflow is identical."""
+    docs = t(spark, sf_dir, "documents")
+    cols = {
+        lang: _spark_lang_score(markers)
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    scored = docs.select(
+        "doc_id", *[c.alias(f"s_{lang}") for lang, c in cols.items()]
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in cols])
+    pred = None
+    for lang in sorted(cols):  # lexicographic tie-break
+        cond = F.col(f"s_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), best.alias("score")
+    )
+
+
+@query(
+    "llm_quality_score",
+    family="llm",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               len(text) AS n_chars,
+               len(list_filter(string_split(text, ' '),
+                   w -> list_contains({list(STOPWORDS)!r}, w))) AS n_stop,
+               len(list_distinct(string_split(text, ' '))) AS n_unique
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.3 * least(n_words / 200.0, 1.0)
+               + 0.3 * least(5.0 * n_stop / n_words, 1.0)
+               + 0.4 * (n_unique * 1.0 / n_words), 6) AS quality
+    FROM f
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, stopword density, lexical
+    diversity — the standard cheap pre-filter before expensive dedup/
+    model scoring in a data pipeline. Pure column arithmetic."""
+    w = _words()
+    n_words = F.size(w)
+    # count with multiplicity (array_intersect would dedup)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    n_unique = F.size(F.array_distinct(w))
+    quality = F.round(
+        0.3 * F.least(n_words / F.lit(200.0), F.lit(1.0))
+        + 0.3 * F.least(F.lit(5.0) * n_stop / n_words, F.lit(1.0))
+        + 0.4 * (n_unique / n_words.cast("double")),
+        6,
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", quality.alias("quality")
+    )
+
+
+@query("llm_fingerprint", family="llm", oracle=None)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: min 3-gram hash per sliding window of 4.
+
+    The standard document-fingerprint scheme (local minima of k-gram
+    hashes) — guarantees any shared run of ≥ 6 words yields a shared
+    fingerprint. One explode + window-min + distinct; per-doc output is
+    O(words/window). xxhash64-based ⇒ rows-only for the driver;
+    pytest asserts near-dup pairs share most fingerprints.
+    """
+    sh = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("_w")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(_w) >= 3 THEN transform(sequence(1, size(_w)-2),"
+                " i -> xxhash64(concat_ws(' ', _w[i-1], _w[i], _w[i+1])))"
+                " ELSE array() END"
+            )
+        ).alias("pos", "h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, 3)
+    )
+    fp = sh.select(
+        "doc_id", F.min("h").over(win).alias("fp")
+    ).distinct()
+    return fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.expr("bit_xor(fp)").alias("fp_xor"),  # order-free, overflow-free digest
+    )

@@ -1,0 +1,171 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.4-K).
+
+The engine's rule is expressions-first (UDFs are the slow path); this
+module exists to prove the THREE Python extension points work and to
+pin their semantics against expression/SQL oracles:
+
+  udf_scalar   Arrow-vectorized pandas_udf — the reference's R12
+               job-fix in literal Python, checked equal to the
+               expression version (etl/transforms.fix_job)
+  udf_grouped  applyInPandas grouped-map — per-group min-max scaling
+               (chosen over z-score deliberately: min/max/x are exact
+               doubles, so the result is bit-identical to the SQL
+               window oracle; mean/std would be summation-order-noisy)
+  udf_table    UDTF — one doc row → one row per 10-word chunk
+
+Scale notes: pandas_udf/applyInPandas move data Python-side through
+Arrow once per batch — 10-100× over row-at-a-time pickling, still ~2-5×
+slower than staying in codegen. applyInPandas shuffles by the group key
+and materializes EACH GROUP as one pandas frame: fine for bounded
+groups (returnflag has 3), a skew hazard for unbounded ones — the
+min-max example would be a window expression in production.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+
+# NOTE: UDF objects are created INSIDE the query functions. A
+# module-level @pandas_udf would be re-evaluated when executors unpickle
+# by module reference, and UDF construction needs a live session
+# (SESSION_OR_CONTEXT_NOT_EXISTS on the worker). Locally-defined
+# functions are pickled by value instead — no worker-side import.
+
+
+def _fix_job_py(j: str | None) -> str | None:
+    """The reference's fix_job_field (main.py:118-124) verbatim, with
+    the engine's split-limit-2 divergence — the executable spec the
+    expression version is property-tested against, here as UDF body."""
+    if j is None or "," not in j:
+        return j
+    general, spec = j.split(",", 1)
+    spec = spec.lstrip()
+    return f"{spec} {general}".capitalize()
+
+
+@query(
+    "udf_scalar",
+    family="udf",
+    oracle="""
+    WITH j AS (
+      SELECT p_partkey, CASE WHEN p_partkey % 3 = 0
+                             THEN p_type || ', ' || p_brand
+                             ELSE p_type END AS job
+      FROM part
+    ), s AS (
+      SELECT p_partkey, job,
+             concat_ws(' ',
+                       regexp_replace(substr(job, strpos(job, ',') + 1), '^\\s+', ''),
+                       substr(job, 1, strpos(job, ',') - 1)) AS reordered
+      FROM j
+    )
+    SELECT p_partkey AS partkey,
+           CASE WHEN contains(job, ',')
+                THEN upper(substr(reordered, 1, 1)) || lower(substr(reordered, 2))
+                ELSE job END AS fixed_job
+    FROM s
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDF vs the expression oracle: same rows as etl_fix_job,
+    computed by the Arrow-batched Python path instead of codegen."""
+    from pyspark.sql.functions import pandas_udf
+
+    spec = _fix_job_py
+
+    @pandas_udf("string")
+    def fix_job_udf(job: pd.Series) -> pd.Series:
+        return job.map(spec)
+
+    p = t(spark, sf_dir, "part")
+    job = F.when(
+        F.col("p_partkey") % 3 == 0,
+        F.concat(F.col("p_type"), F.lit(", "), F.col("p_brand")),
+    ).otherwise(F.col("p_type"))
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        fix_job_udf(job).alias("fixed_job"),
+    )
+
+
+@query(
+    "udf_grouped",
+    family="udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round((l_quantity - min(l_quantity) OVER w)
+                 / (max(l_quantity) OVER w - min(l_quantity) OVER w),
+                 6) AS scaled
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-group min-max scaling ≡ SQL window oracle."""
+
+    def _minmax_scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["l_quantity"].min(), pdf["l_quantity"].max()
+        span = hi - lo
+        pdf = pdf.copy()
+        pdf["scaled"] = ((pdf["l_quantity"] - lo) / span if span else 0.0)
+        pdf["scaled"] = pdf["scaled"].round(6)
+        return pdf[["l_orderkey", "l_linenumber", "l_returnflag", "scaled"]]
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out_schema = (
+        "l_orderkey long, l_linenumber long, l_returnflag string, scaled double"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        _minmax_scale, schema=out_schema
+    )
+
+
+CHUNK = 10
+
+
+@query(
+    "udf_table",
+    family="udf",
+    oracle=f"""
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(ws[i * {CHUNK} + 1 : (i + 1) * {CHUNK}], ' ')
+               AS chunk
+    FROM (
+        SELECT doc_id, ws,
+               unnest(generate_series(0, (len(ws) - 1) // {CHUNK})) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+    """,
+)
+def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF: split one document row into one row per 10-word chunk.
+
+    Spark 4's @udtf with lateral join — the table-function extension
+    point itself is the operator under test (chunking is also
+    expressible as explode(transform(...)); the oracle pins equality).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(0, len(words), CHUNK):
+                yield i // CHUNK, " ".join(words[i : i + CHUNK])
+
+    docs = t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs_src")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM udtf_docs_src d, LATERAL chunk_doc(d.text) c
+        """
+    )

@@ -1,0 +1,53 @@
+"""Sketch-dedup ground-truth checks (rows-only queries need real tests).
+
+llm_dedup_ngram (exact, oracle-checked) is the ground truth; the
+MinHash and SimHash variants are graded against it.
+"""
+
+from __future__ import annotations
+
+from local_etl_spark.registry import get
+
+SF = "/root/testdata/sf0.01"
+
+
+def _pairs(spark, name):
+    return {
+        (r["d1"], r["d2"]): r for r in get(name).fn(spark, SF).collect()
+    }
+
+
+def test_minhash_agrees_with_exact(spark):
+    """Post-verification MinHash output must equal the exact pairs: the
+    planted near-dups sit at J≈0.97 where LSH(16×4) recall ≈ 1, and the
+    exact-Jaccard verify step makes precision 1 by construction."""
+    exact = _pairs(spark, "llm_dedup_ngram")
+    mh = _pairs(spark, "llm_dedup_minhash")
+    assert set(mh) == set(exact)
+    for k, row in mh.items():
+        assert row["jaccard"] == exact[k]["jaccard"]
+
+
+def test_simhash_finds_planted_dups(spark):
+    """SimHash measures token-distribution similarity, not 3-gram
+    Jaccard, so exact set equality is not the contract. The contract:
+    every planted near-dup (J ≥ 0.9) is recalled at hamming ≤ 5, and
+    false positives stay rare (the small vocab makes a few
+    distribution-similar non-dups unavoidable)."""
+    exact = set(_pairs(spark, "llm_dedup_ngram"))
+    sh = _pairs(spark, "llm_dedup_simhash")
+    assert set(sh) >= exact, f"missed true dups: {exact - set(sh)}"
+    assert all(r["hamming"] <= 5 for r in sh.values())
+    # selectivity: candidates must be a vanishing fraction of the
+    # ~125k possible pairs (the tiny synthetic vocab guarantees some
+    # distribution-similar false positives; 3-gram structure is what
+    # they lack, which is exactly what simhash does not see)
+    assert len(sh) <= 125, f"not selective: {len(sh)} pairs"
+
+
+def test_exact_dedup_counts(spark):
+    rows = get("llm_dedup_exact").fn(spark, SF).collect()
+    # all sf0.01 texts are distinct → every group is a singleton, and
+    # group count equals the table count
+    assert len(rows) == 500
+    assert all(r["n_copies"] == 1 for r in rows)

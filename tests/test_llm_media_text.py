@@ -1,0 +1,93 @@
+"""Multimodal plumbing + fingerprint invariants (rows-only queries)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_etl_spark.catalog import table
+from local_etl_spark.multimodal.columns import (
+    decode_media,
+    frame_sample,
+    synthesize_media,
+)
+from local_etl_spark.registry import get
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_media_decode_roundtrip(spark):
+    """Decoded header fields must equal the generator's arithmetic and
+    the body checksum must match the source text bytes."""
+    docs = table(spark, SF, "documents").limit(50)
+    decoded = {r["doc_id"]: r for r in decode_media(synthesize_media(docs)).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        d = decoded[r["doc_id"]]
+        assert d["width"] == r["doc_id"] % 512 + 16
+        assert d["height"] == r["doc_id"] % 384 + 16
+        assert d["channels"] == r["doc_id"] % 3 + 1
+        assert d["n_bytes"] == len(r["text"].encode())
+        assert d["body_sha"] == hashlib.sha1(r["text"].encode()).hexdigest()
+
+
+def test_real_kernel_is_explicit_stub(spark):
+    docs = table(spark, SF, "documents").limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_media(synthesize_media(docs), use_real_kernel=True).collect()
+
+
+def test_frame_sample_shape(spark):
+    docs = table(spark, SF, "documents").limit(30)
+    fs = frame_sample(synthesize_media(docs), every_n=10)
+    rows = fs.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r["doc_id"], r["modality"]), []).append(r["frame_idx"])
+    for (doc_id, modality), idxs in per_doc.items():
+        if modality == "video":
+            n_frames = doc_id % 384 + 16
+            assert sorted(idxs) == list(range(0, n_frames, 10))
+        else:
+            assert idxs == [0]
+
+
+def test_fingerprint_near_dups_share(spark):
+    """Winnowing guarantee: docs sharing long runs (the planted
+    near-dups) share fingerprints; fingerprints are deterministic."""
+    fp1 = {r["doc_id"]: (r["n_fp"], r["fp_xor"]) for r in get("llm_fingerprint").fn(spark, SF).collect()}
+    fp2 = {r["doc_id"]: (r["n_fp"], r["fp_xor"]) for r in get("llm_fingerprint").fn(spark, SF).collect()}
+    assert fp1 == fp2  # deterministic
+    # near-dup pair from the exact ground truth shares most fingerprints
+    pairs = get("llm_dedup_ngram").fn(spark, SF).collect()
+    assert pairs
+    d1, d2 = pairs[0]["d1"], pairs[0]["d2"]
+    # recompute actual fingerprint sets for the pair
+    from local_etl_spark.queries.llm_text import llm_fingerprint  # noqa: F401
+
+    docs = table(spark, SF, "documents").filter(F.col("doc_id").isin(d1, d2))
+    sh = docs.select(
+        "doc_id", F.split("text", " ").alias("_w")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(_w) >= 3 THEN transform(sequence(1, size(_w)-2),"
+                " i -> xxhash64(concat_ws(' ', _w[i-1], _w[i], _w[i+1])))"
+                " ELSE array() END"
+            )
+        ).alias("pos", "h"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fps = (
+        sh.select("doc_id", F.min("h").over(win).alias("fp"))
+        .distinct()
+        .collect()
+    )
+    s1 = {r["fp"] for r in fps if r["doc_id"] == d1}
+    s2 = {r["fp"] for r in fps if r["doc_id"] == d2}
+    overlap = len(s1 & s2) / min(len(s1), len(s2))
+    assert overlap >= 0.5, f"near-dup fingerprint overlap {overlap}"

@@ -1,0 +1,33 @@
+"""Similarity-search invariants beyond the oracle hash-check."""
+
+from __future__ import annotations
+
+from local_etl_spark.registry import get
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ivf_recall_and_exactness(spark):
+    """IVF probe must (a) return exact scores for what it returns and
+    (b) recall at least half of the true top-10 with 4/16 cells probed
+    on ~uniform vectors."""
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in get("llm_simsearch").fn(spark, SF).collect()
+    }
+    approx = {
+        r["vec_id"]: r["score"]
+        for r in get("llm_simsearch_ivf").fn(spark, SF).collect()
+    }
+    for vid, score in approx.items():
+        if vid in exact:
+            assert score == exact[vid]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_knn_join_k_per_query(spark):
+    df = get("llm_knn_join").fn(spark, SF)
+    counts = {r["qid"]: r["n"] for r in df.groupBy("qid").count().withColumnRenamed("count", "n").collect()}
+    assert all(n == 3 for n in counts.values())
+    assert len(counts) == 5  # vec_ids 0,100,200,300,400 at sf0.01
