@@ -30,10 +30,99 @@ HEADLINE = [
     "join_broadcast",
     "win_rank",
     "topk_per_group",
+    "stream_tumbling",
+    "stream_session",
     "llm_dedup_exact",
+    "llm_dedup_ngram",
     "llm_simsearch",
+    "llm_tfidf",
     "llm_text_stats",
 ]
+
+# ETL throughput: the reference's own workload (validate → repair/route →
+# transform → multi-sink) over a synthetic users-event corpus, in both
+# layouts. Event counts scale with sf so per-round numbers are comparable.
+ETL_EVENTS_JSONL = 50_000
+ETL_EVENTS_FILES = 2_000
+
+
+def bench_etl(spark, sf: float, tmp_root: str) -> dict[str, float]:
+    import shutil
+
+    from local_etl_spark.etl.corpus import (
+        write_jsonl_corpus,
+        write_per_file_corpus,
+        write_user_schema,
+    )
+    from local_etl_spark.etl.pipeline import (
+        PipelineConfig,
+        TableConfig,
+        classify,
+        read_event_docs,
+        read_event_lines,
+        run_table,
+        write_sinks,
+    )
+    from local_etl_spark.etl.schema_translate import load_schema
+
+    scale = max(sf / 0.1, 0.01)
+    n_jsonl = int(ETL_EVENTS_JSONL * scale)
+    n_files = int(ETL_EVENTS_FILES * scale)
+    corpus_root = os.path.join(tmp_root, f"etl_corpus_sf{sf}")
+    files_dir = write_per_file_corpus(
+        os.path.join(corpus_root, "users"), n_files
+    )
+    jsonl_dir = write_jsonl_corpus(
+        os.path.join(corpus_root, "users_jsonl"), n_jsonl, shards=32
+    )
+    schema_path = write_user_schema(os.path.join(corpus_root, "user-schema.json"))
+    timings = {}
+
+    # per-file layout: full pipeline incl. 3 sinks (the reference's run)
+    out1 = os.path.join(tmp_root, "etl_out_files")
+    shutil.rmtree(out1, ignore_errors=True)
+    cfg = PipelineConfig(
+        tables=(
+            TableConfig(
+                name="users",
+                schema_file=schema_path,
+                data_dir=files_dir,
+                schema_mismatch_dir=os.path.join(out1, "quarantine"),
+                payload_file=os.path.join(out1, "users.csv"),
+                metadata_file=os.path.join(out1, "metadata.csv"),
+            ),
+        ),
+        base_dir=out1,
+    )
+    start = time.perf_counter()
+    run_table(spark, cfg, cfg.tables[0], version=2)
+    timings[f"etl_files_{n_files}"] = round(time.perf_counter() - start, 4)
+
+    # JSONL layout: same classify + sinks over splittable shards
+    out2 = os.path.join(tmp_root, "etl_out_jsonl")
+    shutil.rmtree(out2, ignore_errors=True)
+    schema = load_schema(schema_path)
+    cfg2 = PipelineConfig(
+        tables=(
+            TableConfig(
+                name="users",
+                schema_file=schema_path,
+                data_dir=jsonl_dir,
+                schema_mismatch_dir=os.path.join(out2, "quarantine"),
+                payload_file=os.path.join(out2, "users.csv"),
+                metadata_file=os.path.join(out2, "metadata.csv"),
+            ),
+        ),
+        base_dir=out2,
+    )
+    start = time.perf_counter()
+    docs = read_event_lines(spark, jsonl_dir)
+    classified = classify(docs, schema).persist()
+    classified.count()
+    write_sinks(cfg2, cfg2.tables[0], schema, classified, version=2)
+    classified.unpersist()
+    timings[f"etl_jsonl_{n_jsonl}"] = round(time.perf_counter() - start, 4)
+    return timings
 
 
 def main() -> None:
@@ -59,8 +148,19 @@ def main() -> None:
         df.count()
         timings[name] = round(time.perf_counter() - start, 4)
 
-    total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else 0.1
+    import tempfile
+
+    timings.update(
+        bench_etl(
+            spark,
+            sf_num,
+            os.path.join(tempfile.gettempdir(), "local_etl_spark_bench"),
+        )
+    )
+
+    total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
@@ -68,7 +168,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_num,
             }
         )
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from local_etl_spark.etl import transforms
@@ -34,7 +34,6 @@ from local_etl_spark.etl.schema_translate import (
 )
 from local_etl_spark.etl.validate import (
     CLASS_MISSING,
-    CLASS_VALID,
     compile_validity,
     render_value,
 )
@@ -223,25 +222,34 @@ def run_table(
     """
     schema = load_schema(cfg.path(table.schema_file))
     docs = read_event_docs(spark, cfg.path(table.data_dir))
-    classified = classify(docs, schema).persist()
+    # one-doc-per-file corpora inflate the partition count via the
+    # per-file open cost (63 partitions for 2000 tiny files) — cap at
+    # the session's parallelism so the 4 downstream sink jobs don't pay
+    # per-task overhead for near-empty tasks
+    docs = docs.coalesce(spark.sparkContext.defaultParallelism)
+    # counters ride on the first sink write via observe() instead of a
+    # dedicated count job (R15 semantics, one fewer pass)
+    obs = Observation(f"etl_metrics_{table.name}")
+    classified = (
+        classify(docs, schema)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("is_valid").cast("long")).alias("valid"),
+        )
+        .persist()
+    )
     try:
-        counts = {
-            r["error_class"]: r["n"]
-            for r in classified.groupBy("error_class")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        total = sum(counts.values())
-        valid = counts.get(CLASS_VALID, 0)
-        metrics = TableMetrics(
+        write_sinks(cfg, table, schema, classified, version)
+        got = obs.get
+        total = got["total"] or 0
+        valid = got["valid"] or 0
+        return TableMetrics(
             table=table.name,
             file_count=total,
             valid_count=valid,
             invalid_count=total - valid,
         )
-
-        write_sinks(cfg, table, schema, classified, version)
-        return metrics
     finally:
         classified.unpersist()
 

@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from local_etl_spark.queries._util import t
-from local_etl_spark.queries.llm_sim import cosine, _duck_cosine
+from local_etl_spark.queries.llm_sim import _duck_cosine, dot
 from local_etl_spark.registry import query
 
 JACCARD_T = 0.5
@@ -121,14 +121,25 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle 1: explode+groupBy builds (shingle → docs) postings;
     shuffle 2: per-pair shared counts. Jaccard from integer counts —
     bit-exact vs the oracle. Ground truth for the sketch variants.
+
+    Performance notes (measured at sf0.1):
+      - The shingle DataFrame is persisted before explode: Spark's
+        Generate node otherwise re-evaluates the (expensive) shingle
+        array expression per OUTPUT row — 7.3s vs 0.4s for the explode
+        alone. The cache is small (one array column per doc) and shared
+        by the two posting sides.
+      - This corpus has NO hot shingles (max df 25 at 5000 docs), so
+        the plain inverted index is optimal: Σ df² ≈ 2.4M co-occurrence
+        rows. On corpora with stop-shingles, escalate to prefix
+        filtering (AllPairs: index only each doc's |x|-⌈τ|x|⌉+1 rarest
+        shingles — exactness preserved, hot shingles never indexed) or
+        a df-cap with verification on full sets.
     """
-    sh = with_shingles(t(spark, sf_dir, "documents"))
+    sh = with_shingles(t(spark, sf_dir, "documents")).persist()
     counts = sh.select("doc_id", F.size("shingles").alias("n")).filter(
         F.col("n") > 0
     )
-    posting = sh.select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
+    posting = sh.select("doc_id", F.explode("shingles").alias("s"))
     pairs = (
         posting.alias("a")
         .join(posting.alias("b"), "s")
@@ -174,7 +185,11 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_dedup.py asserts exact agreement on the testdata.
     Rows-only for the driver: xxhash64 seeds aren't DuckDB-reproducible.
     """
-    sig = minhash_signatures(with_shingles(t(spark, sf_dir, "documents")))
+    # two materialization barriers (see llm_dedup_ngram notes): without
+    # them the shingle expression re-evaluates inside each of the 64
+    # hash folds, and the signature row re-evaluates per exploded band
+    sh = with_shingles(t(spark, sf_dir, "documents")).persist()
+    sig = minhash_signatures(sh).persist()
     rows_per_band = N_PERM // N_BANDS
     bands = F.array(
         *[
@@ -248,7 +263,9 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification = popcount of XOR (integer-exact). Rows-only check;
     pytest asserts every planted near-dup lands under the threshold.
     """
-    sig = simhash_signatures(t(spark, sf_dir, "documents"))
+    # persist: the keyed self-join would otherwise run the whole
+    # tokenize→vote→assemble pipeline once per join side
+    sig = simhash_signatures(t(spark, sf_dir, "documents")).persist()
     blocks = F.array(
         *[
             F.struct(
@@ -294,14 +311,28 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, all-pairs).
 
-    Range-partitioned self-join: fine to |v| ~ 10^4; beyond that the
+    All-pairs is O(n²) by definition; the per-pair work is cut to ONE
+    dot-product fold by precomputing each vector's norm once (persisted
+    side tables). The division dot/(norm_a·norm_b) is arithmetically
+    identical to the oracle's per-pair recomputation — same doubles,
+    same ops — so 6-dp parity is preserved. Beyond ~10^4 vectors the
     IVF cell assignment (llm_sim.py) prefilters pairs to same-cell
-    candidates. Cosine math is the bit-exact double fold.
+    candidates.
     """
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
-    cos = cosine("ea", "eb")
+    nrm = F.sqrt(dot("embedding", "embedding"))
+    side = emb.select("vec_id", "embedding", nrm.alias("nrm")).persist()
+    a = side.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("v1") < F.col("v2"))
         .filter(cos >= COSINE_T)

@@ -1,0 +1,75 @@
+"""Plan-shape assertions (SURVEY.md §5.2.4): the optimizations the
+engine is designed around must be visible in the physical plan, not
+assumed. A regression here is a 100×-at-scale problem even when the
+sf0.001 result is still correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from local_etl_spark.registry import get
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = get(name).fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_scan_parquet_pushdown_and_pruning(spark):
+    plan = _plan(spark, "scan_parquet")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "filter not pushed to scan"
+    assert "GreaterThan(l_extendedprice" in plan
+    # column pruning: the scan must read exactly the 3 referenced columns
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,"
+        "l_shipdate:timestamp_ntz>" in plan
+    ), "scan reads more columns than the query references"
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dim join fell back to SMJ"
+
+
+def test_multiway_star_all_broadcast(spark):
+    # region→nation→customer→orders star: every dim side fits the
+    # 64 MB threshold, so NO shuffle join should appear anywhere
+    plan = _plan(spark, "join_multiway")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_heap_not_global_sort(spark):
+    plan = _plan(spark, "llm_simsearch")
+    assert "TakeOrderedAndProject" in plan, (
+        "top-k compiled to a global sort instead of per-partition heaps"
+    )
+
+
+def test_groupby_has_partial_aggregation(spark):
+    plan = _plan(spark, "agg_groupby")
+    assert "partial_sum" in plan or "partial_count" in plan, (
+        "no map-side combine before the shuffle"
+    )
+
+
+def test_simsearch_stays_jvm_side(spark):
+    # the cosine fold must be codegen'd expressions, not a Python UDF
+    plan = _plan(spark, "llm_simsearch")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["llm_text_stats", "llm_quality_score", "llm_lang_id"]
+)
+def test_text_ops_stay_jvm_side(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
