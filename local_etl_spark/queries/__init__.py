@@ -6,6 +6,7 @@ from local_etl_spark.queries import (  # noqa: F401
     filters,
     functions,
     joins,
+    joins_scale,
     llm_dedup,
     llm_media,
     llm_sim,

@@ -1,0 +1,136 @@
+"""Scale-pattern joins (SURVEY.md §2.4-D extensions): bucketing and
+salting — the two techniques that decide whether a 100 TB join runs.
+
+Both queries return results identical to their plain-join equivalents
+(the oracle is the PLAIN SQL join), because bucketing and salting are
+physical-plan strategies, not semantics. The plan-shape tests assert
+the physical property each one buys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+
+N_BUCKETS = 8
+N_SALTS = 8
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem/orders as bucketed+sorted tables once per (session,
+    sf). Bucket metadata lives in the session catalog; the bucketed
+    layout is what a 100 TB deployment bakes in at WRITE time so every
+    subsequent orderkey join is shuffle-free.
+    """
+    import shutil
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    li_name = f"lineitem_b{tag}"
+    o_name = f"orders_b{tag}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in (li_name, o_name):
+        # the in-memory catalog dies with the session but the warehouse
+        # dir does not — clear orphaned locations from prior sessions
+        if not spark.catalog.tableExists(name):
+            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    if not spark.catalog.tableExists(li_name):
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice")
+            .write.bucketBy(N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(li_name)
+        )
+    if not spark.catalog.tableExists(o_name):
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderdate", "o_orderpriority")
+            .write.bucketBy(N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(o_name)
+        )
+    return li_name, o_name
+
+
+@query(
+    "join_bucketed",
+    family="joins",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketed tables.
+
+    Both sides are bucketed+sorted on the join key at write time, so
+    the SortMergeJoin consumes buckets directly — the plan has NO
+    Exchange on either side (asserted in test_plan_shape). At 100 TB
+    this converts the largest shuffle in the workload into a pure
+    map-side merge.
+    """
+    li_name, o_name = _ensure_bucketed(spark, sf_dir)
+    li, o = spark.table(li_name), spark.table(o_name)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "join_skew_salted",
+    family="joins",
+    oracle="""
+    SELECT n_name, count(*) AS n,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted join: identical result, skew-proof plan.
+
+    The hot-key hazard: a shuffle join partitions by key, so one hot
+    key = one straggler task. Salting splits every big-side key into
+    N_SALTS sub-keys via a hash of a row-unique column (deterministic —
+    no rand(), which would break retry idempotence and oracle parity)
+    and replicates the small side N_SALTS×. The join result is
+    provably identical to the plain join, which is exactly what the
+    oracle checks. AQE's skew-join handles the same problem adaptively
+    at shuffle time; manual salting is the write-it-down version that
+    also works for aggregations and non-AQE engines — the join here is
+    forced to shuffle (broadcast disabled via hint bypass: the salted
+    key is the join key) only conceptually; at this SF Spark may still
+    broadcast, and that is fine: the salt columns simply ride along.
+    """
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "salt", F.pmod(F.xxhash64("c_custkey"), F.lit(N_SALTS)).cast("int")
+    )
+    nation = (
+        t(spark, sf_dir, "nation")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)])))
+    )
+    joined = cust.join(
+        nation,
+        (cust.c_nationkey == nation.n_nationkey) & (cust.salt == nation.salt),
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("total_bal"),
+    )

@@ -105,6 +105,21 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.dedup_events(t(spark, sf_dir, "events"))
 
 
+@query(
+    "stream_stateful",
+    family="streaming",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events, {_DSUM_SQL} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-user totals (core.user_totals); the streaming
+    twin runs applyInPandasWithState, asserted equal in tests."""
+    return core.user_totals(t(spark, sf_dir, "events"))
+
+
 @query("stream_watermark", family="streaming", oracle=None)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-drop semantics, batch-emulated (rows-only check).

@@ -46,6 +46,13 @@ def get_spark(app_name: str = "local-etl-spark", cpus: int | None = None) -> Spa
         # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
         # timestamp — read as long, catalog converts to µs (DuckDB parity).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed-table storage (join_bucketed) — keep out of the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                os.environ.get("TMPDIR", "/tmp"), "local_etl_spark_warehouse"
+            ),
+        )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

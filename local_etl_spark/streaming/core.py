@@ -115,6 +115,53 @@ def dedup_events(events: DataFrame, watermark: str | None = None) -> DataFrame:
     )
 
 
+def user_totals(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Per-user lifetime totals — the custom-stateful-operator example.
+
+    Streaming mode: ``applyInPandasWithState`` holds one (count, sum)
+    state row per user in the state store and emits the updated totals
+    every micro-batch (update semantics). This is the extension point
+    for operators Spark lacks natively — per-key state machines,
+    session enrichment, online features. Batch mode: a plain groupBy —
+    which is also what the final streaming state must equal (asserted
+    in tests/test_streaming.py with float tolerance: pandas sums in
+    arrival order, the batch agg in decimal).
+
+    Scale: state is partitioned by the group key, same as the shuffle;
+    a watermark must bound key cardinality in production (here the key
+    space is small, so NoTimeout keeps the example sharp).
+    """
+    if _is_streaming(events):
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            (user_id,) = key
+            cnt, tot = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                cnt += len(pdf)
+                tot += float(pdf["value"].sum())
+            state.update((cnt, tot))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [cnt], "total_value": [tot]}
+            )
+
+        return (
+            _maybe_watermark(events, watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_events long, total_value double",
+                stateStructType="cnt long, tot double",
+                outputMode="update",
+                timeoutConf="NoTimeout",
+            )
+        )
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), _dsum(F.col("value")).alias("total_value")
+    )
+
+
 def late_data_filter(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     """Batch emulation of watermark drop semantics over an ordered replay.
 

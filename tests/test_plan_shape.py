@@ -73,3 +73,27 @@ def test_simsearch_stays_jvm_side(spark):
 def test_text_ops_stay_jvm_side(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The whole point of join_bucketed: with both sides bucketed+sorted
+    on the key, the SortMergeJoin reads buckets directly — no Exchange
+    on either input. Broadcast is disabled so the tiny test tables
+    exercise the same plan a 100 TB fact-fact join would."""
+    from local_etl_spark.queries.joins_scale import _ensure_bucketed
+
+    li_name, o_name = _ensure_bucketed(spark, SF)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, o = spark.table(li_name), spark.table(o_name)
+        df = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

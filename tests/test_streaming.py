@@ -118,6 +118,33 @@ def test_stream_equals_batch(spark, src, tmp_path, fn, mode):
     assert got == want
 
 
+def test_stateful_totals_converge_to_batch(spark, src, tmp_path):
+    """applyInPandasWithState emits running totals per micro-batch; the
+    LAST emission per user must equal the batch groupBy (float
+    tolerance: pandas accumulates in arrival order, batch in decimal)."""
+    _run_to_memory(
+        core.user_totals(_read_stream(spark, src)),
+        "mem_stateful",
+        tmp_path,
+        "update",
+    )
+    # memory sink in update mode appends every emission; the state is
+    # monotone (counts only grow), so max(n_events) picks the final one
+    final = {}
+    for r in spark.table("mem_stateful").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in core.user_totals(_batch_events(spark, src)).collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, tot) in want.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - tot) < 1e-6 * max(1.0, abs(tot))
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Real withWatermark vs the batch emulation (core.late_data_filter).
 
