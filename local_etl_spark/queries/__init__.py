@@ -13,6 +13,7 @@ from local_etl_spark.queries import (  # noqa: F401
     llm_text,
     scans,
     sortset,
+    sql_api,
     streaming,
     udfs,
     windows,

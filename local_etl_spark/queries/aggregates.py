@@ -315,3 +315,35 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "agg_percentile",
+    family="aggregations",
+    oracle="""
+SELECT l_returnflag,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 6)
+           AS p25,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6)
+           AS p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 6)
+           AS p90
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (percentile_cont both
+    engines; linear interpolation on identical sorted doubles is
+    bit-comparable, rounded 6 dp for safety). The exact form needs a
+    per-group sort — at 100 TB prefer approx_percentile (t-digest-ish
+    sketch, one pass, mergeable) unless exactness is contractual."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(l_quantity, {q})"), 6
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.9)
+        ]
+    )
