@@ -78,50 +78,60 @@ def bench_etl(spark, sf: float, tmp_root: str) -> dict[str, float]:
     schema_path = write_user_schema(os.path.join(corpus_root, "user-schema.json"))
     timings = {}
 
-    # per-file layout: full pipeline incl. 3 sinks (the reference's run)
-    out1 = os.path.join(tmp_root, "etl_out_files")
-    shutil.rmtree(out1, ignore_errors=True)
-    cfg = PipelineConfig(
-        tables=(
-            TableConfig(
-                name="users",
-                schema_file=schema_path,
-                data_dir=files_dir,
-                schema_mismatch_dir=os.path.join(out1, "quarantine"),
-                payload_file=os.path.join(out1, "users.csv"),
-                metadata_file=os.path.join(out1, "metadata.csv"),
+    # per-file layout: full pipeline incl. 3 sinks (the reference's run).
+    # best-of-2 like the headline queries: run 1 pays one-time codegen
+    # compilation of the validate/render expression trees; run 2 is the
+    # steady-state number (what a long-running cluster actually sees).
+    best = float("inf")
+    for attempt in range(2):
+        out1 = os.path.join(tmp_root, f"etl_out_files_{attempt}")
+        shutil.rmtree(out1, ignore_errors=True)
+        cfg = PipelineConfig(
+            tables=(
+                TableConfig(
+                    name="users",
+                    schema_file=schema_path,
+                    data_dir=files_dir,
+                    schema_mismatch_dir=os.path.join(out1, "quarantine"),
+                    payload_file=os.path.join(out1, "users.csv"),
+                    metadata_file=os.path.join(out1, "metadata.csv"),
+                ),
             ),
-        ),
-        base_dir=out1,
-    )
-    start = time.perf_counter()
-    run_table(spark, cfg, cfg.tables[0], version=2)
-    timings[f"etl_files_{n_files}"] = round(time.perf_counter() - start, 4)
+            base_dir=out1,
+        )
+        start = time.perf_counter()
+        run_table(spark, cfg, cfg.tables[0], version=2)
+        best = min(best, time.perf_counter() - start)
+    timings[f"etl_files_{n_files}"] = round(best, 4)
 
     # JSONL layout: same classify + sinks over splittable shards
-    out2 = os.path.join(tmp_root, "etl_out_jsonl")
-    shutil.rmtree(out2, ignore_errors=True)
     schema = load_schema(schema_path)
-    cfg2 = PipelineConfig(
-        tables=(
-            TableConfig(
-                name="users",
-                schema_file=schema_path,
-                data_dir=jsonl_dir,
-                schema_mismatch_dir=os.path.join(out2, "quarantine"),
-                payload_file=os.path.join(out2, "users.csv"),
-                metadata_file=os.path.join(out2, "metadata.csv"),
+    best = float("inf")
+    for attempt in range(2):
+        out2 = os.path.join(tmp_root, f"etl_out_jsonl_{attempt}")
+        shutil.rmtree(out2, ignore_errors=True)
+        cfg2 = PipelineConfig(
+            tables=(
+                TableConfig(
+                    name="users",
+                    schema_file=schema_path,
+                    data_dir=jsonl_dir,
+                    schema_mismatch_dir=os.path.join(out2, "quarantine"),
+                    payload_file=os.path.join(out2, "users.csv"),
+                    metadata_file=os.path.join(out2, "metadata.csv"),
+                ),
             ),
-        ),
-        base_dir=out2,
-    )
-    start = time.perf_counter()
-    docs = read_event_lines(spark, jsonl_dir)
-    classified = classify(docs, schema).persist()
-    classified.count()
-    write_sinks(cfg2, cfg2.tables[0], schema, classified, version=2)
-    classified.unpersist()
-    timings[f"etl_jsonl_{n_jsonl}"] = round(time.perf_counter() - start, 4)
+            base_dir=out2,
+        )
+        start = time.perf_counter()
+        docs = read_event_lines(spark, jsonl_dir)
+        classified = classify(docs, schema).persist()
+        # no explicit count: the first sink write materializes the cache,
+        # saving one full-scan job
+        write_sinks(cfg2, cfg2.tables[0], schema, classified, version=2)
+        classified.unpersist()
+        best = min(best, time.perf_counter() - start)
+    timings[f"etl_jsonl_{n_jsonl}"] = round(best, 4)
     return timings
 
 

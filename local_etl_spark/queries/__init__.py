@@ -10,6 +10,7 @@ from local_etl_spark.queries import (  # noqa: F401
     llm_dedup,
     llm_media,
     llm_sim,
+    llm_pipeline,
     llm_text,
     scans,
     sortset,

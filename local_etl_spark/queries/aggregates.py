@@ -347,3 +347,89 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.5, 0.9)
         ]
     )
+
+
+@query(
+    "agg_pivot",
+    family="aggregations",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS F_cnt,
+       count(*) FILTER (o_orderstatus = 'O') AS O_cnt,
+       count(*) FILTER (o_orderstatus = 'P') AS P_cnt,
+       CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                 FILTER (o_orderstatus = 'F'), 0) AS DECIMAL(28,6))
+            AS DOUBLE) AS F_rev,
+       CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                 FILTER (o_orderstatus = 'O'), 0) AS DECIMAL(28,6))
+            AS DOUBLE) AS O_rev,
+       CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                 FILTER (o_orderstatus = 'P'), 0) AS DECIMAL(28,6))
+            AS DOUBLE) AS P_rev
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order status becomes columns, one row per
+    priority. The values list is given explicitly — at scale an implicit
+    pivot needs an extra distinct pass over the data to discover the
+    columns; pinning them keeps it a single hash-aggregate (Catalyst
+    compiles pivot-with-known-values to one aggregate of
+    ``count/sum(CASE WHEN ...)`` columns, no second shuffle)."""
+    orders = t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast(DEC6))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.col(f"{s}_{m}").alias(f"{s}_{m}")
+            for m in ("cnt", "rev")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+@query(
+    "agg_unpivot",
+    family="aggregations",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, value
+FROM (
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS quantity,
+           CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+           CAST(l_discount AS DOUBLE) AS discount
+    FROM lineitem
+    WHERE l_orderkey < 100
+)
+UNPIVOT (value FOR metric IN (quantity, extendedprice, discount))
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): three measure columns become
+    (metric, value) rows. Map-side row fan-out only — no shuffle, no
+    generator; Spark compiles unpivot to an Expand node (each input row
+    emits 3 output rows in place), so it scales linearly at any width."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "value",
+    )

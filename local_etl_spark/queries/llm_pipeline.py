@@ -1,0 +1,185 @@
+"""Training-data pipeline operators: chunking, PII scrubbing, sampling.
+
+These are the corpus-preparation steps that sit between raw ingestion
+and training-data export in an LLM pipeline (north star:
+/root/repo/BASELINE.json:6). All three are pure column expressions —
+no Python UDF, no driver-side loop — so at 100 TB they run inside
+whole-stage codegen directly over the parquet scan and parallelize
+per-partition with zero shuffle (chunking fans out rows map-side;
+sampling needs one window shuffle on the small stratum key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+
+CHUNK = 20  # tokens per chunk
+STRIDE = 15  # tokens between chunk starts (5-token overlap)
+
+# patterns restricted to the RE2 ∩ java.util.regex common dialect so the
+# DuckDB oracle and Spark compile the identical automaton
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "llm_chunk",
+    family="llm",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(toks) - 1, {STRIDE})) AS start,
+               toks
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(start / {STRIDE} AS BIGINT) AS chunk_id,
+           len(list_slice(toks, start + 1, start + {CHUNK})) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + {CHUNK}), ' ')
+               AS chunk_text
+    FROM c
+    """,
+)
+def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({CHUNK}-token chunks, {STRIDE}-token
+    stride → 5-token overlap) — the standard pre-embedding split step.
+
+    Map-side fan-out: sequence() of chunk starts + slice() per start,
+    then posexplode. No shuffle at all — each input partition emits its
+    chunks in place, so the op scales linearly with corpus bytes. The
+    token array is materialized once per row ahead of the explode
+    (generator-input re-evaluation gotcha: see llm_dedup.py).
+    """
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    starts = F.expr(
+        f"CASE WHEN size(toks) >= 1"
+        f" THEN sequence(0, size(toks) - 1, {STRIDE})"
+        f" ELSE array() END"
+    )
+    return (
+        toks.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(F.expr(f"slice(toks, start + 1, {CHUNK})")).alias(
+                "n_tokens"
+            ),
+            F.array_join(
+                F.expr(f"slice(toks, start + 1, {CHUNK})"), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "llm_pii_scrub",
+    family="llm",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id,
+               concat(text, ' contact user', doc_id, '@', source,
+                      '.com or 555-', lpad(CAST(doc_id % 1000 AS VARCHAR),
+                                           3, '0'), '-',
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                   AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM raw
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count + mask emails and phone numbers via regex.
+
+    The scrubber itself (the regexp_replace cascade) is the operator
+    under test; the synthetic corpus carries no PII, so a deterministic
+    email+phone suffix is appended first to give the scrubber real
+    hits. Pure codegen'd regex — 100 TB cost is one scan, no shuffle.
+    Spark's regexp_replace is always-global (= DuckDB's 'g' flag).
+    """
+    raw = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return raw.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+@query(
+    "llm_sample_stratified",
+    family="llm",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= ceil(0.1 * n_lang)
+    """,
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample per language.
+
+    Rank within each stratum by md5(doc_id) — a uniform, seedless,
+    engine-portable shuffle key (identical hex in Spark and DuckDB) —
+    and keep the top ceil(10%) of each stratum. This is the
+    reproducible-sampling idiom for training-data curation: same
+    corpus in → same sample out, on any engine, any partitioning.
+    One shuffle on the stratum key; at 100 TB with few strata use
+    TABLESAMPLE/`sample_fraction` per partition instead of a global
+    window (noted divergence: that trades exactness for scale).
+    """
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wc = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.1 * F.col("n_lang")))
+        .select("doc_id", "lang")
+    )

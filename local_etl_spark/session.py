@@ -54,6 +54,14 @@ def get_spark(app_name: str = "local-etl-spark", cpus: int | None = None) -> Spa
             ),
         )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # many-tiny-files scans (the reference's one-JSON-per-file layout):
+        # the default 4 MB open-cost treats every small file as 4 MB when
+        # packing splits, exploding the partition count (63 partitions for
+        # 2000 x ~300 B files) and with it per-task overhead across every
+        # downstream job. 64 KB still amortizes open cost at scale but
+        # packs small-file corpora densely; large-file scans are unaffected
+        # (packing is then byte-driven).
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
