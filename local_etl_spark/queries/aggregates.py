@@ -433,3 +433,39 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@query("agg_sketch_rollup", family="aggregations", oracle=None)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-nation HLL sketches of the customer
+    set, MERGED (not recomputed) into per-region estimates.
+
+    This is the pattern that makes 100 TB rollup hierarchies cheap:
+    the expensive pass builds one sketch per leaf cell once; every
+    coarser level is a sketch-union over the (tiny) sketch column —
+    no second scan of the fact data, and sketch merge is associative
+    so it parallelizes like a sum. exact_custs rides along to expose
+    estimator error (pytest gates it at ±5%; rows-only for the driver
+    since HLL implementations differ across engines).
+    """
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    leaf = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("sketch"),
+            F.countDistinct("c_custkey").alias("exact_custs"),
+        )
+    )
+    return (
+        leaf.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sketch")
+            ).cast("long").alias("approx_custs"),
+            F.sum("exact_custs").alias("exact_custs"),  # custkeys are
+            # globally unique, so the leaf-exact counts sum exactly
+        )
+        .orderBy("n_regionkey")
+    )

@@ -134,3 +134,63 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@query(
+    "join_range_banded",
+    family="joins",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       count(*) AS n_clicks_1h
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY p.event_id
+""",
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via time-banding: clicks within the hour before
+    each purchase.
+
+    A naive range join is BroadcastNestedLoopJoin — O(|L|x|R|) compares
+    and only viable while one side broadcasts. Banding turns it into an
+    EQUI-join: each click keys by its hour band; each purchase probes
+    its own band and the previous one (a 1-hour lookback spans at most
+    2 hour bands). Spark then picks hash/sort-merge on the band key and
+    the residual range filter touches only same-band candidates —
+    shuffle-partitionable on both sides, no broadcast requirement, so
+    it survives two 100 TB inputs. Cost model: compares drop from
+    |L|x|R| to sum over bands of |L_band|x|R_band|; band width tunes
+    the tradeoff (width ~ range span keeps the probe fan-out at 2).
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"),
+        F.date_trunc("hour", "ts").alias("band"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            # array_distinct: the two probe bands coincide for
+            # on-the-hour purchases — dedup map-side, NOT with a
+            # .distinct() (which would add a whole shuffle)
+            F.array_distinct(
+                F.array(
+                    F.date_trunc("hour", "ts"),
+                    F.date_trunc(
+                        "hour", F.col("ts") - F.expr("INTERVAL 1 HOUR")
+                    ),
+                )
+            )
+        ).alias("band"),
+    )
+    return (
+        purchases.join(clicks, "band")
+        .filter(
+            (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+        )
+        .groupBy(F.col("event_id").alias("purchase_id"))
+        .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+    )

@@ -38,3 +38,12 @@ def test_approx_count_distinct_tolerance(spark):
     across engines, so this replaces the hash check)."""
     row = get("agg_approx_cd").fn(spark, SF).collect()[0]
     assert abs(row["approx_orders"] - row["exact_orders"]) <= 0.05 * row["exact_orders"]
+
+
+def test_sketch_rollup_merge_accuracy(spark):
+    """Merged per-nation HLL sketches must estimate each region's
+    distinct customers within 5% of the exact count."""
+    for r in get("agg_sketch_rollup").fn(spark, SF).collect():
+        assert abs(r["approx_custs"] - r["exact_custs"]) <= max(
+            1, 0.05 * r["exact_custs"]
+        )

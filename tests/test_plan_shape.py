@@ -97,3 +97,14 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert "Exchange" not in plan, "bucketed join still shuffles"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_range_banded_is_equi_join(spark):
+    # the whole point of banding: the interval join must compile to an
+    # equi join on the band key, never a nested-loop/cartesian
+    plan = _plan(spark, "join_range_banded")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
