@@ -338,3 +338,77 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= COSINE_T)
         .select("v1", "v2", F.round(cos, 6).alias("score"))
     )
+
+
+@query("llm_dedup_cluster", family="llm", oracle=None)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the
+    n-gram-Jaccard pair graph, keeping min(doc_id) as the canonical
+    document of each cluster.
+
+    This is the step that turns PAIRS into an actual dedup decision —
+    transitive closure matters because near-dup is not transitive at
+    the pair level (A~B, B~C does not imply A~C scores above τ, yet
+    all three are one duplicate group).
+
+    Algorithm: iterative min-label propagation (hash-to-min). Each doc
+    starts labeled with its own id; every round each doc takes the min
+    label in its neighborhood; converges in O(component diameter)
+    rounds. The loop is driver-COORDINATED but all data motion is
+    distributed joins — nothing is collected. Near-dup components are
+    overwhelmingly small/star-shaped (diameter ≤ ~3), so 3-5 rounds
+    close 100 TB-scale graphs; pathological chains would call for the
+    large-star/small-star algorithm (same join primitives, provably
+    O(log n) rounds). localCheckpoint() per round truncates the plan
+    lineage — without it the iteration re-executes every prior round
+    each time (exponential plan growth).
+
+    Rows-only for the driver (iterative, not SQL-expressible);
+    tests/test_llm_dedup.py checks exact equality with a union-find
+    over the same pairs.
+    """
+    pairs = llm_dedup_ngram(spark, sf_dir).select("d1", "d2")
+    # symmetric edge list; isolated docs join in via the final union
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).persist()
+    labels = (
+        edges.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(8):  # diameter bound; early-exits on convergence
+        neigh = (
+            edges.join(labels, edges.d2 == labels.doc_id)
+            .groupBy(edges.d1.alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )

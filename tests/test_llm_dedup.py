@@ -51,3 +51,31 @@ def test_exact_dedup_counts(spark):
     # group count equals the table count
     assert len(rows) == 500
     assert all(r["n_copies"] == 1 for r in rows)
+
+
+def test_cluster_matches_union_find(spark):
+    """Label propagation must produce exactly the connected components
+    a driver-side union-find finds on the same pair list."""
+    pairs = [
+        (r["d1"], r["d2"])
+        for r in get("llm_dedup_ngram").fn(spark, SF).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for r in get("llm_dedup_cluster").fn(spark, SF).collect():
+        want[r["doc_id"]] = r["cluster_id"]
+        assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
+    for doc, cluster in want.items():
+        assert cluster == (find(doc) if doc in parent else doc), doc
