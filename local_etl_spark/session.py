@@ -42,6 +42,9 @@ def get_spark(app_name: str = "local-etl-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # UDTFs execute via Arrow batches too (BatchEvalPythonUDTF is
+        # row-at-a-time pickling otherwise; the plan audit forbids it)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
         # timestamp — read as long, catalog converts to µs (DuckDB parity).

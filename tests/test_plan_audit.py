@@ -1,0 +1,73 @@
+"""Engine-wide physical-plan audit: every registered query's plan is
+checked for the anti-patterns that are invisible at test scale but
+fatal at 100 TB.
+
+  - CartesianProduct / BroadcastNestedLoopJoin: only queries that
+    genuinely need one (declared cross/theta joins) may contain it.
+  - BatchEvalPython (row-at-a-time Python): never allowed anywhere.
+  - ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas: only the
+    UDF-surface and multimodal queries may ship rows to Python.
+
+Per-query plan-shape assertions live in test_plan_shape.py; this file
+is the blanket rule so a NEW query can't quietly regress.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from local_etl_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+registry._load_all_modules()
+SPECS = sorted(registry.REGISTRY.values(), key=lambda s: s.name)
+
+# queries whose SEMANTICS are a product/non-equi pair enumeration
+ALLOW_NESTED_LOOP = {
+    "join_cross",  # cartesian by definition
+    "join_theta",  # non-equi inequality join (BNLJ w/ broadcast)
+    "join_asof",  # union trick keeps it equi, but guard the alternative
+    "llm_knn_join",  # bounded query-side broadcast enumeration
+    "llm_dedup_embed",  # all-pairs cosine at oracle scale (IVF is the scale path)
+    "llm_simsearch",  # scalar query-vector broadcast
+    "llm_simsearch_ivf",
+}
+
+# queries whose CONTRACT is running Python (UDF surface, media decode)
+ALLOW_PYTHON = {
+    "udf_scalar",
+    "udf_grouped",
+    "udf_table",
+    "llm_media_decode",
+    "stream_stateful",
+}
+
+
+def _plan(spark, spec) -> str:
+    df = spec.fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_no_scale_antipatterns(spark, spec):
+    plan = _plan(spark, spec)
+    if spec.name not in ALLOW_NESTED_LOOP:
+        assert "CartesianProduct" not in plan, (
+            f"{spec.name}: unplanned cartesian product"
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{spec.name}: unplanned nested-loop join"
+        )
+    assert "BatchEvalPython" not in plan, (
+        f"{spec.name}: row-at-a-time Python UDF in plan (use pandas_udf)"
+    )
+    if spec.name not in ALLOW_PYTHON:
+        for node in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            assert node not in plan, (
+                f"{spec.name}: unexpected Python stage {node}"
+            )
