@@ -124,11 +124,14 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(_words()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = docs.count()  # scalar query parameter, not data motion
-    score = F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6)
+    # N stays IN the plan as a broadcast 1-row aggregate — a driver-side
+    # docs.count() here would be a second full corpus scan per run
+    n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    score = F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     return (
         tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n_df))
         .select("doc_id", "term", score.alias("score"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)

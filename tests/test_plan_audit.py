@@ -32,6 +32,8 @@ ALLOW_NESTED_LOOP = {
     "llm_dedup_embed",  # all-pairs cosine at oracle scale (IVF is the scale path)
     "llm_simsearch",  # scalar query-vector broadcast
     "llm_simsearch_ivf",
+    "llm_tfidf",  # 1-row broadcast scalar parameter (corpus size N) —
+    # a BNLJ against one broadcast row, not a pair enumeration
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
