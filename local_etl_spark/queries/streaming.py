@@ -130,3 +130,23 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay with injected late rows.
     """
     return core.watermarked_tumbling(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_join",
+    family="streaming",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join, batch-checked
+    (streaming twin: core.click_attribution under Structured Streaming
+    with state-evicting event-time bounds; tests/test_streaming.py)."""
+    return core.click_attribution(t(spark, sf_dir, "events"))

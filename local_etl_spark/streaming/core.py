@@ -192,3 +192,48 @@ def watermarked_tumbling(events: DataFrame, delay: str = "10 minutes") -> DataFr
     if _is_streaming(events):
         return tumbling_counts(events, watermark=delay)
     return tumbling_counts(late_data_filter(events, delay))
+
+
+LOOKBACK = "1 hour"
+
+
+def click_attribution(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding hour (attribution).
+
+    Streaming mode: Spark's watermarked stream-stream inner join — both
+    sides buffer in the state store, the event-time bound
+    (click in [purchase - 1h, purchase]) lets the engine evict a
+    buffered row once the other side's watermark passes its match
+    horizon, so state is bounded by (watermark + lookback), not by the
+    stream. The watermark must be >= the lookback or matches could be
+    evicted before they pair (inner-join completeness contract).
+    Batch mode: the identical join expression; on a time-ordered replay
+    the streaming answer converges to exactly this (asserted in
+    tests/test_streaming.py; DuckDB oracle via queries/streaming.py).
+
+    Scale: shuffles both sides once on user_id (the equi part of the
+    condition); the range residual evaluates within matched key groups.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    if _is_streaming(events):
+        wm = watermark or "2 hours"
+        purchases = purchases.withWatermark("purchase_ts", wm)
+        clicks = clicks.withWatermark("click_ts", wm)
+    cond = (
+        (purchases.user_id == clicks.click_user)
+        & (clicks.click_ts > purchases.purchase_ts - F.expr(f"INTERVAL {LOOKBACK}"))
+        & (clicks.click_ts <= purchases.purchase_ts)
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"
+    )

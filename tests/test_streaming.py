@@ -107,8 +107,12 @@ def src(spark, tmp_path_factory):
         (core.sliding_counts, "complete"),
         (core.session_aggregate, "complete"),
         (core.dedup_events, "append"),
+        # stream-stream interval join: watermark (2h) >= lookback (1h),
+        # so no match is evicted before pairing — append output equals
+        # the batch interval join exactly
+        (core.click_attribution, "append"),
     ],
-    ids=["tumbling", "sliding", "session", "dedup"],
+    ids=["tumbling", "sliding", "session", "dedup", "ss_join"],
 )
 def test_stream_equals_batch(spark, src, tmp_path, fn, mode):
     name = f"mem_{fn.__name__}"
