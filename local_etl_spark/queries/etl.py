@@ -7,13 +7,13 @@ tests/test_etl_pipeline.py; these queries prove expression parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from local_etl_spark.etl import transforms
 from local_etl_spark.etl.schema_translate import parse_schema
 from local_etl_spark.etl.validate import compile_validity
-from local_etl_spark.queries._util import t
+from local_etl_spark.queries._util import dec, t
 from local_etl_spark.registry import query
 
 
@@ -264,4 +264,77 @@ def etl_validate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("error_class")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("error_class")
+    )
+
+
+@query(
+    "etl_upsert",
+    family="etl",
+    oracle="""
+    WITH changes AS (
+        -- updates: +100 balance for every 10th customer
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,6)) + 100 AS DOUBLE)
+                   AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        -- inserts: brand-new keys shifted past the existing range
+        SELECT c_custkey + 10000000, 'NewCustomer#' || c_custkey,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 97 = 0
+    ),
+    versioned AS (
+        SELECT *, 0 AS _v FROM customer
+        UNION ALL
+        SELECT *, 1 AS _v FROM changes
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY _v DESC) AS rn
+        FROM versioned
+    ) WHERE rn = 1
+    """,
+)
+def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins upsert (MERGE INTO semantics) of a change batch
+    into a base table — the incremental-ETL op the reference's
+    append-only model lacks.
+
+    Implemented as union + per-key keep-latest window, NOT a full-outer
+    join: one shuffle on the key, no build-side materialization, and
+    unchanged rows stream through a single window operator. This is the
+    idiom when the table format has no native MERGE; with an ACID
+    format (Delta/Iceberg) the same change batch feeds ``MERGE INTO``
+    and the engine prunes untouched files instead of rewriting — at
+    100 TB pair it with partition/cluster keys so a merge touches only
+    affected partitions. The change batch here is derived
+    deterministically from the base so both engines see identical
+    inputs.
+    """
+    base = t(spark, sf_dir, "customer")
+    updates = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (dec("c_acctbal") + 100).cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = base.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.concat(F.lit("NewCustomer#"), F.col("c_custkey")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    changes = updates.unionAll(inserts)
+    versioned = base.withColumn("_v", F.lit(0)).unionAll(
+        changes.withColumn("_v", F.lit(1))
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("_v"))
+    return (
+        versioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     )
