@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -37,7 +38,7 @@ from local_etl_spark.etl.validate import (
     CLASS_MISSING,
     CLASS_OTHER,
     CLASS_VALID,
-    compile_validity,
+    compiled_validity,
     render_value,
 )
 
@@ -147,7 +148,7 @@ def classify(docs: DataFrame, schema: EnvelopeSchema) -> DataFrame:
     means ~4x less generated code — measurably faster janino compile on
     first run and less per-row work.
     """
-    val = compile_validity(schema, F.col("v"))
+    val = compiled_validity(schema)
     staged = docs.select("*", val.error_msg.alias("error_msg"))
     msg = F.col("error_msg")
     return staged.select(
@@ -161,8 +162,14 @@ def classify(docs: DataFrame, schema: EnvelopeSchema) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=64)
 def _payload_columns(schema: EnvelopeSchema, version: int) -> dict[str, Column]:
-    """Rendered + transformed output columns for one event row."""
+    """Rendered + transformed output columns for one event row.
+
+    Memoized per (schema, version): the render trees are expensive to
+    construct driver-side and Columns are immutable/reusable, so repeat
+    runs (and the multi-sink fan-out) reuse one compiled set.
+    """
     v = F.col("v")
     payload_fields = list(schema.payload.required)
     cols: dict[str, Column] = {
@@ -197,14 +204,35 @@ def _payload_columns(schema: EnvelopeSchema, version: int) -> dict[str, Column]:
     return cols
 
 
-def v1_rows(classified: DataFrame, schema: EnvelopeSchema) -> DataFrame:
-    """Denormalized output rows (v1, main.py): payload + metadata flat."""
+@lru_cache(maxsize=64)
+def _v1_out_columns(schema: EnvelopeSchema) -> tuple[Column, ...]:
     cols = _payload_columns(schema, version=1)
     v = F.col("v")
-    out = [cols[f].alias(f) for f in schema.payload.required] + [
-        _render_field(v, "metadata", f).alias(f) for f in schema.metadata.required
-    ]
-    return classified.select(*out)
+    return tuple(
+        [cols[f].alias(f) for f in schema.payload.required]
+        + [
+            _render_field(v, "metadata", f).alias(f)
+            for f in schema.metadata.required
+        ]
+    )
+
+
+def v1_rows(classified: DataFrame, schema: EnvelopeSchema) -> DataFrame:
+    """Denormalized output rows (v1, main.py): payload + metadata flat."""
+    return classified.select(*_v1_out_columns(schema))
+
+
+@lru_cache(maxsize=64)
+def _v2_out_columns(
+    schema: EnvelopeSchema,
+) -> tuple[tuple[Column, ...], tuple[Column, ...]]:
+    payload_fields, metadata_fields = v2_field_names(schema)
+    cols = _payload_columns(schema, version=2)
+    v = F.col("v")
+    return (
+        tuple(cols[f].alias(f) for f in payload_fields),
+        tuple(_render_field(v, "metadata", f).alias(f) for f in metadata_fields),
+    )
 
 
 def v2_rows(
@@ -212,14 +240,11 @@ def v2_rows(
 ) -> tuple[DataFrame, DataFrame]:
     """Normalized outputs (v2, main2.py): payload(+FK,+prefix/suffix) and
     metadata DataFrames."""
-    payload_fields, metadata_fields = v2_field_names(schema)
-    cols = _payload_columns(schema, version=2)
-    payload = classified.select(*[cols[f].alias(f) for f in payload_fields])
-    v = F.col("v")
-    metadata = classified.select(
-        *[_render_field(v, "metadata", f).alias(f) for f in metadata_fields]
+    payload_cols, metadata_cols = _v2_out_columns(schema)
+    return (
+        classified.select(*payload_cols),
+        classified.select(*metadata_cols),
     )
-    return payload, metadata
 
 
 def error_log_lines(invalid: DataFrame) -> DataFrame:
@@ -270,6 +295,13 @@ def run_table(
         .persist()
     )
     try:
+        # Materialize cache + counters in ONE pass, then fan the four sink
+        # writes out concurrently over the cache. The count action is the
+        # only job that runs scan+classify; the sink jobs then only pay
+        # render+commit, and running them in parallel overlaps their fixed
+        # job-scheduling/commit overhead (they'd otherwise serialize while
+        # most executor cores sit idle).
+        classified.count()
         write_sinks(cfg, table, schema, classified, version)
         got = obs.get
         total = got["total"] or 0
@@ -304,28 +336,51 @@ def write_sinks(
     kept = classified.where(keep)
     invalid = classified.where(~F.col("is_valid"))
 
+    writes: list = []
     # output sink(s)
     if version == 1:
-        v1_rows(kept, schema).write.mode("append").option(
-            "header", True
-        ).csv(cfg.path(table.output_file or f"{table.name}.csv"))
+        out1 = v1_rows(kept, schema)
+        writes.append(
+            lambda: out1.write.mode("append")
+            .option("header", True)
+            .csv(cfg.path(table.output_file or f"{table.name}.csv"))
+        )
     else:
         payload, metadata = v2_rows(kept, schema)
-        payload.write.mode("append").option("header", True).csv(
-            cfg.path(table.payload_file or f"{table.name}.csv")
+        writes.append(
+            lambda: payload.write.mode("append")
+            .option("header", True)
+            .csv(cfg.path(table.payload_file or f"{table.name}.csv"))
         )
-        metadata.write.mode("append").option("header", True).csv(
-            cfg.path(table.metadata_file or "metadata.csv")
+        writes.append(
+            lambda: metadata.write.mode("append")
+            .option("header", True)
+            .csv(cfg.path(table.metadata_file or "metadata.csv"))
         )
 
     # quarantine sink (R5): original documents, verbatim
-    invalid.select("file_path", "raw").write.mode("append").parquet(
-        cfg.path(table.schema_mismatch_dir)
+    writes.append(
+        lambda: invalid.select("file_path", "raw")
+        .write.mode("append")
+        .parquet(cfg.path(table.schema_mismatch_dir))
     )
     # error log sink (R6)
-    error_log_lines(invalid).write.mode("append").text(
-        cfg.path(f"{cfg.errors_log}.d")
+    writes.append(
+        lambda: error_log_lines(invalid)
+        .write.mode("append")
+        .text(cfg.path(f"{cfg.errors_log}.d"))
     )
+
+    # The four sinks are independent filtered reads of one (ideally
+    # already-materialized) cached classification — run them as
+    # concurrent Spark jobs so their fixed scheduling + file-commit
+    # overhead overlaps. Correct even if the cache is cold (racing jobs
+    # may duplicate partition compute, never corrupt it).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()
 
 
 def run_pipeline(

@@ -34,6 +34,7 @@ document (json.load raises at main.py:172) classifies as ``corrupt``.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -102,6 +103,19 @@ class Validity:
     error_msg: Column  # null when valid
     error_class: Column  # valid | missing_required | other | corrupt
     is_valid: Column
+
+
+@lru_cache(maxsize=64)
+def compiled_validity(schema: EnvelopeSchema) -> Validity:
+    """Memoized ``compile_validity`` over the canonical ``v`` document
+    column (what every pipeline path uses).
+
+    The ~40-branch expression tree costs real driver time to construct
+    (hundreds of py4j round-trips); Columns are immutable and reusable
+    across DataFrames, so compiling once per schema — prepared-statement
+    style — removes that cost from every run after the first.
+    """
+    return compile_validity(schema, F.col("v"))
 
 
 def compile_validity(schema: EnvelopeSchema, doc: Column) -> Validity:

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from local_etl_spark.etl import transforms
 from local_etl_spark.etl.schema_translate import parse_schema
-from local_etl_spark.etl.validate import compile_validity
+from local_etl_spark.etl.validate import compiled_validity
 from local_etl_spark.queries._util import dec, t
 from local_etl_spark.registry import query
 
@@ -258,7 +258,7 @@ def etl_validate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit('{"metadata": '), meta, F.lit(', "payload": '), payload_ok, F.lit("}")))
     )
     docs = e.select(F.try_parse_json(raw).alias("v"))
-    val = compile_validity(schema, F.col("v"))
+    val = compiled_validity(schema)
     return (
         docs.select(val.error_class.alias("error_class"))
         .groupBy("error_class")
