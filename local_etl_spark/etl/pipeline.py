@@ -38,7 +38,9 @@ from local_etl_spark.etl.validate import (
     CLASS_MISSING,
     CLASS_OTHER,
     CLASS_VALID,
-    compiled_validity,
+    compiled_validity_leaves,
+    leaf_exprs,
+    leaf_name,
     render_value,
 )
 
@@ -123,11 +125,11 @@ def read_event_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _render_field(v: Column, obj: str, fname: str) -> Column:
+def _render_field(obj: str, fname: str) -> Column:
     """Output rendering of one envelope field as the reference's CSV
     writer would print it: missing key → '' (restval), None → ''
     (csv module), str(value) otherwise."""
-    fv = F.variant_get(v, f"$.{obj}.{fname}", "variant")
+    fv = F.variant_get(F.col("v"), f"$.{obj}.{fname}", "variant")
     sv = F.schema_of_variant(fv)
     return F.coalesce(
         F.when(F.is_variant_null(fv), F.lit("")).otherwise(
@@ -140,19 +142,29 @@ def _render_field(v: Column, obj: str, fname: str) -> Column:
 def classify(docs: DataFrame, schema: EnvelopeSchema) -> DataFrame:
     """Attach error_msg / error_class / is_valid columns (R4).
 
-    Two stacked projections on purpose: the compiled error_msg CASE is a
-    ~40-branch expression tree, and deriving class/validity from it
-    inline would embed four copies of that tree in one projection
-    (Catalyst's CollapseProject declines to inline a multiply-referenced
-    non-trivial alias, so the split survives optimization). One copy
-    means ~4x less generated code — measurably faster janino compile on
-    first run and less per-row work.
+    Stacked projections on purpose (Catalyst's CollapseProject declines
+    to inline multiply-referenced non-trivial aliases, so the splits
+    survive optimization):
+      1. leaf extraction — each variant leaf + its type string computed
+         ONCE per row (CASE branches can't share subexpressions, so the
+         compiled error_msg CASE would otherwise re-walk the variant in
+         every branch — bigger codegen, slower janino compile, more
+         per-row work);
+      2. the compiled ~40-branch error_msg CASE over those leaves;
+      3. class/validity derived from error_msg (one copy of the CASE
+         instead of four), DROPPING the leaf columns so the persisted
+         classification stays slim (caching ~26 variant leaves per row
+         measurably slows materialization).
     """
-    val = compiled_validity(schema)
-    staged = docs.select("*", val.error_msg.alias("error_msg"))
+    leaves = leaf_exprs(schema)
+    val = compiled_validity_leaves(schema)
+    staged = docs.select("*", *[c.alias(n) for n, c in leaves]).select(
+        "*", val.error_msg.alias("error_msg")
+    )
     msg = F.col("error_msg")
     return staged.select(
-        "*",
+        *docs.columns,
+        F.col("error_msg"),
         F.when(F.col("v").isNull(), CLASS_CORRUPT)
         .when(msg.isNull(), CLASS_VALID)
         .when(msg.contains("is a required property"), CLASS_MISSING)
@@ -170,17 +182,18 @@ def _payload_columns(schema: EnvelopeSchema, version: int) -> dict[str, Column]:
     construct driver-side and Columns are immutable/reusable, so repeat
     runs (and the multi-sink fan-out) reuse one compiled set.
     """
-    v = F.col("v")
     payload_fields = list(schema.payload.required)
     cols: dict[str, Column] = {
-        fname: _render_field(v, "payload", fname) for fname in payload_fields
+        fname: _render_field("payload", fname) for fname in payload_fields
     }
 
     # ad-hoc users fixes, gated on address presence in the DOCUMENT —
     # the reference gates on `'address' in row_dict` (main.py:110), so a
     # repaired row whose address is missing skips BOTH fixes.
     if "address" in cols:
-        has_address = F.variant_get(v, "$.payload.address", "variant").isNotNull()
+        has_address = F.variant_get(
+            F.col("v"), "$.payload.address", "variant"
+        ).isNotNull()
         cols["address"] = F.when(
             has_address, transforms.fix_address(cols["address"])
         ).otherwise(cols["address"])
@@ -191,7 +204,7 @@ def _payload_columns(schema: EnvelopeSchema, version: int) -> dict[str, Column]:
 
     if version == 2:
         # FK propagation: metadata.event_id or '' (main2.py:226)
-        cols["event_id"] = _render_field(v, "metadata", "event_id")
+        cols["event_id"] = _render_field("metadata", "event_id")
         # name/created_by_name prefix-suffix normalization (main2.py:234-256)
         name_col = next(
             (c for c in ("name", "created_by_name") if c in cols), None
@@ -207,11 +220,10 @@ def _payload_columns(schema: EnvelopeSchema, version: int) -> dict[str, Column]:
 @lru_cache(maxsize=64)
 def _v1_out_columns(schema: EnvelopeSchema) -> tuple[Column, ...]:
     cols = _payload_columns(schema, version=1)
-    v = F.col("v")
     return tuple(
         [cols[f].alias(f) for f in schema.payload.required]
         + [
-            _render_field(v, "metadata", f).alias(f)
+            _render_field("metadata", f).alias(f)
             for f in schema.metadata.required
         ]
     )
@@ -228,10 +240,9 @@ def _v2_out_columns(
 ) -> tuple[tuple[Column, ...], tuple[Column, ...]]:
     payload_fields, metadata_fields = v2_field_names(schema)
     cols = _payload_columns(schema, version=2)
-    v = F.col("v")
     return (
         tuple(cols[f].alias(f) for f in payload_fields),
-        tuple(_render_field(v, "metadata", f).alias(f) for f in metadata_fields),
+        tuple(_render_field("metadata", f).alias(f) for f in metadata_fields),
     )
 
 

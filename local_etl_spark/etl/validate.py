@@ -105,29 +105,114 @@ class Validity:
     is_valid: Column
 
 
+def leaf_name(obj: str | None = None, fname: str | None = None, sv: bool = False) -> str:
+    """Internal column name for a pre-extracted variant leaf (``sv`` =
+    its schema_of_variant string)."""
+    base = "_vx_doc" if obj is None else (
+        f"_vx_{obj}" if fname is None else f"_vx_{obj}_{fname}"
+    )
+    return f"{base}_sv" if sv else base
+
+
+def _schema_leaves(schema: EnvelopeSchema) -> list[tuple[str | None, str | None]]:
+    """Every (obj, field) path the validity/render expressions touch."""
+    paths: list[tuple[str | None, str | None]] = [(None, None)]
+    for obj in schema.objects:
+        paths.append((obj.name, None))
+        names = list(dict.fromkeys(
+            [f.name for f in obj.fields] + list(obj.required)
+        ))
+        paths.extend((obj.name, n) for n in names)
+    return paths
+
+
+@lru_cache(maxsize=64)
+def leaf_exprs(schema: EnvelopeSchema) -> tuple[tuple[str, Column], ...]:
+    """Pre-extraction projection: each variant leaf (and its type string)
+    pulled out of the ``v`` document exactly once.
+
+    The validity CASE evaluates every branch condition for valid rows and
+    each branch would otherwise re-walk the variant (CASE branches are
+    conditionally evaluated, so Spark's subexpression elimination can't
+    hoist them). Extracting leaves in a lower projection makes each
+    branch an attribute compare — far less generated code (faster janino
+    compile) and one variant walk per leaf per row instead of one per
+    branch. CollapseProject keeps the split (multi-referenced non-trivial
+    aliases are not inlined).
+    """
+    doc = F.col("v")
+    out: list[tuple[str, Column]] = []
+    for obj, fname in _schema_leaves(schema):
+        if obj is None:
+            fv = doc
+        elif fname is None:
+            fv = F.variant_get(doc, f"$.{obj}", "variant")
+        else:
+            fv = F.variant_get(doc, f"$.{obj}.{fname}", "variant")
+        if obj is not None:
+            out.append((leaf_name(obj, fname), fv))
+        out.append((leaf_name(obj, fname, sv=True), F.schema_of_variant(fv)))
+    return tuple(out)
+
+
 @lru_cache(maxsize=64)
 def compiled_validity(schema: EnvelopeSchema) -> Validity:
-    """Memoized ``compile_validity`` over the canonical ``v`` document
-    column (what every pipeline path uses).
+    """Memoized self-contained compile over the canonical ``v`` column —
+    for callers that don't carry the leaf projection."""
+    doc = F.col("v")
 
-    The ~40-branch expression tree costs real driver time to construct
-    (hundreds of py4j round-trips); Columns are immutable and reusable
-    across DataFrames, so compiling once per schema — prepared-statement
-    style — removes that cost from every run after the first.
-    """
-    return compile_validity(schema, F.col("v"))
+    def getv(obj=None, fname=None):
+        if obj is None:
+            return doc
+        path = f"$.{obj}" if fname is None else f"$.{obj}.{fname}"
+        return F.variant_get(doc, path, "variant")
+
+    def getsv(obj=None, fname=None):
+        return F.schema_of_variant(getv(obj, fname))
+
+    return _compile(schema, getv, getsv)
+
+
+@lru_cache(maxsize=64)
+def compiled_validity_leaves(schema: EnvelopeSchema) -> Validity:
+    """Memoized compile against the ``leaf_exprs`` projection (the
+    pipeline's hot path): every variant access is a plain column ref."""
+
+    def getv(obj=None, fname=None):
+        return F.col("v") if obj is None else F.col(leaf_name(obj, fname))
+
+    def getsv(obj=None, fname=None):
+        return F.col(leaf_name(obj, fname, sv=True))
+
+    return _compile(schema, getv, getsv)
 
 
 def compile_validity(schema: EnvelopeSchema, doc: Column) -> Validity:
     """Build the validity expressions over ``doc`` (a VariantType column;
-    SQL-null doc = corrupt JSON).
+    SQL-null doc = corrupt JSON). Self-contained (no leaf projection)."""
+
+    def getv(obj=None, fname=None):
+        if obj is None:
+            return doc
+        path = f"$.{obj}" if fname is None else f"$.{obj}.{fname}"
+        return F.variant_get(doc, path, "variant")
+
+    def getsv(obj=None, fname=None):
+        return F.schema_of_variant(getv(obj, fname))
+
+    return _compile(schema, getv, getsv)
+
+
+def _compile(schema: EnvelopeSchema, getv, getsv) -> Validity:
+    """Shared validity compiler over a leaf resolver.
 
     Error slots are emitted in jsonschema best_match priority order (see
     module docstring); the first firing slot provides the message.
     """
     slots: list[tuple[Column, Column]] = []  # (fires, message)
 
-    doc_sv = F.schema_of_variant(doc)
+    doc = getv()
+    doc_sv = getsv()
     doc_is_obj = doc_sv.startswith("OBJECT")
 
     # --- depth 0: document itself ---------------------------------------
@@ -144,18 +229,17 @@ def compile_validity(schema: EnvelopeSchema, doc: Column) -> Validity:
     # top-level required, in required-list order (jsonschema yields them
     # in list order; ties at equal depth+path resolve to iteration order)
     for obj_name in schema.required:
-        fv = F.variant_get(doc, f"$.{obj_name}", "variant")
         slots.append(
             (
-                doc_is_obj & fv.isNull(),
+                doc_is_obj & getv(obj_name).isNull(),
                 F.lit(f"'{obj_name}' is a required property"),
             )
         )
 
     # --- depth 1: sub-objects, lexicographically greatest path first ----
     for obj in sorted(schema.objects, key=lambda o: o.name, reverse=True):
-        ov = F.variant_get(doc, f"$.{obj.name}", "variant")
-        osv = F.schema_of_variant(ov)
+        ov = getv(obj.name)
+        osv = getsv(obj.name)
         present = doc_is_obj & ov.isNotNull()
         obj_is_obj = present & osv.startswith("OBJECT")
         # sub-object not an object (incl. explicit null → "None is not…")
@@ -170,21 +254,22 @@ def compile_validity(schema: EnvelopeSchema, doc: Column) -> Validity:
         )
         # missing required fields, in required-list order
         for fname in obj.required:
-            fv = F.variant_get(doc, f"$.{obj.name}.{fname}", "variant")
             slots.append(
                 (
-                    obj_is_obj & fv.isNull(),
+                    obj_is_obj & getv(obj.name, fname).isNull(),
                     F.lit(f"'{fname}' is a required property"),
                 )
             )
 
     # --- depth 2: field type errors, path-descending ---------------------
     for obj in sorted(schema.objects, key=lambda o: o.name, reverse=True):
-        ov = F.variant_get(doc, f"$.{obj.name}", "variant")
-        obj_is_obj = doc_is_obj & ov.isNotNull() & F.schema_of_variant(ov).startswith("OBJECT")
+        ov = getv(obj.name)
+        obj_is_obj = (
+            doc_is_obj & ov.isNotNull() & getsv(obj.name).startswith("OBJECT")
+        )
         for fspec in sorted(obj.fields, key=lambda f: f.name, reverse=True):
-            fv = F.variant_get(doc, f"$.{obj.name}.{fspec.name}", "variant")
-            sv = F.schema_of_variant(fv)
+            fv = getv(obj.name, fspec.name)
+            sv = getsv(obj.name, fspec.name)
             bad = obj_is_obj & fv.isNotNull() & ~_type_ok(fv, sv, fspec.json_type)
             slots.append(
                 (
