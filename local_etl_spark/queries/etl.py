@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from local_etl_spark.etl import transforms
 from local_etl_spark.etl.schema_translate import parse_schema
-from local_etl_spark.etl.validate import compiled_validity
+from local_etl_spark.etl.pipeline import classify
 from local_etl_spark.queries._util import dec, t
 from local_etl_spark.registry import query
 
@@ -258,10 +258,13 @@ def etl_validate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit('{"metadata": '), meta, F.lit(', "payload": '), payload_ok, F.lit("}")))
     )
     docs = e.select(F.try_parse_json(raw).alias("v"))
-    val = compiled_validity(schema)
+    # classify() stages leaf-extraction -> error_msg -> class projections;
+    # deriving error_class in ONE projection embeds multiple copies of the
+    # ~40-branch message CASE and overflows janino's 64 KB method limit
+    # (interpreted fallback — the slow path at scale).
+    classified = classify(docs, schema)
     return (
-        docs.select(val.error_class.alias("error_class"))
-        .groupBy("error_class")
+        classified.groupBy("error_class")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("error_class")
     )
