@@ -116,14 +116,17 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document.
 
-    Two shuffles ((doc,term) and term); N (a 1-row agg) and df (one row
-    per vocab term) are broadcast back — no corpus-sized shuffle beyond
-    the first tokenize+count.
+    The corpus is tokenized ONCE: df derives from the tf aggregate
+    (distinct (doc,term) pairs, so count(*) per term ≡ countDistinct
+    doc_id over raw tokens) — the shared tf exchange is reused, and the
+    df shuffle input shrinks from all token occurrences to distinct
+    pairs. N (a 1-row agg) and df (one row per vocab term) broadcast
+    back — no corpus-sized shuffle beyond the first tokenize+count.
     """
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_words()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N stays IN the plan as a broadcast 1-row aggregate — a driver-side
     # docs.count() here would be a second full corpus scan per run
     n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
