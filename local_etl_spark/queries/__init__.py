@@ -15,6 +15,7 @@ from local_etl_spark.queries import (  # noqa: F401
     scans,
     sortset,
     sql_api,
+    sql_tpch,
     streaming,
     udfs,
     windows,
