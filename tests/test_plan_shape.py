@@ -108,3 +108,46 @@ def test_range_banded_is_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+# --- TPC-H-adapted SQL suite (queries/sql_tpch.py) -----------------------
+
+
+def test_tpch_q5_star_is_all_broadcast(spark):
+    # 6-table star: every dimension side is below the broadcast
+    # threshold, so the only Exchanges should belong to the final
+    # aggregate/sort — never a shuffle join.
+    plan = _plan(spark, "sql_q5")
+    # formatted explain prints each node in tree + detail section
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan, "region filter not pushed to scan"
+
+
+def test_tpch_q6_filters_reach_scan(spark):
+    plan = _plan(spark, "sql_q6")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # pure scan+agg: no join of any kind
+    assert "Join" not in plan
+
+
+def test_tpch_q17_correlated_avg_decorrelates(spark):
+    # the per-part scalar avg subquery must decorrelate to an aggregate
+    # + join, not re-execute per outer row
+    plan = _plan(spark, "sql_q17")
+    assert "Join" in plan
+    assert "EqualTo(p_brand,Brand#1)" in plan, "part filter not pushed"
+
+
+def test_tpch_q21_exists_become_semi_anti_joins(spark):
+    plan = _plan(spark, "sql_q21")
+    assert "LeftSemi" in plan, "EXISTS did not plan as a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS did not plan as an anti join"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q18_in_subquery_semi_join(spark):
+    plan = _plan(spark, "sql_q18")
+    assert "LeftSemi" in plan, "IN-subquery did not plan as a semi join"
+    assert "CartesianProduct" not in plan
