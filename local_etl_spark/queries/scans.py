@@ -153,6 +153,42 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_orc",
+    family="scans",
+    oracle="""
+    SELECT p_brand, count(*) AS n, min(p_retailprice) AS min_price,
+           max(p_retailprice) AS max_price
+    FROM part
+    WHERE p_size >= 25
+    GROUP BY p_brand
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back (Spark's second built-in columnar format).
+
+    Same round-trip contract as scan_json/scan_csv: part goes to ORC
+    once, is read back through the ORC reader (typed, vectorized, with
+    predicate pushdown like parquet), and the aggregate is checked
+    against the original parquet view — covering the full write→read
+    cycle losslessly. min/max on raw doubles are order-independent, so
+    no decimal discipline is needed here.
+    """
+    path = _materialize(
+        t(spark, sf_dir, "part"), _cache_dir(sf_dir, "part_orc"), "orc"
+    )
+    return (
+        spark.read.orc(path)
+        .filter(F.col("p_size") >= 25)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+@query(
     "sink_partitioned",
     family="scans",
     oracle="""
