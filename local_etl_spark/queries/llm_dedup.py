@@ -139,14 +139,23 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (and far more at 100 TB where shuffle bytes dominate). A 64-bit
         collision would need ~2^32 distinct shingles to become likely;
         corpora that large have left exact-Jaccard territory anyway.
+      - The postings are EXPLICITLY repartitioned on the join key: AQE
+        coalesces exchanges by shuffle-INPUT size, but this join's
+        output explodes ~5x past its input (Σ df² co-occurrences), so
+        AQE's view lands the whole expansion on one core. A
+        user-specified partition count is exempt from AQE coalescing
+        and keeps the expansion parallel — the generic pattern for any
+        small-input/explosive-output join.
     """
     sh = with_shingles(t(spark, sf_dir, "documents")).persist()
     counts = sh.select("doc_id", F.size("shingles").alias("n")).filter(
         F.col("n") > 0
     )
-    posting = sh.select(
-        "doc_id", F.explode("shingles").alias("_s")
-    ).select("doc_id", F.xxhash64("_s").alias("s"))
+    posting = (
+        sh.select("doc_id", F.explode("shingles").alias("_s"))
+        .select("doc_id", F.xxhash64("_s").alias("s"))
+        .repartition(spark.sparkContext.defaultParallelism, "s")
+    )
     pairs = (
         posting.alias("a")
         .join(posting.alias("b"), "s")
