@@ -338,7 +338,13 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     nrm = F.sqrt(dot("embedding", "embedding"))
     side = emb.select("vec_id", "embedding", nrm.alias("nrm")).persist()
-    a = side.select(
+    # The nested-loop join's parallelism IS the stream side's partition
+    # count, and file-split packing gives few, uneven partitions for a
+    # small parquet file — one straggler task was carrying almost the
+    # whole O(n²) expansion (22.9s -> 1.5s at sf0.1 from this line).
+    a = side.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
@@ -350,7 +356,10 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("v1") < F.col("v2"))
+        # explicit broadcast pins b as the BUILD side so the
+        # repartitioned a is the STREAM side (left alone, Spark may pick
+        # the un-repartitioned side to stream and undo the fix above)
+        a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
         .filter(cos >= COSINE_T)
         .select("v1", "v2", F.round(cos, 6).alias("score"))
     )

@@ -128,23 +128,34 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, and that input is already down to |corpus|×|queries|
     scored pairs. At 100 TB with large query sets, swap the crossJoin
     for the IVF cell-probe prefilter below.
+
+    Per-pair work is ONE dot-product fold: both sides carry their norm
+    precomputed per ROW (cosine() inline would re-fold both norms per
+    PAIR — 3x the work); dot/(na·nb) is arithmetically identical to the
+    oracle's per-pair recomputation. The corpus side is round-robin
+    repartitioned — the broadcast join's parallelism is the stream
+    side's partitioning, and file-split packing of a small parquet
+    leaves few, uneven partitions.
     """
     emb = t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot("embedding", "embedding"))
     q = F.broadcast(
         emb.filter(F.col("vec_id") % 100 == 0).select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            nrm.alias("qn"),
         )
     )
     from pyspark.sql import Window
 
+    corpus = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("vec_id", "embedding", nrm.alias("en"))
+    score = dot("embedding", "qv") / (F.col("en") * F.col("qn"))
     scored = (
-        emb.crossJoin(q)
+        corpus.crossJoin(q)
         .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine("embedding", "qv"), 6).alias("score"),
-        )
+        .select("qid", "vec_id", F.round(score, 6).alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
     return (
