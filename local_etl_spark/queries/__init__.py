@@ -7,6 +7,7 @@ from local_etl_spark.queries import (  # noqa: F401
     functions,
     joins,
     joins_scale,
+    llm_corpus,
     llm_dedup,
     llm_media,
     llm_sim,

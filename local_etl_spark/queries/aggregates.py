@@ -469,3 +469,30 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "agg_approx_quantile",
+    family="aggregations",
+    tags=("rows-only",),
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) per group — the
+    mergeable single-pass quantile path for 100 TB rollups (exact
+    percentile needs a per-group sort; the sketch is one scan and
+    merges across partitions). Rows-only: sketch internals differ
+    across engines; pytest gates the rank error vs the exact
+    percentile instead (accuracy 10000 ⇒ rank error ≤ n/10000)."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            q.getItem(0).alias("q25"),
+            q.getItem(1).alias("q50"),
+            q.getItem(2).alias("q75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -256,3 +256,71 @@ def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(F.lit(0.0)).alias("big_or_zero"),
         F.nvl(F.nullif(s, F.lit("O")), F.lit("was-open")).alias("nvl_demo"),
     )
+
+
+@query(
+    "fn_bitwise",
+    family="functions",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & o_custkey AS band,
+       o_orderkey | o_custkey AS bor,
+       xor(o_orderkey, o_custkey) AS bxor,
+       o_custkey << 3 AS shl,
+       o_orderkey >> 2 AS shr,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS nbits,
+       ~o_custkey AS bnot
+FROM orders
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/not, shifts, popcount — the building
+    blocks of the engine's hash-partitioning, bloom and sketch ops."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & o_custkey").alias("band"),
+        F.expr("o_orderkey | o_custkey").alias("bor"),
+        F.expr("o_orderkey ^ o_custkey").alias("bxor"),
+        F.shiftleft(F.col("o_custkey"), 3).alias("shl"),
+        F.shiftright(F.col("o_orderkey"), 2).alias("shr"),
+        F.bit_count(F.col("o_orderkey")).alias("nbits"),
+        F.expr("~o_custkey").alias("bnot"),
+    )
+
+
+@query(
+    "fn_struct",
+    family="functions",
+    oracle="""
+SELECT c_custkey,
+       struct_pack(k := c_custkey, bal := c_acctbal).bal AS bal_out,
+       struct_pack(i := struct_pack(k := c_custkey),
+                   seg := c_mktsegment).i.k AS k_nested,
+       struct_pack(k := c_custkey, bal := c_acctbal)
+         = struct_pack(k := c_custkey, bal := c_acctbal) AS eq_self,
+       struct_pack(k := c_custkey).k + 1 AS k_plus
+FROM customer
+""",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: named_struct construction, field access (flat and
+    nested), struct equality. Output stays flat so the cross-engine
+    canonicalizer compares scalars, not engine-specific struct reprs."""
+    c = t(spark, sf_dir, "customer")
+    s = F.named_struct(
+        F.lit("k"), F.col("c_custkey"), F.lit("bal"), F.col("c_acctbal")
+    )
+    nested = F.named_struct(
+        F.lit("i"), F.named_struct(F.lit("k"), F.col("c_custkey")),
+        F.lit("seg"), F.col("c_mktsegment"),
+    )
+    return c.select(
+        "c_custkey",
+        s.getField("bal").alias("bal_out"),
+        nested.getField("i").getField("k").alias("k_nested"),
+        (s == s).alias("eq_self"),
+        (F.named_struct(F.lit("k"), F.col("c_custkey")).getField("k") + 1).alias(
+            "k_plus"
+        ),
+    )

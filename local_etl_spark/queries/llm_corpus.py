@@ -1,0 +1,239 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+Extends the SURVEY.md §2.4-J/L surface with three ops every large-scale
+pretraining pipeline runs between filtering and tokenization:
+
+  repetition     Gopher-style n-gram repetition signals (quality filter)
+  pack_sequences token-budget sequence packing (batch assembly)
+  contamination  eval-set n-gram overlap audit (decontamination)
+
+Scale notes:
+  - ``repetition`` is a pure per-row fold over a sorted in-row gram
+    array — zero shuffles, runs inside whole-stage codegen directly on
+    the parquet scan. The alternative (explode → two groupBys) would
+    shuffle every 2-gram occurrence in the corpus; at 100 TB that is
+    the difference between a map-only pass and the largest shuffle in
+    the pipeline.
+  - ``pack_sequences`` windows within (lang, source) strata, so the
+    running-offset state never concentrates on one task; at real scale
+    the stratum key is whatever the ingest already partitions by
+    (shard file, crawl dump, date), keeping the sort partition-local.
+  - ``contamination``'s eval side is tiny by construction (the held-out
+    benchmark), so the gram join broadcasts — the corpus side is never
+    shuffled, only scanned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 → held-out "benchmark" doc
+CONTAM_N = 5  # n-gram size for contamination overlap
+
+# sorted 2-gram array, built and folded entirely inside the row
+_SORTED_2GRAMS = (
+    "CASE WHEN size(_w) >= 2 THEN array_sort(transform("
+    "  sequence(1, size(_w) - 1),"
+    "  i -> concat_ws(' ', _w[i-1], _w[i])))"
+    " ELSE array() END"
+)
+
+# single left-to-right fold over the sorted grams: tracks the current
+# run of equal grams, accumulating (a) occurrences inside runs longer
+# than 1 — the duplicated-2-gram mass — and (b) the longest run — the
+# top-2-gram count. The finish lambda closes the trailing run.
+_REP_FOLD = """
+aggregate(
+  _g,
+  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'dup', 0L, 'top', 0L),
+  (a, x) -> IF(x <=> a.prev,
+      named_struct('prev', x, 'run', a.run + 1L, 'dup', a.dup, 'top', a.top),
+      named_struct('prev', x, 'run', 1L,
+                   'dup', a.dup + IF(a.run > 1L, a.run, 0L),
+                   'top', greatest(a.top, a.run))),
+  a -> named_struct('dup', a.dup + IF(a.run > 1L, a.run, 0L),
+                    'top', greatest(a.top, a.run))
+)
+"""
+
+
+@query(
+    "llm_repetition",
+    family="llm",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(2, len(ws)),
+                      i -> ws[i-1] || ' ' || ws[i])) AS gram
+        FROM w
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    p AS (
+        SELECT doc_id,
+               sum(cnt) AS n,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup,
+               max(cnt) AS top
+        FROM c GROUP BY 1
+    )
+    SELECT d.doc_id,
+           round(coalesce(p.dup * 1.0 / p.n, 0.0), 6) AS dup_2gram_frac,
+           round(coalesce(p.top * 1.0 / p.n, 0.0), 6) AS top_2gram_frac
+    FROM documents d LEFT JOIN p USING (doc_id)
+    """,
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    ``dup_2gram_frac``: fraction of 2-gram occurrences that belong to a
+    2-gram appearing more than once; ``top_2gram_frac``: share of the
+    most frequent 2-gram. Both are the standard repetition filters
+    applied before training (Rae et al., Gopher §A1.1).
+
+    Spark-first shape: the grams are sorted and folded IN-ROW (one
+    ``aggregate`` over an ``array_sort``), so the whole operator is a
+    map-only projection — no explode, no shuffle, nothing leaves the
+    scan stage. The DuckDB oracle computes the same counts relationally
+    (unnest + two GROUP BYs), which is exactly the shuffle this shape
+    avoids.
+    """
+    folded = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("_w"))
+        .select("doc_id", F.expr(_SORTED_2GRAMS).alias("_g"))
+        .select("doc_id", F.size("_g").alias("_n"), F.expr(_REP_FOLD).alias("_f"))
+    )
+    n = F.col("_n")
+    frac = lambda c: F.round(  # noqa: E731
+        F.when(n == 0, F.lit(0.0)).otherwise(c / n), 6
+    )
+    return folded.select(
+        "doc_id",
+        frac(F.col("_f.dup")).alias("dup_2gram_frac"),
+        frac(F.col("_f.top")).alias("top_2gram_frac"),
+    )
+
+
+@query(
+    "llm_pack_sequences",
+    family="llm",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, source,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT *,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang, source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS t_offset
+        FROM tok
+    )
+    SELECT doc_id, lang, source, n_tokens, t_offset,
+           t_offset // {PACK_BUDGET} AS seq_id
+    FROM c
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concat-and-chunk assignment).
+
+    Documents are laid out deterministically (by doc_id) into a
+    concatenated token stream per (lang, source) stratum; each doc is
+    assigned the packed training sequence its first token lands in
+    (``seq_id`` = offset // budget). This is the pack-and-split scheme
+    used to assemble fixed-length pretraining batches without padding
+    waste.
+
+    Scale shape: the running sum is a window WITHIN the stratum — state
+    is partition-local, never a global single-task sort. At 100 TB the
+    stratum is the ingest shard, so packing parallelizes with the data
+    and the only movement is the hash exchange onto strata.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("t_offset")
+    return docs.select("doc_id", "lang", "source", "n_tokens", offset).select(
+        "*", F.expr(f"t_offset DIV {PACK_BUDGET}").alias("seq_id")
+    )
+
+
+_CONTAM_GRAMS = (
+    f"CASE WHEN size(_w) >= {CONTAM_N} THEN array_distinct(transform("
+    f"  sequence({CONTAM_N} - 1, size(_w) - 1),"
+    "  i -> concat_ws(' ', _w[i-4], _w[i-3], _w[i-2], _w[i-1], _w[i])))"
+    " ELSE array() END"
+)
+
+
+def _contam_grams(docs: DataFrame) -> DataFrame:
+    # persist-before-explode pattern (see llm_dedup.py): Generate would
+    # otherwise re-evaluate the gram-array expression per output row
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("_w"))
+        .select("doc_id", F.expr(_CONTAM_GRAMS).alias("_g"))
+    )
+
+
+@query(
+    "llm_contamination",
+    family="llm",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series({CONTAM_N}, len(ws)),
+                   i -> ws[i-4] || ' ' || ws[i-3] || ' ' || ws[i-2]
+                        || ' ' || ws[i-1] || ' ' || ws[i]))) AS gram
+        FROM w
+    ),
+    e AS (SELECT doc_id AS eval_doc_id, gram FROM g
+          WHERE doc_id % {EVAL_MOD} = 0),
+    c AS (SELECT doc_id, gram FROM g WHERE doc_id % {EVAL_MOD} <> 0)
+    SELECT c.doc_id, e.eval_doc_id, count(*) AS n_shared
+    FROM c JOIN e USING (gram)
+    GROUP BY 1, 2
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination audit: distinct 5-gram overlap counts
+    between every corpus document and every held-out benchmark document
+    (here: doc_id % 97 == 0 stands in for the benchmark set).
+
+    Scale shape: the benchmark side is small by construction, so its
+    gram postings broadcast; the corpus side streams through one
+    map-side hash join — the 100 TB corpus is scanned once and never
+    shuffled. Output is only the contaminated (doc, eval_doc) pairs.
+    """
+    grams = _contam_grams(t(spark, sf_dir, "documents")).persist()
+    exploded = grams.select("doc_id", F.explode("_g").alias("gram"))
+    eval_g = (
+        exploded.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .withColumnRenamed("doc_id", "eval_doc_id")
+    )
+    corp_g = exploded.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        corp_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

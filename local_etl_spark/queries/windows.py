@@ -123,3 +123,29 @@ def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("o_totalprice")).over(w_rows).cast("decimal(28,6)").cast("double").alias("running_spend"),
         F.count(F.lit(1)).over(w_range).alias("n_orders_30d"),
     )
+
+
+@query(
+    "win_dist",
+    family="windows",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank + cume_dist. The
+    (c_acctbal, c_custkey) ordering is unique per partition, so both
+    ratios are deterministic integer-derived fractions (round 6dp is
+    bit-stable across engines)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

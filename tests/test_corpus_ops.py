@@ -1,0 +1,119 @@
+"""Ground-truth tests for the corpus-preparation operators
+(llm_corpus.py) and the sketch-based approximate quantile.
+
+The SQL-oracle queries in llm_corpus.py are already hash-checked by
+test_oracle_parity; these tests add independent pure-Python
+recomputation (the oracle and engine could in principle share a
+misreading of the spec — Python here is a third implementation).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+import pytest
+
+from local_etl_spark.queries.llm_corpus import EVAL_MOD, PACK_BUDGET
+from local_etl_spark.registry import get
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs():
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            f"SELECT doc_id, text, lang, source FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def test_repetition_matches_python_reference(spark):
+    rows = {
+        r.doc_id: r
+        for r in get("llm_repetition").fn(spark, SF).collect()
+    }
+    docs = _docs()
+    assert set(rows) == {d[0] for d in docs}
+    for doc_id, text, _, _ in docs[:50]:
+        ws = text.split(" ")
+        grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        n = len(grams)
+        counts = Counter(grams)
+        dup = sum(c for c in counts.values() if c > 1)
+        top = max(counts.values(), default=0)
+        got = rows[doc_id]
+        assert got.dup_2gram_frac == pytest.approx(
+            dup / n if n else 0.0, abs=1e-6
+        )
+        assert got.top_2gram_frac == pytest.approx(
+            top / n if n else 0.0, abs=1e-6
+        )
+
+
+def test_pack_sequences_greedy_offsets(spark):
+    out = get("llm_pack_sequences").fn(spark, SF).collect()
+    by_stratum: dict[tuple, list] = {}
+    for r in out:
+        by_stratum.setdefault((r.lang, r.source), []).append(r)
+    assert len(by_stratum) > 1  # packing actually parallelizes
+    for rows in by_stratum.values():
+        rows.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in rows:
+            assert r.t_offset == offset
+            assert r.seq_id == offset // PACK_BUDGET
+            offset += r.n_tokens
+
+
+def test_contamination_matches_python_reference(spark):
+    got = {
+        (r.doc_id, r.eval_doc_id): r.n_shared
+        for r in get("llm_contamination").fn(spark, SF).collect()
+    }
+    n = 5
+    grams: dict[int, set] = {}
+    for doc_id, text, _, _ in _docs():
+        ws = text.split(" ")
+        grams[doc_id] = {
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        }
+    expected = {}
+    evals = {d: g for d, g in grams.items() if d % EVAL_MOD == 0}
+    assert evals  # the benchmark stand-in set is non-empty at sf0.01
+    for doc_id, g in grams.items():
+        if doc_id % EVAL_MOD == 0:
+            continue
+        for eval_id, eg in evals.items():
+            shared = len(g & eg)
+            if shared:
+                expected[(doc_id, eval_id)] = shared
+    assert got == expected
+
+
+def test_approx_quantile_rank_error(spark):
+    approx = {
+        r.l_returnflag: r for r in get("agg_approx_quantile").fn(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    try:
+        exact = con.execute(
+            f"""
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs,
+                   count(*) AS n
+            FROM '{SF}/lineitem.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    for flag, qs, n in exact:
+        got = approx[flag]
+        assert got.n == n
+        # GK guarantee: rank error ≤ n/accuracy; translate to a value
+        # tolerance via the empirical spread (prices span ~1..105k,
+        # so a 0.1% rank slack is well under 1% of the value range)
+        for got_q, exact_q in zip((got.q25, got.q50, got.q75), qs):
+            assert abs(got_q - exact_q) <= 0.01 * exact_q
