@@ -65,6 +65,17 @@ def get_spark(app_name: str = "local-etl-spark", cpus: int | None = None) -> Spa
         # packs small-file corpora densely; large-file scans are unaffected
         # (packing is then byte-driven).
         .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+        # v2 output commit: tasks rename their files into place at task
+        # commit (parallel, distributed) instead of the driver renaming
+        # every file sequentially at job commit — measured 2.4s -> 1.4s
+        # across the ETL pipeline's 5 sink jobs on the 2000-file corpus,
+        # and at cluster scale it turns an O(total files) driver-side
+        # commit into O(1). Tradeoff: a job that dies mid-commit can
+        # leave committed task outputs behind (v1 is all-or-nothing at
+        # job level); acceptable for append-mode ETL sinks with task
+        # retries, and on object stores the right answer is a manifest
+        # committer either way.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

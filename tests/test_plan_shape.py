@@ -151,3 +151,27 @@ def test_tpch_q18_in_subquery_semi_join(spark):
     plan = _plan(spark, "sql_q18")
     assert "LeftSemi" in plan, "IN-subquery did not plan as a semi join"
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_is_map_only(spark):
+    # the whole point of the in-row fold: no explode, no shuffle —
+    # the operator must run entirely inside the scan stage
+    plan = _plan(spark, "llm_repetition")
+    assert "Exchange" not in plan, "repetition fold fell back to a shuffle"
+    assert "Generate" not in plan, "repetition materialized an explode"
+
+
+def test_pack_sequences_single_stratum_exchange(spark):
+    # simple mode: one line per node, so Exchange counts are exact
+    # (formatted mode prints every node twice — tree + details)
+    df = get("llm_pack_sequences").fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, (
+        "packing should shuffle exactly once (onto the strata)"
+    )
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    plan = _plan(spark, "llm_contamination")
+    assert "BroadcastHashJoin" in plan, "eval-side gram join not broadcast"
+    assert "SortMergeJoin" not in plan
