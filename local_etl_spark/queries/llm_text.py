@@ -116,16 +116,39 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document.
 
-    The corpus is tokenized ONCE: df derives from the tf aggregate
-    (distinct (doc,term) pairs, so count(*) per term ≡ countDistinct
-    doc_id over raw tokens) — the shared tf exchange is reused, and the
-    df shuffle input shrinks from all token occurrences to distinct
-    pairs. N (a 1-row agg) and df (one row per vocab term) broadcast
-    back — no corpus-sized shuffle beyond the first tokenize+count.
+    Per-doc term frequencies are computed IN-ROW, not with a groupBy:
+    sort the word array, find run boundaries (O(n) filter over
+    positions), and zip consecutive boundaries into (term, tf) structs.
+    That deletes the corpus-wide (doc, term) shuffle the relational
+    shape needs — the only remaining corpus-sized exchanges are the df
+    aggregate over distinct pairs and the per-doc top-3 window, both of
+    which are inherent to the result. N (a 1-row agg) and df (one row
+    per vocab term) broadcast back. Staged through two selects + persist
+    so Generate doesn't re-evaluate the fold per output row (see
+    llm_dedup.py) and CollapseProject can't inline the multiply-
+    referenced sort.
     """
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(_words()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    staged = (
+        docs.select("doc_id", F.expr("array_sort(split(text, ' '))").alias("_s"))
+        .select(
+            "doc_id",
+            "_s",
+            F.expr(
+                "filter(sequence(0, size(_s) - 1),"
+                " i -> i = size(_s) - 1 OR _s[i] != _s[i+1])"
+            ).alias("_ends"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "zip_with(_ends, concat(array(-1), slice(_ends, 1, size(_ends) - 1)),"
+                " (e, p) -> named_struct('term', _s[e], 'tf', CAST(e - p AS BIGINT)))"
+            ).alias("_tf"),
+        )
+        .persist()
+    )
+    tf = staged.select("doc_id", F.inline("_tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N stays IN the plan as a broadcast 1-row aggregate — a driver-side
     # docs.count() here would be a second full corpus scan per run
