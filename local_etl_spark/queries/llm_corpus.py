@@ -237,3 +237,134 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+@query(
+    "llm_dedup_norm",
+    family="llm",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT sha256(norm) AS norm_hash, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM n GROUP BY norm
+    """,
+)
+def llm_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup (the CCNet/Dolma "fuzzy exact"
+    step): lowercase, strip non-alphanumerics, collapse whitespace,
+    then hash-group. Catches trivially-reformatted copies that byte
+    dedup misses, at byte-dedup cost — one hash shuffle, and at 100 TB
+    the shuffle key is the 32-byte digest, never the document."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select(F.sha2("norm", 256).alias("norm_hash"), "keep_id", "n_copies")
+    )
+
+
+# composite quality-filter thresholds (corpus-calibrated so the verdict
+# actually splits: sf0.01 word counts span 10-99, dup fractions 0-0.27)
+MIN_WORDS = 25
+MAX_DUP_FRAC = 0.12
+MAX_TOP_FRAC = 0.08
+
+
+@query(
+    "llm_filter_pipeline",
+    family="llm",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(2, len(ws)),
+                      i -> ws[i-1] || ' ' || ws[i])) AS gram
+        FROM w
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    p AS (
+        SELECT doc_id, sum(cnt) AS n,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup,
+               max(cnt) AS top
+        FROM c GROUP BY 1
+    ),
+    f AS (
+        SELECT w.doc_id, len(ws) AS n_words,
+               coalesce(p.dup * 1.0 / p.n, 0.0) AS dup_frac,
+               coalesce(p.top * 1.0 / p.n, 0.0) AS top_frac
+        FROM w LEFT JOIN p USING (doc_id)
+    )
+    SELECT doc_id,
+           list_filter([
+               CASE WHEN n_words < {MIN_WORDS} THEN 'too_short' END,
+               CASE WHEN dup_frac > {MAX_DUP_FRAC} THEN 'repetitive' END,
+               CASE WHEN top_frac > {MAX_TOP_FRAC} THEN 'top_heavy' END
+           ], x -> x IS NOT NULL) AS reasons,
+           (n_words >= {MIN_WORDS} AND dup_frac <= {MAX_DUP_FRAC}
+            AND top_frac <= {MAX_TOP_FRAC}) AS keep
+    FROM f
+    """,
+)
+def llm_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality filter — the decision step that consumes the
+    repetition/length signals: per doc, a keep verdict plus the list of
+    violated rules (the audit trail a curation pipeline keeps so
+    filtered mass is attributable per rule).
+
+    Same in-row fold as llm_repetition, so the whole filter — signals,
+    verdict, reasons — is still a map-only projection over the scan:
+    filtering 100 TB shuffles nothing.
+    """
+    folded = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.size("_w").alias("n_words"),
+            F.expr(_SORTED_2GRAMS).alias("_g"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.size("_g").alias("_n"),
+            F.expr(_REP_FOLD).alias("_f"),
+        )
+    )
+    n = F.col("_n")
+    dup_frac = F.when(n == 0, F.lit(0.0)).otherwise(F.col("_f.dup") / n)
+    top_frac = F.when(n == 0, F.lit(0.0)).otherwise(F.col("_f.top") / n)
+    staged = folded.select(
+        "doc_id",
+        "n_words",
+        dup_frac.alias("_dup_frac"),
+        top_frac.alias("_top_frac"),
+    )
+    rules = F.array(
+        F.when(F.col("n_words") < MIN_WORDS, "too_short"),
+        F.when(F.col("_dup_frac") > MAX_DUP_FRAC, "repetitive"),
+        F.when(F.col("_top_frac") > MAX_TOP_FRAC, "top_heavy"),
+    )
+    return staged.select(
+        "doc_id",
+        F.filter(rules, lambda x: x.isNotNull()).alias("reasons"),
+        (
+            (F.col("n_words") >= MIN_WORDS)
+            & (F.col("_dup_frac") <= MAX_DUP_FRAC)
+            & (F.col("_top_frac") <= MAX_TOP_FRAC)
+        ).alias("keep"),
+    )

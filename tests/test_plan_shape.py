@@ -175,3 +175,8 @@ def test_contamination_broadcasts_eval_side(spark):
     plan = _plan(spark, "llm_contamination")
     assert "BroadcastHashJoin" in plan, "eval-side gram join not broadcast"
     assert "SortMergeJoin" not in plan
+
+
+def test_filter_pipeline_is_map_only(spark):
+    plan = _plan(spark, "llm_filter_pipeline")
+    assert "Exchange" not in plan, "quality filter fell back to a shuffle"
