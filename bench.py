@@ -37,6 +37,8 @@ HEADLINE = [
     "llm_simsearch",
     "llm_tfidf",
     "llm_text_stats",
+    "llm_repetition",
+    "llm_filter_pipeline",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →
