@@ -117,3 +117,37 @@ def test_approx_quantile_rank_error(spark):
         # so a 0.1% rank slack is well under 1% of the value range)
         for got_q, exact_q in zip((got.q25, got.q50, got.q75), qs):
             assert abs(got_q - exact_q) <= 0.01 * exact_q
+
+
+def test_repetition_fold_property(spark):
+    """The in-row fold must agree with a Counter-based reference on
+    arbitrary word sequences — tiny alphabet so duplicate runs, ties,
+    and single-gram documents all occur."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries.llm_corpus import _REP_FOLD, _SORTED_2GRAMS
+
+    rng = random.Random(11)
+    seqs = [
+        [rng.choice("ab cd ef".split()) for _ in range(n)]
+        for n in itertools.chain(range(0, 6), (20, 40))
+        for _ in range(6)
+    ]
+    rows = [(i, " ".join(s)) for i, s in enumerate(seqs)]
+    df = (
+        spark.createDataFrame(rows, "doc_id int, text string")
+        .select("doc_id", F.split("text", " ").alias("_w"))
+        .select("doc_id", F.expr(_SORTED_2GRAMS).alias("_g"))
+        .select("doc_id", F.size("_g").alias("n"), F.expr(_REP_FOLD).alias("f"))
+    )
+    got = {r.doc_id: (r.n, r.f.dup, r.f.top) for r in df.collect()}
+    for i, (_, text) in enumerate(rows):
+        ws = text.split(" ")
+        grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        counts = Counter(grams)
+        dup = sum(c for c in counts.values() if c > 1)
+        top = max(counts.values(), default=0)
+        assert got[i] == (len(grams), dup, top), f"doc {i}: {text!r}"
