@@ -61,7 +61,10 @@ def reference_config(base_dir: str) -> PipelineConfig:
                 schema_mismatch_dir="users_schema_mismatches",
                 output_file="users_flat.csv",
                 payload_file="users.csv",
-                metadata_file="users_metadata.csv",
+                # SHARED metadata sink, faithful to main2.py:20,28 —
+                # both tables append to one metadata.csv (same columns);
+                # append-mode part files union cleanly
+                metadata_file="metadata.csv",
             ),
             TableConfig(
                 name="cards",
@@ -70,7 +73,7 @@ def reference_config(base_dir: str) -> PipelineConfig:
                 schema_mismatch_dir="cards_schema_mismatches",
                 output_file="cards_flat.csv",
                 payload_file="cards.csv",
-                metadata_file="cards_metadata.csv",
+                metadata_file="metadata.csv",
             ),
         ),
         base_dir=base_dir,

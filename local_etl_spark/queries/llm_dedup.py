@@ -437,3 +437,75 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+@query(
+    "llm_dedup_prefix",
+    family="llm",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    SELECT d1, d2,
+           round(shared * 1.0 / (ca.n + cb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = d1
+    JOIN cnt cb ON cb.doc_id = d2
+    WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_T}
+    """,
+)
+def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact near-dup pairs (AllPairs / PPJoin).
+
+    The scale escalation documented on llm_dedup_ngram, as its own
+    operator: under a global canonical token order (ascending document
+    frequency, ties by hash), any pair with J ≥ τ must share a token
+    in each side's first |x| - ⌈τ·|x|⌉ + 1 tokens — so only that
+    prefix is indexed. Hot (stop) shingles are the most frequent, so
+    they sort LAST and never enter the index: the Σ df² co-occurrence
+    blow-up on skewed corpora disappears while exactness is preserved
+    (candidates are verified with full-set Jaccard). Same oracle as
+    llm_dedup_ngram — the driver hash-checks that the optimized
+    algorithm returns the identical pair set.
+
+    Cost shape vs the plain inverted index: one extra df aggregate and
+    a per-doc window to rank tokens, in exchange for a candidate join
+    on rare tokens only — the trade every AllPairs deployment makes
+    once a corpus has stop-shingles.
+    """
+    sh = with_shingles(t(spark, sf_dir, "documents")).persist()
+    sized = sh.filter(F.size("shingles") > 0).select(
+        "doc_id", "shingles", F.size("shingles").alias("n")
+    )
+    posting = sized.select(
+        "doc_id", "n", F.explode("shingles").alias("shingle")
+    ).select("doc_id", "n", F.xxhash64("shingle").alias("s"))
+    dfreq = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        posting.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
+        )
+        .select("doc_id", "s")
+        # same guard as llm_dedup_ngram: the self-join's output outgrows
+        # its input, so pin the partition count out of AQE's reach
+        .repartition(spark.sparkContext.defaultParallelism, "s")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    sa = sized.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sa"))
+    sb = sized.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size(F.array_union("sa", "sb"))
+    jac = inter / uni
+    return (
+        cand.join(sa, "d1")
+        .join(sb, "d2")
+        .filter(jac >= JACCARD_T)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )

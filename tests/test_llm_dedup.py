@@ -79,3 +79,16 @@ def test_cluster_matches_union_find(spark):
         assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
     for doc, cluster in want.items():
         assert cluster == (find(doc) if doc in parent else doc), doc
+
+
+def test_prefix_filter_equals_plain_index(spark):
+    """AllPairs prefix filtering must return the IDENTICAL pair set as
+    the full inverted index — the filter is a pruning, not an
+    approximation."""
+    plain = sorted(
+        map(tuple, get("llm_dedup_ngram").fn(spark, SF).collect())
+    )
+    pruned = sorted(
+        map(tuple, get("llm_dedup_prefix").fn(spark, SF).collect())
+    )
+    assert plain == pruned and len(plain) > 0
