@@ -140,9 +140,18 @@ def test_v2_cards_payload(etl_run):
 
 def test_v2_metadata(etl_run):
     base, _, _, _ = etl_run
-    rows = read_csv_rows(os.path.join(base, "users_metadata.csv"))
-    assert {r["event_id"] for r in rows} == {"e1", "e2", "e3", "e4", "e5", "e6", "e7", "e9"}
-    assert all(r["type"] == "user" for r in rows)
+    # ONE shared metadata sink for both tables, faithful to the
+    # reference registry (main2.py:20,28): users + cards event envelopes
+    # land in the same metadata.csv
+    rows = read_csv_rows(os.path.join(base, "metadata.csv"))
+    by_type = {r["event_id"]: r["type"] for r in rows}
+    assert set(by_type) == {
+        "e1", "e2", "e3", "e4", "e5", "e6", "e7", "e9", "c1", "c2"
+    }
+    assert all(
+        t == ("card" if e.startswith("c") else "user")
+        for e, t in by_type.items()
+    )
 
 
 def test_v1_flat_output(etl_run):
