@@ -324,3 +324,72 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_plus"
         ),
     )
+
+
+@query(
+    "fn_try",
+    family="functions",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit,
+       TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_orderkey % 3) END AS div_guarded,
+       string_split(o_orderpriority, '-')[2] AS prio_word,
+       string_split(o_orderpriority, '-')[5] AS beyond_end
+FROM orders
+""",
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe function family: under ANSI SQL (the engine's mode,
+    and DuckDB's) a bad cast, division by zero, or out-of-bounds index
+    is a runtime ERROR — try_* variants return NULL instead, which is
+    what a 100 TB pipeline wants (route the bad row, don't kill the
+    job). 'F'/'O'/'P' fail the numeric cast; every third key divides by
+    zero; index 5 is past the split array's end."""
+    o = t(spark, sf_dir, "orders")
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)").alias(
+            "prio_digit"
+        ),
+        F.expr("try_cast(o_orderstatus AS BIGINT)").alias("status_num"),
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3).alias(
+            "div_guarded"
+        ),
+        F.try_element_at(parts, F.lit(2)).alias("prio_word"),
+        F.try_element_at(parts, F.lit(5)).alias("beyond_end"),
+    )
+
+
+@query(
+    "fn_hof",
+    family="functions",
+    oracle="""
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       len(list_filter(embedding, x -> abs(x) > 1)) = 0 AS all_unit,
+       len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_large,
+       len(list_filter(list_zip(embedding, list_reverse(embedding)),
+           p -> p[1] < p[2])) AS n_lt_rev
+FROM embeddings
+""",
+)
+def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function family: filter/exists/forall/
+    zip_with lambdas over the 64-d embedding column. All predicates are
+    exact float comparisons on identical stored values, so counts and
+    booleans are bit-deterministic across engines (no float arithmetic
+    crosses rows)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.forall("embedding", lambda x: F.abs(x) <= 1).alias("all_unit"),
+        F.exists("embedding", lambda x: x > 0.5).alias("any_large"),
+        F.expr(
+            "size(filter(zip_with(embedding, reverse(embedding),"
+            " (a, b) -> a < b), x -> x))"
+        ).alias("n_lt_rev"),
+    )
