@@ -175,10 +175,16 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_WORDS = ", ".join(f"_w[i-{CONTAM_N - 1 - k}]" for k in range(CONTAM_N))
+# DuckDB lists are 1-based, so the window is ws[i-(n-1)] .. ws[i] with i
+# running from n to len(ws)
+_CONTAM_DUCK_WORDS = " || ' ' || ".join(
+    f"ws[i-{CONTAM_N - 1 - k}]" for k in range(CONTAM_N)
+)
 _CONTAM_GRAMS = (
     f"CASE WHEN size(_w) >= {CONTAM_N} THEN array_distinct(transform("
     f"  sequence({CONTAM_N} - 1, size(_w) - 1),"
-    "  i -> concat_ws(' ', _w[i-4], _w[i-3], _w[i-2], _w[i-1], _w[i])))"
+    f"  i -> concat_ws(' ', {_CONTAM_WORDS})))"
     " ELSE array() END"
 )
 
@@ -203,8 +209,7 @@ def _contam_grams(docs: DataFrame) -> DataFrame:
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                    generate_series({CONTAM_N}, len(ws)),
-                   i -> ws[i-4] || ' ' || ws[i-3] || ' ' || ws[i-2]
-                        || ' ' || ws[i-1] || ' ' || ws[i]))) AS gram
+                   i -> {_CONTAM_DUCK_WORDS}))) AS gram
         FROM w
     ),
     e AS (SELECT doc_id AS eval_doc_id, gram FROM g
