@@ -496,3 +496,149 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "agg_minmax_by",
+    family="aggregations",
+    oracle="""
+SELECT n_nationkey AS nationkey,
+       max_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey) AS richest,
+       min_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey) AS poorest,
+       CAST(max(round(c_acctbal * 100)) / 100.0 AS DOUBLE) AS max_bal,
+       CAST(min(round(c_acctbal * 100)) / 100.0 AS DOUBLE) AS min_bal,
+       count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_nationkey
+""",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin): per nation, the customer name at
+    the extreme account balance. The ordering key is a composite exact
+    BIGINT — round(acctbal*100) (balances are 2dp-generated, so this is
+    the exact cent value) shifted left of the unique custkey — making
+    ties impossible and the winner identical across engines. At scale
+    this is one partial-aggregating shuffle: each partition keeps one
+    (key, value) champion per group, no sort anywhere."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(10_000_000_000)
+        + F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_nationkey").alias("nationkey"))
+        .agg(
+            F.max_by("c_name", key).alias("richest"),
+            F.min_by("c_name", key).alias("poorest"),
+            (F.max(F.round(F.col("c_acctbal") * 100)) / 100.0)
+            .cast("double")
+            .alias("max_bal"),
+            (F.min(F.round(F.col("c_acctbal") * 100)) / 100.0)
+            .cast("double")
+            .alias("min_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+
+
+@query(
+    "agg_bool",
+    family="aggregations",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       bool_and(o_orderstatus IN ('O','F','P')) AS all_known_status,
+       bool_or(o_orderdate < TIMESTAMP '1993-01-01 00:00:00') AS any_pre_93,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and / bool_or ≡ SQL EVERY / ANY):
+    predicate summaries per group. Short-circuitable partial aggregation
+    — a partition that has already seen a false for bool_and contributes
+    a single boolean to the shuffle, nothing rescans."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.bool_and(F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "all_known_status"
+        ),
+        F.bool_or(
+            F.col("o_orderdate") < F.lit("1993-01-01").cast("timestamp")
+        ).alias("any_pre_93"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_listagg",
+    family="aggregations",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       string_agg(c_name, '|' ORDER BY c_name) AS names,
+       count(*) AS n
+FROM customer
+WHERE c_custkey % 100 = 0
+GROUP BY c_mktsegment
+""",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG/string_agg): names concatenated per
+    group, ORDER BY inside the aggregate for determinism. Spark builds
+    it as sort_array(collect_list(...)) + array_join — same partial-
+    collect shuffle shape as agg_collect. The % 100 prefilter keeps the
+    output strings bounded (a full string_agg over a 100 TB group is an
+    anti-pattern; bounded-group or top-k-per-group is the scale form)."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") % 100 == 0)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias(
+                "names"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_histogram",
+    family="aggregations",
+    oracle="""
+SELECT bucket,
+       CAST(bucket * 50000 AS DOUBLE) AS bucket_lo,
+       count(*) AS n,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS total
+FROM (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, o_totalprice
+      FROM orders)
+GROUP BY bucket
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket = floor(x / width) — the
+    distributed histogram primitive (width_bucket without endpoints).
+    One map-side-combined shuffle keyed by ~20 buckets; the double
+    division is the same IEEE op in both engines so bucket assignment
+    is bit-deterministic."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("o_totalprice")).alias("total"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).cast("double").alias("bucket_lo"),
+            "n",
+            "total",
+        )
+    )

@@ -393,3 +393,89 @@ def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, b) -> a < b), x -> x))"
         ).alias("n_lt_rev"),
     )
+
+
+@query(
+    "fn_hash",
+    family="functions",
+    oracle="""
+SELECT p_partkey AS partkey,
+       md5(p_name) AS md5_name,
+       sha256(p_name || '|' || p_brand) AS sha_name_brand,
+       CAST(length(md5(p_name)) AS BIGINT) AS md5_len,
+       substr(sha256(p_name), 1, 8) AS sha_prefix
+FROM part
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash family (md5 / sha2-256): content addressing
+    and stable row fingerprints — the primitives behind exact dedup,
+    shard assignment and cache keys. Pure codegen expressions; both
+    engines emit lowercase hex. (xxhash64 — the engine's cheap
+    partitioning hash — is Spark-specific and therefore exercised by
+    the rows-only dedup queries instead.)"""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.md5(F.col("p_name")).alias("md5_name"),
+        F.sha2(F.concat_ws("|", F.col("p_name"), F.col("p_brand")), 256).alias(
+            "sha_name_brand"
+        ),
+        F.length(F.md5(F.col("p_name"))).cast("long").alias("md5_len"),
+        F.substring(F.sha2(F.col("p_name"), 256), 1, 8).alias("sha_prefix"),
+    )
+
+
+@query(
+    "fn_url",
+    family="functions",
+    oracle="""
+WITH u AS (
+    SELECT p_partkey,
+           'https://shop-' || CAST(p_partkey % 50 AS VARCHAR)
+             || '.example.com/catalog/' || replace(lower(p_brand), '#', '-')
+             || '?size=' || CAST(p_size AS VARCHAR)
+             || '&type=' || replace(lower(p_type), ' ', '+') AS url
+    FROM part
+)
+SELECT p_partkey AS partkey,
+       url,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?([^#]*)', 1) AS query,
+       regexp_extract(url, '[?&]size=([^&#]*)', 1) AS size_param,
+       regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+FROM u
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family: synthesize well-formed URLs from part attributes,
+    then parse host/path/query/param/protocol with Spark's native
+    parse_url (JVM java.net.URI under the hood — the crawl-processing
+    primitive for a web-corpus pipeline). The DuckDB oracle parses the
+    same URLs with anchored regexes — equivalent on well-formed URLs
+    with sanitized components ('#'→'-', ' '→'+')."""
+    p = t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://shop-"),
+        (F.col("p_partkey") % 50).cast("string"),
+        F.lit(".example.com/catalog/"),
+        F.replace(F.lower(F.col("p_brand")), F.lit("#"), F.lit("-")),
+        F.lit("?size="),
+        F.col("p_size").cast("string"),
+        F.lit("&type="),
+        F.replace(F.lower(F.col("p_type")), F.lit(" "), F.lit("+")),
+    )
+    return p.select(
+        F.col("p_partkey").alias("partkey"), url.alias("url")
+    ).select(
+        "partkey",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("size")).alias(
+            "size_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -303,3 +303,113 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_fp"),
         F.expr("bit_xor(fp)").alias("fp_xor"),  # order-free, overflow-free digest
     )
+
+
+@query(
+    "llm_token_entropy",
+    family="llm",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+tc AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
+l AS (
+    SELECT doc_id,
+           list(cnt ORDER BY tok) AS cnts,
+           sum(cnt) AS total,
+           count(*) AS n_distinct
+    FROM tc GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(total AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(list_sum(list_transform(cnts,
+             c -> -(CAST(c AS DOUBLE) / total) * ln(CAST(c AS DOUBLE) / total))), 6)
+         AS entropy
+FROM l
+""",
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy per document — the information-density
+    quality signal (near-zero entropy = degenerate/repeated text; used
+    alongside the Gopher repetition rules). Map-only, zero shuffle: the
+    run-length fold walks ONE sorted copy of the token array per row —
+    O(n log n) sort + O(n) fold, no per-distinct-token rescans, no
+    explode. Cross-engine determinism: both engines add the identical
+    -(c/total)*ln(c/total) doubles in sorted-token order (Spark: fold
+    over the sorted array; DuckDB: list_sum over a token-ordered list
+    — a sequential left→right fold), then round 6 dp."""
+    d = t(spark, sf_dir, "documents")
+    # run-length fold over the sorted token array: acc = (prev token,
+    # run length, entropy-so-far); each run boundary contributes its
+    # term in sorted order, finish() flushes the last run.
+    term = "-(CAST({c} AS DOUBLE) / total) * ln(CAST({c} AS DOUBLE) / total)"
+    fold = (
+        "aggregate(array_sort(ws), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'acc', CAST(0 AS DOUBLE)), "
+        "(s, x) -> IF(x <=> s.prev, "
+        "  named_struct('prev', s.prev, 'run', s.run + 1L, 'acc', s.acc), "
+        "  named_struct('prev', x, 'run', 1L, "
+        f"    'acc', s.acc + IF(s.run = 0L, CAST(0 AS DOUBLE), {term.format(c='s.run')}))), "
+        f"s -> s.acc + IF(s.run = 0L, CAST(0 AS DOUBLE), {term.format(c='s.run')}))"
+    )
+    return (
+        d.select("doc_id", _words().alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("ws")).cast("long").alias("n_distinct"),
+            F.col("ws"),
+        )
+        .withColumn("total", F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(F.expr(fold), 6).alias("entropy"),
+        )
+    )
+
+
+NGRAM_TOP_K = 50
+
+
+@query(
+    "llm_ngram_freq",
+    family="llm",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+    FROM w WHERE len(ws) >= 3
+)
+SELECT gram, count(*) AS doc_freq
+FROM sh
+GROUP BY gram
+ORDER BY doc_freq DESC, gram
+LIMIT {NGRAM_TOP_K}
+""",
+)
+def llm_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram document frequency, top {K}: the profiling
+    pass behind stop-shingle caps (llm_dedup docstring) and boilerplate
+    detection — which 3-grams saturate the corpus. One distinct-shingle
+    explode + one count shuffle, then TakeOrderedAndProject (each
+    partition ships only its local top {K}). The (doc_freq DESC, gram)
+    ordering is a total order, so the LIMIT boundary is deterministic
+    across engines."""
+    from local_etl_spark.queries.llm_dedup import with_shingles
+
+    d = t(spark, sf_dir, "documents")
+    # persist before explode — Generate would otherwise re-evaluate the
+    # shingle-array expression per OUTPUT row (see llm_dedup_ngram)
+    return (
+        with_shingles(d)
+        .persist()
+        .select(F.explode("shingles").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(NGRAM_TOP_K)
+    )

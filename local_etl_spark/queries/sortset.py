@@ -178,3 +178,50 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(F.col("c_custkey").alias("key")).subtract(
         o.select(F.col("o_custkey").alias("key"))
     )
+
+
+@query(
+    "set_intersect_all",
+    family="sortset",
+    oracle="""
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each customer key survives
+    min(open-count, finished-count) times. Spark plans a single
+    count-matching hash aggregate per side key — one shuffle, no join
+    blow-up, multiplicities reconciled in the aggregate."""
+    o = t(spark, sf_dir, "orders")
+    open_k = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("key")
+    )
+    done_k = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("key")
+    )
+    return open_k.intersectAll(done_k)
+
+
+@query(
+    "set_except_all",
+    family="sortset",
+    oracle="""
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference): open-order occurrences minus
+    finished-order occurrences per key — multiplicity max(l - r, 0),
+    planned as one count-diff aggregate (no per-row anti-join)."""
+    o = t(spark, sf_dir, "orders")
+    open_k = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("key")
+    )
+    done_k = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("key")
+    )
+    return open_k.exceptAll(done_k)

@@ -149,3 +149,52 @@ def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "win_ignore_nulls",
+    family="windows",
+    oracle="""
+SELECT event_id, user_id,
+       CASE WHEN event_type IN ('purchase','signup') THEN value END AS v,
+       last_value(CASE WHEN event_type IN ('purchase','signup') THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+       first_value(CASE WHEN event_type IN ('purchase','signup') THEN value END
+                   IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_obs,
+       nth_value(CASE WHEN event_type IN ('purchase','signup') THEN value END,
+                 2 IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_obs
+FROM events
+""",
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window family — last-observation-carried-forward
+    (LOCF) gap-fill: only purchase/signup events carry a meaningful
+    value; every row gets the latest one at-or-before it, plus the
+    partition's first and second observations. The canonical sparse→
+    dense sensor/feature fill, one window sort per user partition, no
+    self-join. Ordering (ts, event_id) is unique, so the fill is
+    deterministic; v is a raw double (no arithmetic), bit-identical
+    across engines."""
+    e = t(spark, sf_dir, "events")
+    v = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.col("value")
+    )
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(running).alias("locf"),
+        F.first(v, ignorenulls=True).over(full).alias("first_obs"),
+        F.nth_value(v, 2, ignoreNulls=True).over(full).alias("second_obs"),
+    )
