@@ -518,8 +518,11 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT — round(acctbal*100) (balances are 2dp-generated, so this is
     the exact cent value) shifted left of the unique custkey — making
     ties impossible and the winner identical across engines. At scale
-    this is one partial-aggregating shuffle: each partition keeps one
-    (key, value) champion per group, no sort anywhere."""
+    this is one partial-aggregating shuffle: each partition ships one
+    (key, value) champion per group. (Spark plans string-valued
+    aggregation buffers as SortAggregate — same as max(string) — so
+    the partial pass sorts each partition by the tiny group key; the
+    shuffle still carries only champions.)"""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     key = (

@@ -341,3 +341,48 @@ def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     )
+
+
+@query(
+    "etl_scd2",
+    family="etl",
+    oracle="""
+SELECT o_custkey AS custkey,
+       o_orderkey AS version_key,
+       CAST(o_totalprice AS DOUBLE) AS attr_totalprice,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS valid_to,
+       lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL AS is_current,
+       row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS version_no
+FROM orders
+""",
+)
+def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history build: a change log
+    (orders as per-customer state changes) becomes versioned dimension
+    rows with [valid_from, valid_to) intervals, an is_current flag and
+    a version number — the warehouse-ETL op the reference's append-only
+    CSV model lacks (its event_at column is the change timestamp it
+    never exploits; cf. main2.py:226 preparing keys it never joins).
+    One window sort per customer partition — a single shuffle on the
+    dimension key; no self-join, no full-table rescan per version.
+    Ordering (o_orderdate, o_orderkey) is unique → deterministic
+    intervals."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_totalprice").cast("double").alias("attr_totalprice"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).alias("version_no"),
+    )

@@ -479,3 +479,41 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "fn_datetime_arith",
+    family="functions",
+    oracle="""
+SELECT o_orderkey AS orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_start,
+       CAST(week(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       CAST(o_orderdate - INTERVAL 90 DAY AS TIMESTAMP) AS minus_90d,
+       greatest(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS clamped_lo
+FROM orders
+""",
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic family: month addition WITH month-end
+    clamping (add_months ≡ + INTERVAL MONTH in DuckDB — both clamp
+    Jan 31 + 1mo → Feb 29), last_day, make_date, ISO week number,
+    day-of-year, interval subtraction, date clamping via greatest.
+    All codegen expressions on the scan — the building blocks of
+    calendar bucketing and retention windows."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.add_months(d.cast("date"), 3).alias("plus_3mo"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
+        F.weekofyear(d.cast("date")).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        (d - F.expr("INTERVAL 90 DAY")).alias("minus_90d"),
+        F.greatest(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "clamped_lo"
+        ),
+    )

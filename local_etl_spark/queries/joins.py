@@ -325,3 +325,47 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+@query(
+    "join_exists_flag",
+    family="joins",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderstatus = 'P') AS has_pending,
+       EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 300000) AS has_big
+FROM customer c
+""",
+)
+def join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence decoration: EXISTS as a boolean COLUMN (not a filter)
+    — every customer row survives, annotated with per-predicate flags.
+    Spark plans each flag as ExistenceJoin, the semi-join variant that
+    emits a bit instead of dropping rows: one aggregate-free pass per
+    probe side, no row multiplication when a customer has many matching
+    orders (a left join + groupBy would shuffle the full match set).
+    Expressed via spark.sql because the DataFrame API has no
+    ExistenceJoin constructor — the optimizer derives it from EXISTS
+    subqueries (the same decorrelation path the semi/anti SQL forms
+    exercise)."""
+    from local_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               c.c_mktsegment,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderstatus = 'P') AS has_pending,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000) AS has_big
+        FROM customer c
+        """
+    )

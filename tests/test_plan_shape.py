@@ -180,3 +180,47 @@ def test_contamination_broadcasts_eval_side(spark):
 def test_filter_pipeline_is_map_only(spark):
     plan = _plan(spark, "llm_filter_pipeline")
     assert "Exchange" not in plan, "quality filter fell back to a shuffle"
+
+
+def test_minmax_by_is_partial_agg(spark):
+    # argmax must partial-aggregate (shuffle ships one champion per
+    # group per partition, never the raw rows); nation side broadcasts
+    plan = _plan(spark, "agg_minmax_by")
+    assert "partial_max_by" in plan, (
+        "max_by lost map-side partial aggregation"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exists_flag_plans_existence_join(spark):
+    # EXISTS-as-column must decorrelate to ExistenceJoin (bit-emitting
+    # semi-join) — never a row-multiplying outer join + aggregate
+    plan = _plan(spark, "join_exists_flag")
+    assert "ExistenceJoin" in plan
+    assert "HashAggregate" not in plan, (
+        "existence flag fell back to join+aggregate"
+    )
+
+
+def test_token_entropy_is_map_only(spark):
+    # the run-length fold must run on the scan — zero shuffles
+    plan = _plan(spark, "llm_token_entropy")
+    assert "Exchange" not in plan, "token entropy introduced a shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_freq_uses_heap_topk(spark):
+    plan = _plan(spark, "llm_ngram_freq")
+    assert "TakeOrderedAndProject" in plan, (
+        "corpus top-k compiled to a global sort"
+    )
+
+
+def test_scd2_single_shuffle(spark):
+    # SCD2 build = one hash-partitioning exchange on the dimension key
+    import re
+
+    plan = _plan(spark, "etl_scd2")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
