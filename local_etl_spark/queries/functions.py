@@ -517,3 +517,44 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clamped_lo"
         ),
     )
+
+
+@query(
+    "fn_map",
+    family="functions",
+    oracle="""
+WITH m AS (
+    SELECT event_id,
+           map(['type', 'uid'],
+               [event_type, CAST(user_id AS VARCHAR)]) AS props_map
+    FROM events
+)
+SELECT event_id,
+       map_keys(props_map) AS ks,
+       map_values(props_map) AS vs,
+       props_map['type'][1] AS type_val,
+       CAST(cardinality(props_map) AS INT) AS n_entries,
+       props_map['missing'][1] AS absent
+FROM m
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType family: construct a map from key/value arrays, then
+    map_keys / map_values / element lookup / size / missing-key null.
+    The output carries map-DERIVED columns only — raw MAP values
+    canonicalize differently across engines (DuckDB fetches a
+    {key:[...], value:[...]} struct), so the contract is the lookups,
+    which is what pipelines consume anyway. All codegen expressions."""
+    e = t(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("uid")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return e.select("event_id", m.alias("props_map")).select(
+        "event_id",
+        F.map_keys(F.col("props_map")).alias("ks"),
+        F.map_values(F.col("props_map")).alias("vs"),
+        F.col("props_map").getItem("type").alias("type_val"),
+        F.size(F.col("props_map")).alias("n_entries"),
+        F.col("props_map").getItem("missing").alias("absent"),
+    )

@@ -369,3 +369,54 @@ def join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         """
     )
+
+
+@query(
+    "join_null_safe",
+    family="joins",
+    oracle="""
+WITH a AS (
+    SELECT CASE WHEN c_custkey % 500 = 0 THEN NULL
+                ELSE c_mktsegment END AS seg_key,
+           c_custkey
+    FROM customer
+),
+b AS (
+    SELECT CASE WHEN c_custkey % 700 = 0 THEN NULL
+                ELSE c_mktsegment END AS seg_key,
+           c_acctbal
+    FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT a.seg_key, count(*) AS n_pairs
+FROM a JOIN b ON a.seg_key IS NOT DISTINCT FROM b.seg_key
+GROUP BY a.seg_key
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of disappearing — the semantics a
+    dirty-key reconciliation join needs (plain = silently drops every
+    NULL row from both sides). Spark keeps <=> a HASH join key
+    (EqualNullSafe is an equi-condition), so the plan is a normal
+    broadcast/shuffled hash join — no nested-loop fallback. NULL rows
+    are kept rare by construction (every 500th/700th key), mirroring
+    the real-world shape where the null bucket would otherwise need
+    skew handling."""
+    c = t(spark, sf_dir, "customer")
+    a = c.select(
+        F.when(F.col("c_custkey") % 500 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_key"),
+        "c_custkey",
+    )
+    b = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.when(F.col("c_custkey") % 700 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_key_b"),
+        "c_acctbal",
+    )
+    return (
+        a.join(b, a.seg_key.eqNullSafe(b.seg_key_b))
+        .groupBy("seg_key")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

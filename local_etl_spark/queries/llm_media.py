@@ -43,3 +43,16 @@ def llm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: the kernel output isn't SQL-expressible."""
     media = synthesize_media(t(spark, sf_dir, "documents"))
     return decode_media(media)
+
+
+@query("llm_media_framesample", family="llm", oracle=None)
+def llm_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the synthesized media table: one row
+    per sampled frame index (stub kernel, real explode-shaped
+    mapInPandas plumbing — multimodal/columns.py frame_sample; pytest
+    ground truth in tests/test_llm_media_text.py). Rows-only: the
+    sampled-frame fan-out isn't SQL-expressible."""
+    from local_etl_spark.multimodal.columns import frame_sample
+
+    media = synthesize_media(t(spark, sf_dir, "documents"))
+    return frame_sample(media, every_n=10)

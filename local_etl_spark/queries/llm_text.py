@@ -413,3 +413,106 @@ def llm_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("gram"))
         .limit(NGRAM_TOP_K)
     )
+
+
+BM25_TERMS = ("spark", "table", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * ({BM25_K1} + 1.0))"
+        f" / (tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH tf AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS dl,
+           {tf_cols.replace("ws", "string_split(text, ' ')")}
+    FROM documents
+),
+stats AS (
+    SELECT count(*) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+           {df_cols}
+    FROM tf
+)
+SELECT doc_id,
+       CAST(dl AS BIGINT) AS dl,
+       CAST(tf_0 + tf_1 + tf_2 AS BIGINT) AS tf_total,
+       round({score_terms}, 6) AS bm25
+FROM tf CROSS JOIN stats
+WHERE tf_0 + tf_1 + tf_2 > 0
+"""
+
+
+@query("llm_bm25", family="llm", oracle=_bm25_oracle())
+def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of the corpus against a fixed query-term
+    set — the lexical-retrieval primitive (and the classic quality
+    prior for retrieval-augmented data curation). Two passes: a
+    map-only per-doc tf/dl projection, then ONE single-row global
+    stats aggregate (N, avgdl, per-term df) broadcast back onto the
+    docs — the same broadcast-scalar shape as llm_tfidf, so the big
+    side never shuffles. Determinism: tf/df/dl/N are integers; each
+    term's score is a fixed expression tree and the terms are added in
+    declared order, so the doubles are bit-identical; round 6 dp."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tf_doc = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(
+                F.expr(f"filter(split(text, ' '), x -> x = '{term}')")
+            ).alias(f"tf_{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = tf_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    joined = tf_doc.join(F.broadcast(stats))
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        s = (
+            idf
+            * (F.col(f"tf_{i}") * (BM25_K1 + 1.0))
+            / (
+                F.col(f"tf_{i}")
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = s if score is None else score + s
+    tf_total = sum(F.col(f"tf_{i}") for i in range(len(BM25_TERMS)))
+    return (
+        joined.filter(tf_total > 0)
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            tf_total.cast("long").alias("tf_total"),
+            F.round(score, 6).alias("bm25"),
+        )
+    )

@@ -198,3 +198,41 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(v, ignorenulls=True).over(full).alias("first_obs"),
         F.nth_value(v, 2, ignoreNulls=True).over(full).alias("second_obs"),
     )
+
+
+@query(
+    "win_range_interval",
+    family="windows",
+    oracle="""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_trailing_1h,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(28,6)) AS DOUBLE)
+           AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame over real timestamps: per user, the count
+    and sum of events in the trailing hour — the native time-windowed
+    running aggregate (no day-index trick needed; cf. win_frame). The
+    frame is defined by the ORDER BY value, so timestamp ties get
+    identical frames in both engines; the sum runs in exact DECIMAL
+    (value is 2dp-generated) making accumulation order irrelevant.
+    One shuffle on user_id, then a single sorted pass per partition."""
+    e = t(spark, sf_dir, "events")
+    from local_etl_spark.queries._util import DEC6
+
+    e.createOrReplaceTempView("_win_range_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS n_trailing_1h,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                    AS DECIMAL(28,6)) AS DOUBLE) AS sum_trailing_1h
+        FROM _win_range_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )

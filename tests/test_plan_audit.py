@@ -34,6 +34,7 @@ ALLOW_NESTED_LOOP = {
     "llm_simsearch_ivf",
     "llm_tfidf",  # 1-row broadcast scalar parameter (corpus size N) —
     # a BNLJ against one broadcast row, not a pair enumeration
+    "llm_bm25",  # same shape: 1-row broadcast stats (N, avgdl, df)
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
@@ -42,6 +43,7 @@ ALLOW_PYTHON = {
     "udf_grouped",
     "udf_table",
     "llm_media_decode",
+    "llm_media_framesample",
     "stream_stateful",
 }
 

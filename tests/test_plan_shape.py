@@ -224,3 +224,16 @@ def test_scd2_single_shuffle(spark):
     plan = _plan(spark, "etl_scd2")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_bm25_docs_side_never_hash_shuffles(spark):
+    # BM25's only exchange is the 1-row global stats aggregate; the
+    # docs side re-reads the scan and joins the broadcast stats — no
+    # hash-partitioning of the corpus anywhere
+    import re
+
+    plan = _plan(spark, "llm_bm25")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning" not in plan, (
+        "BM25 shuffled the corpus; stats must broadcast instead"
+    )
