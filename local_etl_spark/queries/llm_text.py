@@ -305,6 +305,23 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# run-length fold over the sorted token array: acc = (prev token, run
+# length, entropy-so-far); each run boundary contributes its term in
+# sorted order, finish() flushes the last run. References columns ``ws``
+# (token array) and ``total`` (token count). Module-level so the
+# hypothesis property test checks the same expression the query runs.
+_ENTROPY_TERM = "-(CAST({c} AS DOUBLE) / total) * ln(CAST({c} AS DOUBLE) / total)"
+ENTROPY_FOLD = (
+    "aggregate(array_sort(ws), "
+    "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'acc', CAST(0 AS DOUBLE)), "
+    "(s, x) -> IF(x <=> s.prev, "
+    "  named_struct('prev', s.prev, 'run', s.run + 1L, 'acc', s.acc), "
+    "  named_struct('prev', x, 'run', 1L, "
+    f"    'acc', s.acc + IF(s.run = 0L, CAST(0 AS DOUBLE), {_ENTROPY_TERM.format(c='s.run')}))), "
+    f"s -> s.acc + IF(s.run = 0L, CAST(0 AS DOUBLE), {_ENTROPY_TERM.format(c='s.run')}))"
+)
+
+
 @query(
     "llm_token_entropy",
     family="llm",
@@ -339,19 +356,6 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the sorted array; DuckDB: list_sum over a token-ordered list
     — a sequential left→right fold), then round 6 dp."""
     d = t(spark, sf_dir, "documents")
-    # run-length fold over the sorted token array: acc = (prev token,
-    # run length, entropy-so-far); each run boundary contributes its
-    # term in sorted order, finish() flushes the last run.
-    term = "-(CAST({c} AS DOUBLE) / total) * ln(CAST({c} AS DOUBLE) / total)"
-    fold = (
-        "aggregate(array_sort(ws), "
-        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'acc', CAST(0 AS DOUBLE)), "
-        "(s, x) -> IF(x <=> s.prev, "
-        "  named_struct('prev', s.prev, 'run', s.run + 1L, 'acc', s.acc), "
-        "  named_struct('prev', x, 'run', 1L, "
-        f"    'acc', s.acc + IF(s.run = 0L, CAST(0 AS DOUBLE), {term.format(c='s.run')}))), "
-        f"s -> s.acc + IF(s.run = 0L, CAST(0 AS DOUBLE), {term.format(c='s.run')}))"
-    )
     return (
         d.select("doc_id", _words().alias("ws"))
         .select(
@@ -365,7 +369,7 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "n_distinct",
-            F.round(F.expr(fold), 6).alias("entropy"),
+            F.round(F.expr(ENTROPY_FOLD), 6).alias("entropy"),
         )
     )
 

@@ -226,3 +226,85 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "sink_compaction",
+    family="scans",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           min(event_id) AS min_id, max(event_id) AS max_id,
+           sum(event_id) AS id_sum,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a deliberately fragmented copy of events
+    (64 splinter files — the shape a streaming sink or over-parallel
+    job leaves behind) is rewritten into a handful of right-sized files,
+    then read back and content-checked against the original. THE
+    operational maintenance op of a 100 TB lake: many-small-files
+    poisons scan planning (per-file open cost, §SCALE.4) and object-
+    store listing; the compactor is a read → repartition(target) →
+    write with NO logical transformation, so the oracle proves the
+    rewrite is lossless. File-count reduction is pytest-asserted
+    (tests/test_plan_shape.py::test_compaction_reduces_files)."""
+    ev = t(spark, sf_dir, "events")
+    frag = _materialize(
+        ev.repartition(64), _cache_dir(sf_dir, "events_fragmented"), "parquet"
+    )
+    compacted = _materialize(
+        spark.read.parquet(frag).coalesce(4),
+        _cache_dir(sf_dir, "events_compacted"),
+        "parquet",
+    )
+    from local_etl_spark.queries._util import dec, dsum
+
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.sum("event_id").alias("id_sum"),
+            dsum(dec("value")).alias("value_sum"),
+        )
+    )
+
+
+@query(
+    "scan_text",
+    family="scans",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len, text
+    FROM documents
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text source round-trip: documents are landed as delimited
+    plain-text lines (`df.write.text`), read back through the line
+    reader (`spark.read.text` — the ingestion format of most raw web
+    corpora), and re-parsed. Row-level oracle vs the parquet view
+    proves the cycle is lossless. The text source splits by line, so
+    at 100 TB the files are parallel-read like any splittable format."""
+    d = t(spark, sf_dir, "documents")
+    path = _materialize(
+        d.select(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+            .alias("value")
+        ),
+        _cache_dir(sf_dir, "documents_text"),
+        "text",
+    )
+    lines = spark.read.text(path)
+    doc_id = F.split(F.col("value"), r"\|", 2).getItem(0).cast("long")
+    text = F.split(F.col("value"), r"\|", 2).getItem(1)
+    return lines.select(
+        doc_id.alias("doc_id"),
+        F.length(text).cast("long").alias("text_len"),
+        text.alias("text"),
+    )

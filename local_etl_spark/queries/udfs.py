@@ -169,3 +169,46 @@ def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_src d, LATERAL chunk_doc(d.text) c
         """
     )
+
+
+@query(
+    "udf_arrow",
+    family="udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_py,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_py
+    FROM documents
+    """,
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch extension point — RecordBatches
+    reach Python as raw Arrow (no pandas conversion at all), the
+    lowest-overhead Python hook Spark has. The kernel recomputes char
+    and whitespace-token counts with pyarrow.compute (vectorized C++),
+    and the SQL oracle pins them to the JVM expressions — proving the
+    Arrow path is lossless. Use this over mapInPandas when the kernel
+    speaks Arrow natively (tokenizers, Arrow-native ML preprocessing);
+    per-batch overhead is pure function dispatch."""
+
+    def count_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            n_chars = pc.utf8_length(text)
+            n_tokens = pc.list_value_length(pc.split_pattern(text, " "))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.cast(n_chars, pa.int64()),
+                    pc.cast(n_tokens, pa.int64()),
+                ],
+                names=["doc_id", "n_chars_py", "n_tokens_py"],
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        count_batches, "doc_id long, n_chars_py long, n_tokens_py long"
+    )

@@ -91,3 +91,46 @@ def test_fingerprint_near_dups_share(spark):
     s2 = {r["fp"] for r in fps if r["doc_id"] == d2}
     overlap = len(s1 & s2) / min(len(s1), len(s2))
     assert overlap >= 0.5, f"near-dup fingerprint overlap {overlap}"
+
+
+# --- token-entropy fold ≡ Python Counter spec (property) ----------------
+
+import math as _math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_TOKEN = st.text(alphabet="abc ", min_size=0, max_size=12)
+
+
+def _spec_entropy(tokens: list[str]) -> float:
+    """Executable spec: Counter-based Shannon entropy, terms added in
+    sorted-token order (the fold's contract)."""
+    from collections import Counter
+
+    total = len(tokens)
+    counts = Counter(tokens)
+    acc = 0.0
+    for tok in sorted(counts):
+        p = counts[tok] / total
+        acc += -p * _math.log(p)
+    return round(acc, 6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_TOKEN, min_size=1, max_size=30))
+def test_entropy_fold_matches_counter_spec(spark, texts):
+    from local_etl_spark.queries.llm_text import ENTROPY_FOLD
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    ).select(
+        "i",
+        F.split("text", " ").alias("ws"),
+        F.size(F.split("text", " ")).alias("total"),
+    )
+    rows = df.select("i", F.round(F.expr(ENTROPY_FOLD), 6).alias("e")).collect()
+    for row in rows:
+        expected = _spec_entropy(texts[row["i"]].split(" "))
+        assert abs(row["e"] - expected) <= 1e-6, (texts[row["i"]], row["e"], expected)

@@ -44,6 +44,7 @@ ALLOW_PYTHON = {
     "udf_table",
     "llm_media_decode",
     "llm_media_framesample",
+    "udf_arrow",
     "stream_stateful",
 }
 
@@ -71,7 +72,12 @@ def test_no_scale_antipatterns(spark, spec):
         f"{spec.name}: row-at-a-time Python UDF in plan (use pandas_udf)"
     )
     if spec.name not in ALLOW_PYTHON:
-        for node in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        for node in (
+            "ArrowEvalPython",
+            "FlatMapGroupsInPandas",
+            "MapInPandas",
+            "MapInArrow",
+        ):
             assert node not in plan, (
                 f"{spec.name}: unexpected Python stage {node}"
             )

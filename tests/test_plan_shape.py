@@ -237,3 +237,28 @@ def test_bm25_docs_side_never_hash_shuffles(spark):
     assert "hashpartitioning" not in plan, (
         "BM25 shuffled the corpus; stats must broadcast instead"
     )
+
+
+def test_compaction_reduces_files(spark):
+    # the whole point: 64 splinter files in, a handful out, same rows
+    import glob
+    import os
+
+    from local_etl_spark.queries.scans import _cache_dir
+
+    get("sink_compaction").fn(spark, SF).count()
+    frag = glob.glob(os.path.join(_cache_dir(SF, "events_fragmented"), "part-*"))
+    comp = glob.glob(os.path.join(_cache_dir(SF, "events_compacted"), "part-*"))
+    assert len(frag) == 64
+    assert 1 <= len(comp) <= 4
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    # all shuffles key on user_id; joins must not add nested loops and
+    # the exchange count stays bounded (partitioning reuse, no blow-up)
+    import re
+
+    plan = _plan(spark, "agg_funnel")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
