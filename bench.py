@@ -39,6 +39,10 @@ HEADLINE = [
     "llm_text_stats",
     "llm_repetition",
     "llm_filter_pipeline",
+    "llm_bm25",
+    "llm_token_entropy",
+    "agg_funnel",
+    "agg_minmax_by",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →

@@ -183,3 +183,67 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(0.1 * F.col("n_lang")))
         .select("doc_id", "lang")
     )
+
+
+MIX_WEIGHTS = (1.0, 0.5, 0.25, 0.1)
+
+
+@query(
+    "llm_mix_weighted",
+    family="llm",
+    oracle=f"""
+    WITH rated AS (
+        SELECT doc_id, source,
+               CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4
+                    WHEN 0 THEN {MIX_WEIGHTS[0]}
+                    WHEN 1 THEN {MIX_WEIGHTS[1]}
+                    WHEN 2 THEN {MIX_WEIGHTS[2]}
+                    ELSE {MIX_WEIGHTS[3]} END AS rate
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, rate,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n_src
+        FROM rated
+    )
+    SELECT doc_id, source, rate FROM ranked
+    WHERE rn <= ceil(rate * n_src)
+    """,
+)
+def llm_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing — the data-mixture step of a training
+    pipeline: each source is down-sampled to its target weight (here a
+    deterministic per-source rate schedule), so the output corpus hits
+    the declared mixture exactly. Same engine-portable md5-rank idiom
+    as llm_sample_stratified (seedless, partitioning-independent,
+    reproducible on any engine); the per-source rate rides along as an
+    audit column. One shuffle on the source key; at 100 TB the exact
+    global rank relaxes to per-partition TABLESAMPLE rates when strata
+    are huge (exactness↔scale trade, documented on the sampler)."""
+    docs = t(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int") % 4
+    rate = (
+        F.when(src_num == 0, MIX_WEIGHTS[0])
+        .when(src_num == 1, MIX_WEIGHTS[1])
+        .when(src_num == 2, MIX_WEIGHTS[2])
+        .otherwise(MIX_WEIGHTS[3])
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wc = Window.partitionBy("source")
+    return (
+        docs.select("doc_id", "source", rate.alias("rate"))
+        .select(
+            "doc_id",
+            "source",
+            "rate",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_src"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("rate") * F.col("n_src")))
+        .select("doc_id", "source", "rate")
+    )
