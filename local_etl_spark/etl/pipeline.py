@@ -411,6 +411,66 @@ def run_pipeline(
     return [run_table(spark, cfg, table, version) for table in cfg.tables]
 
 
+def run_table_incremental(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    table: TableConfig,
+    state_dir: str,
+    version: int = 2,
+) -> TableMetrics:
+    """Incremental per-table run: process only files NOT seen by a
+    previous run, then record them — exactly-once per file across runs.
+
+    The reference re-reads and re-appends the ENTIRE directory every
+    run (main.py:163-193 — re-running doubles the output CSV); this is
+    the engine's fix. State = a parquet table of processed file paths
+    (one row per file — trivially small next to the data), anti-joined
+    against the scan listing. The production-scale form of the same
+    semantics is the Structured Streaming file source with a checkpoint
+    (streaming/etl_stream.py reuses write_sinks via foreachBatch); this
+    batch twin gives identical routing without a streaming runtime, and
+    the state table stays broadcast-sized up to millions of files.
+    """
+    schema = load_schema(cfg.path(table.schema_file))
+    data_dir = cfg.path(table.data_dir)
+    state_path = os.path.join(state_dir, f"{table.name}_seen_files")
+    docs = read_event_docs(spark, data_dir)
+    if os.path.exists(state_path):
+        seen = spark.read.parquet(state_path)
+        docs = docs.join(F.broadcast(seen), "file_path", "left_anti")
+    docs = docs.coalesce(_scan_partitions(spark, data_dir))
+    obs = Observation(f"etl_incr_metrics_{table.name}")
+    classified = (
+        classify(docs, schema)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("is_valid").cast("long")).alias("valid"),
+        )
+        .persist()
+    )
+    try:
+        write_sinks(cfg, table, schema, classified, version)
+        # commit the newly-processed file list AFTER the sinks succeed:
+        # a crash before this append leaves files unrecorded → they are
+        # re-processed next run (at-least-once into append sinks; flip
+        # the order for at-most-once)
+        classified.select("file_path").distinct().write.mode("append").parquet(
+            state_path
+        )
+        got = obs.get
+        total = got["total"] or 0
+        valid = got["valid"] or 0
+        return TableMetrics(
+            table=table.name,
+            file_count=total,
+            valid_count=valid,
+            invalid_count=total - valid,
+        )
+    finally:
+        classified.unpersist()
+
+
 def materialize_quarantine(spark: SparkSession, quarantine_dir: str, out_dir: str) -> int:
     """Local helper: re-create verbatim per-file quarantine copies from
     the (file_path, raw) table — exact reference file layout for small

@@ -386,3 +386,76 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.row_number().over(w).alias("version_no"),
     )
+
+
+@query("etl_incremental", family="etl", oracle=None)
+def etl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest (exactly-once per file across runs): three
+    consecutive runs over a growing one-doc-per-file corpus — initial
+    batch, a delta batch, and a no-op — returning files-processed per
+    run (40 / 15 / 0). The engine op is
+    etl.pipeline.run_table_incremental: scan ⟕ anti-join against a
+    seen-files state table, process the delta through the same
+    classify→multi-sink plan as run_table, then commit the new file
+    list (state commits AFTER sinks → at-least-once into append sinks).
+    Fixes the reference's re-process-everything-and-double-the-output
+    re-run behavior (main.py:163-193); the streaming file source +
+    checkpoint (streaming/etl_stream.py) is the same semantics in
+    continuous form. Rows-only: file-system state isn't
+    SQL-expressible; pytest ground truth in
+    tests/test_etl_pipeline.py::test_incremental_processes_only_new_files."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from local_etl_spark.etl.corpus import generate, write_user_schema
+    from local_etl_spark.etl.pipeline import (
+        PipelineConfig,
+        TableConfig,
+        run_table_incremental,
+    )
+
+    root = tempfile.mkdtemp(prefix="etl_incr_")
+    try:
+        data_dir = f"{root}/users"
+        import os as _os
+
+        _os.makedirs(data_dir)
+        schema_path = write_user_schema(f"{root}/user-schema.json")
+        cfg = PipelineConfig(
+            tables=(
+                TableConfig(
+                    name="users",
+                    schema_file=schema_path,
+                    data_dir=data_dir,
+                    schema_mismatch_dir=f"{root}/out/quarantine",
+                    payload_file=f"{root}/out/users.csv",
+                    metadata_file=f"{root}/out/metadata.csv",
+                ),
+            ),
+            base_dir=f"{root}/out",
+        )
+
+        def add_files(start: int, end: int) -> None:
+            for i, raw in enumerate(generate(end, seed=11)):
+                if i < start:
+                    continue
+                try:
+                    pretty = _json.dumps(_json.loads(raw), indent=2)
+                except _json.JSONDecodeError:
+                    pretty = raw
+                with open(f"{data_dir}/ev{i:05d}.json", "w") as fh:
+                    fh.write(pretty)
+
+        counts = []
+        add_files(0, 40)
+        counts.append(run_table_incremental(spark, cfg, cfg.tables[0], f"{root}/state").file_count)
+        add_files(40, 55)
+        counts.append(run_table_incremental(spark, cfg, cfg.tables[0], f"{root}/state").file_count)
+        counts.append(run_table_incremental(spark, cfg, cfg.tables[0], f"{root}/state").file_count)
+        return spark.createDataFrame(
+            [(i + 1, int(n)) for i, n in enumerate(counts)],
+            "run_id int, files_processed int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -308,3 +308,63 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(text).cast("long").alias("text_len"),
         text.alias("text"),
     )
+
+
+@query(
+    "sink_zorder",
+    family="scans",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite (the OPTIMIZE ZORDER lake op): events
+    are rewritten ordered by a bit-interleaved (user_id, time-bucket)
+    key, so parquet row-group min/max stats become selective on BOTH
+    dimensions at once — point/range reads on either column skip most
+    files. The Z-key is pure bitwise codegen (16 bits per dimension
+    interleaved); the clustered write is repartitionByRange + in-task
+    sort, i.e. one range shuffle. The oracle proves the rewrite is
+    content-lossless; file-level clustering is pytest-asserted
+    (tests/test_plan_shape.py::test_zorder_clusters_files)."""
+    ev = t(spark, sf_dir, "events")
+    # range-normalize each dimension to 16 bits first (the production
+    # Z-order: without min-max scaling the wider dimension's high bits
+    # dominate the interleave and clustering degenerates to 1-D), then
+    # bit-interleave. The min/max stats are a 1-row broadcast aggregate.
+    hour = (F.unix_timestamp("ts") / 3600).cast("long")
+    stats = ev.agg(
+        F.min("user_id").alias("u_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.min(hour).alias("h_lo"),
+        F.max(hour).alias("h_hi"),
+    )
+
+    def scale16(col, lo, hi):
+        span = F.greatest(F.col(hi) - F.col(lo) + 1, F.lit(1))
+        return ((col - F.col(lo)) * 65536 / span).cast("long").bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
+    u = scale16(F.col("user_id"), "u_lo", "u_hi")
+    h = scale16(hour, "h_lo", "h_hi")
+    zkey = None
+    for bit in range(16):
+        u_bit = F.shiftright(u, bit).bitwiseAND(F.lit(1))
+        h_bit = F.shiftright(h, bit).bitwiseAND(F.lit(1))
+        pair = F.shiftleft(u_bit, 2 * bit + 1) + F.shiftleft(h_bit, 2 * bit)
+        zkey = pair if zkey is None else zkey + pair
+    path = _materialize(
+        ev.join(F.broadcast(stats))
+        .withColumn("_z", zkey)
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("u_lo", "u_hi", "h_lo", "h_hi"),
+        _cache_dir(sf_dir, "events_zorder"),
+        "parquet",
+    )
+    return spark.read.parquet(path).select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )

@@ -205,3 +205,72 @@ metadata_file = "meta.csv"
     assert not cfg.replace_missing_data
     assert cfg.tables[0].name == "users"
     assert cfg.tables[0].payload_file == "users.csv"
+
+
+def test_incremental_processes_only_new_files(spark, tmp_path):
+    """Two incremental runs: run 2 sees only the delta files; run 3
+    (no new files) processes zero and appends nothing."""
+    from local_etl_spark.etl.corpus import generate, write_user_schema
+    from local_etl_spark.etl.pipeline import (
+        PipelineConfig,
+        TableConfig,
+        run_table_incremental,
+    )
+
+    data_dir = tmp_path / "users"
+    data_dir.mkdir()
+
+    def add_files(start: int, end: int) -> None:
+        # one deterministic event stream; [start, end) is the new batch,
+        # so event ids never collide across batches
+        for i, raw in enumerate(generate(end, seed=11)):
+            if i < start:
+                continue
+            try:
+                pretty = json.dumps(json.loads(raw), indent=2)
+            except json.JSONDecodeError:
+                pretty = raw
+            (data_dir / f"ev{i:05d}.json").write_text(pretty)
+
+    schema_path = write_user_schema(str(tmp_path / "user-schema.json"))
+    out = tmp_path / "out"
+    cfg = PipelineConfig(
+        tables=(
+            TableConfig(
+                name="users",
+                schema_file=schema_path,
+                data_dir=str(data_dir),
+                schema_mismatch_dir=str(out / "quarantine"),
+                payload_file=str(out / "users.csv"),
+                metadata_file=str(out / "metadata.csv"),
+            ),
+        ),
+        base_dir=str(out),
+    )
+    state = str(tmp_path / "state")
+
+    def payload_rows() -> list[dict]:
+        rows = []
+        for part in glob.glob(str(out / "users.csv" / "part-*")):
+            with open(part) as fh:
+                rows.extend(r for r in csv.DictReader(fh))
+        return rows
+
+    add_files(0, 40)
+    m1 = run_table_incremental(spark, cfg, cfg.tables[0], state)
+    assert m1.file_count == 40
+    n1 = len(payload_rows())
+
+    add_files(40, 55)
+    m2 = run_table_incremental(spark, cfg, cfg.tables[0], state)
+    assert m2.file_count == 15, "second run must see only the delta"
+    n2 = len(payload_rows())
+    assert n1 < n2, "delta rows must append"
+
+    m3 = run_table_incremental(spark, cfg, cfg.tables[0], state)
+    assert m3.file_count == 0, "no new files -> nothing processed"
+    rows = payload_rows()
+    assert len(rows) == n2, "a no-op run must append nothing"
+    # exactly-once per file: event_ids never repeat across runs
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids))

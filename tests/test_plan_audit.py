@@ -35,6 +35,7 @@ ALLOW_NESTED_LOOP = {
     "llm_tfidf",  # 1-row broadcast scalar parameter (corpus size N) —
     # a BNLJ against one broadcast row, not a pair enumeration
     "llm_bm25",  # same shape: 1-row broadcast stats (N, avgdl, df)
+    "sink_zorder",  # same shape: 1-row broadcast min/max dimension stats
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)

@@ -262,3 +262,30 @@ def test_funnel_reuses_user_partitioning(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
+
+
+def test_zorder_clusters_files(spark):
+    # after the Z-order rewrite each file must cover a narrow user_id
+    # span: the sum of per-file spans stays well under n_files × the
+    # global span (un-clustered writes give every file ~the full span)
+    import glob
+    import os
+
+    from local_etl_spark.queries.scans import _cache_dir
+
+    get("sink_zorder").fn(spark, SF).count()
+    files = glob.glob(os.path.join(_cache_dir(SF, "events_zorder"), "part-*"))
+    assert len(files) >= 4
+    spans = []
+    lo_g, hi_g = None, None
+    for f in files:
+        row = spark.read.parquet(f).agg(
+            {"user_id": "min"}
+        ).collect()[0][0], spark.read.parquet(f).agg({"user_id": "max"}).collect()[0][0]
+        spans.append(row[1] - row[0])
+        lo_g = row[0] if lo_g is None else min(lo_g, row[0])
+        hi_g = row[1] if hi_g is None else max(hi_g, row[1])
+    global_span = hi_g - lo_g
+    assert sum(spans) < 0.75 * len(files) * global_span, (
+        f"files not clustered: spans={spans}, global={global_span}"
+    )
