@@ -30,7 +30,6 @@ from local_etl_spark.etl import transforms
 from local_etl_spark.etl.schema_translate import (
     EnvelopeSchema,
     load_schema,
-    v1_field_names,
     v2_field_names,
 )
 from local_etl_spark.etl.validate import (
@@ -40,7 +39,6 @@ from local_etl_spark.etl.validate import (
     CLASS_VALID,
     compiled_validity_leaves,
     leaf_exprs,
-    leaf_name,
     render_value,
 )
 

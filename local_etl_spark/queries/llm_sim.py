@@ -231,3 +231,84 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(K)
     )
+
+
+KM_K = 8
+KM_ITERS = 4
+
+
+def _km_assign_expr(centroids: list[list[float]]) -> "F.Column":
+    """In-row argmin over k literal centroid arrays: for each corpus
+    vector, squared-L2 against every centroid folds inside codegen and
+    array_min over (d2, cell) structs picks the winner — assignment
+    costs ZERO shuffles and no join at any corpus size."""
+    entries = []
+    for j, c in enumerate(centroids):
+        arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + ")"
+        d2 = (
+            f"aggregate(zip_with(embedding, {arr}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        )
+        entries.append(f"struct({d2} AS d2, {j} AS cell)")
+    return F.expr(f"array_min(array({', '.join(entries)})).cell")
+
+
+@query("llm_kmeans_train", family="llm", oracle=None)
+def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus — the
+    trainer that produces the IVF centroids llm_simsearch_ivf probes
+    (which uses seed vectors as a stand-in; this is the real training
+    loop, expressed entirely in DataFrame ops).
+
+    Per iteration: (1) assign — the k×64 centroid matrix is inlined as
+    literal arrays and every vector computes its argmin cell IN-ROW
+    (codegen fold, zero shuffles, no join); (2) recompute — posexplode
+    dims → per-(cell, dim) mean → re-assemble arrays: one aggregate
+    whose output is k×64 rows. Driver state between iterations is ONLY
+    that k×64 matrix (model state, not data — the corpus-sized
+    assignment never leaves the executors). At 100 TB each iteration
+    is one corpus scan + one tiny aggregate — the canonical
+    broadcast-model / distribute-data iterative shape.
+
+    Deterministic init (first k vec_ids, matching the IVF stand-in);
+    fixed iteration count; ties broken by cell id in the argmin struct.
+    Rows-only: iterative fp means are not SQL-oracle-able; pytest
+    asserts the k-means invariant (objective monotonically
+    non-increasing) and full corpus coverage
+    (tests/test_llm_sim.py::test_kmeans_objective_decreases).
+    Output: one row per cell with its size and centroid norm — the
+    model summary a feature store would version."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < KM_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    for _ in range(KM_ITERS):
+        assigned = emb.select(
+            "embedding", _km_assign_expr(centroids).alias("cell")
+        )
+        per_dim = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .orderBy("cell", "dim")
+            .collect()
+        )
+        new_c: dict[int, list[float]] = {}
+        for r in per_dim:
+            new_c.setdefault(r["cell"], []).append(float(r["m"]))
+        # a cell can go empty mid-iteration: keep its previous centroid
+        centroids = [new_c.get(j, centroids[j]) for j in range(KM_K)]
+    final = emb.select("vec_id", _km_assign_expr(centroids).alias("cell"))
+    norms = {j: sum(v * v for v in c) ** 0.5 for j, c in enumerate(centroids)}
+    norm_expr = "CASE " + " ".join(
+        f"WHEN cell = {j} THEN CAST({n!r} AS DOUBLE)" for j, n in norms.items()
+    ) + " END"
+    return (
+        final.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select("cell", "n_members", F.round(F.expr(norm_expr), 4).alias("centroid_norm"))
+    )

@@ -222,8 +222,6 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value is 2dp-generated) making accumulation order irrelevant.
     One shuffle on user_id, then a single sorted pass per partition."""
     e = t(spark, sf_dir, "events")
-    from local_etl_spark.queries._util import DEC6
-
     e.createOrReplaceTempView("_win_range_events")
     return spark.sql(
         """

@@ -47,3 +47,60 @@ def test_sketch_rollup_merge_accuracy(spark):
         assert abs(r["approx_custs"] - r["exact_custs"]) <= max(
             1, 0.05 * r["exact_custs"]
         )
+
+
+def test_kmeans_objective_decreases(spark):
+    """Lloyd's invariant: the within-cluster squared error never
+    increases across iterations, and the final model covers the corpus."""
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries.llm_sim import (
+        KM_ITERS,
+        KM_K,
+        _km_assign_expr,
+    )
+    from local_etl_spark.queries._util import t
+
+    sf = "/root/testdata/sf0.001"
+    emb = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < KM_K).orderBy("vec_id").collect()
+    ]
+
+    def objective(cents):
+        entries = []
+        for c in cents:
+            arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + ")"
+            entries.append(
+                f"aggregate(zip_with(embedding, {arr}, "
+                "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+            )
+        least = f"array_min(array({', '.join(entries)}))"
+        return emb.agg(F.sum(F.expr(least))).collect()[0][0]
+
+    objs = [objective(centroids)]
+    for _ in range(KM_ITERS):
+        assigned = emb.select("embedding", _km_assign_expr(centroids).alias("cell"))
+        per_dim = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .orderBy("cell", "dim")
+            .collect()
+        )
+        new_c = {}
+        for r in per_dim:
+            new_c.setdefault(r["cell"], []).append(float(r["m"]))
+        centroids = [new_c.get(j, centroids[j]) for j in range(KM_K)]
+        objs.append(objective(centroids))
+    # non-increasing within fp slack
+    for a, b in zip(objs, objs[1:]):
+        assert b <= a * (1 + 1e-9), objs
+
+    from local_etl_spark.registry import get
+
+    out = get("llm_kmeans_train").fn(spark, sf).collect()
+    assert sum(r["n_members"] for r in out) == emb.count()
+    assert all(1 <= r["cell"] + 1 <= 8 for r in out)
