@@ -323,14 +323,15 @@ ORDER BY cntrycode
 
 
 def _sql_query(name: str, sql: str, doc: str):
-    @query(name, family="sql", oracle=sql)
     def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
         register_views(spark, sf_dir)
         return spark.sql(_sql)
 
+    # set metadata BEFORE registering — the registry snapshots __doc__
+    # at decoration time (QUERIES.md is generated from it)
     run.__doc__ = doc
     run.__name__ = name
-    return run
+    return query(name, family="sql", oracle=sql)(run)
 
 
 sql_q4 = _sql_query(
