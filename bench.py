@@ -41,6 +41,7 @@ HEADLINE = [
     "llm_filter_pipeline",
     "llm_bm25",
     "llm_token_entropy",
+    "llm_curate_e2e",
     "agg_funnel",
     "agg_minmax_by",
 ]

@@ -247,3 +247,90 @@ def llm_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(F.col("rate") * F.col("n_src")))
         .select("doc_id", "source", "rate")
     )
+
+
+E2E_MIN_WORDS = 25
+
+
+@query(
+    "llm_curate_e2e",
+    family="llm",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (PARTITION BY sha256(norm)) AS keep_id
+            FROM n
+        ) WHERE doc_id = keep_id
+    ),
+    q AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM kept
+        WHERE len(string_split(text, ' ')) >= {E2E_MIN_WORDS}
+    ),
+    c AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(toks) - 1, {STRIDE})) AS start,
+               toks
+        FROM q
+    )
+    SELECT doc_id,
+           CAST(start / {STRIDE} AS BIGINT) AS chunk_id,
+           len(list_slice(toks, start + 1, start + {CHUNK})) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + {CHUNK}), ' ')
+               AS chunk_text
+    FROM c
+    """,
+)
+def llm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE declarative plan: normalize
+    → fuzzy-exact dedup (keep min doc_id per normalized hash) → length
+    quality gate → sliding-window chunking. The point is composition:
+    each stage is the registry operator (llm_dedup_norm /
+    llm_filter_pipeline's gates / llm_chunk) expressed as pure
+    DataFrame transformations, so chaining them costs exactly ONE
+    shuffle — the dedup window on sha2(norm) (a 32-byte key, never the
+    document) — and the filter + chunk fan-out stay map-side around
+    it. This is the shape a 100 TB curation run wants: no
+    materialization barriers between stages, Catalyst free to push the
+    cheap length gate below the expensive window."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    w = Window.partitionBy(F.sha2(F.col("norm"), 256))
+    kept = (
+        d.select("doc_id", "text", norm.alias("norm"))
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= E2E_MIN_WORDS)
+    )
+    starts = F.expr(
+        f"CASE WHEN size(toks) >= 1"
+        f" THEN sequence(0, size(toks) - 1, {STRIDE})"
+        f" ELSE array() END"
+    )
+    return (
+        kept.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(F.expr(f"slice(toks, start + 1, {CHUNK})")).alias(
+                "n_tokens"
+            ),
+            F.array_join(
+                F.expr(f"slice(toks, start + 1, {CHUNK})"), " "
+            ).alias("chunk_text"),
+        )
+    )

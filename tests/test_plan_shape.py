@@ -289,3 +289,13 @@ def test_zorder_clusters_files(spark):
     assert sum(spans) < 0.75 * len(files) * global_span, (
         f"files not clustered: spans={spans}, global={global_span}"
     )
+
+
+def test_curate_e2e_single_shuffle(spark):
+    # four curation stages, ONE exchange: only the dedup window on
+    # sha2(norm) moves data; filter + chunk fan-out stay map-side
+    import re
+
+    plan = _plan(spark, "llm_curate_e2e")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
