@@ -38,3 +38,64 @@ def sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast decisions; the customer filter prunes at the scan."""
     register_views(spark, sf_dir)
     return spark.sql(_Q3)
+
+
+_LATERAL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+       t.o_totalprice, t.rank_in_cust
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rank_in_cust
+    FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+"""
+
+
+@query("sql_lateral", family="sql", oracle=_LATERAL)
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer), same
+    SQL text in both engines. The naïve read is a per-customer
+    re-execution; Catalyst decorrelates the LATERAL into a join +
+    per-key window/limit — the plan a per-row loop would never
+    survive at 100 TB. (topk_per_group is the DataFrame spelling of
+    the same computation; this entry pins the SQL front door.)
+    Ordering keys (o_totalprice DESC, o_orderkey) form a total order,
+    so the LIMIT boundary is deterministic across engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL)
+
+
+_RECURSIVE = """
+WITH RECURSIVE months(m) AS (
+    SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+           AS TIMESTAMP)
+    UNION ALL
+    SELECT CAST(m + INTERVAL 1 MONTH AS TIMESTAMP)
+    FROM months
+    WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+)
+SELECT m.m AS month_start,
+       count(o.o_orderkey) AS n_orders
+FROM months m
+LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.m
+GROUP BY m.m
+"""
+
+
+@query("sql_recursive", family="sql", oracle=_RECURSIVE)
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): a calendar spine from
+    min to max order month, LEFT-joined back so EMPTY months still
+    appear with zero counts — time-series densification, the gap-fill
+    every reporting pipeline needs and plain GROUP BY cannot produce.
+    Same SQL text in both engines. The recursion materializes one row
+    per month (bounded, driver-safe); the orders side remains one
+    scan + one broadcast-able join on the truncated month."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE)
