@@ -558,3 +558,59 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("props_map")).alias("n_entries"),
         F.col("props_map").getItem("missing").alias("absent"),
     )
+
+
+@query(
+    "fn_variant",
+    family="functions",
+    oracle="""
+WITH j AS (
+    SELECT o_orderkey,
+           '{"order": {"key": ' || CAST(o_orderkey AS VARCHAR)
+             || ', "price": ' || CAST(round(o_totalprice * 100) / 100.0 AS VARCHAR)
+             || '}, "tags": ["' || o_orderstatus || '", "'
+             || o_orderpriority || '"]}' AS doc
+    FROM orders
+)
+SELECT o_orderkey,
+       CAST(json_extract(doc, '$.order.key') AS BIGINT) AS key_typed,
+       CAST(json_extract(doc, '$.order.price') AS DOUBLE) AS price_typed,
+       json_extract_string(doc, '$.tags[0]') AS tag0,
+       json_extract_string(doc, '$.tags[1]') AS tag1,
+       json_extract_string(doc, '$.missing.path') AS absent
+FROM j
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT family (Spark 4's native semi-structured
+    type — the same machinery the ETL pipeline's validity compiler is
+    built on, etl/pipeline.py): parse once with parse_json, then typed
+    path extraction (variant_get with target types), array indexing and
+    missing-path null. Unlike per-path get_json_object (which re-parses
+    the string per call, cf. fn_map_json), a VARIANT column is parsed
+    ONCE into a binary encoding and every extraction is a cheap typed
+    probe — the 100 TB answer for wide event payloads probed by many
+    paths."""
+    o = t(spark, sf_dir, "orders")
+    doc = F.concat(
+        F.lit('{"order": {"key": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "price": '),
+        (F.round(F.col("o_totalprice") * 100) / 100.0).cast("string"),
+        F.lit('}, "tags": ["'),
+        F.col("o_orderstatus"),
+        F.lit('", "'),
+        F.col("o_orderpriority"),
+        F.lit('"]}'),
+    )
+    v = F.parse_json(doc)
+    return o.select("o_orderkey", v.alias("v")).select(
+        "o_orderkey",
+        F.expr("variant_get(v, '$.order.key', 'bigint')").alias("key_typed"),
+        F.expr("variant_get(v, '$.order.price', 'double')").alias(
+            "price_typed"
+        ),
+        F.expr("variant_get(v, '$.tags[0]', 'string')").alias("tag0"),
+        F.expr("variant_get(v, '$.tags[1]', 'string')").alias("tag1"),
+        F.expr("variant_get(v, '$.missing.path', 'string')").alias("absent"),
+    )
