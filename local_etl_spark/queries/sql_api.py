@@ -72,13 +72,14 @@ def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RECURSIVE = """
-WITH RECURSIVE months(m) AS (
-    SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders))
-           AS TIMESTAMP)
+WITH RECURSIVE months(m, hi) AS (
+    SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP),
+           CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP)
+    FROM orders
     UNION ALL
-    SELECT CAST(m + INTERVAL 1 MONTH AS TIMESTAMP)
+    SELECT CAST(m + INTERVAL 1 MONTH AS TIMESTAMP), hi
     FROM months
-    WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+    WHERE m < hi
 )
 SELECT m.m AS month_start,
        count(o.o_orderkey) AS n_orders
@@ -95,7 +96,11 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear with zero counts — time-series densification, the gap-fill
     every reporting pipeline needs and plain GROUP BY cannot produce.
     Same SQL text in both engines. The recursion materializes one row
-    per month (bounded, driver-safe); the orders side remains one
-    scan + one broadcast-able join on the truncated month."""
+    per month (bounded, driver-safe); the upper bound rides IN the
+    anchor row ("hi") so each recursive step is a 1-row local
+    computation — a correlated scalar subquery in the step predicate
+    would re-scan orders EVERY iteration (measured: 20s vs 2s at
+    sf0.1, ~80 iterations). The orders side remains one scan + one
+    broadcast-able join on the truncated month."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE)
