@@ -134,3 +134,101 @@ def test_entropy_fold_matches_counter_spec(spark, texts):
     for row in rows:
         expected = _spec_entropy(texts[row["i"]].split(" "))
         assert abs(row["e"] - expected) <= 1e-6, (texts[row["i"]], row["e"], expected)
+
+
+# --- BM25 ≡ pure-Python spec on the real corpus ------------------------
+
+
+def test_bm25_matches_python_spec(spark):
+    """Recompute BM25 for every corpus doc in plain Python (Counter +
+    math.log) and compare to the engine's distributed answer."""
+    import math
+
+    from local_etl_spark.queries.llm_text import BM25_B, BM25_K1, BM25_TERMS
+    from local_etl_spark.queries._util import t
+    from local_etl_spark.registry import get
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in t(spark, sf, "documents").collect()
+    }
+    n_docs = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n_docs
+    df = {
+        term: sum(1 for toks in docs.values() if term in toks)
+        for term in BM25_TERMS
+    }
+
+    def spec(toks):
+        dl = len(toks)
+        score = 0.0
+        for term in BM25_TERMS:
+            tf = toks.count(term)
+            idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            score += (
+                idf
+                * (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            )
+        return round(score, 6)
+
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in get("llm_bm25").fn(spark, sf).collect()
+    }
+    expected = {
+        did: spec(toks)
+        for did, toks in docs.items()
+        if any(t_ in toks for t_ in BM25_TERMS)
+    }
+    assert set(got) == set(expected)
+    for did in expected:
+        assert abs(got[did] - expected[did]) <= 1e-6, did
+
+
+def test_funnel_matches_python_spec(spark):
+    """Brute-force the view→click→purchase funnel per user in Python
+    and compare stages + timestamps with the engine's answer."""
+    from local_etl_spark.queries._util import t
+    from local_etl_spark.registry import get
+
+    sf = "/root/testdata/sf0.001"
+    events = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_type"])
+            for r in t(spark, sf, "events").collect()
+        ),
+        key=lambda x: (x[0], x[1]),
+    )
+    by_user = {}
+    for uid, ts, et in events:
+        by_user.setdefault(uid, []).append((ts, et))
+
+    def spec(evs):
+        t_view = min((ts for ts, et in evs if et == "view"), default=None)
+        if t_view is None:
+            return None
+        t_click = min(
+            (ts for ts, et in evs if et == "click" and ts > t_view),
+            default=None,
+        )
+        t_purchase = (
+            min(
+                (ts for ts, et in evs if et == "purchase" and ts > t_click),
+                default=None,
+            )
+            if t_click is not None
+            else None
+        )
+        stage = 3 if t_purchase else (2 if t_click else 1)
+        return (t_view, t_click, t_purchase, stage)
+
+    expected = {
+        uid: s for uid, evs in by_user.items() if (s := spec(evs)) is not None
+    }
+    got = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"], r["stage"])
+        for r in get("agg_funnel").fn(spark, sf).collect()
+    }
+    assert got == expected
