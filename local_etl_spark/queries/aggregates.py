@@ -719,3 +719,36 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    family="aggregations",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       bit_or(1::BIGINT << c_nationkey) AS nation_bitmap,
+       CAST(bit_count(bit_or(1::BIGINT << c_nationkey)) AS INT)
+           AS n_distinct_nations,
+       count(DISTINCT c_nationkey) AS n_distinct_check
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-aggregate exact distinct count for a SMALL-domain key
+    (nationkey < 64): each row contributes one bit, bit_or folds them,
+    popcount reads the cardinality. Unlike count(DISTINCT x) — which
+    plans a two-phase expanded aggregate — the bitmap is a plain
+    8-byte partial-aggregating fold: one shuffle of one long per
+    group, mergeable at any tree depth (the same pattern roaring
+    bitmaps scale to larger domains; the built-in count(DISTINCT)
+    rides along as the cross-check)."""
+    c = t(spark, sf_dir, "customer")
+    # F.shiftleft only takes a literal bit count; the SQL form shifts
+    # by a column
+    bitmap = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), c_nationkey)"))
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        bitmap.alias("nation_bitmap"),
+        F.bit_count(bitmap).cast("int").alias("n_distinct_nations"),
+        F.countDistinct("c_nationkey").alias("n_distinct_check"),
+    )
