@@ -520,3 +520,86 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(score, 6).alias("bm25"),
         )
     )
+
+
+@query(
+    "llm_lm_score",
+    family="llm",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+big AS (
+    SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2
+    FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    WHERE len(ws) >= 2
+),
+uni AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+scored AS (
+    SELECT b.doc_id, b.pos,
+           ln(bi.c2 * 1.0 / uni.c1) AS lnp
+    FROM big b
+    JOIN bi  ON bi.w1 = b.w1 AND bi.w2 = b.w2
+    JOIN uni ON uni.w1 = b.w1
+),
+folded AS (
+    SELECT doc_id,
+           list(lnp ORDER BY pos) AS lnps,
+           count(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(list_sum(lnps) / n_bigrams, 6) AS avg_logprob
+FROM folded
+""",
+)
+def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram language-model score per document — the
+    KenLM-style perplexity-proxy quality filter, with the model
+    estimated FROM the corpus itself (P(w2|w1) = c(w1,w2)/c(w1)):
+    gibberish and boilerplate-repetition score far from the corpus
+    mean. Three shuffles, all on small keys: the unigram and bigram
+    count aggregates (vocabulary-sized), and the per-doc re-aggregation
+    of scored bigrams; probabilities broadcast back onto the exploded
+    bigram stream. Cross-engine determinism: ln(c2/c1) terms are
+    identical integer-ratio logs, summed in POSITION order via a
+    sequential list fold on both engines (CLAUDE.md: list_sum ≡
+    left→right), then round 6 dp."""
+    d = t(spark, sf_dir, "documents")
+    big = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .persist()  # Generate re-evaluation gotcha (llm_dedup.py)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")
+            ).alias("pos0", "pair"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("pair.w1").alias("w1"),
+            F.col("pair.w2").alias("w2"),
+        )
+    )
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # no broadcast hint: a bigram model outgrows broadcast on a real
+    # corpus — AQE picks broadcast here and hash joins at scale
+    scored = (
+        big.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .select("doc_id", "pos", F.log(F.col("c2") / F.col("c1")).alias("lnp"))
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(pos, lnp))), s -> s.lnp), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.expr(fold) / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )
