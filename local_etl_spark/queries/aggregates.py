@@ -301,18 +301,27 @@ def agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   n_regionkey,
-  list(n_name ORDER BY n_name) AS nations
+  array_to_string(list(n_name ORDER BY n_name), '|') AS nations,
+  CAST(len(list(n_name)) AS INT) AS n_nations
 FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey
 """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation, sorted inside each group for determinism."""
+    """Array aggregation, sorted inside each group for determinism.
+
+    The collected array is emitted as a '|'-joined string (plus its
+    cardinality) — raw array columns are not canonicalizable by the
+    driver's pandas-based result hasher, and the joined form carries
+    identical information for an ordered string list."""
     n = t(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
+            F.count("n_name").cast("int").alias("n_nations"),
+        )
         .orderBy("n_regionkey")
     )
 

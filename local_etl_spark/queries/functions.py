@@ -26,7 +26,8 @@ SELECT p_partkey AS partkey,
        trim('  ' || p_name || ' ') AS trimmed,
        substr(p_name, 1, 5) AS first5,
        CAST(length(p_name) AS BIGINT) AS name_len,
-       str_split(p_name, ' ') AS words,
+       array_to_string(str_split(p_name, ' '), '|') AS words,
+       CAST(len(str_split(p_name, ' ')) AS INT) AS n_words,
        regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
        concat_ws('|', p_brand, p_type) AS brand_type,
        lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
@@ -52,7 +53,8 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.concat(F.lit("  "), name, F.lit(" "))).alias("trimmed"),
         F.substring(name, 1, 5).alias("first5"),
         F.length(name).cast("long").alias("name_len"),
-        F.split(name, " ").alias("words"),
+        F.array_join(F.split(name, " "), "|").alias("words"),
+        F.size(F.split(name, " ")).alias("n_words"),
         F.regexp_extract(name, r"([a-z]+)$", 1).alias("last_word"),
         F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
@@ -157,8 +159,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim,
        embedding[1] AS first_val,
-       embedding[1:4] AS head4,
-       list_sort(embedding[1:4]) AS head4_sorted,
+       CAST(round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 6) AS DOUBLE) AS head4_sum,
+       list_sort(embedding[1:4])[1] AS head4_min,
+       list_sort(embedding[1:4])[4] AS head4_max,
        list_reverse_sort(embedding)[1] AS max_val,
        CAST(round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS DOUBLE) AS vec_sum
 FROM embeddings
@@ -167,15 +170,22 @@ FROM embeddings
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family on the 64-d embedding column: size, indexing, slice,
     sort, max-element, and a fold (aggregate) — all native array
-    expressions, no UDF."""
+    expressions, no UDF. Array-valued intermediates (slice, sort_array)
+    are reduced to scalar witnesses (min/max/sum of the slice) so the
+    final schema stays driver-canon-safe; the float fold is a sequential
+    double accumulation identical to DuckDB's list_sum-over-doubles."""
     e = t(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    head4 = F.slice(emb, 1, 4)
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
         F.element_at(emb, 1).alias("first_val"),
-        F.slice(emb, 1, 4).alias("head4"),
-        F.sort_array(F.slice(emb, 1, 4)).alias("head4_sorted"),
+        F.round(
+            F.aggregate(head4, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
+        ).alias("head4_sum"),
+        F.element_at(F.sort_array(head4), 1).alias("head4_min"),
+        F.element_at(F.sort_array(head4), 4).alias("head4_max"),
         F.array_max(emb).alias("max_val"),
         F.round(
             F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
@@ -530,8 +540,8 @@ WITH m AS (
     FROM events
 )
 SELECT event_id,
-       map_keys(props_map) AS ks,
-       map_values(props_map) AS vs,
+       array_to_string(map_keys(props_map), '|') AS ks,
+       array_to_string(map_values(props_map), '|') AS vs,
        props_map['type'][1] AS type_val,
        CAST(cardinality(props_map) AS INT) AS n_entries,
        props_map['missing'][1] AS absent
@@ -552,8 +562,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select("event_id", m.alias("props_map")).select(
         "event_id",
-        F.map_keys(F.col("props_map")).alias("ks"),
-        F.map_values(F.col("props_map")).alias("vs"),
+        F.array_join(F.map_keys(F.col("props_map")), "|").alias("ks"),
+        F.array_join(F.map_values(F.col("props_map")), "|").alias("vs"),
         F.col("props_map").getItem("type").alias("type_val"),
         F.size(F.col("props_map")).alias("n_entries"),
         F.col("props_map").getItem("missing").alias("absent"),

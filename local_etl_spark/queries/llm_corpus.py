@@ -315,11 +315,11 @@ MAX_TOP_FRAC = 0.08
         FROM w LEFT JOIN p USING (doc_id)
     )
     SELECT doc_id,
-           list_filter([
+           coalesce(array_to_string(list_filter([
                CASE WHEN n_words < {MIN_WORDS} THEN 'too_short' END,
                CASE WHEN dup_frac > {MAX_DUP_FRAC} THEN 'repetitive' END,
                CASE WHEN top_frac > {MAX_TOP_FRAC} THEN 'top_heavy' END
-           ], x -> x IS NOT NULL) AS reasons,
+           ], x -> x IS NOT NULL), '|'), '') AS reasons,
            (n_words >= {MIN_WORDS} AND dup_frac <= {MAX_DUP_FRAC}
             AND top_frac <= {MAX_TOP_FRAC}) AS keep
     FROM f
@@ -366,7 +366,7 @@ def llm_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return staged.select(
         "doc_id",
-        F.filter(rules, lambda x: x.isNotNull()).alias("reasons"),
+        F.array_join(F.filter(rules, lambda x: x.isNotNull()), "|").alias("reasons"),
         (
             (F.col("n_words") >= MIN_WORDS)
             & (F.col("_dup_frac") <= MAX_DUP_FRAC)

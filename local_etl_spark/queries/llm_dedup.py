@@ -3,17 +3,18 @@
 Five operators on ``documents``/``embeddings``, ordered by cost:
 
   exact        hash-groupBy — one shuffle on the text hash
-  ngram        exact word-3-gram Jaccard — shingle-inverted-index join
+  ngram        word-3-gram Jaccard — df-capped shingle-inverted-index
+  prefix       AllPairs/PPJoin prefix filter — exact, hot-shingle-proof
   minhash      MinHash(64)+LSH(16×4) candidate pairs → exact verify
   simhash      64-bit SimHash + 16-bit block blocking → hamming verify
   embed        cosine ≥ τ near-dup pairs on embeddings
 
 Scale notes (the whole point of the sketch variants):
-  - ``ngram``'s inverted-index join is exact but its worst case is a
-    quadratic blow-up on a hot shingle; at 100 TB you cap or drop
-    stop-shingles (df cap) — here the synthetic vocab is small enough
-    to keep it exact, and it doubles as the ground truth for the
-    sketches' recall tests.
+  - ``ngram``'s inverted-index join caps stop-shingle postings at
+    DF_CAP before the self-join (bounded fan-out on hot shingles) and
+    verifies candidates on full shingle sets, so reported Jaccard is
+    always exact; on this corpus (max df 25) the cap is inert, so it
+    doubles as the ground truth for the sketches' recall tests.
   - ``minhash`` computes all 64 permutations as ONE JVM array fold per
     doc (no explode, no shuffle until the tiny candidate join): at J≥0.9
     (the regime near-dup dedup cares about) LSH 16×4 recall is
@@ -40,6 +41,7 @@ from local_etl_spark.queries.llm_sim import _duck_cosine, dot
 from local_etl_spark.registry import query
 
 JACCARD_T = 0.5
+DF_CAP = 256  # drop postings for shingles appearing in more docs than this
 COSINE_T = 0.4
 N_PERM = 64
 N_BANDS = 16  # 4 rows per band
@@ -115,30 +117,47 @@ _DUCK_SHINGLES = """
     WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_T}
     """,
 )
-def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via a shingle inverted index.
+def llm_dedup_ngram(
+    spark: SparkSession, sf_dir: str, df_cap: int = DF_CAP
+) -> DataFrame:
+    """N-gram-Jaccard near-dup pairs via a df-capped shingle inverted
+    index, candidates verified on FULL shingle sets.
 
-    shuffle 1: explode+groupBy builds (shingle → docs) postings;
-    shuffle 2: per-pair shared counts. Jaccard from integer counts —
-    bit-exact vs the oracle. Ground truth for the sketch variants.
+    shuffle 1: explode+groupBy builds (shingle → docs) postings and the
+    per-shingle document frequency; postings for shingles with df >
+    ``df_cap`` (stop-shingles) are dropped BEFORE the self-join — the
+    join's output is Σ min(df, cap)² instead of Σ df², which is the
+    difference between bounded fan-out and a quadratic blow-up on the
+    hottest shingle at 100 TB. shuffle 2: candidate pairs from the
+    capped join, deduplicated, then verified with exact Jaccard over
+    the full (uncapped) shingle arrays, so every reported score is
+    exact regardless of the cap.
+
+    Semantics of the cap: a pair qualifies only if it shares ≥1 shingle
+    with df ≤ cap. On this corpus (max df 25 at 5000 docs) the cap is
+    inert and the output is the exact pair set, hash-checked against
+    the DuckDB oracle. On a corpus with stop-shingles, pairs whose
+    overlap is ONLY stop-shingles are not emitted — the standard
+    df-cap contract (Lee et al. dedup, CCNet): ubiquitous shingles
+    carry no near-dup signal. ``llm_dedup_prefix`` is the exactness-
+    preserving alternative (prefix filter instead of a cap);
+    tests/test_llm_dedup.py asserts both return the identical pair set
+    on a synthetic hot-shingle corpus where the cap IS binding.
 
     Performance notes (measured at sf0.1):
       - The shingle DataFrame is persisted before explode: Spark's
         Generate node otherwise re-evaluates the (expensive) shingle
         array expression per OUTPUT row — 7.3s vs 0.4s for the explode
         alone. The cache is small (one array column per doc) and shared
-        by the two posting sides.
-      - This corpus has NO hot shingles (max df 25 at 5000 docs), so
-        the plain inverted index is optimal: Σ df² ≈ 2.4M co-occurrence
-        rows. On corpora with stop-shingles, escalate to prefix
-        filtering (AllPairs: index only each doc's |x|-⌈τ|x|⌉+1 rarest
-        shingles — exactness preserved, hot shingles never indexed) or
-        a df-cap with verification on full sets.
+        by the posting and verification sides.
       - Postings join on xxhash64(shingle), not the string: 8-byte
         shuffle keys instead of ~30-byte text cut the self-join 35%
         (and far more at 100 TB where shuffle bytes dominate). A 64-bit
         collision would need ~2^32 distinct shingles to become likely;
         corpora that large have left exact-Jaccard territory anyway.
+      - The df filter is a co-partitioned window over the postings
+        shuffle (count over partition by s), not a separate aggregate +
+        join — one shuffle computes postings AND df.
       - The postings are EXPLICITLY repartitioned on the join key: AQE
         coalesces exchanges by shuffle-INPUT size, but this join's
         output explodes ~5x past its input (Σ df² co-occurrences), so
@@ -148,29 +167,32 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         small-input/explosive-output join.
     """
     sh = with_shingles(t(spark, sf_dir, "documents")).persist()
-    counts = sh.select("doc_id", F.size("shingles").alias("n")).filter(
-        F.col("n") > 0
+    sized = sh.filter(F.size("shingles") > 0).select(
+        "doc_id", "shingles", F.size("shingles").alias("n")
     )
     posting = (
         sh.select("doc_id", F.explode("shingles").alias("_s"))
         .select("doc_id", F.xxhash64("_s").alias("s"))
         .repartition(spark.sparkContext.defaultParallelism, "s")
     )
-    pairs = (
-        posting.alias("a")
-        .join(posting.alias("b"), "s")
+    rare = posting.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).filter(F.col("df") <= df_cap).select("doc_id", "s")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count("*").alias("shared"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
     )
-    ca = counts.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    sa = sized.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sa"))
+    sb = sized.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size(F.array_union("sa", "sb"))
+    jac = inter / uni
     return (
-        pairs.join(ca, "d1")
-        .join(cb, "d2")
+        cand.join(sa, "d1")
+        .join(sb, "d2")
         .filter(jac >= JACCARD_T)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )

@@ -81,6 +81,61 @@ def test_cluster_matches_union_find(spark):
         assert cluster == (find(doc) if doc in parent else doc), doc
 
 
+def _write_hot_shingle_corpus(spark, path: str) -> dict[int, set[str]]:
+    """60-doc corpus where every doc shares a 5-word hot prefix (3 hot
+    shingles, df=60) and docs 2k/2k+1 (k<5) are planted near-dups via
+    identical rare tails. Returns the per-doc 3-gram sets."""
+    rows = []
+    for i in range(60):
+        tail_seed = i // 2 if i < 10 else i  # first 5 pairs are dups
+        tail = " ".join(f"w{tail_seed}x{j}" for j in range(10))
+        extra = f"u{i}a" if i < 10 else ""  # dups differ by one token
+        text = f"the quick brown fox jumps {tail} {extra}".strip()
+        rows.append((i, text, "en", "synth", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    grams = {}
+    for i, text, *_ in rows:
+        ws = text.split(" ")
+        grams[i] = {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+    return grams
+
+
+def test_ngram_df_cap_on_hot_shingle_corpus(spark, tmp_path):
+    """With a binding df-cap, the inverted-index join must drop the hot
+    (stop) shingle postings yet still return the full J≥0.5 pair set,
+    exactly matching both a brute-force spec and the prefix-filtered
+    operator — true pairs always share rare shingles, so the cap costs
+    no recall here while bounding the join fan-out to cap² per shingle."""
+    from local_etl_spark.queries.llm_dedup import (
+        JACCARD_T,
+        llm_dedup_ngram,
+        llm_dedup_prefix,
+    )
+
+    sf = str(tmp_path)
+    grams = _write_hot_shingle_corpus(spark, sf)
+    brute = set()
+    for a in grams:
+        for b in grams:
+            if a < b:
+                j = len(grams[a] & grams[b]) / len(grams[a] | grams[b])
+                if j >= JACCARD_T:
+                    brute.add((a, b))
+    assert len(brute) == 5  # the 5 planted pairs, nothing else
+    capped = {
+        (r["d1"], r["d2"]) for r in llm_dedup_ngram(spark, sf, df_cap=10).collect()
+    }
+    assert capped == brute
+    prefix = {(r["d1"], r["d2"]) for r in llm_dedup_prefix(spark, sf).collect()}
+    assert prefix == brute
+    # cap binds observably: at df_cap=1 even the rare shared shingles
+    # (df=2) are dropped, so no candidates survive
+    assert llm_dedup_ngram(spark, sf, df_cap=1).count() == 0
+
+
 def test_prefix_filter_equals_plain_index(spark):
     """AllPairs prefix filtering must return the IDENTICAL pair set as
     the full inverted index — the filter is a pruning, not an

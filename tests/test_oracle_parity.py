@@ -38,3 +38,20 @@ def test_registry_contract(spark):
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert all(callable(f) for f in q.values())
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_oracled_schema_canon_safe(spark, spec):
+    """The driver canonicalizes oracled results with pandas sort_values,
+    which cannot factorize list/dict cells — any Array/Map-typed column
+    in a final oracled schema is therefore a guaranteed driver FAIL even
+    when values agree. Schema-only check (no execution)."""
+    import pyspark.sql.types as T
+
+    df = spec.fn(spark, SF_DIR)
+    offenders = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not offenders, f"{spec.name}: non-scalar result columns {offenders}"
