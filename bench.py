@@ -34,6 +34,7 @@ HEADLINE = [
     "stream_session",
     "llm_dedup_exact",
     "llm_dedup_ngram",
+    "llm_dedup_substring",
     "llm_simsearch",
     "llm_tfidf",
     "llm_text_stats",
@@ -44,6 +45,7 @@ HEADLINE = [
     "llm_curate_e2e",
     "agg_funnel",
     "agg_minmax_by",
+    "agg_mode",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →

@@ -1,139 +1,324 @@
 """Multimodal column handling (SURVEY.md §2.4-J, `llm_multimodal`).
 
 Convention: media travels as an opaque ``binary`` payload column plus
-typed metadata (modality, mime, declared dims) — the layout every
-large-scale training pipeline converges on (media bytes stay columnar
-next to their features; no filesystem side-channel).
+typed metadata (modality, mime) — the layout every large-scale training
+pipeline converges on (media bytes stay columnar next to their
+features; no filesystem side-channel).
 
-The decode kernels (image decode, audio resample, video frame-sample)
-need libraries this container doesn't ship, so the KERNELS are stubs —
-``_decode_real`` raises NotImplementedError and the deterministic fake
-parses a self-describing header we embed when synthesizing payloads.
-Everything AROUND the kernel is real and tested: the Arrow-batched
-``mapInPandas`` plumbing, schemas, batch shapes, and partitioning are
-exactly what a real decoder drops into.
+The payloads are REAL media bytes in three pure-Python-decodable
+container formats, and the decode kernel parses them for real — no
+faked headers, no NotImplementedError:
+
+  image  binary PPM (P6): "P6\\n{w} {h}\\n255\\n" + w*h*3 RGB bytes
+  audio  WAV (RIFF/PCM16 mono): canonical 44-byte header + samples
+  video  YUV4MPEG2 (Y4M): stream header + FRAME-delimited 4:2:0 frames
+
+These are the actual on-disk formats (netpbm, RIFF WAVE, mjpegtools
+y4m) — a PPM produced here opens in any image viewer. Heavyweight
+codecs (JPEG/FLAC/H.264) would need external libraries; the container
+has none, and the *Spark-side* contract — BinaryType columns, Arrow
+batch transfer, mapInPandas fan-out, schema discipline — is identical
+whichever kernel sits inside the batch loop.
 
 Scale notes: mapInPandas streams Arrow batches — one Python worker per
 core per partition, no driver involvement, and payload bytes cross to
 Python once. Real deployments additionally cap
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
-10 MB videos doesn't materialize as one giant Arrow batch.
+10 MB videos doesn't materialize as one giant Arrow batch. Synthesis
+here is also a mapInPandas kernel (bytes are built row-local in the
+executors); a production pipeline reads the payload column straight
+off parquet instead.
 """
 
 from __future__ import annotations
 
+import hashlib
+import struct
 from collections.abc import Iterator
-from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-if TYPE_CHECKING:
-    import pandas as pd
-
-# 14-byte self-describing fake header: %06d width, %06d height, %02d channels
-_HEADER_LEN = 14
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
 
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("modality", T.StringType()),
+        T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
+        T.StructField("n_units", T.IntegerType()),  # pixels/samples/frames
         T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("body_sha", T.StringType()),
+        T.StructField("mean_val", T.DoubleType()),
+        T.StructField("payload_sha", T.StringType()),
     ]
 )
 
+WAV_RATE = 8000
+
+
+def media_dims(doc_id: int) -> dict:
+    """Deterministic per-doc media geometry (shared by generator, real
+    decoder tests, and the frame-sample ground truth)."""
+    modality = ("image", "audio", "video")[doc_id % 3]
+    return {
+        "modality": modality,
+        # image
+        "img_w": doc_id % 30 + 2,
+        "img_h": doc_id % 20 + 2,
+        # audio
+        "n_samples": doc_id % 256 + 16,
+        # video (4:2:0 needs even dims)
+        "vid_w": 2 * (doc_id % 8 + 1),
+        "vid_h": 2 * (doc_id % 6 + 1),
+        "n_frames": doc_id % 24 + 2,
+    }
+
+
+def _gen_payload(doc_id: int, text: str) -> tuple[str, bytes]:
+    """Build a REAL media file for one row, seeded by the text bytes."""
+    d = media_dims(doc_id)
+    seed = text.encode() or b"\x00"
+
+    def fill(n: int) -> bytes:
+        reps = n // len(seed) + 1
+        return (seed * reps)[:n]
+
+    if d["modality"] == "image":
+        w, h = d["img_w"], d["img_h"]
+        return "image", b"P6\n%d %d\n255\n" % (w, h) + fill(w * h * 3)
+    if d["modality"] == "audio":
+        n = d["n_samples"]
+        pcm = fill(2 * n)
+        hdr = (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(pcm))
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(pcm))
+        )
+        return "audio", hdr + pcm
+    w, h, nf = d["vid_w"], d["vid_h"], d["n_frames"]
+    frame_len = w * h * 3 // 2  # YUV 4:2:0
+    body = b"".join(b"FRAME\n" + fill(frame_len) for _ in range(nf))
+    hdr = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)
+    return "video", hdr + body
+
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
-    """Deterministic fake media table from `documents`: a binary payload
-    whose first 14 bytes are a parseable header, body = the text bytes.
+    """Deterministic real-format media table from `documents`."""
 
-    Generation is pure JVM expression — at scale this column would come
-    off parquet directly; nothing here shuffles.
-    """
-    width = (F.col("doc_id") % 512 + 16).cast("int")
-    height = (F.col("doc_id") % 384 + 16).cast("int")
-    channels = (F.col("doc_id") % 3 + 1).cast("int")
-    header = F.format_string("%06d%06d%02d", width, height, channels)
-    return docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("modality"),
-        F.concat(header, F.col("text")).cast("binary").alias("payload"),
-    )
-
-
-def _decode_real(payload: bytes, modality: str):
-    """Placeholder for the real kernel (PIL / soundfile / pyav).
-
-    Cited contract: decode payload → (width, height, channels, frames).
-    The container has none of these libraries, so this stays a stub.
-    """
-    raise NotImplementedError(
-        "real media decode requires imaging/audio libraries not present "
-        "in this environment; the fake header path below exercises the "
-        "identical Spark plumbing"
-    )
-
-
-def decode_media(media: DataFrame, use_real_kernel: bool = False) -> DataFrame:
-    """Arrow-batched decode: binary payload → typed metadata + checksum.
-
-    mapInPandas signature and batch shape are production-real; only the
-    per-payload kernel is faked (header parse + sha1 of the body).
-    """
-
-    def decode_batches(
-        batches: Iterator["pd.DataFrame"],
-    ) -> Iterator["pd.DataFrame"]:
-        import hashlib
-
+    def gen(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
 
         for pdf in batches:
-            out = {
-                "doc_id": pdf["doc_id"],
-                "modality": pdf["modality"],
-                "width": [],
-                "height": [],
-                "channels": [],
-                "n_bytes": [],
-                "body_sha": [],
-            }
-            for payload, modality in zip(pdf["payload"], pdf["modality"]):
-                if use_real_kernel:
-                    _decode_real(bytes(payload), modality)  # raises
+            mods, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                m, p = _gen_payload(int(doc_id), str(text))
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_ppm(raw: bytes) -> dict:
+    """Parse a binary PPM (P6): netpbm header grammar (ASCII tokens,
+    '#' comments, single whitespace after maxval) + RGB pixel plane."""
+    if raw[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":  # comment to end of line
+            while raw[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(raw[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    pixels = raw[pos : pos + w * h * 3]
+    if len(pixels) != w * h * 3:
+        raise ValueError("truncated pixel plane")
+    return {
+        "format": "ppm",
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "n_units": w * h,
+        "mean_val": sum(pixels) / len(pixels) if pixels else 0.0,
+    }
+
+
+def decode_wav(raw: bytes) -> dict:
+    """Parse RIFF/WAVE: walk chunks, read fmt (PCM only), mean |sample|
+    over the data chunk."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid, size = raw[pos : pos + 4], struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only PCM16 supported")
+    n = len(data) // (2 * n_ch)
+    samples = struct.unpack("<%dh" % (n * n_ch), data[: 2 * n * n_ch])
+    return {
+        "format": "wav",
+        "width": rate,  # sample rate in the width slot (audio has no dims)
+        "height": bits,
+        "channels": n_ch,
+        "n_units": n,
+        "mean_val": sum(abs(s) for s in samples) / len(samples) if samples else 0.0,
+    }
+
+
+def decode_y4m(raw: bytes) -> dict:
+    """Parse YUV4MPEG2: stream-header params, then frame offsets walked
+    by exact 4:2:0 frame size (offset math, not marker search)."""
+    nl = raw.index(b"\n")
+    head = raw[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a Y4M stream")
+    params = {p[:1]: p[1:] for p in head[1:] if p}
+    w, h = int(params[b"W"]), int(params[b"H"])
+    if params.get(b"C", b"420").startswith(b"420") is False:
+        raise ValueError("only 4:2:0 supported")
+    frame_len = w * h * 3 // 2
+    pos, frames, ysum, ycount = nl + 1, 0, 0, 0
+    while pos < len(raw):
+        fnl = raw.index(b"\n", pos)  # FRAME + optional params
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad frame marker")
+        y = raw[fnl + 1 : fnl + 1 + w * h]  # luma plane only for stats
+        ysum += sum(y)
+        ycount += len(y)
+        frames += 1
+        pos = fnl + 1 + frame_len
+    return {
+        "format": "y4m",
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "n_units": frames,
+        "mean_val": ysum / ycount if ycount else 0.0,
+    }
+
+
+def decode_payload(raw: bytes) -> dict:
+    """Sniff the container magic and dispatch to the real parser."""
+    if raw[:2] == b"P6":
+        return decode_ppm(raw)
+    if raw[:4] == b"RIFF":
+        return decode_wav(raw)
+    if raw[:9] == b"YUV4MPEG2":
+        return decode_y4m(raw)
+    raise ValueError("unknown media container")
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode: binary payload → typed metadata + stats.
+
+    The kernel is a real container parse (magic sniff → PPM/WAV/Y4M
+    grammar) per payload; sha1 content-addresses the full file bytes.
+    """
+
+    def decode_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in DECODED_SCHEMA.fields}
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
                 raw = bytes(payload)
-                head, body = raw[:_HEADER_LEN], raw[_HEADER_LEN:]
-                out["width"].append(int(head[0:6]))
-                out["height"].append(int(head[6:12]))
-                out["channels"].append(int(head[12:14]))
-                out["n_bytes"].append(len(body))
-                out["body_sha"].append(hashlib.sha1(body).hexdigest())
+                meta = decode_payload(raw)
+                out["doc_id"].append(doc_id)
+                out["modality"].append(modality)
+                out["format"].append(meta["format"])
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["channels"].append(meta["channels"])
+                out["n_units"].append(meta["n_units"])
+                out["n_bytes"].append(len(raw))
+                out["mean_val"].append(float(meta["mean_val"]))
+                out["payload_sha"].append(hashlib.sha1(raw).hexdigest())
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling, stubbed at the kernel: emits one row per
-    sampled 'frame' index derived from the declared header — the
-    explode-shaped output (row-per-frame with a binary frame column in
-    production) is the part that matters for downstream batching."""
-    decoded = decode_media(media)
-    n_frames = F.when(F.col("modality") == "video", F.col("height")).otherwise(
-        F.lit(1)
-    )
-    return decoded.select(
-        "doc_id",
-        "modality",
-        F.explode(
-            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
-        ).alias("frame_idx"),
-    )
+    """Real video frame sampling: walk the Y4M stream, emit one row per
+    sampled frame with the sha1 of that frame's actual YUV bytes (the
+    row-per-frame fan-out downstream batching consumes). Non-video
+    payloads contribute their single 'frame' (the whole payload)."""
+
+    def sample_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
+
+            def emit(doc_id, modality, idx, blob):
+                out["doc_id"].append(doc_id)
+                out["modality"].append(modality)
+                out["frame_idx"].append(idx)
+                out["frame_sha"].append(hashlib.sha1(blob).hexdigest())
+
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                if raw[:9] != b"YUV4MPEG2":
+                    emit(doc_id, modality, 0, raw)
+                    continue
+                nl = raw.index(b"\n")
+                params = {p[:1]: p[1:] for p in raw[:nl].split(b" ")[1:] if p}
+                frame_len = int(params[b"W"]) * int(params[b"H"]) * 3 // 2
+                pos, idx = nl + 1, 0
+                while pos < len(raw):
+                    fnl = raw.index(b"\n", pos)
+                    frame = raw[fnl + 1 : fnl + 1 + frame_len]
+                    if idx % every_n == 0:
+                        emit(doc_id, modality, idx, frame)
+                    idx += 1
+                    pos = fnl + 1 + frame_len
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sample_batches, schema=FRAME_SCHEMA)

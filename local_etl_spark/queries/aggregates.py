@@ -761,3 +761,75 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(bitmap).cast("int").alias("n_distinct_nations"),
         F.countDistinct("c_nationkey").alias("n_distinct_check"),
     )
+
+
+@query(
+    "agg_mode",
+    family="aggregations",
+    oracle="""
+WITH c AS (
+    SELECT l_returnflag, l_quantity, count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_quantity
+)
+SELECT l_returnflag,
+       max_by(l_quantity,
+              cnt * 1048576 - CAST(l_quantity * 100 AS BIGINT)) AS mode_qty,
+       max(cnt) AS mode_count
+FROM c
+GROUP BY l_returnflag
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, smallest value on tie).
+
+    Native ``mode()`` is tie-arbitrary in BOTH engines, so this uses
+    the agg_minmax_by composite-key pattern instead: count the value
+    frequencies, then argmax over an exact BIGINT key
+    ``cnt * 2^20 - value_scaled`` — count dominates, the subtracted
+    2dp-scaled value (< 2^20) breaks ties toward the SMALLEST value.
+    Two partial-aggregating hash shuffles ((group, value), then group);
+    no sort, no window — the shape that scales: a window-rank mode
+    would sort every group, this folds.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    key = F.col("cnt") * F.lit(1048576) - F.round(
+        F.col("l_quantity") * 100
+    ).cast("long")
+    return counts.groupBy("l_returnflag").agg(
+        F.max_by("l_quantity", key).alias("mode_qty"),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+@query(
+    "agg_median",
+    family="aggregations",
+    oracle="""
+SELECT l_linestatus,
+       round(median(l_extendedprice), 6) AS median_price,
+       round(median(l_quantity), 6) AS median_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (interpolated at even cardinality).
+
+    Both engines interpolate (a+b)/2 on the same sorted doubles —
+    bit-identical, rounded 6 dp for safety. Exact medians need the
+    group's values materialized per group (Spark plans ObjectHashAgg
+    over a percentile buffer); at 100 TB prefer approx_percentile(0.5)
+    (t-digest-ish sketch: one pass, mergeable, bounded memory) unless
+    exactness is contractual — same trade agg_percentile documents.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -531,3 +531,139 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_T)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+SUBSTR_K = 8  # duplicated-substring window, in tokens
+
+_DUCK_SUBSTR = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g0 AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {SUBSTR_K - 1})) AS i
+        FROM w WHERE len(ws) >= {SUBSTR_K}
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(ws[i:i+{SUBSTR_K - 1}], ' ') AS gram
+        FROM g0
+    ),
+    c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+    d AS (SELECT doc_id, pos FROM g JOIN c USING (gram) WHERE cnt >= 2),
+    i1 AS (
+        SELECT doc_id, pos,
+               max(pos + {SUBSTR_K}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM d
+    ),
+    i2 AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END
+                   AS new_island
+        FROM i1
+    ),
+    i3 AS (
+        SELECT doc_id, pos,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM i2
+    ),
+    sp AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + {SUBSTR_K} AS e
+        FROM i3 GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_tokens
+        FROM sp GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           round(coalesce(dup_tokens, 0) * 1.0 / len(ws), 6) AS dup_frac
+    FROM w LEFT JOIN per_doc ON w.doc_id = per_doc.doc_id
+"""
+
+
+@query("llm_dedup_substring", family="llm", oracle=_DUCK_SUBSTR)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection (the RefinedWeb / Lee et
+    al. 2022 modality the pair-level dedups miss): any k-token window
+    occurring ≥2 times anywhere in the corpus (cross-doc or self-
+    repeat) marks its positions duplicated; overlapping marked windows
+    merge into maximal spans per doc. Output per doc: span count,
+    duplicated-token mass, and the duplicated fraction a trainer would
+    clip or drop.
+
+    Suffix arrays give the same answer for "≥ k-token repeats" with
+    k-gram granularity — and k-grams, unlike a suffix array, need no
+    global sorted structure: the corpus-wide repeat test is one
+    hash-shuffle of (gram → count), exactly as distributable as the
+    shingle index. Span merge is the classic gaps-and-islands: running
+    max of window-end over the per-doc position order, island ids from
+    gap breaks, one window + one aggregate — all partitioned by doc.
+
+    Plan: gram arrays are built in-row and PERSISTED before explode
+    (Generate re-evaluation trap, see llm_dedup_ngram); the gram
+    frequency is a co-partitioned window count over the postings
+    shuffle. Grams join/shuffle as raw strings here for oracle parity;
+    at 100 TB shuffle xxhash64(gram) instead (8-byte keys, collision
+    odds negligible) — the same trade llm_dedup_ngram documents.
+    """
+    grams_expr = (
+        f"CASE WHEN size(_w) >= {SUBSTR_K} THEN "
+        f"transform(sequence(1, size(_w) - {SUBSTR_K - 1}), "
+        f"i -> struct(i - 1 AS pos, concat_ws(' ', slice(_w, i, {SUBSTR_K})) AS gram)) "
+        "ELSE array() END"
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("_w")
+    )
+    sized = docs.select("doc_id", F.size("_w").alias("n_tokens"))
+    gr = docs.select("doc_id", F.expr(grams_expr).alias("_g")).persist()
+    posting = (
+        gr.select("doc_id", F.explode("_g").alias("g"))
+        .select("doc_id", "g.pos", "g.gram")
+        .repartition(spark.sparkContext.defaultParallelism, "gram")
+    )
+    dup = (
+        posting.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dup.withColumn("prev_end", F.max(F.col("pos") + SUBSTR_K).over(w_run))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_cum))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + SUBSTR_K).alias("e"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+    )
+    return (
+        sized.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )

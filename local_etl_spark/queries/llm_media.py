@@ -38,20 +38,22 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("llm_media_decode", family="llm", oracle=None)
 def llm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched media decode over synthesized payloads (stub
-    kernel, real mapInPandas plumbing — multimodal/columns.py).
-    Rows-only: the kernel output isn't SQL-expressible."""
+    """Arrow-batched media decode: REAL container parsing (PPM / WAV /
+    Y4M magic-sniff + header grammar + pixel/sample/frame stats) inside
+    mapInPandas — multimodal/columns.py. Rows-only: the kernel output
+    isn't SQL-expressible; tests/test_llm_media_text.py cross-checks
+    every decoded field against a driver-side reference parse."""
     media = synthesize_media(t(spark, sf_dir, "documents"))
     return decode_media(media)
 
 
 @query("llm_media_framesample", family="llm", oracle=None)
 def llm_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling over the synthesized media table: one row
-    per sampled frame index (stub kernel, real explode-shaped
-    mapInPandas plumbing — multimodal/columns.py frame_sample; pytest
-    ground truth in tests/test_llm_media_text.py). Rows-only: the
-    sampled-frame fan-out isn't SQL-expressible."""
+    """Video frame sampling over the media table: a real Y4M stream
+    walk emitting one row per sampled frame with the sha1 of that
+    frame's actual YUV bytes (multimodal/columns.py frame_sample;
+    pytest ground truth in tests/test_llm_media_text.py). Rows-only:
+    the sampled-frame fan-out isn't SQL-expressible."""
     from local_etl_spark.multimodal.columns import frame_sample
 
     media = synthesize_media(t(spark, sf_dir, "documents"))

@@ -4,9 +4,10 @@ The testdata star schema is TPC-H-shaped but slimmer — no ``partsupp``
 table and several columns (l_commitdate/l_receiptdate, l_shipmode,
 p_container, c_phone, *_comment) are absent. This module carries every
 TPC-H query expressible on the available columns, adapted minimally and
-documented per query. Q2/Q11 (partsupp-central) have no faithful
-adaptation and are omitted; Q1 and Q3 already exist as ``agg_groupby``
-and ``sql_q3``.
+documented per query. Q2/Q11 (partsupp-central) are restated as
+``sql_q2a``/``sql_q11a`` over a lineitem-derived part-supplier relation
+(unit price as supply cost / shipped value as stock value); Q1 and Q3
+already exist as ``agg_groupby`` and ``sql_q3``.
 
 Each query follows the sql_q3 pattern: ONE dialect-neutral SQL text
 executed by BOTH engines (spark.sql and the DuckDB oracle), so the
@@ -322,6 +323,56 @@ ORDER BY cntrycode
 """
 
 
+_Q2A = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(supplycost, 6) AS supplycost
+FROM part
+JOIN ps       ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size = 15
+  AND r_name = 'EUROPE'
+  AND supplycost = (
+    SELECT min(ps2.supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+_Q11A = """
+WITH value_by_part AS (
+  SELECT l_partkey,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+              AS DECIMAL(28,6)) AS DOUBLE) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, part_value
+FROM value_by_part
+WHERE part_value > (
+  SELECT CAST(CAST(sum(CAST(part_value AS DECIMAL(18,6)))
+         AS DECIMAL(28,6)) AS DOUBLE) * 0.001
+  FROM value_by_part
+)
+ORDER BY part_value DESC, partkey
+"""
+
+
 def _sql_query(name: str, sql: str, doc: str):
     def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
         register_views(spark, sf_dir)
@@ -334,6 +385,29 @@ def _sql_query(name: str, sql: str, doc: str):
     return query(name, family="sql", oracle=sql)(run)
 
 
+sql_q2a = _sql_query(
+    "sql_q2a",
+    _Q2A,
+    "TPC-H Q2 (minimum-cost supplier) restated without partsupp: the "
+    "part-supplier relation and its supply cost derive from lineitem "
+    "(min unit price = l_extendedprice / l_quantity a supplier ever "
+    "charged for the part). Keeps Q2's signature correlated-min "
+    "subquery over the regional supplier pool (decorrelates to an "
+    "aggregate + join), the 5-table dimension star, and the top-100 "
+    "acctbal ordering. Unit prices divide bit-identically in both "
+    "engines (IEEE doubles); min is order-independent, so the "
+    "cost-equality correlation is deterministic.",
+)
+sql_q11a = _sql_query(
+    "sql_q11a",
+    _Q11A,
+    "TPC-H Q11 (important stock) restated without partsupp: per-part "
+    "'stock value' = decimal sum of one nation's shipped line revenue, "
+    "kept when above 0.1% of that nation's total (Q11's "
+    "fraction-of-global-sum HAVING shape, as a scalar subquery over "
+    "the same CTE). Two-phase decimal discipline keeps the threshold "
+    "comparison bit-identical across engines.",
+)
 sql_q4 = _sql_query(
     "sql_q4",
     _Q4,

@@ -19,38 +19,80 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_media_decode_roundtrip(spark):
-    """Decoded header fields must equal the generator's arithmetic and
-    the body checksum must match the source text bytes."""
+    """The decoder must recover, from the BYTES ALONE (container magic
+    + header grammar), exactly the geometry the generator embedded —
+    and the local pure-Python reference decode of the same payload must
+    agree field-for-field."""
+    from local_etl_spark.multimodal.columns import (
+        _gen_payload,
+        decode_payload,
+        media_dims,
+    )
+
     docs = table(spark, SF, "documents").limit(50)
     decoded = {r["doc_id"]: r for r in decode_media(synthesize_media(docs)).collect()}
     for r in docs.select("doc_id", "text").collect():
         d = decoded[r["doc_id"]]
-        assert d["width"] == r["doc_id"] % 512 + 16
-        assert d["height"] == r["doc_id"] % 384 + 16
-        assert d["channels"] == r["doc_id"] % 3 + 1
-        assert d["n_bytes"] == len(r["text"].encode())
-        assert d["body_sha"] == hashlib.sha1(r["text"].encode()).hexdigest()
+        dims = media_dims(r["doc_id"])
+        assert d["modality"] == dims["modality"]
+        if dims["modality"] == "image":
+            assert (d["format"], d["width"], d["height"], d["channels"]) == (
+                "ppm", dims["img_w"], dims["img_h"], 3,
+            )
+            assert d["n_units"] == dims["img_w"] * dims["img_h"]
+        elif dims["modality"] == "audio":
+            assert (d["format"], d["width"], d["height"], d["channels"]) == (
+                "wav", 8000, 16, 1,
+            )
+            assert d["n_units"] == dims["n_samples"]
+        else:
+            assert (d["format"], d["width"], d["height"], d["channels"]) == (
+                "y4m", dims["vid_w"], dims["vid_h"], 3,
+            )
+            assert d["n_units"] == dims["n_frames"]
+        # cross-check against a driver-side reference decode
+        _, payload = _gen_payload(r["doc_id"], r["text"])
+        ref = decode_payload(payload)
+        assert d["payload_sha"] == hashlib.sha1(payload).hexdigest()
+        assert d["n_bytes"] == len(payload)
+        assert d["mean_val"] == pytest.approx(ref["mean_val"], abs=1e-12)
 
 
-def test_real_kernel_is_explicit_stub(spark):
-    docs = table(spark, SF, "documents").limit(1)
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        decode_media(synthesize_media(docs), use_real_kernel=True).collect()
+def test_decoder_rejects_garbage():
+    from local_etl_spark.multimodal.columns import decode_payload
+
+    with pytest.raises(ValueError):
+        decode_payload(b"GIF89a not a supported container")
 
 
 def test_frame_sample_shape(spark):
+    """Sampled frame indexes follow the real Y4M frame walk, and each
+    emitted frame_sha matches the sha1 of that frame's actual bytes."""
+    from local_etl_spark.multimodal.columns import _gen_payload, media_dims
+
     docs = table(spark, SF, "documents").limit(30)
     fs = frame_sample(synthesize_media(docs), every_n=10)
-    rows = fs.collect()
     per_doc = {}
-    for r in rows:
-        per_doc.setdefault((r["doc_id"], r["modality"]), []).append(r["frame_idx"])
-    for (doc_id, modality), idxs in per_doc.items():
+    for r in fs.collect():
+        per_doc.setdefault((r["doc_id"], r["modality"]), []).append(
+            (r["frame_idx"], r["frame_sha"])
+        )
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for (doc_id, modality), rows in per_doc.items():
+        idxs = sorted(i for i, _ in rows)
+        dims = media_dims(doc_id)
         if modality == "video":
-            n_frames = doc_id % 384 + 16
-            assert sorted(idxs) == list(range(0, n_frames, 10))
+            assert idxs == list(range(0, dims["n_frames"], 10))
+            # verify one sampled frame's bytes end-to-end
+            _, payload = _gen_payload(doc_id, texts[doc_id])
+            nl = payload.index(b"\n")
+            flen = dims["vid_w"] * dims["vid_h"] * 3 // 2
+            first = payload[nl + 1 + 6 : nl + 1 + 6 + flen]  # skip "FRAME\n"
+            sha0 = dict(rows)[0]
+            assert sha0 == hashlib.sha1(first).hexdigest()
         else:
-            assert idxs == [0]
+            _, payload = _gen_payload(doc_id, texts[doc_id])
+            assert rows == [(0, hashlib.sha1(payload).hexdigest())]
 
 
 def test_fingerprint_near_dups_share(spark):

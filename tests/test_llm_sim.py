@@ -9,8 +9,9 @@ SF = "/root/testdata/sf0.01"
 
 def test_ivf_recall_and_exactness(spark):
     """IVF probe must (a) return exact scores for what it returns and
-    (b) recall at least half of the true top-10 with 4/16 cells probed
-    on ~uniform vectors."""
+    (b) recall ≥0.8 of the true top-10 with 4/16 trained spherical
+    k-means cells probed (measured 0.9 at sf0.001 and sf0.01 — trained
+    cells vs the old seed-vector stand-ins lifted this from ~0.5)."""
     exact = {
         r["vec_id"]: r["score"]
         for r in get("llm_simsearch").fn(spark, SF).collect()
@@ -23,7 +24,7 @@ def test_ivf_recall_and_exactness(spark):
         if vid in exact:
             assert score == exact[vid]
     recall = len(set(approx) & set(exact)) / len(exact)
-    assert recall >= 0.5, f"IVF recall {recall}"
+    assert recall >= 0.8, f"IVF recall {recall}"
 
 
 def test_knn_join_k_per_query(spark):
