@@ -128,10 +128,26 @@ def llm_dedup_ngram(
     ``df_cap`` (stop-shingles) are dropped BEFORE the self-join — the
     join's output is Σ min(df, cap)² instead of Σ df², which is the
     difference between bounded fan-out and a quadratic blow-up on the
-    hottest shingle at 100 TB. shuffle 2: candidate pairs from the
-    capped join, deduplicated, then verified with exact Jaccard over
-    the full (uncapped) shingle arrays, so every reported score is
-    exact regardless of the cap.
+    hottest shingle at 100 TB. shuffle 2: per-pair shared-RARE-shingle
+    counts from the capped join. Pairs then split into two branches on
+    each side's hot-shingle count (a tiny per-doc aggregate):
+
+      - both docs hot-free (the overwhelming mass on any corpus, ALL
+        pairs here): shared_rare IS the full intersection, so Jaccard
+        comes straight from the counts — no second look at the arrays.
+        This is the r1 inverted-index fast path, unchanged (an earlier
+        draft verified EVERY candidate against full shingle arrays;
+        shipping ~1M candidate pairs each dragging two ~100-element
+        string arrays through a shuffle took 15s where the count path
+        takes 1.3s at sf0.1 — an 11x regression for zero extra
+        exactness on a cap-inert corpus).
+      - either doc touches a capped shingle: an upper-bound prefilter
+        (shared_rare + min(hot_a, hot_b) achievable intersection)
+        discards hopeless pairs, survivors get exact Jaccard from the
+        full (uncapped) arrays. Array verification is therefore pay-
+        per-hot-pair, never corpus-wide.
+
+    Every reported score is exact regardless of the cap.
 
     Semantics of the cap: a pair qualifies only if it shares ≥1 shingle
     with df ≤ cap. On this corpus (max df 25 at 5000 docs) the cap is
@@ -175,27 +191,83 @@ def llm_dedup_ngram(
         .select("doc_id", F.xxhash64("_s").alias("s"))
         .repartition(spark.sparkContext.defaultParallelism, "s")
     )
-    rare = posting.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
-    ).filter(F.col("df") <= df_cap).select("doc_id", "s")
-    cand = (
+    posting = posting.persist()
+    # stop-shingle list: one co-partitioned hash agg over the postings
+    # exchange (8-byte keys, partial agg — no sort; a count-over-window
+    # df here cost an extra ~1.5s at sf0.1 from the within-partition
+    # sort), filtered to the heavy hitters. By construction the list is
+    # bounded by n_postings/cap — a vanishing fraction of distinct
+    # shingles — and both joins against it are co-partitioned on s, so
+    # no new shuffle either way.
+    hot_shingles = (
+        posting.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
+    )
+    rare = posting.join(hot_shingles, "s", "left_anti").select("doc_id", "s")
+    # per-doc count of CAPPED shingles (zero rows on a cap-inert
+    # corpus) — decides which branch a pair takes
+    hot = (
+        posting.join(hot_shingles, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    pairs = (
         rare.alias("a")
         .join(rare.alias("b"), "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .dropDuplicates(["d1", "d2"])
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared_rare"))
+    )
+    counts = (
+        sized.select("doc_id", "n")
+        .join(hot, "doc_id", "left")
+        .select("doc_id", "n", F.coalesce("h", F.lit(0)).alias("h"))
+    )
+    # persisted: BOTH branches filter this relation — without the cache
+    # the expensive pair aggregation above would execute once per branch
+    joined = pairs.join(
+        counts.select(
+            F.col("doc_id").alias("d1"), F.col("n").alias("na"), F.col("h").alias("ha")
+        ),
+        "d1",
+    ).join(
+        counts.select(
+            F.col("doc_id").alias("d2"), F.col("n").alias("nb"), F.col("h").alias("hb")
+        ),
+        "d2",
+    ).persist()
+    # branch 1: hot-free pairs — shared_rare is the exact intersection
+    jac_exact = F.col("shared_rare") / (
+        F.col("na") + F.col("nb") - F.col("shared_rare")
+    )
+    exact = (
+        joined.filter((F.col("ha") == 0) & (F.col("hb") == 0))
+        .filter(jac_exact >= JACCARD_T)
+        .select("d1", "d2", F.round(jac_exact, 6).alias("jaccard"))
+    )
+    # branch 2: pairs touching capped shingles — upper-bound prune,
+    # then exact Jaccard on the full arrays
+    max_inter = F.col("shared_rare") + F.least("ha", "hb")
+    jac_ub = max_inter / (F.col("na") + F.col("nb") - max_inter)
+    cand = (
+        joined.filter((F.col("ha") > 0) | (F.col("hb") > 0))
+        .filter(jac_ub >= JACCARD_T)
+        .select("d1", "d2")
     )
     sa = sized.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sa"))
     sb = sized.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     uni = F.size(F.array_union("sa", "sb"))
-    jac = inter / uni
-    return (
+    jac_full = inter / uni
+    verified = (
         cand.join(sa, "d1")
         .join(sb, "d2")
-        .filter(jac >= JACCARD_T)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .filter(jac_full >= JACCARD_T)
+        .select("d1", "d2", F.round(jac_full, 6).alias("jaccard"))
     )
+    return exact.union(verified)
 
 
 def _minhash_col(i: int) -> Column:

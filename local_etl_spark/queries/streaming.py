@@ -150,3 +150,28 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming twin: core.click_attribution under Structured Streaming
     with state-evicting event-time bounds; tests/test_streaming.py)."""
     return core.click_attribution(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_semi_join",
+    family="streaming",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts > p.ts - INTERVAL 1 HOUR
+          AND c.ts <= p.ts
+      )
+    """,
+)
+def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI join (converted purchases),
+    batch-checked against the decorrelated-EXISTS oracle (streaming
+    twin: core.attributed_purchases; tests/test_streaming.py asserts
+    stream == batch under append mode)."""
+    return core.attributed_purchases(t(spark, sf_dir, "events"))

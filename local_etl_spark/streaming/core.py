@@ -237,3 +237,46 @@ def click_attribution(events: DataFrame, watermark: str | None = None) -> DataFr
     return purchases.join(clicks, cond, "inner").select(
         "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"
     )
+
+
+def attributed_purchases(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Stream-stream LEFT SEMI join: purchases that had ≥1 click by the
+    same user in the preceding hour — the attribution FILTER (who
+    converted) where click_attribution is the attribution FAN-OUT
+    (which clicks converted them).
+
+    Streaming mode: watermarked left-semi stream-stream join — the
+    purchase side emits each row at most ONCE on first match (no
+    duplicate purchases when several clicks qualify), clicks buffer in
+    the state store and evict once the purchase watermark passes their
+    match horizon; same state bound as the inner join,
+    (watermark + lookback). Batch mode: the identical left_semi join
+    expression; DuckDB oracle is the equivalent EXISTS (semi join IS
+    decorrelated EXISTS — both engines plan it that way).
+
+    Scale: like the inner variant, one shuffle of each side on user_id;
+    semi joins additionally stop probing a key group at first match and
+    never replicate the build side into the output — strictly cheaper
+    than inner + distinct, which is the plan this operator replaces.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    if _is_streaming(events):
+        wm = watermark or "2 hours"
+        purchases = purchases.withWatermark("purchase_ts", wm)
+        clicks = clicks.withWatermark("click_ts", wm)
+    cond = (
+        (purchases.user_id == clicks.click_user)
+        & (clicks.click_ts > purchases.purchase_ts - F.expr(f"INTERVAL {LOOKBACK}"))
+        & (clicks.click_ts <= purchases.purchase_ts)
+    )
+    return purchases.join(clicks, cond, "left_semi").select(
+        "purchase_id", "user_id", "purchase_ts"
+    )

@@ -111,8 +111,11 @@ def src(spark, tmp_path_factory):
         # so no match is evicted before pairing — append output equals
         # the batch interval join exactly
         (core.click_attribution, "append"),
+        # left-semi stream-stream join: purchase emitted at most once on
+        # first qualifying click; same watermark >= lookback contract
+        (core.attributed_purchases, "append"),
     ],
-    ids=["tumbling", "sliding", "session", "dedup", "ss_join"],
+    ids=["tumbling", "sliding", "session", "dedup", "ss_join", "ss_semi"],
 )
 def test_stream_equals_batch(spark, src, tmp_path, fn, mode):
     name = f"mem_{fn.__name__}"
