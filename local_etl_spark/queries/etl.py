@@ -459,3 +459,71 @@ def etl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+@query(
+    "etl_profile",
+    family="etl",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n, count(o_orderkey) AS n_nonnull,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           round((count(*) - count(o_orderkey)) * 1.0 / count(*), 6) AS null_frac
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey),
+           count(DISTINCT o_custkey),
+           round((count(*) - count(o_custkey)) * 1.0 / count(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round((count(*) - count(o_totalprice)) * 1.0 / count(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           round((count(*) - count(o_orderstatus)) * 1.0 / count(*), 6)
+    FROM orders
+    """,
+)
+def etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile: per-column row count, non-null
+    count, exact distinct count, null fraction — the DQ report every
+    ingestion gate runs before accepting a batch.
+
+    ONE scan computes every column's stats as parallel aggregates
+    (count(DISTINCT a), count(DISTINCT b), ... expand into Spark's
+    multi-distinct aggregate plan), then an in-row struct explode melts
+    the 1-row wide result into the long (col, stats) report — vs the
+    naive one-scan-per-column loop the oracle spells out (the 100 TB
+    difference: 1 pass, not n_cols passes). Type-specific min/max are
+    deliberately excluded: a heterogeneous report column would force
+    everything through strings, and numeric-to-string rendering is not
+    cross-engine-stable.
+    """
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n").alias("n"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.round(
+                    (F.col("n") - F.col(f"nn_{c}")) / F.col("n"), 6
+                ).alias("null_frac"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(entries).alias("e")).select(
+        "e.col", "e.n", "e.n_nonnull", "e.n_distinct", "e.null_frac"
+    )

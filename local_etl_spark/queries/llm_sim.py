@@ -357,3 +357,80 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .select("cell", "n_members", F.round(F.expr(norm_expr), 4).alias("centroid_norm"))
     )
+
+
+@query(
+    "llm_embed_quantize",
+    family="llm",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id,
+               embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS ma
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, embedding, ma,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5)
+                        AS BIGINT)) AS qv
+        FROM m
+    )
+    SELECT vec_id,
+           round(ma / 127.0, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           round(list_sum(list_transform(list_zip(embedding, qv),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * ma / 127.0)
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * ma / 127.0)))
+                 / len(embedding), 9) AS mse
+    FROM q
+    """,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the storage/serving trade
+    every vector store makes: 4x smaller, ~1e-5 MSE): per-vector
+    absmax scale, q = round(x·127/absmax), plus the reconstruction-MSE
+    audit column a pipeline gates on before swapping in quantized
+    vectors.
+
+    All math is in-row JVM folds — quantizing 100 TB of embeddings is a
+    map-only pass. Determinism: round-half-up via floor(x+0.5) (both
+    engines' floor is exact on doubles; native round() differs in
+    half-even vs half-away modes), squared error via explicit multiply
+    (pow() routes through libm), sequential fold order identical to
+    DuckDB's list_sum. The int8 range witness (q_min/q_max ∈ [-127,
+    127]) and q_sum stand in for the array itself (canon-safe scalars).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    staged = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("ma"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "ma",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma"
+            " + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    sq_err = (
+        "aggregate(zip_with(embedding, qv, (x, q) ->"
+        " (CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * ma / 127.0)"
+        " * (CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * ma / 127.0)),"
+        " CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    return staged.select(
+        "vec_id",
+        F.round(F.col("ma") / 127.0, 6).alias("scale"),
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + v)").alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.round(F.expr(sq_err) / F.size("embedding"), 9).alias("mse"),
+    )

@@ -368,3 +368,126 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
     )
+
+
+@query(
+    "scan_parquet_evolve",
+    family="scans",
+    oracle="""
+    SELECT o_orderpriority, coalesce(o_orderstatus, 'UNKNOWN') AS status,
+           count(*) AS n, sum(o_orderkey) AS key_sum
+    FROM (
+      SELECT o_orderkey, o_orderpriority, NULL AS o_orderstatus
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, o_orderstatus
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    GROUP BY 1, 2
+    """,
+)
+def scan_parquet_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet batches written under one
+    dataset with DIFFERENT schemas (the later batch adds
+    ``o_orderstatus`` — the additive-column evolution every long-lived
+    lake accumulates), read back through ``mergeSchema`` so old files
+    surface NULL for the new column. The oracle re-derives
+    union-by-name semantics from the base table, so the check proves
+    Spark's merged read equals the declarative spec.
+
+    Scale note: mergeSchema reads every file footer at planning time —
+    fine per-batch, expensive across millions of files; production
+    lakes pin the merged schema in a metastore/table format and read
+    WITHOUT mergeSchema. The operator demonstrates the semantics; the
+    docs carry the deployment caveat.
+    """
+    orders = t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    v1 = _materialize(
+        orders.filter(F.col("o_orderdate") < cut).select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        _cache_dir(sf_dir, "orders_evolve/v1"),
+        "parquet",
+    )
+    v2 = _materialize(
+        orders.filter(F.col("o_orderdate") >= cut).select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus"
+        ),
+        _cache_dir(sf_dir, "orders_evolve/v2"),
+        "parquet",
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return back.groupBy(
+        "o_orderpriority",
+        F.coalesce("o_orderstatus", F.lit("UNKNOWN")).alias("status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+N_CORRUPT_LINES = 3
+
+
+@query(
+    "scan_csv_malformed",
+    family="scans",
+    oracle=f"""
+    SELECT count(*) AS n_valid,
+           CAST({N_CORRUPT_LINES} AS BIGINT) AS n_corrupt,
+           sum(n_nationkey) AS key_sum,
+           count(DISTINCT n_regionkey) AS n_regions
+    FROM nation
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV scan over a file with injected corrupt lines:
+    malformed rows land in ``_corrupt_record`` (null data columns)
+    instead of failing the scan — the ingestion posture any large
+    pipeline needs (count + quarantine bad rows, never abort a 100 TB
+    job for one truncated line). The output reconciles: valid rows
+    equal the clean source exactly, corrupt count equals the injected
+    line count.
+
+    Same reader contract the reference needed for its corrupt-JSON
+    files (main.py json.load uncaught crash — SURVEY §2.2 R1): the
+    engine's declarative answer is mode=PERMISSIVE + corrupt-record
+    routing rather than a per-file try/except.
+    """
+    clean = _materialize(
+        t(spark, sf_dir, "nation"),
+        _cache_dir(sf_dir, "nation_csv_malformed"),
+        "csv",
+        header="true",
+    )
+    bad_file = os.path.join(clean, "zz_corrupt.csv")
+    if not os.path.exists(bad_file):
+        with open(bad_file, "w") as f:
+            f.write("n_nationkey,n_name,n_regionkey\n")
+            f.write("not_an_int,BROKEN,also_bad\n")
+            f.write('12,"unterminated quote,1\n')
+            f.write("99,TOO,MANY,COLUMNS,HERE\n")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(clean)
+        .cache()  # SPARK-21610: corrupt-record column needs the raw row retained
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.count(F.when(~bad, 1)).alias("n_valid"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("n_nationkey"))).alias("key_sum"),
+        F.countDistinct(F.when(~bad, F.col("n_regionkey"))).alias("n_regions"),
+    )

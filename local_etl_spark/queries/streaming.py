@@ -175,3 +175,24 @@ def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin: core.attributed_purchases; tests/test_streaming.py asserts
     stream == batch under append mode)."""
     return core.attributed_purchases(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_outer_join",
+    family="streaming",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join (every
+    purchase, attributed or null-extended), batch-checked (streaming
+    twin: core.click_attribution_outer; tests/test_streaming.py asserts
+    stream == batch up to the flushed watermark horizon)."""
+    return core.click_attribution_outer(t(spark, sf_dir, "events"))

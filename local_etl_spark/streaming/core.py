@@ -280,3 +280,43 @@ def attributed_purchases(events: DataFrame, watermark: str | None = None) -> Dat
     return purchases.join(clicks, cond, "left_semi").select(
         "purchase_id", "user_id", "purchase_ts"
     )
+
+
+def click_attribution_outer(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, with its
+    attributing clicks where they exist and NULL click columns where
+    none do — the shape reporting needs (conversion rate wants the
+    unconverted rows too).
+
+    Streaming mode: watermarked left-outer stream-stream join. Matched
+    rows emit like the inner join; a NULL-extended row for an unmatched
+    purchase emits only once BOTH watermarks pass the purchase's match
+    horizon (the engine must prove no future click can match before it
+    may say "none did") — so outer results trail the watermark, and a
+    batch-parity check must cut at the flushed horizon
+    (tests/test_streaming.py::test_outer_join_equals_batch).
+    Batch mode: the identical left_outer join expression. State bound:
+    (watermark + lookback), same as the inner variant.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    if _is_streaming(events):
+        wm = watermark or "2 hours"
+        purchases = purchases.withWatermark("purchase_ts", wm)
+        clicks = clicks.withWatermark("click_ts", wm)
+    cond = (
+        (purchases.user_id == clicks.click_user)
+        & (clicks.click_ts > purchases.purchase_ts - F.expr(f"INTERVAL {LOOKBACK}"))
+        & (clicks.click_ts <= purchases.purchase_ts)
+    )
+    return purchases.join(clicks, cond, "left_outer").select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"
+    )

@@ -198,3 +198,56 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert (
         sum(r[2] for r in got if r[0].hour == 1 and r[1] == "click") == 1
     )
+
+
+def test_outer_join_equals_batch(spark, tmp_path):
+    """Left-outer stream-stream join: matched rows emit like the inner
+    join; NULL-extended rows emit only after both watermarks pass the
+    purchase's match horizon. A far-future purchase+click pair flushes
+    the watermarks; up to that cutoff the append-mode output must equal
+    the batch left-outer join exactly."""
+    chunks = [
+        [
+            (0, "2024-01-01 01:00:00.000000", 1, "click", 1.0, "{}"),
+            (1, "2024-01-01 01:30:00.000000", 1, "purchase", 5.0, "{}"),
+            (2, "2024-01-01 02:00:00.000000", 2, "purchase", 7.0, "{}"),  # no click
+        ],
+        [
+            (3, "2024-01-01 03:00:00.000000", 2, "click", 1.0, "{}"),
+            (4, "2024-01-01 03:10:00.000000", 2, "purchase", 9.0, "{}"),  # attributed to 3
+        ],
+        [
+            (5, "2024-01-05 00:00:00.000000", 9, "purchase", 0.0, "{}"),  # flush
+            (6, "2024-01-05 00:00:01.000000", 9, "click", 0.0, "{}"),
+        ],
+    ]
+    src = tmp_path / "outer_src"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(chunks):
+        p = src / f"c{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(cols, r))) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    _run_to_memory(
+        core.click_attribution_outer(_read_stream(spark, str(src))),
+        "mem_outer",
+        tmp_path,
+        "append",
+    )
+    cut = F.lit("2024-01-04").cast("timestamp")
+    got = _canon(spark.table("mem_outer").filter(F.col("purchase_ts") < cut))
+    want = _canon(
+        core.click_attribution_outer(_batch_events(spark, str(src))).filter(
+            F.col("purchase_ts") < cut
+        )
+    )
+    assert got == want
+    # the unconverted purchase really is null-extended, not dropped,
+    # and the late-window purchase 4 matched click 3 (in its lookback)
+    rows = spark.table("mem_outer").collect()
+    nulls = {r["purchase_id"] for r in rows if r["click_id"] is None}
+    assert 2 in nulls
+    assert {r["click_id"] for r in rows if r["purchase_id"] == 4} == {3}
