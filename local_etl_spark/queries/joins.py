@@ -420,3 +420,87 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_key")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "join_scd2_pit",
+    family="joins",
+    oracle="""
+    WITH dim AS (
+        SELECT o_custkey AS custkey,
+               CAST(o_totalprice AS DOUBLE) AS attr_totalprice,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS valid_to,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS version_no
+        FROM orders
+    ),
+    fact AS (
+        SELECT l_orderkey, l_linenumber, o_custkey AS custkey, l_shipdate,
+               l_quantity
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT version_no, count(*) AS n_lines,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS qty,
+           CAST(CAST(sum(CAST(attr_totalprice AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS attr_sum
+    FROM fact
+    JOIN dim ON fact.custkey = dim.custkey
+            AND fact.l_shipdate >= dim.valid_from
+            AND (dim.valid_to IS NULL OR fact.l_shipdate < dim.valid_to)
+    GROUP BY version_no
+    """,
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup against an SCD2 dimension: each
+    shipped line joins the customer-state VERSION that was valid at its
+    ship date — the consumption side of etl_scd2 (building history is
+    half the op; joining facts to the right version is why you built
+    it).
+
+    Plan shape: the version intervals partition each key's timeline, so
+    the interval predicate matches AT MOST ONE version per fact row —
+    an equi-join on custkey with the range residual evaluated inside
+    the matched key group. One shuffle per side on custkey, no
+    banding needed (unlike join_range_banded's arbitrary-overlap case)
+    because intervals within a key are disjoint by construction.
+    Summing per version keeps the checked result version-grained.
+    """
+    from local_etl_spark.queries.etl import etl_scd2
+
+    dim = etl_scd2(spark, sf_dir).select(
+        "custkey", "attr_totalprice", "valid_from", "valid_to", "version_no"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("custkey")
+    )
+    fact = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("custkey", "l_shipdate", "l_quantity")
+    )
+    cond = (
+        (fact.custkey == dim.custkey)
+        & (fact.l_shipdate >= dim.valid_from)
+        & (dim.valid_to.isNull() | (fact.l_shipdate < dim.valid_to))
+    )
+    return (
+        fact.join(dim, cond)
+        .groupBy("version_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("qty"),
+            F.sum(F.col("attr_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("attr_sum"),
+        )
+    )

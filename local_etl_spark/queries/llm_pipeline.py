@@ -334,3 +334,49 @@ def llm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+K_ANON = 5
+
+
+@query(
+    "llm_kanon_suppress",
+    family="llm",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, lang, source,
+               count(*) OVER (PARTITION BY lang, source) AS grp
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN grp >= {K_ANON} THEN lang ELSE '*' END AS lang_out,
+           CASE WHEN grp >= {K_ANON} THEN source ELSE '*' END AS source_out,
+           grp >= {K_ANON} AS k_ok
+    FROM g
+    """,
+)
+def llm_kanon_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression over quasi-identifiers: any (lang,
+    source) combination carried by fewer than k documents is
+    generalized to '*' before the metadata ships with a training
+    corpus — the release-gate privacy op (a rare combination IS an
+    identifier even with the text scrubbed; cf. llm_pii_scrub for
+    in-text redaction).
+
+    One count-over-window on the quasi-identifier key — a single
+    shuffle, co-partitioned with the suppression projection; at 100 TB
+    the equivalent groupBy+broadcast-join form trades the window sort
+    for a two-pass plan (group cardinality is small by definition), a
+    swap the optimizer hint system covers if profiles demand it.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    grp = F.count(F.lit(1)).over(Window.partitionBy("lang", "source"))
+    ok = F.col("grp") >= K_ANON
+    return docs.select("doc_id", "lang", "source", grp.alias("grp")).select(
+        "doc_id",
+        F.when(ok, F.col("lang")).otherwise("*").alias("lang_out"),
+        F.when(ok, F.col("source")).otherwise("*").alias("source_out"),
+        ok.alias("k_ok"),
+    )

