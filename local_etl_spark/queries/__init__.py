@@ -15,6 +15,7 @@ from local_etl_spark.queries import (  # noqa: F401
     llm_text,
     scans,
     sortset,
+    sql_advanced,
     sql_api,
     sql_tpch,
     streaming,

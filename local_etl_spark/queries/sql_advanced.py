@@ -1,0 +1,140 @@
+"""Advanced SQL front-door queries beyond the core TPC-H suite.
+
+Same contract as sql_tpch.py: ONE dialect-neutral SQL text executed by
+BOTH engines (spark.sql and the DuckDB oracle), so every check is pure
+engine-vs-engine semantics on identical query text.
+
+Contents:
+  - ``sql_q1``   — the canonical TPC-H Q1 text (the pricing summary
+    report; ``agg_groupby`` carries the same shape DataFrame-first, this
+    is the faithful SQL-text version completing the TPC-H suite).
+  - ``sql_q12a`` — TPC-H Q12 (shipping modes / order priority) restated
+    on the available columns: the shipmode classes become ship-delay
+    classes (testdata has no l_shipmode/l_commitdate/l_receiptdate).
+  - ``sql_window_rollup`` — windows OVER an aggregate: monthly revenue
+    with running cumulative total, 3-month moving average,
+    share-of-year, and month-over-month delta in one pass.
+
+Determinism follows the engine-wide policy (queries/_util.py): money
+math in exact DECIMAL, cast to DOUBLE only at the edge; window sums run
+over DECIMAL so frame-order cannot perturb a bit; every derived column
+aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from local_etl_spark.queries.sql_tpch import _sql_query
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(1 - l_discount AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(18,6))
+                          AS DECIMAL(18,6))
+                     * CAST(1 + l_tax AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) AS sum_charge,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) / count(*) AS avg_price,
+       CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_Q12A = """
+SELECT ship_class,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM (
+  SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+              THEN 'PROMPT' ELSE 'DELAYED' END AS ship_class,
+         o_orderpriority
+  FROM orders
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    AND l_shipdate < TIMESTAMP '2001-01-01'
+) line_classes
+GROUP BY ship_class
+ORDER BY ship_class
+"""
+
+_WINDOW_ROLLUP = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+              AS DECIMAL(28,6)) AS rev
+  FROM orders
+  GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT month,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(sum(rev) OVER (ORDER BY month
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           AS cum_revenue,
+       CAST(sum(rev) OVER (ORDER BY month
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS DOUBLE)
+           / count(*) OVER (ORDER BY month
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS ma3_revenue,
+       CAST(rev AS DOUBLE)
+           / CAST(sum(rev) OVER (PARTITION BY date_trunc('year', month))
+                  AS DOUBLE) AS share_of_year,
+       CAST(rev AS DOUBLE) - CAST(lag(rev) OVER (ORDER BY month)
+                                  AS DOUBLE) AS mom_delta
+FROM monthly
+ORDER BY month
+"""
+
+sql_q1 = _sql_query(
+    "sql_q1",
+    _Q1,
+    "TPC-H Q1 (pricing summary report), faithful text: the full "
+    "sum/avg battery over the quasi-whole lineitem scan. Every sum "
+    "runs in exact DECIMAL (the chained disc*tax product stays within "
+    "scale 6, so the (18,6) squeeze between the two multiplications "
+    "is exact); averages divide the identical exact sum by count(*), "
+    "making all eight aggregates bit-identical across engines and "
+    "partition orders. Plan: one scan (shipdate predicate pushed), "
+    "one partial+final hash aggregate on a 6-group key — the "
+    "archetypal map-side-combine query; at 100 TB it moves 6 rows per "
+    "task into the final agg.",
+)
+sql_q12a = _sql_query(
+    "sql_q12a",
+    _Q12A,
+    "TPC-H Q12 (shipping modes and order priority) restated without "
+    "l_shipmode/l_commitdate/l_receiptdate: lines in a one-year "
+    "shipdate window classify as PROMPT/DELAYED by ship delay vs "
+    "order date (<= 30 days), counting critical- vs normal-priority "
+    "orders per class — Q12's exact conditional-count-per-class "
+    "shape. count(CASE WHEN...) keeps BIGINT typing identical in "
+    "both engines. Plan: shipdate range pushes into the lineitem "
+    "scan; one shuffle join on orderkey; 2-group aggregate.",
+)
+sql_window_rollup = _sql_query(
+    "sql_window_rollup",
+    _WINDOW_ROLLUP,
+    "Windows over an aggregate (the reporting-rollup shape): monthly "
+    "order revenue with running cumulative total, 3-month moving "
+    "average, share-of-year, and month-over-month delta. The monthly "
+    "CTE aggregates first (one shuffle), then all four window "
+    "functions evaluate over the ~tens-of-rows monthly relation — "
+    "window sums stay in DECIMAL so frame evaluation order cannot "
+    "change a bit; the year share partitions by date_trunc of the "
+    "month key (no second shuffle of the base data). At 100 TB the "
+    "window input is the aggregate, never the fact table.",
+)

@@ -196,3 +196,61 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin: core.click_attribution_outer; tests/test_streaming.py asserts
     stream == batch up to the flushed watermark horizon)."""
     return core.click_attribution_outer(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_full_outer_join",
+    family="streaming",
+    oracle="""
+    SELECT p.purchase_id,
+           coalesce(p.user_id, c.user_id) AS user_id,
+           p.purchase_ts, c.click_id, c.click_ts
+    FROM (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.click_ts > p.purchase_ts - INTERVAL 1 HOUR
+     AND c.click_ts <= p.purchase_ts
+    """,
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join (matched
+    attributions + unconverted purchases + purchase-less clicks in one
+    result), batch-checked against the equivalent FULL JOIN (streaming
+    twin: core.click_attribution_full; tests/test_streaming.py asserts
+    stream == batch up to both flushed watermark horizons)."""
+    return core.click_attribution_full(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_chained_agg",
+    family="streaming",
+    oracle=f"""
+    WITH sub AS (
+        SELECT to_timestamp(floor(epoch(ts) / 900) * 900) AS w15,
+               event_type,
+               {_DSUM_SQL} AS sub_total,
+               count(*) AS sub_n
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT to_timestamp(floor(epoch(w15) / 3600) * 3600) AS win_start,
+           event_type,
+           CAST(sum(sub_n) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(sub_total AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS total_value,
+           max(sub_total) AS peak_15m,
+           count(*) AS n_subwindows
+    FROM sub
+    GROUP BY 1, 2
+    """,
+)
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful windowed aggregations in one query — 15-min
+    tumbling sums re-aggregated into 1-hour windows with peak sub-window
+    load (Spark 3.4+ chained time-window aggregation; streaming twin:
+    core.chained_window_agg, asserted stream == batch in
+    tests/test_streaming.py). The DuckDB oracle re-derives both window
+    levels from epoch-floor buckets."""
+    return core.chained_window_agg(t(spark, sf_dir, "events"))

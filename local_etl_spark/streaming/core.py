@@ -390,3 +390,109 @@ def user_totals_tws(events: DataFrame, watermark: str | None = None) -> DataFram
             timeMode="None",
         )
     )
+
+
+def click_attribution_full(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: every purchase AND every
+    click — matched pairs where attribution holds, a NULL-click row for
+    each unconverted purchase, and a NULL-purchase row for each click
+    that never led to a purchase within the lookback. The one-query
+    answer to "conversion rate AND wasted-click rate".
+
+    Streaming mode: Spark's watermarked full-outer stream-stream join
+    (supported since 3.1). Matched rows emit like the inner join; a
+    NULL-extended row on EITHER side emits only once both watermarks
+    pass that row's match horizon — a purchase can match clicks in
+    [purchase_ts - lookback, purchase_ts], a click can match purchases
+    in [click_ts, click_ts + lookback), so state for both sides evicts
+    at (watermark + lookback). Batch-parity tests must cut at the
+    flushed horizon on BOTH sides (null-extended clicks trail the
+    purchase watermark and vice versa).
+    Batch mode: the identical full_outer join expression; the DuckDB
+    oracle is the equivalent FULL JOIN.
+
+    Scale: one shuffle of each side on user_id (the equi component);
+    the interval residual evaluates inside key groups. State is
+    bounded, not stream-length: (watermark + lookback) per side.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    if _is_streaming(events):
+        wm = watermark or "2 hours"
+        purchases = purchases.withWatermark("purchase_ts", wm)
+        clicks = clicks.withWatermark("click_ts", wm)
+    cond = (
+        (purchases.purchase_user == clicks.click_user)
+        & (clicks.click_ts > purchases.purchase_ts - F.expr(f"INTERVAL {LOOKBACK}"))
+        & (clicks.click_ts <= purchases.purchase_ts)
+    )
+    return purchases.join(clicks, cond, "full_outer").select(
+        "purchase_id",
+        F.coalesce("purchase_user", "click_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+
+
+def chained_window_agg(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Two chained stateful windowed aggregations in ONE query: 15-min
+    tumbling (value sum per event_type) re-aggregated into 1-hour
+    windows carrying the peak and mean 15-min sub-window load — the
+    classic downsample-then-rollup telemetry shape.
+
+    Streaming mode: Spark 3.4+ chained time-window aggregation — the
+    second ``groupBy(window(window_col, ...))`` consumes the FIRST
+    aggregation's window struct directly (event-time propagates through
+    ``window_time``), so both stateful operators run in one streaming
+    query with one watermark. Before 3.4 this took two queries glued by
+    a sink. Batch mode: the identical plan; DuckDB oracle re-derives
+    both levels from epoch-floor buckets.
+
+    Determinism: sub-window sums use the exact-decimal fold; the
+    re-agg's max/avg read those already-exact doubles (hour max is
+    order-insensitive; the mean divides an exact decimal-backed sum by
+    a count), so both levels are bit-stable at any parallelism.
+
+    Scale: level 1 shuffles once on (window, event_type) behind a
+    partial agg; level 2 reuses the same hash partitioning (the hour
+    key is a function of the 15-min key — ENSURE_REQUIREMENTS inserts
+    no extra exchange on event_type-partitioned data) and reduces 4:1.
+    State per key is one row per live window — watermark-bounded.
+    """
+    sub = (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+        .agg(_dsum(F.col("value")).alias("sub_total"), F.count("*").alias("sub_n"))
+    )
+    return (
+        sub.groupBy(F.window("w15", "1 hour").alias("w60"), "event_type")
+        .agg(
+            F.sum("sub_n").alias("n_events"),
+            # sub_total is an exact decimal-valued double (scale 6); the
+            # cast back to DECIMAL recovers it exactly, so the hour sum
+            # is order-insensitive like every other money sum here
+            F.sum(F.col("sub_total").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("total_value"),
+            F.max("sub_total").alias("peak_15m"),
+            F.count("*").alias("n_subwindows"),
+        )
+        .select(
+            F.col("w60.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "peak_15m",
+            "n_subwindows",
+        )
+    )

@@ -295,3 +295,81 @@ def test_tws_totals_or_documented_gap(spark, src, tmp_path):
     }
     # integer-cents accumulator: exact equality, no float tolerance
     assert final == {u: (n, round(t, 2)) for u, (n, t) in want.items()}
+
+
+def test_full_outer_join_equals_batch(spark, tmp_path):
+    """Full-outer stream-stream join: matched rows emit like the inner
+    join; null-extended rows on EITHER side (unconverted purchase /
+    purchase-less click) emit only after both watermarks pass that
+    row's match horizon. Flush rows on both sides push the horizons;
+    up to the cutoff the append output must equal the batch FULL JOIN."""
+    chunks = [
+        [
+            (0, "2024-01-01 01:00:00.000000", 1, "click", 1.0, "{}"),
+            (1, "2024-01-01 01:30:00.000000", 1, "purchase", 5.0, "{}"),  # matched
+            (2, "2024-01-01 02:00:00.000000", 2, "purchase", 7.0, "{}"),  # no click
+            (3, "2024-01-01 02:30:00.000000", 3, "click", 1.0, "{}"),  # no purchase
+        ],
+        [
+            (4, "2024-01-01 03:00:00.000000", 2, "click", 1.0, "{}"),  # after 2: no match
+            (5, "2024-01-01 03:10:00.000000", 2, "purchase", 9.0, "{}"),  # matches 4
+        ],
+        [
+            (6, "2024-01-05 00:00:00.000000", 9, "purchase", 0.0, "{}"),  # flush
+            (7, "2024-01-05 00:00:01.000000", 9, "click", 0.0, "{}"),
+        ],
+    ]
+    src = tmp_path / "fo_src"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(chunks):
+        p = src / f"c{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(cols, r))) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    _run_to_memory(
+        core.click_attribution_full(_read_stream(spark, str(src))),
+        "mem_full_outer",
+        tmp_path,
+        "append",
+    )
+    cut = F.lit("2024-01-04").cast("timestamp")
+    pre = F.coalesce(F.col("purchase_ts"), F.col("click_ts")) < cut
+    got = _canon(spark.table("mem_full_outer").filter(pre))
+    want = _canon(
+        core.click_attribution_full(_batch_events(spark, str(src))).filter(pre)
+    )
+    assert got == want
+    rows = spark.table("mem_full_outer").collect()
+    # unconverted purchase null-extended on the click side...
+    assert 2 in {r["purchase_id"] for r in rows if r["click_id"] is None}
+    # ...AND the purchase-less click null-extended on the purchase side
+    assert 3 in {r["click_id"] for r in rows if r["purchase_id"] is None}
+    # click 4 attributed to purchase 5 (within lookback)
+    assert {r["click_id"] for r in rows if r["purchase_id"] == 5} == {4}
+
+
+def test_chained_agg_stream_equals_batch(spark, src, tmp_path):
+    """Two chained stateful window aggregations in one streaming query
+    (15-min tumbling → 1-hour re-agg). Append mode emits an hour window
+    once the watermark passes its end; on a ts-ordered replay nothing
+    is late, so the emitted set must equal the batch answer restricted
+    to finalized windows. Compare on a horizon safely behind the final
+    watermark to avoid boundary ambiguity."""
+    _run_to_memory(
+        core.chained_window_agg(_read_stream(spark, src), watermark="10 minutes"),
+        "mem_chained",
+        tmp_path,
+        "append",
+    )
+    batch = core.chained_window_agg(_batch_events(spark, src))
+    max_ts = _batch_events(spark, src).agg(F.max("ts")).collect()[0][0]
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    got = _canon(spark.table("mem_chained").filter(F.col("win_start") < horizon))
+    want = _canon(batch.filter(F.col("win_start") < horizon))
+    assert len(want) > 10
+    assert got == want
+    # everything the stream emitted agrees with batch (no extras)
+    assert set(_canon(spark.table("mem_chained"))) <= set(_canon(batch))
