@@ -833,3 +833,117 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("l_quantity"), 6).alias("median_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_REGR_ORACLE = """
+WITH xy AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(18,6)) AS x,
+         -- price floored to whole $ then expressed in k$: 3dp, so y*y
+         -- is 6dp — EXACT at scale 6 (no rounding anywhere, and no
+         -- rounding-mode divergence between engines); also keeps every
+         -- moment inside both engines' int64 decimal fast path AND the
+         -- exact decimal->double window
+         CAST(CAST(floor(l_extendedprice) AS DECIMAL(18,0))
+              * CAST(0.001 AS DECIMAL(9,3)) AS DECIMAL(18,6)) AS y
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(CAST(sum(x) AS DECIMAL(28,6)) AS DOUBLE) AS sx,
+         CAST(CAST(sum(x * x) AS DECIMAL(28,6)) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(y) AS DECIMAL(28,6)) AS DOUBLE) AS sy,
+         CAST(CAST(sum(y * y) AS DECIMAL(28,6)) AS DOUBLE) AS syy,
+         CAST(CAST(sum(x * y) AS DECIMAL(28,6)) AS DOUBLE) AS sxy
+  FROM xy GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n AS regr_n,
+       (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+       sy/n - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * (sx/n) AS intercept,
+       ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+           / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2,
+       sx/n AS mean_x,
+       sy/n AS mean_y
+FROM m ORDER BY l_returnflag
+"""
+
+
+@query("agg_regr", family="aggregations", oracle=_REGR_ORACLE)
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (REGR_SLOPE / REGR_INTERCEPT /
+    REGR_R2 / REGR_AVGX / REGR_AVGY): price-on-quantity OLS per return
+    flag, price floored to whole dollars, in k$. Same exact-moment discipline as
+    agg_stats — built-in regr_* are order-sensitive double folds, so
+    the moments Σx Σx² Σy Σy² Σxy accumulate as exact decimals and the
+    estimators derive in closed form with IEEE-exact double ops,
+    bit-identical to the oracle's identical formula. The k$ rescale is
+    load-bearing twice: y² stays inside the int64 decimal fast path of
+    both engines, and Σy² ≤ ~1e4·rows stays inside the exact
+    DECIMAL(28,6)→double window (<9e9) through sf0.1 (widen the window
+    check before sf10).
+
+    Scale: one partial+final hash aggregate on a 3-value key; the six
+    moments are the whole shuffle payload (48 bytes/group/task).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    y = (
+        F.floor("l_extendedprice").cast("decimal(18,0)")
+        * F.lit("0.001").cast("decimal(9,3)")
+    ).cast("decimal(18,6)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(28,6)").cast("double").alias("sx"),
+        F.sum(x * x).cast("decimal(28,6)").cast("double").alias("sxx"),
+        F.sum(y).cast("decimal(28,6)").cast("double").alias("sy"),
+        F.sum(y * y).cast("decimal(28,6)").cast("double").alias("syy"),
+        F.sum(x * y).cast("decimal(28,6)").cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        n.alias("regr_n"),
+        slope.alias("slope"),
+        (sy / n - slope * (sx / n)).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+        (sx / n).alias("mean_x"),
+        (sy / n).alias("mean_y"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_approx_topk",
+    family="aggregations",
+    oracle="""
+    SELECT event_type AS item, count(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (``approx_top_k``, Spark 4): the
+    sketch-based answer to "top k most frequent values" that never
+    materializes the full distinct domain. k is set to cover the whole
+    event_type domain and the sketch's tracked capacity (default
+    10,000) exceeds the cardinality, so the sketch operates in its
+    EXACT regime and the result set equals the plain GROUP BY count —
+    which is precisely what the oracle checks. The approximate regime
+    (capacity < cardinality) trades that equality for fixed memory;
+    at 100 TB the sketch is the only viable plan for open-domain keys
+    (URLs, tokens): one partial sketch per task merges to a single
+    k-row result, vs a full-domain hash aggregate whose state is the
+    domain size. Output is exploded to scalar (item, cnt) rows for
+    driver-canon safety.
+    """
+    e = t(spark, sf_dir, "events")
+    sketch = e.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+    return sketch.select(F.explode("tk").alias("kv")).select(
+        F.col("kv.item").alias("item"),
+        F.col("kv.count").alias("cnt"),
+    )

@@ -624,3 +624,72 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.tags[1]', 'string')").alias("tag1"),
         F.expr("variant_get(v, '$.missing.path', 'string')").alias("absent"),
     )
+
+
+@query(
+    "fn_xml",
+    family="functions",
+    oracle="""
+    SELECT c_custkey,
+           '<ROW><k>' || CAST(c_custkey AS VARCHAR) || '</k><n>'
+               || replace(replace(replace(c_name, '&', '&amp;'),
+                          '<', '&lt;'), '>', '&gt;')
+               || '</n><s>' || c_mktsegment || '</s></ROW>' AS xml_doc,
+           c_custkey AS rt_key,
+           c_name AS rt_name,
+           c_mktsegment AS rt_segment
+    FROM customer
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML family (to_xml / from_xml, Spark 4): render each customer row
+    to an XML document and parse it straight back, emitting both the
+    document and the round-tripped scalars. DuckDB has no XML type, so
+    the oracle re-derives the document with the same entity-escaping
+    rules (&, <, > — the only characters Spark's XML writer escapes in
+    element text besides quotes, and the only specials the corpus can
+    contain) and the round-trip columns directly from the source —
+    i.e. the oracle checks BOTH the serialized bytes and that
+    from_xml(to_xml(x)) == x. The XML doc is rendered compact
+    (no indent) so the text is byte-deterministic.
+
+    Scale: pure map-side expression work, zero shuffle; at 100 TB this
+    is the scan-transform-sink shape for XML interchange feeds.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("n", T.StringType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    c = t(spark, sf_dir, "customer")
+    xml = c.select(
+        "c_custkey",
+        F.to_xml(
+            F.struct(
+                F.col("c_custkey").alias("k"),
+                F.col("c_name").alias("n"),
+                F.col("c_mktsegment").alias("s"),
+            ),
+            {"indent": ""},
+        ).alias("raw_xml"),
+    ).select(
+        "c_custkey",
+        # Spark's XML writer terminates the document with one newline;
+        # strip it so the bytes match the oracle's rendering exactly
+        # (rtrim only strips spaces, so use an anchored replace)
+        F.regexp_replace("raw_xml", "\n+$", "").alias("xml_doc"),
+    )
+    parsed = xml.select(
+        "c_custkey",
+        "xml_doc",
+        F.from_xml("xml_doc", schema).alias("rt"),
+    )
+    return parsed.select(
+        "c_custkey",
+        "xml_doc",
+        F.col("rt.k").alias("rt_key"),
+        F.col("rt.n").alias("rt_name"),
+        F.col("rt.s").alias("rt_segment"),
+    )

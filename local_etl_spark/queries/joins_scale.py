@@ -194,3 +194,91 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_id").alias("purchase_id"))
         .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
     )
+
+
+_REV_SQL = (
+    "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))"
+    " * CAST(1 - l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)"
+)
+
+
+def _ensure_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Write lineitem partitioned by ship_year once per (warehouse, sf).
+
+    This is the layout a 100 TB deployment bakes in at WRITE time:
+    facts partitioned by their dominant time key, so any time-bounded
+    read — static OR runtime-pruned — skips whole directories instead
+    of filtering rows.
+    """
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = f"{warehouse}/lineitem_byyear_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            t(spark, sf_dir, "lineitem")
+            .withColumn("ship_year", F.year("l_shipdate").cast("int"))
+            .write.partitionBy("ship_year")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+@query(
+    "join_dpp",
+    family="joins",
+    oracle=f"""
+    WITH yr AS (
+      SELECT CAST(extract(YEAR FROM o_orderdate) AS INT) AS yr
+      FROM orders
+      GROUP BY 1
+      HAVING count(DISTINCT date_trunc('month', o_orderdate)) = 12
+    )
+    SELECT yr, count(*) AS n_lines, {_REV_SQL} AS revenue
+    FROM lineitem
+    JOIN yr ON CAST(extract(YEAR FROM l_shipdate) AS INT) = yr
+    GROUP BY yr
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: fact partitions skipped at RUNTIME by
+    a dim-side filter the optimizer cannot evaluate statically.
+
+    The fact (lineitem, written partitioned by ship_year) joins a tiny
+    derived year dim filtered on a non-key attribute — "years with a
+    full 12 months of orders" (drops the partial boundary year). No
+    static rule can turn that into a partition predicate; Spark's DPP
+    reuses the dim's broadcast exchange as a subquery filter on the
+    fact scan, so the pruned years' directories are never read
+    (PartitionFilters: dynamicpruningexpression(...), asserted in
+    test_plan_shape). At 100 TB this is THE difference between
+    scanning 7 years and scanning 6 — per query, for free, with the
+    same one-broadcast-join plan. The oracle is the equivalent
+    unpartitioned SQL join (pruning is physical, not semantic).
+    """
+    fact = spark.read.parquet(_ensure_partitioned_lineitem(spark, sf_dir))
+    yr_dim = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.countDistinct(F.date_trunc("month", "o_orderdate")).alias("n_months")
+        )
+        .filter(F.col("n_months") == 12)
+        .select("yr")
+    )
+    return (
+        fact.join(F.broadcast(yr_dim), fact.ship_year == yr_dim.yr)
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+            )
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

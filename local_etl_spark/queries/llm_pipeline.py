@@ -380,3 +380,72 @@ def llm_kanon_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("source")).otherwise("*").alias("source_out"),
         ok.alias("k_ok"),
     )
+
+
+N_SHARDS = 64
+# Knuth multiplicative hash constant (2654435761 = floor(2^32/phi)),
+# expressible as plain BIGINT arithmetic in ANY engine — the point:
+# shard assignment must be reproducible outside Spark (readers, oracle)
+_KNUTH = 2654435761
+
+
+@query(
+    "llm_shard_assign",
+    family="llm",
+    oracle=f"""
+    WITH sh AS (
+      SELECT ((doc_id * {_KNUTH}) % 4294967296) % {N_SHARDS} AS shard,
+             n_chars
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(*) * {N_SHARDS} AS DOUBLE)
+               / (SELECT count(*) FROM documents) AS load_factor
+    FROM sh
+    GROUP BY shard
+    """,
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: every document maps to
+    one of N_SHARDS shards by a multiplicative hash of its id, with
+    per-shard balance stats (load_factor = shard size / ideal size).
+    The multiplicative constant scrambles sequential ids so range-
+    correlated content (crawl order, source batches) spreads uniformly
+    — a plain ``doc_id % N`` would stripe every source across shards
+    in lockstep. The hash is plain BIGINT arithmetic, so shard
+    membership is reproducible by ANY engine or reader (the oracle
+    re-derives it in SQL); inside Spark-only pipelines
+    ``pmod(xxhash64(id), N)`` is the stronger-mixing equivalent
+    (documented, not used here because cross-engine reproducibility IS
+    the operator's contract). Overflow headroom: ids < 2^31 stay exact
+    in BIGINT under ANSI mode; larger id spaces must pre-mask
+    (``id % 2^31``) before the multiply (documented for 100 TB).
+
+    Scale: the assignment is a map-side expression; the stats are one
+    partial+final aggregate on a 64-value key. The actual shard WRITE
+    at 100 TB is ``df.repartition(N, shard).write.partitionBy(shard)``
+    — one shuffle, each output file a complete shard.
+    """
+    d = t(spark, sf_dir, "documents")
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    sh = d.select(
+        (
+            ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(4294967296))
+            % F.lit(N_SHARDS)
+        ).alias("shard"),
+        "n_chars",
+    )
+    agg = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.join(F.broadcast(total)).select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        ((F.col("n_docs") * F.lit(N_SHARDS)).cast("double") / F.col("n_total")).alias(
+            "load_factor"
+        ),
+    )

@@ -234,3 +234,93 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@query(
+    "win_match_recognize",
+    family="windows",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               substr(event_type, 1, 1) AS ini,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g
+    )
+    SELECT user_id,
+           CAST(sess AS BIGINT) AS sess,
+           min(ts) AS sess_start,
+           count(*) AS n_events,
+           string_agg(ini, '' ORDER BY ts, event_id) AS seq,
+           (string_agg(ini, '' ORDER BY ts, event_id)
+              LIKE '%v%c%p%') AS converted
+    FROM s
+    GROUP BY user_id, sess
+    """,
+)
+def win_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE emulation: sessionize per user (30-min gap via
+    lag/flag/cumsum windows), render each session's ordered event
+    sequence as a compact symbol string, and match the conversion
+    pattern view→…→click→…→purchase with a subsequence LIKE — i.e.
+    ``PATTERN (ANY* V ANY* C ANY* P ANY*)`` without the MATCH_RECOGNIZE
+    clause (which Spark SQL lacks). The symbol-string technique is the
+    general plan-ahead: ANY regex over per-row symbols becomes one
+    regexp/LIKE on the aggregated string.
+
+    Determinism: session order keys end in event_id (unique), so the
+    sequence string is a total order; collect_list is made order-safe
+    by sorting the (ts, event_id, symbol) structs IN the row
+    (array_sort), never relying on collection order.
+
+    Scale: one shuffle on user_id shared by both window passes and the
+    final groupBy (same key ⇒ ENSURE_REQUIREMENTS adds no exchange);
+    per-session strings are bounded by session length, not corpus
+    size. A 100 TB run adds a watermark-style time bound per session
+    (stream_session is the streaming twin of the sessionize stage).
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "sess",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agg = sess.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("sess_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                lambda x: x["ini"],
+            ),
+            "",
+        ).alias("seq"),
+    )
+    return agg.select(
+        "user_id",
+        "sess",
+        "sess_start",
+        "n_events",
+        "seq",
+        F.col("seq").like("%v%c%p%").alias("converted"),
+    )

@@ -36,6 +36,8 @@ ALLOW_NESTED_LOOP = {
     # a BNLJ against one broadcast row, not a pair enumeration
     "llm_bm25",  # same shape: 1-row broadcast stats (N, avgdl, df)
     "sink_zorder",  # same shape: 1-row broadcast min/max dimension stats
+    "llm_shard_assign",  # same shape: 1-row broadcast corpus total for
+    # the load-factor denominator
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)

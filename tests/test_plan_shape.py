@@ -299,3 +299,16 @@ def test_curate_e2e_single_shuffle(spark):
     plan = _plan(spark, "llm_curate_e2e")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """join_dpp's fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — the dim-side month-coverage filter cannot be
+    evaluated statically, so only runtime pruning can skip the partial
+    boundary year's directory."""
+    plan = _plan(spark, "join_dpp")
+    assert "dynamicpruningexpression(ship_year" in plan, (
+        "fact scan is not dynamically partition-pruned"
+    )
+    # the dim side must broadcast (DPP reuses its exchange as the filter)
+    assert "BroadcastHashJoin" in plan
