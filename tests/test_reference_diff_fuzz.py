@@ -1,0 +1,314 @@
+"""Live reference diff on a corpus WITH schema-invalid documents.
+
+test_reference_diff.py proves parity on the clean path; this module
+proves parity on the VALIDATION path: a corpus seeded with every
+reference-survivable invalid shape (wrong types at every envelope
+level, multi-error documents where jsonschema's best_match choice is
+what the engine's when-chain must reproduce) is run through the actual
+reference binaries AND the engine, then the three error surfaces are
+diffed:
+
+  - output CSVs (invalid rows must be dropped, valid rows untouched)
+  - quarantine (same FILES, byte-identical content)
+  - errors.log (same (file, message) multiset — the reference
+    timestamps lines with wall-clock time, so the prefix is stripped)
+  - counters (reference stdout totals vs engine TableMetrics)
+
+Only non-"required property" errors are seeded: the reference repairs
+missing-field documents and its repair path crashes on several of them
+(main.py:113 KeyError on missing job, main2.py:242 NameError on
+missing name) — that divergence is documented and tested as such in
+test_etl_pipeline.py, not timed or diffed here.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+N_VALID = 100
+
+# Every invalid doc is parseable JSON whose best_match message does NOT
+# contain "is a required property" — the reference's drop path, fully
+# survivable by both binaries. Shapes chosen to cover: leaf type errors
+# in payload and metadata, envelope-level type errors, null leaves,
+# integer-vs-float, and multi-error docs (best_match priority).
+def _invalid_user_docs() -> dict[str, dict]:
+    meta = {"type": "user", "event_at": "2023-10-05 22:55:01", "event_id": "x"}
+    payload = {
+        "id": 1,
+        "name": "Ada Lovelace",
+        "address": "1 Main St\nCity, ST 11111",
+        "job": "Engineer",
+        "score": 5.0,
+    }
+
+    def u(**over):
+        p = dict(payload)
+        p.update(over)
+        return {"metadata": dict(meta), "payload": p}
+
+    return {
+        "bad_score_str.json": u(score="high"),
+        "bad_id_str.json": u(id="abc"),
+        "bad_id_float.json": u(id=3.5),
+        "bad_name_num.json": u(name=123),
+        "bad_addr_null.json": u(address=None),
+        "bad_payload_list.json": {"metadata": dict(meta), "payload": []},
+        "bad_payload_null.json": {"metadata": dict(meta), "payload": None},
+        "bad_metadata_num.json": {"metadata": 7, "payload": dict(payload)},
+        "bad_event_at_num.json": {
+            "metadata": {**meta, "event_at": 42},
+            "payload": dict(payload),
+        },
+        # multi-error docs: jsonschema's validate() raises
+        # best_match(...) — the engine must pick the SAME error
+        "bad_two_leaf_errors.json": u(id="abc", score="high"),
+        "bad_leaf_and_meta.json": {
+            "metadata": {**meta, "type": 9},
+            "payload": {**payload, "score": "high"},
+        },
+        "bad_both_envelopes.json": {"metadata": [], "payload": 3},
+        # not even an object at the top level — json.load succeeds,
+        # validate says "... is not of type 'object'", drop path
+        "bad_top_array.json": [1, 2, 3],
+        "bad_top_string.json": "just a string",
+        "bad_top_number.json": 42,
+    }
+
+
+def _build_corpus(dest) -> None:
+    from local_etl_spark.etl.corpus import generate
+
+    (dest / "users").mkdir(parents=True)
+    (dest / "cards").mkdir()
+    for s in ("user-events-schema.json", "card-events-schema.json"):
+        shutil.copy(f"/root/reference/{s}", dest / s)
+    for i, raw in enumerate(
+        generate(N_VALID, seed=11, corrupt_rate=0, repair_rate=0)
+    ):
+        (dest / "users" / f"ev{i:05d}.json").write_text(
+            json.dumps(json.loads(raw), indent=2)
+        )
+    for fn, doc in _invalid_user_docs().items():
+        (dest / "users" / fn).write_text(json.dumps(doc, indent=2))
+    # cards: a couple of valid + the same error classes
+    card = {
+        "payload": {
+            "id": 0,
+            "user_id": 3,
+            "created_by_name": "Grace Hopper",
+            "updated_at": "2023-11-05 10:00:00",
+            "created_at": "2023-10-05 09:00:00",
+            "active": True,
+        },
+        "metadata": {
+            "type": "card",
+            "event_at": "2023-10-05 22:55:01",
+            "event_id": "c0",
+        },
+    }
+    for i in range(10):
+        doc = json.loads(json.dumps(card))
+        doc["payload"]["id"] = i
+        doc["metadata"]["event_id"] = f"c{i}"
+        (dest / "cards" / f"cd{i:05d}.json").write_text(json.dumps(doc, indent=2))
+    bad_card = json.loads(json.dumps(card))
+    bad_card["payload"]["active"] = "yes"
+    bad_card["metadata"]["event_id"] = "cbad0"
+    (dest / "cards" / "bad_active_str.json").write_text(
+        json.dumps(bad_card, indent=2)
+    )
+    bad_card2 = json.loads(json.dumps(card))
+    bad_card2["payload"] = 5
+    (dest / "cards" / "bad_payload_num.json").write_text(
+        json.dumps(bad_card2, indent=2)
+    )
+
+
+def _run_reference(script: str, cwd) -> str:
+    proc = subprocess.run(
+        [sys.executable, script],
+        cwd=cwd,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return proc.stdout
+
+
+def _engine_cfg(base, out):
+    from local_etl_spark.etl.pipeline import PipelineConfig, TableConfig
+
+    return PipelineConfig(
+        tables=(
+            TableConfig(
+                name="users",
+                schema_file=str(base / "user-events-schema.json"),
+                data_dir=str(base / "users"),
+                schema_mismatch_dir=str(out / "users_q"),
+                output_file=str(out / "users_flat.csv"),
+                payload_file=str(out / "users.csv"),
+                metadata_file=str(out / "metadata.csv"),
+            ),
+            TableConfig(
+                name="cards",
+                schema_file=str(base / "card-events-schema.json"),
+                data_dir=str(base / "cards"),
+                schema_mismatch_dir=str(out / "cards_q"),
+                output_file=str(out / "cards_flat.csv"),
+                payload_file=str(out / "cards.csv"),
+                metadata_file=str(out / "metadata.csv"),
+            ),
+        ),
+        base_dir=str(out),
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_run(spark, tmp_path_factory):
+    from local_etl_spark.etl.pipeline import run_pipeline
+
+    base = tmp_path_factory.mktemp("refdiff_fuzz")
+    ref1, ref2 = base / "ref1", base / "ref2"
+    _build_corpus(ref1)
+    shutil.copytree(ref1, ref2)
+    out1 = _run_reference("/root/reference/main.py", ref1)
+    out2 = _run_reference("/root/reference/main2.py", ref2)
+
+    out = base / "engine"
+    cfg = _engine_cfg(ref1, out)
+    metrics = run_pipeline(spark, cfg, version=2)
+    metrics_v1 = run_pipeline(spark, cfg, version=1)
+    return ref1, ref2, out, out1, out2, metrics, metrics_v1
+
+
+def _ref_rows(path: str) -> list[dict]:
+    with open(path, newline="", encoding="utf-8") as fh:
+        return list(csv.DictReader(fh))
+
+
+def _engine_rows(path_dir: str) -> list[dict]:
+    rows = []
+    for part in sorted(glob.glob(os.path.join(path_dir, "part-*.csv"))):
+        with open(part, newline="", encoding="utf-8") as fh:
+            rows.extend(csv.DictReader(fh))
+    return rows
+
+
+def _diff(ref: list[dict], eng: list[dict], key: str):
+    r = {row[key]: dict(row) for row in ref}
+    e = {row[key]: dict(row) for row in eng}
+    assert set(r) == set(e), (set(r) ^ set(e))
+    mismatches = [(k, r[k], e[k]) for k in r if r[k] != e[k]]
+    assert not mismatches, mismatches[:3]
+
+
+def _ref_error_entries(log_path) -> set[tuple[str, str]]:
+    """(file basename, message) pairs; timestamp prefix stripped."""
+    out = set()
+    if not os.path.exists(log_path):
+        return out
+    for line in open(log_path, encoding="utf-8").read().splitlines():
+        if not line.strip():
+            continue
+        # '{ts}, ERROR, SCHEMA ERR, {file}, {msg...}'
+        parts = line.split(", ", 4)
+        assert parts[1] == "ERROR" and parts[2] == "SCHEMA ERR", line
+        out.add((os.path.basename(parts[3]), parts[4]))
+    return out
+
+
+def _engine_error_entries(errors_dir) -> set[tuple[str, str]]:
+    out = set()
+    for part in glob.glob(os.path.join(errors_dir, "part-*")):
+        for line in open(part, encoding="utf-8").read().splitlines():
+            if not line.strip():
+                continue
+            parts = line.split(", ", 4)
+            assert parts[1] == "ERROR" and parts[2] == "SCHEMA ERR", line
+            out.add((os.path.basename(parts[3]), parts[4]))
+    return out
+
+
+def test_valid_rows_survive_v1_and_v2(fuzz_run):
+    ref1, ref2, out, *_ = fuzz_run
+    ref_v1 = _ref_rows(str(ref1 / "users.csv"))
+    assert len(ref_v1) == N_VALID  # every invalid doc was dropped
+    _diff(ref_v1, _engine_rows(str(out / "users_flat.csv")), "event_id")
+    ref_v2 = _ref_rows(str(ref2 / "users.csv"))
+    assert len(ref_v2) == N_VALID
+    _diff(ref_v2, _engine_rows(str(out / "users.csv")), "event_id")
+    ref_cards = _ref_rows(str(ref2 / "cards.csv"))
+    assert len(ref_cards) == 10
+    _diff(ref_cards, _engine_rows(str(out / "cards.csv")), "event_id")
+
+
+def test_error_log_messages_match_best_match(fuzz_run):
+    """The engine's compiled when-chain must reproduce jsonschema
+    best_match()'s choice for every seeded shape — including the
+    multi-error documents where picking the WRONG error of two is the
+    classic divergence."""
+    ref1, ref2, out, *_ = fuzz_run
+    ref_entries = _ref_error_entries(str(ref1 / "errors.log"))
+    eng_entries = _engine_error_entries(str(out / "errors.log.d"))
+    # engine ran twice (v2 then v1): errors duplicate as a set no-op
+    assert len(ref_entries) == len(_invalid_user_docs()) + 2
+    assert ref_entries == eng_entries, (
+        sorted(ref_entries - eng_entries)[:3],
+        sorted(eng_entries - ref_entries)[:3],
+    )
+    # v2 reference logs the identical set
+    assert _ref_error_entries(str(ref2 / "errors.log")) == ref_entries
+
+
+def test_quarantine_files_byte_identical(fuzz_run):
+    ref1, _, out, *_ = fuzz_run
+    from local_etl_spark.session import get_spark
+
+    spark = get_spark()
+    for table, qdir in (("users", "users_q"), ("cards", "cards_q")):
+        ref_dir = ref1 / f"{table}_schema_mismatches"
+        ref_files = {
+            os.path.basename(p): open(p, encoding="utf-8").read()
+            for p in glob.glob(str(ref_dir / "*.json"))
+        }
+        eng = {
+            os.path.basename(r["file_path"]): r["raw"]
+            for r in spark.read.parquet(str(out / qdir)).collect()
+        }
+        assert set(ref_files) == set(eng), (table, set(ref_files) ^ set(eng))
+        diff = [f for f in ref_files if ref_files[f] != eng[f]]
+        assert not diff, (table, diff[:3])
+
+
+def test_counters_match_reference_stdout(fuzz_run):
+    *_, stdout1, stdout2, metrics, metrics_v1 = fuzz_run
+
+    def parse(block: str) -> dict[str, tuple[int, int, int]]:
+        res, cur = {}, None
+        for line in block.splitlines():
+            if line.startswith("Total JSON data files for"):
+                cur = line.split('"')[1]
+                res[cur] = [int(line.rsplit(": ", 1)[1]), 0, 0]
+            elif line.startswith("Number of files that match schema"):
+                res[cur][1] = int(line.rsplit(": ", 1)[1])
+            elif line.startswith("Number of files with schema errors"):
+                res[cur][2] = int(line.rsplit(": ", 1)[1])
+        return {k: tuple(v) for k, v in res.items()}
+
+    ref_counts = parse(stdout1)
+    assert parse(stdout2) == ref_counts
+    for ms in (metrics, metrics_v1):
+        got = {
+            m.table: (m.file_count, m.valid_count, m.invalid_count) for m in ms
+        }
+        assert got == ref_counts
