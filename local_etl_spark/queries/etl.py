@@ -527,3 +527,103 @@ def etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(entries).alias("e")).select(
         "e.col", "e.n", "e.n_nonnull", "e.n_distinct", "e.null_frac"
     )
+
+
+@query(
+    "etl_expectations",
+    family="etl",
+    oracle="""
+    SELECT 'quantity_in_range' AS rule, count(*) AS n_checked,
+           count(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                        OR l_quantity IS NULL THEN 1 END) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_in_range', count(*),
+           count(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+                        OR l_discount IS NULL THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_positive', count(*),
+           count(CASE WHEN NOT (l_extendedprice > 0)
+                        OR l_extendedprice IS NULL THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_in_set', count(*),
+           count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                        OR l_returnflag IS NULL THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_not_null', count(*),
+           count(CASE WHEN l_shipdate IS NULL THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_fk_exists', count(*),
+           count(CASE WHEN o_orderkey IS NULL THEN 1 END)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orderkey_unique', count(*),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def etl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/Great-
+    Expectations gate shape): a rule set — range, set-membership,
+    not-null, referential integrity, key uniqueness — evaluated into
+    one (rule, n_checked, n_violations) report that an ingestion gate
+    thresholds before accepting a batch.
+
+    Plan shape is the 100 TB point: every ROW-LEVEL rule on the same
+    table evaluates as conditional counts in a SINGLE aggregate pass
+    (one scan for 5 rules — the oracle spells out the naive
+    scan-per-rule loop this replaces), then the in-row struct-explode
+    melt emits the long report. The referential rule is one left
+    (anti-flag) join counting orphans; the uniqueness rule is
+    count - count(DISTINCT) on the key. All counts — exact and
+    order-insensitive, no float tolerance anywhere.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+
+    def viol(cond):  # count rows FAILING the expectation (null = fail)
+        return F.count(F.when(~F.coalesce(cond, F.lit(False)), F.lit(1)))
+
+    row_rules = {
+        "quantity_in_range": F.col("l_quantity").between(1, 50),
+        "discount_in_range": F.col("l_discount").between(0.0, 0.1),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "returnflag_in_set": F.col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+    }
+    wide = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[viol(c).alias(f"v_{r}") for r, c in row_rules.items()],
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rule"),
+                F.col("n").alias("n_checked"),
+                F.col(f"v_{r}").alias("n_violations"),
+            )
+            for r in row_rules
+        ]
+    )
+    melted = wide.select(F.explode(entries).alias("e")).select(
+        "e.rule", "e.n_checked", "e.n_violations"
+    )
+    fk = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left")
+        .agg(
+            F.lit("orderkey_fk_exists").alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_violations"),
+        )
+    )
+    uniq = o.agg(
+        F.lit("orderkey_unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+    )
+    return melted.unionAll(fk).unionAll(uniq)

@@ -1,0 +1,32 @@
+"""graph_pagerank ≡ NumPy power iteration on the same matrix."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from local_etl_spark.queries.graph import DAMPING, N_ITER, graph_pagerank, trade_edges
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    edges = trade_edges(spark, SF).collect()
+    nodes = sorted({r["a"] for r in edges} | {r["b"] for r in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for r in edges:
+        W[idx[r["a"]], idx[r["b"]]] += r["w"]
+    P = W / W.sum(axis=1, keepdims=True)  # row-stochastic (no dangling)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(N_ITER):
+        rank = (1.0 - DAMPING) / n + DAMPING * (P.T @ rank)
+
+    got = {r["node"]: r["rank"] for r in graph_pagerank(spark, SF).collect()}
+    assert set(got) == set(nodes)
+    # mass conserved (no dangling nodes): Σrank = 1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    diff = max(abs(got[nd] - rank[idx[nd]]) for nd in nodes)
+    assert diff < 1e-9, diff
+    # sanity: ranking is non-degenerate
+    assert len({round(v, 12) for v in got.values()}) > n // 2
