@@ -434,3 +434,54 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").alias("q_max"),
         F.round(F.expr(sq_err) / F.size("embedding"), 9).alias("mse"),
     )
+
+
+SEM_T = 0.4  # same similarity bar as llm_dedup_embed's exact all-pairs
+
+
+@query("llm_semdedup", family="llm", oracle=None)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup that only compares
+    WITHIN k-means cells — the published answer to embedding dedup's
+    all-pairs blowup (llm_dedup_embed is the exact ground truth here).
+
+    Steps: (1) assign every vector to a trained spherical-kmeans cell
+    in-row (same `_lloyd` model as IVF — zero shuffles, no join);
+    (2) same-cell pairwise exact cosine ≥ SEM_T (an equi-join on the
+    cell id, NOT a cross join); (3) greedy-by-id suppression: drop v
+    iff some same-cell u < v has cos(u, v) ≥ SEM_T — deterministic,
+    one distinct + one anti-flag join, keeps exactly one canonical
+    per duplicate chain.
+
+    Scale: the quadratic term collapses from N² to Σ_cells |cell|² —
+    k grows with the corpus (cells of ~10⁴ vectors keep the per-cell
+    pairing bounded), and cells are independent so parallelism = k.
+    Cross-cell near-dups are the (paper-accepted) recall loss; the
+    pytest gate measures it against the exact pair set. Rows-only for
+    the driver (trained-centroid assignment is float-iterative);
+    tests/test_llm_sim.py recomputes the kept set from the SAME cell
+    assignment with a bit-identical sequential fold and asserts exact
+    equality, plus recall ≥ 0.8 of exact same-threshold dedup.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = _lloyd(spark, sf_dir, k=IVF_CELLS, iters=KM_ITERS, spherical=True)
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        _km_assign_expr(centroids, vector=_UNIT_EMBEDDING).alias("cid"),
+    ).persist()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("b.vec_id") < F.col("a.vec_id")))
+        .filter(cosine("a.embedding", "b.embedding") >= SEM_T)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce("is_dup", F.lit(False)).alias("suppressed"),
+        )
+    )

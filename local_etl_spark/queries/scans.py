@@ -590,3 +590,82 @@ def scan_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("reading_idx").alias("first_idx"),
         F.max("reading_idx").alias("last_idx"),
     )
+
+
+_SKIP_REV = (
+    "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6))"
+    " AS DOUBLE)"
+)
+
+
+@query(
+    "scan_skipping",
+    family="scans",
+    oracle=f"""
+    SELECT CAST(extract(YEAR FROM l_shipdate) AS INT) AS ship_year,
+           count(*) AS n, {_SKIP_REV} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY 1
+    """,
+)
+def scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based file skipping (the Delta/Iceberg stats pattern on
+    plain parquet): the sink writes lineitem RANGE-CLUSTERED by
+    l_shipdate into k files and one aggregation pass builds a manifest
+    of per-file (min, max) shipdate; at read time the predicate prunes
+    the manifest FIRST and only overlapping files are read (residual
+    filter still applied — pruning is an optimization, never a
+    correctness dependency). Because the layout is range-clustered, a
+    one-year predicate touches ~1/7 of the files; on unclustered data
+    the same manifest prunes nothing — clustering is what MAKES stats
+    skip (sink_zorder is the multi-dimensional version).
+
+    At 100 TB the manifest (2 timestamps × file count) replaces
+    footer-reads of every file with one tiny table lookup — this is
+    exactly what table formats store in their metadata layer; the
+    manifest here is derived once at write time and is itself a
+    DataFrame (broadcastable, cacheable). The driver-side collect is
+    the matching file PATH LIST (model-sized: k entries), never data.
+    """
+    path = _cache_dir(sf_dir, "lineitem_clustered")
+    marker = os.path.join(path, "_SUCCESS")
+    li = t(spark, sf_dir, "lineitem")
+    if not os.path.exists(marker):
+        # range-cluster by shipdate into 14 files (~6mo each)
+        (
+            li.repartitionByRange(14, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    clustered = spark.read.parquet(path)
+    manifest = (
+        clustered.groupBy(F.input_file_name().alias("file"))
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    )
+    lo, hi = "1998-01-01", "1999-01-01"
+    keep_files = [
+        r["file"]
+        for r in manifest.filter(
+            (F.col("lo") < F.lit(hi).cast("timestamp"))
+            & (F.col("hi") >= F.lit(lo).cast("timestamp"))
+        ).collect()
+    ]
+    assert 0 < len(keep_files) < 14, "clustering should prune most files"
+    pruned = spark.read.parquet(*keep_files)
+    return (
+        pruned.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from local_etl_spark.catalog import table
 from local_etl_spark.registry import get
 
 SF = "/root/testdata/sf0.01"
@@ -105,3 +106,60 @@ def test_kmeans_objective_decreases(spark):
     out = get("llm_kmeans_train").fn(spark, sf).collect()
     assert sum(r["n_members"] for r in out) == emb.count()
     assert all(1 <= r["cell"] + 1 <= 8 for r in out)
+
+
+def test_semdedup_exact_within_cells_and_recall(spark):
+    """llm_semdedup's kept set must equal a brute-force recompute from
+    the SAME cell assignment (sequential-fold cosine, bit-identical to
+    the engine's), and same-cell blocking must capture true pairs at
+    >= 2x the random size-weighted collision baseline (the testdata
+    embeddings are isotropic — no semantic clusters — so absolute
+    recall is data-limited; enrichment is the blocking property)."""
+    from local_etl_spark.queries.llm_sim import SEM_T, llm_semdedup
+
+    sf = "/root/testdata/sf0.001"
+    rows = llm_semdedup(spark, sf).collect()
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in table(spark, sf, "embeddings").collect()
+    }
+
+    def cos(u, v):
+        d = n1 = n2 = 0.0
+        for x, y in zip(u, v):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return d / (n1**0.5 * n2**0.5)
+
+    cells: dict[int, list[int]] = {}
+    for r in rows:
+        cells.setdefault(r["cid"], []).append(r["vec_id"])
+    expect_sup = set()
+    for vids in cells.values():
+        vids.sort()
+        for i, v in enumerate(vids):
+            for u in vids[:i]:
+                if cos(emb[u], emb[v]) >= SEM_T:
+                    expect_sup.add(v)
+                    break
+    got_sup = {r["vec_id"] for r in rows if r["suppressed"]}
+    assert got_sup == expect_sup
+
+    # blocking enrichment: same-cell capture of true pairs vs the
+    # random collision baseline sum((|cell|/N)^2)
+    import itertools
+
+    all_ids = sorted(emb)
+    true_pairs = [
+        (u, v)
+        for u, v in itertools.combinations(all_ids, 2)
+        if cos(emb[u], emb[v]) >= SEM_T
+    ]
+    assert true_pairs, "threshold should produce pairs at sf0.001"
+    cid = {r["vec_id"]: r["cid"] for r in rows}
+    captured = sum(1 for u, v in true_pairs if cid[u] == cid[v])
+    n = len(all_ids)
+    baseline = sum((len(v) / n) ** 2 for v in cells.values())
+    enrichment = (captured / len(true_pairs)) / baseline
+    assert enrichment >= 2.0, (captured, len(true_pairs), baseline)
