@@ -603,3 +603,119 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_logprob"),
     )
+
+
+@query(
+    "llm_dsir_weight",
+    family="llm",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+),
+tok AS (
+    SELECT doc_id, lang, i AS pos, ws[i] AS wd
+    FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE len(ws) >= 1 AND ws[i] <> ''
+),
+vocab AS (SELECT count(DISTINCT wd) AS v FROM tok),
+tgt AS (
+    SELECT wd, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY wd
+),
+src AS (SELECT wd, count(*) AS cs FROM tok GROUP BY wd),
+tot AS (
+    SELECT (SELECT count(*) FROM tok WHERE lang = 'en') AS nt,
+           (SELECT count(*) FROM tok) AS ns
+),
+scored AS (
+    SELECT k.doc_id, k.pos,
+           ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + vocab.v))
+             - ln((s.cs + 1.0) / (tot.ns + vocab.v)) AS llr
+    FROM tok k
+    JOIN src s ON s.wd = k.wd
+    LEFT JOIN tgt t ON t.wd = k.wd
+    CROSS JOIN tot CROSS JOIN vocab
+),
+folded AS (
+    SELECT doc_id, list(llr ORDER BY pos) AS llrs, count(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(f.n_tokens AS BIGINT) AS n_tokens,
+       -- + 0.0 collapses IEEE -0.0 to +0.0 (repr-level canon parity)
+       round(list_sum(f.llrs) / f.n_tokens, 6) + 0.0 AS avg_log_ratio
+FROM folded f
+""",
+)
+def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    via Importance Resampling): per-document avg log p_target/p_source
+    under Laplace-smoothed unigram models, target = the 'en' slice,
+    source = the whole corpus. Documents whose token distribution
+    looks target-like get high weight — the principled replacement for
+    hard domain filters when composing a training mixture (resample
+    ∝ exp(weight)). DSIR hashes n-grams into a fixed bucket space to
+    bound model size; here the features are the words themselves
+    (testdata vocabulary is small), with hashed buckets via
+    ``pmod(xxhash64(w), B)`` as the documented at-scale variant — the
+    plan is identical, only the feature key changes (note: hashed
+    buckets would be Spark-only; word features keep the model
+    re-derivable by any engine, which is what the oracle checks).
+
+    Plan: two vocabulary-keyed count aggregates (target + source) and
+    three broadcast-sized scalars (token totals, vocab size) joined
+    back onto the token stream, then the per-doc POSITION-ORDERED
+    sequential fold (bit-identical in both engines, cf. llm_lm_score)
+    — the same shape as TF-IDF scoring, no new shuffle class.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 1)
+        .persist()  # Generate re-evaluation gotcha (llm_dedup.py)
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode("ws").alias("pos0", "wd"),
+        )
+        .filter(F.col("wd") != "")
+        .select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"), "wd")
+    )
+    tok = tok.persist()
+    src = tok.groupBy("wd").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    scalars = tok.agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
+        F.countDistinct("wd").alias("v"),
+    )
+    scored = (
+        tok.join(src, "wd")
+        .join(tgt, "wd", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.col("v"))
+                )
+                - F.log((F.col("cs") + F.lit(1.0)) / (F.col("ns") + F.col("v")))
+            ).alias("llr"),
+        )
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(pos, llr))), s -> s.llr), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        # + 0.0 collapses IEEE -0.0 to +0.0 (repr-level canon parity)
+        (F.round(F.expr(fold) / F.count(F.lit(1)), 6) + F.lit(0.0)).alias(
+            "avg_log_ratio"
+        ),
+    )

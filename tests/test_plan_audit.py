@@ -38,6 +38,7 @@ ALLOW_NESTED_LOOP = {
     "sink_zorder",  # same shape: 1-row broadcast min/max dimension stats
     "llm_shard_assign",  # same shape: 1-row broadcast corpus total for
     # the load-factor denominator
+    "llm_dsir_weight",  # same shape: 1-row broadcast LM scalars (Nt, Ns, V)
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
