@@ -292,6 +292,68 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    family="joins",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+       (SELECT min(c.ts) FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts > p.ts) AS next_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (SELECT 1 FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                AND c.ts > p.ts)
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'): for
+    each purchase, the EARLIEST click STRICTLY after it by the same
+    user — "what did they do next". Same union + ordered-window pattern
+    as join_asof, mirrored: scan in DESCENDING ts so "last click seen"
+    is the smallest click ts above the current row; at equal ts the
+    purchase sorts BEFORE the clicks (kind DESC) so a simultaneous
+    click is NOT matched — strict-inequality semantics, which is what
+    the oracle's correlated min subquery (> p.ts) states. One shuffle
+    on user_id + one partition-local sort, same as the backward
+    variant; the oracle's correlated-subquery form is what this plan
+    replaces (Spark would decorrelate it to an aggregate join, DuckDB
+    evaluates it as written — both equal the window answer).
+    """
+    e = t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("next_click", F.last("click_ts", ignorenulls=True).over(w))
+        .where((F.col("kind") == 1) & F.col("next_click").isNotNull())
+        .select(
+            F.col("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("next_click").alias("next_click_ts"),
+        )
+    )
+
+
+@query(
     "join_multiway",
     family="joins",
     oracle="""

@@ -719,3 +719,112 @@ def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_log_ratio"
         ),
     )
+
+
+@query(
+    "llm_lm_kneser_ney",
+    family="llm",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+big AS (
+    SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2
+    FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    WHERE len(ws) >= 2
+),
+uni AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+fol AS (SELECT w1, count(DISTINCT w2) AS nfol FROM big GROUP BY w1),
+pre AS (SELECT w2, count(DISTINCT w1) AS npre FROM big GROUP BY w2),
+types AS (SELECT count(*) AS ntypes FROM bi),
+scored AS (
+    SELECT b.doc_id, b.pos,
+           ln(greatest(bi.c2 - 0.75, 0.0) / uni.c1
+              + 0.75 * fol.nfol / uni.c1
+                * (pre.npre * 1.0 / types.ntypes)) AS lnp
+    FROM big b
+    JOIN bi  ON bi.w1 = b.w1 AND bi.w2 = b.w2
+    JOIN uni ON uni.w1 = b.w1
+    JOIN fol ON fol.w1 = b.w1
+    JOIN pre ON pre.w2 = b.w2
+    CROSS JOIN types
+),
+folded AS (
+    SELECT doc_id, list(lnp ORDER BY pos) AS lnps, count(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(list_sum(lnps) / n_bigrams, 6) + 0.0 AS avg_logprob_kn
+FROM folded
+""",
+)
+def llm_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document — the
+    standard n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1999)
+    upgrading llm_lm_score's MLE model: absolute discount D=0.75 with
+    the freed mass backed off to the CONTINUATION probability (how many
+    distinct contexts a word follows, not how often it occurs):
+
+        P(w2|w1) = max(c12-D, 0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/N1+(·,·)
+
+    Every model quantity is an integer count (bigram/unigram counts,
+    distinct-follower/-predecessor counts, bigram type count), so the
+    per-bigram probability is the identical double arithmetic in both
+    engines; per-doc sums fold in position order (bit-identical, cf.
+    llm_lm_score). Plan: four vocabulary-sized aggregates off ONE
+    persisted bigram stream + one 1-row type-count broadcast, then the
+    per-doc re-aggregation — same shuffle classes as llm_lm_score plus
+    two more small-key aggregates.
+    """
+    d = t(spark, sf_dir, "documents")
+    big = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .persist()  # Generate re-evaluation gotcha (llm_dedup.py)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("pos0", "pair"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("pair.w1").alias("w1"),
+            F.col("pair.w2").alias("w2"),
+        )
+        .persist()
+    )
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    fol = big.groupBy("w1").agg(F.countDistinct("w2").alias("nfol"))
+    pre = big.groupBy("w2").agg(F.countDistinct("w1").alias("npre"))
+    types = bi.agg(F.count(F.lit(1)).alias("ntypes"))
+    p_kn = F.log(
+        F.greatest(F.col("c2") - F.lit(0.75), F.lit(0.0)) / F.col("c1")
+        + F.lit(0.75)
+        * F.col("nfol")
+        / F.col("c1")
+        * (F.col("npre") * F.lit(1.0) / F.col("ntypes"))
+    )
+    scored = (
+        big.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(fol, "w1")
+        .join(pre, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", "pos", p_kn.alias("lnp"))
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(pos, lnp))), s -> s.lnp), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.round(F.expr(fold) / F.count(F.lit(1)), 6) + F.lit(0.0)).alias(
+            "avg_logprob_kn"
+        ),
+    )

@@ -39,6 +39,7 @@ ALLOW_NESTED_LOOP = {
     "llm_shard_assign",  # same shape: 1-row broadcast corpus total for
     # the load-factor denominator
     "llm_dsir_weight",  # same shape: 1-row broadcast LM scalars (Nt, Ns, V)
+    "llm_lm_kneser_ney",  # same shape: 1-row broadcast bigram type count
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
