@@ -947,3 +947,176 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kv.item").alias("item"),
         F.col("kv.count").alias("cnt"),
     )
+
+
+_WELCH_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority AS grp,
+         count(*) AS n,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0)) * CAST(0.001 AS DECIMAL(9,3)) AS DECIMAL(18,6)))
+              AS DECIMAL(28,6)) AS DOUBLE) AS sfx_k,
+         -- price floored to whole $ then k$: 3dp, so the square is 6dp
+         -- — exact at scale 6, no rounding-mode divergence (cf. agg_regr)
+         CAST(CAST(sum(CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0)) * CAST(0.001 AS DECIMAL(9,3)) AS DECIMAL(18,6))
+                       * CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0)) * CAST(0.001 AS DECIMAL(9,3)) AS DECIMAL(18,6)))
+              AS DECIMAL(28,6)) AS DOUBLE) AS sxx_k
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY o_orderpriority
+),
+s AS (
+  SELECT grp, n, sx / n AS mean,
+         -- variance of price in k$ from exact k$^2 moments, rescaled
+         ((sxx_k - sfx_k * sfx_k / n) / (n - 1)) * 1000000.0 AS var
+  FROM m
+)
+SELECT a.n AS n_urgent, b.n AS n_low,
+       a.mean AS mean_urgent, b.mean AS mean_low,
+       (a.mean - b.mean)
+         / sqrt(a.var / a.n + b.var / b.n) AS t_stat,
+       (a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
+         / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+            + (b.var / b.n) * (b.var / b.n) / (b.n - 1)) AS welch_df
+FROM (SELECT * FROM s WHERE grp = '1-URGENT') a
+CROSS JOIN (SELECT * FROM s WHERE grp = '5-LOW') b
+"""
+
+
+@query("agg_welch_t", family="aggregations", oracle=_WELCH_ORACLE)
+def agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances): does mean order
+    value differ between URGENT and LOW priority orders? Statistic and
+    Welch–Satterthwaite degrees of freedom in closed form from
+    exact-decimal moments (n, Σx, Σx², with the variance over whole-dollar-floored k$ values) — the agg_stats/agg_regr
+    numeric discipline applied to hypothesis testing; the p-value
+    lookup (incomplete beta) is a client-side constant-time step and
+    deliberately out of scope (neither engine ships it). Σx² uses the
+    k$ rescale (values ≤ ~600 k$ ⇒ squares ≤ 3.6e5) so the second
+    moment stays exact through sf10; the variance rescales back by
+    10⁶ — an exact power-of-ten double multiply.
+
+    Scale: one partial+final aggregate over the filtered scan (the
+    priority predicate pushes down), then a 2-row self-pair — the
+    whole test is one scan regardless of data size.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    price_k = (
+        F.floor("o_totalprice").cast("decimal(18,0)")
+        * F.lit("0.001").cast("decimal(9,3)")
+    ).cast("decimal(18,6)")
+    m = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("decimal(28,6)").cast("double").alias("sx"),
+        F.sum(price_k).cast("decimal(28,6)").cast("double").alias("sfx_k"),
+        F.sum(price_k * price_k).cast("decimal(28,6)").cast("double").alias("sxx_k"),
+    )
+    s = m.select(
+        "grp",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (
+            (F.col("sxx_k") - F.col("sfx_k") * F.col("sfx_k") / F.col("n"))
+            / (F.col("n") - 1)
+            * F.lit(1000000.0)
+        ).alias("var"),
+    )
+    a = s.filter(F.col("grp") == "1-URGENT").alias("a")
+    b = s.filter(F.col("grp") == "5-LOW").alias("b")
+    va_n = F.col("a.var") / F.col("a.n")
+    vb_n = F.col("b.var") / F.col("b.n")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_urgent"),
+        F.col("b.n").alias("n_low"),
+        F.col("a.mean").alias("mean_urgent"),
+        F.col("b.mean").alias("mean_low"),
+        ((F.col("a.mean") - F.col("b.mean")) / F.sqrt(va_n + vb_n)).alias("t_stat"),
+        (
+            (va_n + vb_n)
+            * (va_n + vb_n)
+            / (va_n * va_n / (F.col("a.n") - 1) + vb_n * vb_n / (F.col("b.n") - 1))
+        ).alias("welch_df"),
+    )
+
+
+_CHI2_ORACLE = """
+WITH o AS (
+  SELECT c_mktsegment AS seg, n_name AS nat, count(*) AS obs
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(obs) AS DOUBLE) AS n FROM o),
+rows_ AS (SELECT seg, CAST(sum(obs) AS DOUBLE) AS rt FROM o GROUP BY seg),
+cols_ AS (SELECT nat, CAST(sum(obs) AS DOUBLE) AS ct FROM o GROUP BY nat),
+cells AS (
+  SELECT o.seg, o.nat, o.obs, rows_.rt * cols_.ct / tot.n AS exp
+  FROM o JOIN rows_ USING (seg) JOIN cols_ USING (nat) CROSS JOIN tot
+),
+folded AS (
+  SELECT list((obs - exp) * (obs - exp) / exp ORDER BY seg, nat) AS terms,
+         count(*) AS n_cells
+  FROM cells
+)
+SELECT round(list_sum(terms), 6) AS chi2,
+       CAST((SELECT count(DISTINCT seg) FROM o) - 1 AS BIGINT)
+         * CAST((SELECT count(DISTINCT nat) FROM o) - 1 AS BIGINT) AS dof,
+       CAST(n_cells AS BIGINT) AS n_cells
+FROM folded
+"""
+
+
+@query("agg_chi2", family="aggregations", oracle=_CHI2_ORACLE)
+def agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence: is customer market segment
+    independent of nation? χ² = Σ (obs − exp)²/exp over the
+    contingency table, expected counts from the row/column marginals.
+    Everything derives from integer counts, so each cell term is the
+    identical double arithmetic in both engines; the cell terms sum in
+    (seg, nation) ORDER via the sequential-fold policy (a tiny
+    contingency-table-sized array), then round 6 — no tolerance.
+
+    Scale: one count aggregate over the broadcast-dim join builds the
+    table; marginals re-aggregate the TABLE (segments × nations rows),
+    never the data — at 100 TB the second pass is over dozens of rows.
+    """
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    o = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nat"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .persist()
+    )
+    tot = o.agg(F.sum("obs").cast("double").alias("n"))
+    rows_ = o.groupBy("seg").agg(F.sum("obs").cast("double").alias("rt"))
+    cols_ = o.groupBy("nat").agg(F.sum("obs").cast("double").alias("ct"))
+    cells = (
+        o.join(rows_, "seg")
+        .join(cols_, "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "nat",
+            "obs",
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("exp"),
+        )
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(seg, nat, "
+        "(obs - exp) * (obs - exp) / exp AS term))), s -> s.term), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    ndist = o.agg(
+        F.countDistinct("seg").alias("n_seg"), F.countDistinct("nat").alias("n_nat")
+    )
+    chi = cells.agg(
+        F.round(F.expr(fold), 6).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return chi.crossJoin(F.broadcast(ndist)).select(
+        "chi2",
+        ((F.col("n_seg") - 1) * (F.col("n_nat") - 1)).alias("dof"),
+        "n_cells",
+    )

@@ -324,3 +324,54 @@ def win_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
         F.col("seq").like("%v%c%p%").alias("converted"),
     )
+
+
+@query(
+    "win_ewma",
+    family="windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_events,
+           list_reduce(xs, (a, x) -> a * CAST(0.75 AS DOUBLE)
+                                   + x * CAST(0.25 AS DOUBLE)) AS ewma
+    FROM ordered
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (α = 0.25,
+    seeded with the first observation) — the order-RECURSIVE aggregate
+    no frame-based window can express (each step depends on the full
+    prior fold, not a frame sum). Computed as an order-safe in-row
+    sequential fold: sort (ts, event_id, value) structs IN the row,
+    seed with x₀, fold eᵢ = 0.75·eᵢ₋₁ + 0.25·xᵢ. Both engines run the
+    IDENTICAL multiply-add chain left-to-right (Spark ``aggregate``
+    with the head as init ≡ DuckDB ``list_reduce`` seeding semantics),
+    so the result is bit-identical with no tolerance — the same
+    sequential-fold determinism policy as the embedding math
+    (CLAUDE.md). α is the exact double 0.25 (a power of two), so
+    1-α is exact too.
+
+    Scale: one shuffle on user_id, then map-side folds; per-user state
+    is one array bounded by the user's history (at 100 TB, window the
+    history by time first — the fold composes: carry the EWMA forward
+    as the next window's seed, which is exactly how the streaming twin
+    would checkpoint it).
+    """
+    e = t(spark, sf_dir, "events")
+    grouped = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "array_sort(collect_list(struct(ts, event_id, CAST(value AS DOUBLE) AS x)))"
+        ).alias("rows"),
+    )
+    fold = (
+        "aggregate(slice(rows, 2, size(rows) - 1), rows[0].x, "
+        "(a, r) -> a * CAST(0.75 AS DOUBLE) + r.x * CAST(0.25 AS DOUBLE))"
+    )
+    return grouped.select("user_id", "n_events", F.expr(fold).alias("ewma"))

@@ -40,6 +40,9 @@ ALLOW_NESTED_LOOP = {
     # the load-factor denominator
     "llm_dsir_weight",  # same shape: 1-row broadcast LM scalars (Nt, Ns, V)
     "llm_lm_kneser_ney",  # same shape: 1-row broadcast bigram type count
+    "agg_welch_t",  # 1-row × 1-row group-pair product (test statistic)
+    "agg_chi2",  # 1-row broadcast total + distinct-counts onto the
+    # contingency-table aggregate
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
