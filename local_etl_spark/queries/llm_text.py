@@ -610,12 +610,17 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="llm",
     oracle="""
 WITH w AS (
-    SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    FROM documents
 ),
 tok AS (
-    SELECT doc_id, lang, i AS pos, ws[i] AS wd
+    SELECT doc_id, lang, ws[i] AS wd
     FROM w, unnest(generate_series(1, len(ws))) AS t(i)
-    WHERE len(ws) >= 1 AND ws[i] <> ''
+    WHERE len(ws) >= 1
+),
+tf AS (
+    SELECT doc_id, wd, count(*) AS tf FROM tok GROUP BY doc_id, wd
 ),
 vocab AS (SELECT count(DISTINCT wd) AS v FROM tok),
 tgt AS (
@@ -627,22 +632,23 @@ tot AS (
            (SELECT count(*) FROM tok) AS ns
 ),
 scored AS (
-    SELECT k.doc_id, k.pos,
-           ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + vocab.v))
-             - ln((s.cs + 1.0) / (tot.ns + vocab.v)) AS llr
-    FROM tok k
-    JOIN src s ON s.wd = k.wd
-    LEFT JOIN tgt t ON t.wd = k.wd
+    SELECT f.doc_id, f.wd, f.tf,
+           f.tf * (ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + vocab.v))
+                   - ln((s.cs + 1.0) / (tot.ns + vocab.v))) AS wllr
+    FROM tf f
+    JOIN src s ON s.wd = f.wd
+    LEFT JOIN tgt t ON t.wd = f.wd
     CROSS JOIN tot CROSS JOIN vocab
 ),
 folded AS (
-    SELECT doc_id, list(llr ORDER BY pos) AS llrs, count(*) AS n_tokens
+    SELECT doc_id, list(wllr ORDER BY wd) AS wllrs,
+           CAST(sum(tf) AS BIGINT) AS n_tokens
     FROM scored GROUP BY doc_id
 )
 SELECT f.doc_id,
-       CAST(f.n_tokens AS BIGINT) AS n_tokens,
+       f.n_tokens,
        -- + 0.0 collapses IEEE -0.0 to +0.0 (repr-level canon parity)
-       round(list_sum(f.llrs) / f.n_tokens, 6) + 0.0 AS avg_log_ratio
+       round(list_sum(f.wllrs) / f.n_tokens, 6) + 0.0 AS avg_log_ratio
 FROM folded f
 """,
 )
@@ -661,61 +667,85 @@ def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets would be Spark-only; word features keep the model
     re-derivable by any engine, which is what the oracle checks).
 
-    Plan: two vocabulary-keyed count aggregates (target + source) and
-    three broadcast-sized scalars (token totals, vocab size) joined
-    back onto the token stream, then the per-doc POSITION-ORDERED
-    sequential fold (bit-identical in both engines, cf. llm_lm_score)
-    — the same shape as TF-IDF scoring, no new shuffle class.
+    Plan (the llm_tfidf shape): per-doc term frequencies computed
+    IN-ROW (sorted word array → run boundaries — no corpus-wide
+    (doc, token) shuffle), so the model joins touch one row per
+    DISTINCT (doc, word) instead of one per token; the two
+    vocabulary-keyed count aggregates (target + source token totals,
+    derived from the same tf stream as sum(tf)) and three
+    broadcast-sized scalars join back onto it, and the per-doc fold
+    runs word-sorted (Σ_w tf·llr — bit-identical sequential fold in
+    both engines).
     """
     d = t(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
-        .filter(F.size("ws") >= 1)
-        .persist()  # Generate re-evaluation gotcha (llm_dedup.py)
+    staged = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.expr("array_sort(filter(split(text, ' '), x -> x != ''))").alias(
+                "_s"
+            ),
+        )
+        .filter(F.size("_s") >= 1)
         .select(
             "doc_id",
             "lang",
-            F.posexplode("ws").alias("pos0", "wd"),
+            "_s",
+            F.expr(
+                "filter(sequence(0, size(_s) - 1),"
+                " i -> i = size(_s) - 1 OR _s[i] != _s[i+1])"
+            ).alias("_ends"),
         )
-        .filter(F.col("wd") != "")
-        .select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"), "wd")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "zip_with(_ends, concat(array(-1), slice(_ends, 1, size(_ends) - 1)),"
+                " (e, p) -> named_struct('wd', _s[e], 'tf', CAST(e - p AS BIGINT)))"
+            ).alias("_tf"),
+        )
+        .persist()
     )
-    tok = tok.persist()
-    src = tok.groupBy("wd").agg(F.count(F.lit(1)).alias("cs"))
+    tf = staged.select("doc_id", "lang", F.inline("_tf"))
+    src = tf.groupBy("wd").agg(F.sum("tf").alias("cs"))
     tgt = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("wd")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        tf.filter(F.col("lang") == "en").groupBy("wd").agg(F.sum("tf").alias("ct"))
     )
-    scalars = tok.agg(
-        F.count(F.lit(1)).alias("ns"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
+    scalars = tf.agg(
+        F.sum("tf").alias("ns"),
+        F.sum(F.when(F.col("lang") == "en", F.col("tf")).otherwise(0)).alias("nt"),
         F.countDistinct("wd").alias("v"),
     )
     scored = (
-        tok.join(src, "wd")
+        tf.join(src, "wd")
         .join(tgt, "wd", "left")
         .crossJoin(F.broadcast(scalars))
         .select(
             "doc_id",
-            "pos",
+            "wd",
+            "tf",
             (
-                F.log(
-                    (F.coalesce("ct", F.lit(0)) + F.lit(1.0))
-                    / (F.col("nt") + F.col("v"))
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + F.lit(1.0))
+                        / (F.col("nt") + F.col("v"))
+                    )
+                    - F.log(
+                        (F.col("cs") + F.lit(1.0)) / (F.col("ns") + F.col("v"))
+                    )
                 )
-                - F.log((F.col("cs") + F.lit(1.0)) / (F.col("ns") + F.col("v")))
-            ).alias("llr"),
+            ).alias("wllr"),
         )
     )
     fold = (
-        "aggregate(transform(array_sort(collect_list(struct(pos, llr))), s -> s.llr), "
+        "aggregate(transform(array_sort(collect_list(struct(wd, wllr))), s -> s.wllr), "
         "CAST(0 AS DOUBLE), (a, v) -> a + v)"
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("tf").alias("n_tokens"),
         # + 0.0 collapses IEEE -0.0 to +0.0 (repr-level canon parity)
-        (F.round(F.expr(fold) / F.count(F.lit(1)), 6) + F.lit(0.0)).alias(
+        (F.round(F.expr(fold) / F.sum("tf"), 6) + F.lit(0.0)).alias(
             "avg_log_ratio"
         ),
     )
