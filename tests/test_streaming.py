@@ -373,3 +373,70 @@ def test_chained_agg_stream_equals_batch(spark, src, tmp_path):
     assert got == want
     # everything the stream emitted agrees with batch (no extras)
     assert set(_canon(spark.table("mem_chained"))) <= set(_canon(batch))
+
+
+def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Stop a streaming query mid-stream, add data, restart from the
+    SAME checkpoint into the same FILE sink: the checkpointed source
+    offsets must resume exactly after the consumed chunks (no
+    reprocessing, no gaps — the parquet sink's transaction log makes
+    duplicates visible), recovered state must keep deduplicating
+    across the restart, and the final sink contents must equal the
+    batch answer. This is the recovery contract a production
+    deployment leans on."""
+    chunks = [
+        [(0, "2024-01-01 01:00:00.000000", 1, "click", 1.0, "{}"),
+         (1, "2024-01-01 01:30:00.000000", 1, "view", 2.0, "{}")],
+        [(2, "2024-01-01 02:10:00.000000", 2, "click", 3.0, "{}")],
+        [(3, "2024-01-01 03:20:00.000000", 1, "click", 5.0, "{}"),
+         (4, "2024-01-05 00:00:00.000000", 9, "view", 0.0, "{}")],  # flush
+    ]
+    src = tmp_path / "ckpt_src"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def write_chunk(i):
+        p = src / f"c{i}.json"
+        with open(p, "w") as f:
+            for r in chunks[i]:
+                f.write(json.dumps(dict(zip(cols, r))) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    ckpt = str(tmp_path / "ckpt_dir")
+    sink = str(tmp_path / "ckpt_sink")
+
+    def start():
+        return (
+            core.dedup_events(_read_stream(spark, str(src)), watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_chunk(0)
+    write_chunk(1)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    first = set(_canon(spark.read.parquet(sink)))
+    assert len(first) == 3  # events 0,1,2 all first-of-key
+
+    write_chunk(2)
+    q2 = start()  # SAME checkpoint, SAME sink
+    q2.processAllAvailable()
+    q2.stop()
+    total = set(_canon(spark.read.parquet(sink)))
+
+    # resumed run appended ONLY post-checkpoint results (no
+    # reprocessing of chunks 0-1 — counts would double otherwise)
+    rows = spark.read.parquet(sink).count()
+    assert rows == len(total)  # no duplicate rows at all
+    assert first <= total
+    # the union equals the batch answer over everything: stateful dedup
+    # across restart — event 3 is user 1's second click; state recovered
+    # from the checkpoint must suppress it
+    want = set(_canon(core.dedup_events(_batch_events(spark, str(src)))))
+    assert total == want
+    assert len(total - first) == 1  # only the flush-row view is new
