@@ -102,3 +102,16 @@ def test_reference_sample_job():
     """The SURVEY-verified example: 'Commercial horticulturist, retail'
     → 'Retail commercial horticulturist' (NOT initcap)."""
     assert spec_fix_job("Commercial horticulturist, retail") == "Retail commercial horticulturist"
+
+
+def test_capitalize_titlecase_first_char_exact(spark):
+    """Every code point where Python titlecases the first char
+    differently from uppercase (digraphs, ß, ligatures, Georgian,
+    Greek iota composites) must match str.capitalize() exactly —
+    the override table found live by the reference-diff fuzz corpus
+    (edge_job_titlecase)."""
+    from local_etl_spark.etl.transforms import _TITLECASE_FIRST
+
+    values = [c + "aBc" for c in _TITLECASE_FIRST] + list(_TITLECASE_FIRST)
+    for row in _run_batch(spark, values, {"c": capitalize(F.col("s"))}):
+        assert row["c"] == row["s"].capitalize(), repr(row["s"])

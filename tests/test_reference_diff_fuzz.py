@@ -84,6 +84,42 @@ def _invalid_user_docs() -> dict[str, dict]:
     }
 
 
+def _edge_valid_user_docs() -> dict[str, dict]:
+    """VALID documents exercising the reference's string-semantics edge
+    paths live: Python str.lstrip()'s Unicode whitespace set (NBSP,
+    LINE SEPARATOR — wider than Java regex \\s), str.capitalize()'s
+    titlecase mapping, the 3/4-token name prefix/suffix rules, multi-
+    newline addresses, and int-typed JSON numbers."""
+    meta = {"type": "user", "event_at": "2023-10-06 22:55:01"}
+
+    def u(eid, **over):
+        p = {
+            "id": 9000 + int(eid[1:]),
+            "name": "Ada Lovelace",
+            "address": "1 Main St\nCity, ST 11111",
+            "job": "Engineer",
+            "score": 5.5,
+        }
+        p.update(over)
+        return {"metadata": {**meta, "event_id": eid}, "payload": p}
+
+    return {
+        "edge_job_unicode_ws.json": u(
+            "e9001", job="Engineer, \u00a0\u2028senior ops"
+        ),
+        "edge_job_titlecase.json": u("e9002", job="artist, \u01c6ungle specialist"),
+        "edge_name_4tok.json": u("e9003", name="Ada Maria Lovelace PhD"),
+        "edge_name_3tok_title.json": u("e9004", name="Mr. Jos\u00e9 Garc\u00eda"),
+        "edge_name_3tok_plain.json": u("e9005", name="Zo\u00eb Anne Smith"),
+        "edge_name_nbsp_token.json": u("e9006", name="Zoe\u00a0Q Smith"),
+        "edge_addr_multinewline.json": u(
+            "e9007", address="1 A St\n\nCity, ST 99999"
+        ),
+        "edge_score_int.json": u("e9008", score=42),
+        "edge_name_5tok.json": u("e9009", name="A B C D E"),
+    }
+
+
 def _build_corpus(dest) -> None:
     from local_etl_spark.etl.corpus import generate
 
@@ -98,6 +134,8 @@ def _build_corpus(dest) -> None:
             json.dumps(json.loads(raw), indent=2)
         )
     for fn, doc in _invalid_user_docs().items():
+        (dest / "users" / fn).write_text(json.dumps(doc, indent=2))
+    for fn, doc in _edge_valid_user_docs().items():
         (dest / "users" / fn).write_text(json.dumps(doc, indent=2))
     # cards: a couple of valid + the same error classes
     card = {
@@ -241,11 +279,12 @@ def _engine_error_entries(errors_dir) -> set[tuple[str, str]]:
 
 def test_valid_rows_survive_v1_and_v2(fuzz_run):
     ref1, ref2, out, *_ = fuzz_run
+    n_valid = N_VALID + len(_edge_valid_user_docs())
     ref_v1 = _ref_rows(str(ref1 / "users.csv"))
-    assert len(ref_v1) == N_VALID  # every invalid doc was dropped
+    assert len(ref_v1) == n_valid  # every invalid doc was dropped
     _diff(ref_v1, _engine_rows(str(out / "users_flat.csv")), "event_id")
     ref_v2 = _ref_rows(str(ref2 / "users.csv"))
-    assert len(ref_v2) == N_VALID
+    assert len(ref_v2) == n_valid
     _diff(ref_v2, _engine_rows(str(out / "users.csv")), "event_id")
     ref_cards = _ref_rows(str(ref2 / "cards.csv"))
     assert len(ref_cards) == 10
