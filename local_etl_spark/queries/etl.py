@@ -627,3 +627,70 @@ def etl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
     )
     return melted.unionAll(fk).unionAll(uniq)
+
+
+@query(
+    "etl_cdc_apply",
+    family="etl",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'signup' THEN 'insert'
+                               WHEN 'error' THEN 'delete'
+                               ELSE 'update' END AS op,
+               value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM events
+    )
+    SELECT user_id, op AS last_op, ts AS last_ts,
+           CASE WHEN op = 'delete' THEN NULL ELSE value END AS last_value,
+           CAST(n_ops AS BIGINT) AS n_ops,
+           (op <> 'delete') AS alive
+    FROM log WHERE rn = 1
+    """,
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog materialization (the Debezium-compaction shape):
+    the event stream is read as a change log on the user entity —
+    signup = insert, error = delete, anything else = update — and
+    compacted to current state by LAST-WRITER-WINS per key in
+    (ts, event_id) order: surviving keys carry their latest value,
+    deleted keys stay in the output as tombstones (alive = false) so a
+    downstream merge can propagate the deletion (dropping them is one
+    filter). This is the batch twin of a streaming `foreachBatch`
+    MERGE: max-by compaction INSIDE the batch, merge across batches.
+
+    Plan: one shuffle on the entity key; the row_number pick and the
+    per-key op count share the same window exchange. At 100 TB
+    changelogs compact per PARTITION first (the same expression over
+    date-partitioned files), then merge — the operator composes
+    because last-writer-wins is associative.
+    """
+    e = t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    log = e.select(
+        "user_id", "ts", "event_id", op.alias("op"), "value"
+    ).select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_ops"),
+    )
+    return log.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("ts").alias("last_ts"),
+        F.when(F.col("op") == "delete", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("last_value"),
+        "n_ops",
+        (F.col("op") != "delete").alias("alive"),
+    )
