@@ -138,3 +138,110 @@ sql_window_rollup = _sql_query(
     "month key (no second shuffle of the base data). At 100 TB the "
     "window input is the aggregate, never the fact table.",
 )
+
+
+# ---- Spark 4 SQL front-door extensions -------------------------------
+# These two cannot share query text with DuckDB (pipe syntax and SQL
+# scripting are Spark-4 dialect), so unlike the rest of the sql family
+# the oracle is the equivalent STANDARD SQL — the check is still
+# engine-vs-engine on the same semantics.
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from local_etl_spark.catalog import register_views  # noqa: E402
+from local_etl_spark.registry import query  # noqa: E402
+
+_PIPE = """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+     AND l_shipdate < TIMESTAMP '1997-01-01'
+|> AGGREGATE
+     CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * CAST(1 - l_discount AS DECIMAL(18,6)))
+          AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+     count(*) AS n
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n > 0
+|> SELECT l_returnflag, l_linestatus, revenue, n
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(1 - l_discount AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 0
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_pipe", family="sql", oracle=_PIPE_ORACLE)
+def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL-style ``|>`` operators):
+    the same one-year revenue aggregate as standard SQL, written as a
+    linear left-to-right pipeline — FROM |> WHERE |> AGGREGATE …
+    GROUP BY |> WHERE (post-agg = HAVING) |> SELECT |> ORDER BY. The
+    parser desugars to the identical logical plan (filters still push
+    to the scan, aggregate still partial+final), so pipe syntax is a
+    FRONT-DOOR feature with zero plan cost — asserted by hash-parity
+    with the standard-SQL oracle, the one sql-family query where the
+    two engines deliberately run different text for the same
+    semantics."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE)
+
+
+_SCRIPT = """
+BEGIN
+  DECLARE cutoff DOUBLE DEFAULT 0.0;
+  DECLARE seg STRING DEFAULT '';
+  SET cutoff = (SELECT avg(o_totalprice) FROM orders);
+  IF cutoff > 0 THEN
+    SET seg = 'above';
+  ELSE
+    SET seg = 'below';
+  END IF;
+  SELECT seg AS segment,
+         CAST(cutoff AS DOUBLE) AS cutoff,
+         count(*) AS n_orders,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+              AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+  FROM orders
+  WHERE o_totalprice > cutoff;
+END
+"""
+
+_SCRIPT_ORACLE = """
+WITH c AS (SELECT avg(o_totalprice) AS cutoff FROM orders)
+SELECT 'above' AS segment,
+       CAST(c.cutoff AS DOUBLE) AS cutoff,
+       count(*) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+FROM orders, c
+WHERE o_totalprice > c.cutoff
+GROUP BY c.cutoff
+"""
+
+
+@query("sql_scripting", family="sql", oracle=_SCRIPT_ORACLE)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END blocks): session variables,
+    a scalar-subquery SET, and IF/ELSE control flow feeding the final
+    statement — the procedural front door (migration target for stored
+    procedures). The script's last statement is the result. Determinism
+    caveat worth stating: ``avg(double)`` is summation-order-dependent
+    in general; here the cutoff COMPARISON is against values ≥ 2 ulp
+    away (prices are 2dp, the mean at this SF is not within double
+    noise of any price), and the reported aggregates re-run through
+    the exact-decimal policy, so both engines agree bit-for-bit —
+    checked at sf0.01 and sf0.1. Scale: variables and control flow run
+    on the driver; every statement is still a full distributed plan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCRIPT)
