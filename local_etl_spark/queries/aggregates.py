@@ -1120,3 +1120,63 @@ def agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_seg") - 1) * (F.col("n_nat") - 1)).alias("dof"),
         "n_cells",
     )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders
+  WHERE o_totalprice >= 1
+),
+obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM obs)
+SELECT obs.digit,
+       CAST(obs.n AS BIGINT) AS n,
+       obs.n / tot.total AS observed_p,
+       ln(1.0 + 1.0 / obs.digit) / ln(10.0) AS benford_p,
+       (obs.n / tot.total - ln(1.0 + 1.0 / obs.digit) / ln(10.0))
+         * (obs.n / tot.total - ln(1.0 + 1.0 / obs.digit) / ln(10.0))
+         / (ln(1.0 + 1.0 / obs.digit) / ln(10.0)) * tot.total AS chi2_term
+FROM obs CROSS JOIN tot
+ORDER BY obs.digit
+"""
+
+
+@query("agg_benford", family="aggregations", oracle=_BENFORD_ORACLE)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic fraud/anomaly screen for financial columns: observed
+    first-significant-digit frequencies against the Benford expectation
+    log10(1 + 1/d), with the per-digit chi-square contribution (sum the
+    column client-side for the 8-dof statistic). First digit extracted
+    lexically from the floored integer (exact — no float log10 edge
+    cases at powers of ten); probabilities are identical count-ratio
+    and ln arithmetic in both engines.
+
+    Scale: one partial+final aggregate on a 9-value key + a 1-row
+    total broadcast — the audit costs one scan at any size.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").cast("double").alias("total"))
+    p = F.col("n") / F.col("total")
+    bp = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            p.alias("observed_p"),
+            bp.alias("benford_p"),
+            ((p - bp) * (p - bp) / bp * F.col("total")).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -449,3 +449,59 @@ def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "load_factor"
         ),
     )
+
+
+@query(
+    "llm_curriculum",
+    family="llm",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               -- the same cheap quality proxy llm_quality_score uses as
+               -- its length component: longer docs up to a cap
+               least(n_chars, 2000) AS q,
+               ntile(4) OVER (ORDER BY least(n_chars, 2000) DESC, doc_id)
+                   AS phase
+        FROM documents
+    )
+    SELECT phase,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(q) AS BIGINT) AS min_q,
+           CAST(max(q) AS BIGINT) AS max_q
+    FROM scored
+    GROUP BY phase
+    ORDER BY phase
+    """,
+)
+def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment: rank the corpus by a quality proxy
+    and cut it into 4 equal-size training phases (highest-quality
+    first) — the data-ordering step of curriculum learning; a trainer
+    consumes phase 1 epochs before phase 2. ``ntile`` over a total
+    order (score, doc_id tiebreak — deterministic at any parallelism)
+    assigns phases; per-phase stats verify the cut points.
+
+    Scale: ntile over a global ORDER is a RANGE-partitioned sort (one
+    skew-free shuffle via range sampling), not a single-partition
+    window — Spark plans a global sort only because the window has no
+    PARTITION BY but distributes it by range; at 100 TB prefer the
+    quantile-cut formulation (approx_percentile thresholds + a
+    map-side bucket join) which this query's stats make checkable.
+    """
+    d = t(spark, sf_dir, "documents")
+    q = F.least(F.col("n_chars"), F.lit(2000))
+    w = Window.orderBy(F.desc("q"), "doc_id")
+    scored = d.select("doc_id", "n_chars", q.alias("q")).withColumn(
+        "phase", F.ntile(4).over(w)
+    )
+    return (
+        scored.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("phase")
+    )

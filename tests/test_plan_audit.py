@@ -43,6 +43,7 @@ ALLOW_NESTED_LOOP = {
     "agg_welch_t",  # 1-row × 1-row group-pair product (test statistic)
     "agg_chi2",  # 1-row broadcast total + distinct-counts onto the
     # contingency-table aggregate
+    "agg_benford",  # 1-row broadcast digit-count total
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
