@@ -8,7 +8,7 @@ pre-combined partials, no driver-side work.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from local_etl_spark.queries._util import DEC6, davg, dec, dsum, t
@@ -1179,4 +1179,66 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((p - bp) * (p - bp) / bp * F.col("total")).alias("chi2_term"),
         )
         .orderBy("digit")
+    )
+
+
+_GINI_ORACLE = """
+WITH ranked AS (
+    SELECT n_name,
+           CAST(c_acctbal AS DECIMAL(18,6)) AS bal,
+           row_number() OVER (PARTITION BY n_name
+                              ORDER BY c_acctbal, c_custkey) AS rk,
+           count(*) OVER (PARTITION BY n_name) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal >= 0
+)
+SELECT n_name AS nation,
+       CAST(max(n) AS BIGINT) AS n_custs,
+       CAST(CAST(sum(bal * (2 * rk - n - 1)) AS DECIMAL(38,6)) AS DOUBLE)
+           / (max(n) * CAST(CAST(sum(bal) AS DECIMAL(38,6)) AS DOUBLE))
+           AS gini
+FROM ranked
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@query("agg_gini", family="aggregations", oracle=_GINI_ORACLE)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of (non-negative) customer
+    account balances per nation — the inequality metric, via the
+    rank formula G = Σ bal·(2·rank − n − 1) / (n · Σ bal). Ranks are
+    a total order (balance, custkey tiebreak ⇒ deterministic at any
+    parallelism); both numerator and denominator accumulate in exact
+    DECIMAL (bal·integer stays scale-6), cast to double only for the
+    final division — bit-identical across engines.
+
+    Plan: one shuffle on nation for the rank window; the aggregate
+    reuses the same partitioning. The weighted-rank form needs ONE
+    sorted pass, vs the naive all-pairs |x_i − x_j| definition which
+    is quadratic — the 100 TB reason this formula exists.
+    """
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 0)
+    nat = t(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    ranked = j.select(
+        "n_name",
+        dec("c_acctbal").alias("bal"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("n_name")).alias("n"),
+    )
+    num = (
+        F.sum(F.col("bal") * (2 * F.col("rk") - F.col("n") - 1))
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    den = F.max("n") * F.sum("bal").cast("decimal(38,6)").cast("double")
+    return (
+        ranked.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n").alias("n_custs"),
+            (num / den).alias("gini"),
+        )
+        .orderBy("nation")
     )

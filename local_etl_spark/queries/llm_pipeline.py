@@ -505,3 +505,70 @@ def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+@query(
+    "llm_mix_temperature",
+    family="llm",
+    oracle="""
+    WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM s),
+    adj AS (
+        SELECT s.source, s.n,
+               -- alpha = 0.5: p^alpha is sqrt(p) — correctly rounded in
+               -- IEEE, so cross-engine deterministic (general pow is not)
+               sqrt(s.n / tot.total) AS w
+        FROM s CROSS JOIN tot
+    ),
+    -- the normalizer folds in SOURCE order on both engines (a plain
+    -- sum(double) is accumulation-order-dependent in the last bits)
+    norm AS (SELECT list_sum(list(w ORDER BY source)) AS wsum FROM adj)
+    SELECT a.source,
+           CAST(a.n AS BIGINT) AS n_docs,
+           a.n / (SELECT total FROM tot) AS p_raw,
+           a.w / norm.wsum AS p_sampled,
+           (a.w / norm.wsum)
+             / (a.n / (SELECT total FROM tot)) AS upsample_factor
+    FROM adj a CROSS JOIN norm
+    ORDER BY a.source
+    """,
+)
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-balancing (the multilingual
+    sampling rule from mBERT / XLM-R: p_i ∝ p_i^α) at α = 0.5: rare
+    sources are up-sampled, dominant ones down-sampled, with the
+    up/down factor reported per source. α = 0.5 is not just a typical
+    choice — p^0.5 is sqrt, the one power IEEE guarantees correctly
+    rounded, so the weights are bit-identical across engines (a
+    general pow(x, 0.7) is libm-dependent and would force a rows-only
+    check). ``llm_mix_weighted`` is the downstream consumer: it
+    materializes a mixture from target weights like these.
+
+    Scale: source-keyed count aggregate + 1-row total broadcast; the
+    normalization sum runs over the (tiny) per-source relation.
+    """
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = s.agg(F.sum("n").cast("double").alias("total"))
+    adj = s.crossJoin(F.broadcast(tot)).select(
+        "source", "n", "total", F.sqrt(F.col("n") / F.col("total")).alias("w")
+    )
+    wsum = adj.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, w))),"
+            " s -> s.w), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("wsum")
+    )
+    p_raw = F.col("n") / F.col("total")
+    p_samp = F.col("w") / F.col("wsum")
+    return (
+        adj.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            p_raw.alias("p_raw"),
+            p_samp.alias("p_sampled"),
+            (p_samp / p_raw).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )

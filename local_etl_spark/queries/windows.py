@@ -375,3 +375,78 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(a, r) -> a * CAST(0.75 AS DOUBLE) + r.x * CAST(0.25 AS DOUBLE))"
     )
     return grouped.select("user_id", "n_events", F.expr(fold).alias("ewma"))
+
+
+@query(
+    "win_retention_cohort",
+    family="windows",
+    oracle="""
+    WITH signup AS (
+        SELECT user_id,
+               CAST(min(date_trunc('month', ts)) AS TIMESTAMP) AS cohort
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, s.cohort,
+               CAST((extract(YEAR FROM ts) * 12 + extract(MONTH FROM ts))
+                    - (extract(YEAR FROM cohort) * 12
+                       + extract(MONTH FROM cohort)) AS BIGINT) AS month_off
+        FROM events e JOIN signup s ON s.user_id = e.user_id
+        WHERE e.ts >= s.cohort
+    )
+    SELECT a.cohort, a.month_off, count(*) AS n_active,
+           count(*) * 1.0 / max(sz.cohort_size) AS retention
+    FROM activity a
+    JOIN (SELECT cohort, count(*) AS cohort_size
+          FROM signup GROUP BY cohort) sz
+      ON sz.cohort = a.cohort
+    GROUP BY a.cohort, a.month_off
+    """,
+)
+def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — THE product-analytics rollup: users
+    cohorted by first-signup month, counted as retained in each
+    month-offset where they show ANY activity; retention = active
+    users / cohort size. Month arithmetic is integer (year*12+month),
+    so offsets are exact in both engines; retention divides two exact
+    counts.
+
+    Plan: the signup cohort is a per-user min aggregate (one shuffle
+    on user_id); activity joins it back on the SAME key (exchange
+    reuse), dedups per (user, cohort, offset) map-side, and the final
+    matrix is a small-key aggregate joined to broadcast cohort sizes.
+    At 100 TB the matrix is (months × offsets) rows — the data never
+    moves twice.
+    """
+    e = t(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("month", F.min("ts")).alias("cohort"))
+    )
+    months = F.year("ts") * 12 + F.month("ts")
+    cohort_months = F.year("cohort") * 12 + F.month("cohort")
+    activity = (
+        e.join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("cohort"))
+        .select(
+            "user_id",
+            "cohort",
+            (months - cohort_months).cast("bigint").alias("month_off"),
+        )
+        .distinct()
+    )
+    sizes = signup.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        activity.groupBy("cohort", "month_off")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "month_off",
+            "n_active",
+            (F.col("n_active") * F.lit(1.0) / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )

@@ -44,6 +44,7 @@ ALLOW_NESTED_LOOP = {
     "agg_chi2",  # 1-row broadcast total + distinct-counts onto the
     # contingency-table aggregate
     "agg_benford",  # 1-row broadcast digit-count total
+    "llm_mix_temperature",  # 1-row broadcast total + normalizer scalars
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
