@@ -107,3 +107,67 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.substring("node", 1, 1).alias("kind"),
     )
+
+
+@query(
+    "graph_degree",
+    family="graph",
+    oracle="""
+    WITH pair AS (
+        SELECT l_suppkey, o_custkey,
+               count(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey, o_custkey
+    ),
+    deg AS (
+        SELECT 's' || CAST(l_suppkey AS VARCHAR) AS node,
+               count(*) AS degree, CAST(sum(n_lines) AS BIGINT) AS n_lines
+        FROM pair GROUP BY l_suppkey
+        UNION ALL
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS node,
+               count(*) AS degree, CAST(sum(n_lines) AS BIGINT) AS n_lines
+        FROM pair GROUP BY o_custkey
+    )
+    SELECT substr(node, 1, 1) AS kind, degree,
+           count(*) AS n_nodes,
+           CAST(sum(n_lines) AS BIGINT) AS total_lines
+    FROM deg
+    GROUP BY 1, 2
+    """,
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier↔customer trade graph: for
+    each side of the bipartite graph, how many nodes have each degree
+    (number of distinct counterparties) — the first diagnostic run on
+    any graph before choosing partitioning (a power-law tail here is
+    the skew that breaks naive edge-partitioned joins; cf.
+    join_skew_salted). Exact counts end-to-end, so unlike
+    graph_pagerank this one is SQL-oracled.
+
+    Plan: the edge aggregate shuffles once on the (supp, cust) pair;
+    both degree aggregates reuse subsets of that key, and the final
+    histogram is distribution-sized. Nothing touches raw lineitem
+    twice.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .persist()
+    )
+    sup = pair.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("degree"), F.sum("n_lines").alias("n_lines")
+    ).select(F.lit("s").alias("kind"), "degree", "n_lines")
+    cus = pair.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("degree"), F.sum("n_lines").alias("n_lines")
+    ).select(F.lit("c").alias("kind"), "degree", "n_lines")
+    return (
+        sup.unionAll(cus)
+        .groupBy("kind", "degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("n_lines").alias("total_lines"),
+        )
+    )
