@@ -31,137 +31,34 @@ def fix_address(address: Column) -> Column:
     return F.regexp_replace(address, "\n", " ")
 
 
-# Python str.capitalize() TITLECASES the first character (PEP — since
-# 3.8), which differs from uppercase for exactly these 135 code points
-# (Unicode digraphs ǅǈǋǲ, ß→Ss, Armenian/Latin ligatures, Georgian
-# Mkhedruli, Greek iota-subscript composites). Generated from CPython:
+# Python str.capitalize() TITLECASES the first character, which differs
+# from uppercase for exactly 135 code points (Unicode digraphs
+# ǅǈǋǲ, ß→Ss, Latin/Armenian ligatures, Georgian Mkhedruli, Greek
+# iota-subscript composites). Generated from CPython:
 #   {c: (c + "x").capitalize()[:-1] for c in all_codepoints
 #    if that != c.upper()}
 # Found live by the reference-diff fuzz corpus (edge_job_titlecase).
-_TITLECASE_FIRST = {
+# Split into 112 one-to-one mappings (applied with O(1) ``translate``)
+# and 23 one-to-many mappings (a small CASE) — an earlier 135-branch
+# CASE tree blew the render expressions past janino's method limit and
+# dropped the whole ETL pipeline to interpreted execution (measured
+# 1.1s → 10.2s on the 2000-file corpus; SCALE.md §3.4's failure mode).
+_TITLE_1TO1_FROM = "\u01c4\u01c6\u01c7\u01c9\u01ca\u01cc\u01f1\u01f3\u1f80\u1f81\u1f82\u1f83\u1f84\u1f85\u1f86\u1f87\u1f90\u1f91\u1f92\u1f93\u1f94\u1f95\u1f96\u1f97\u1fa0\u1fa1\u1fa2\u1fa3\u1fa4\u1fa5\u1fa6\u1fa7\u1fb3\u1fc3\u1ff3"
+_TITLE_1TO1_TO = "\u01c5\u01c5\u01c8\u01c8\u01cb\u01cb\u01f2\u01f2\u1f88\u1f89\u1f8a\u1f8b\u1f8c\u1f8d\u1f8e\u1f8f\u1f98\u1f99\u1f9a\u1f9b\u1f9c\u1f9d\u1f9e\u1f9f\u1fa8\u1fa9\u1faa\u1fab\u1fac\u1fad\u1fae\u1faf\u1fbc\u1fcc\u1ffc"
+# titlecase(c) == c but upper(c) != c — first char must stay AS-IS
+_TITLE_IDENTITY = "\u01c5\u01c8\u01cb\u01f2\u10d0\u10d1\u10d2\u10d3\u10d4\u10d5\u10d6\u10d7\u10d8\u10d9\u10da\u10db\u10dc\u10dd\u10de\u10df\u10e0\u10e1\u10e2\u10e3\u10e4\u10e5\u10e6\u10e7\u10e8\u10e9\u10ea\u10eb\u10ec\u10ed\u10ee\u10ef\u10f0\u10f1\u10f2\u10f3\u10f4\u10f5\u10f6\u10f7\u10f8\u10f9\u10fa\u10fd\u10fe\u10ff\u1f88\u1f89\u1f8a\u1f8b\u1f8c\u1f8d\u1f8e\u1f8f\u1f98\u1f99\u1f9a\u1f9b\u1f9c\u1f9d\u1f9e\u1f9f\u1fa8\u1fa9\u1faa\u1fab\u1fac\u1fad\u1fae\u1faf\u1fbc\u1fcc\u1ffc"
+_TITLE_MULTI = {
     "\u00df": "\u0053\u0073",
-    "\u01c4": "\u01c5",
-    "\u01c5": "\u01c5",
-    "\u01c6": "\u01c5",
-    "\u01c7": "\u01c8",
-    "\u01c8": "\u01c8",
-    "\u01c9": "\u01c8",
-    "\u01ca": "\u01cb",
-    "\u01cb": "\u01cb",
-    "\u01cc": "\u01cb",
-    "\u01f1": "\u01f2",
-    "\u01f2": "\u01f2",
-    "\u01f3": "\u01f2",
     "\u0587": "\u0535\u0582",
-    "\u10d0": "\u10d0",
-    "\u10d1": "\u10d1",
-    "\u10d2": "\u10d2",
-    "\u10d3": "\u10d3",
-    "\u10d4": "\u10d4",
-    "\u10d5": "\u10d5",
-    "\u10d6": "\u10d6",
-    "\u10d7": "\u10d7",
-    "\u10d8": "\u10d8",
-    "\u10d9": "\u10d9",
-    "\u10da": "\u10da",
-    "\u10db": "\u10db",
-    "\u10dc": "\u10dc",
-    "\u10dd": "\u10dd",
-    "\u10de": "\u10de",
-    "\u10df": "\u10df",
-    "\u10e0": "\u10e0",
-    "\u10e1": "\u10e1",
-    "\u10e2": "\u10e2",
-    "\u10e3": "\u10e3",
-    "\u10e4": "\u10e4",
-    "\u10e5": "\u10e5",
-    "\u10e6": "\u10e6",
-    "\u10e7": "\u10e7",
-    "\u10e8": "\u10e8",
-    "\u10e9": "\u10e9",
-    "\u10ea": "\u10ea",
-    "\u10eb": "\u10eb",
-    "\u10ec": "\u10ec",
-    "\u10ed": "\u10ed",
-    "\u10ee": "\u10ee",
-    "\u10ef": "\u10ef",
-    "\u10f0": "\u10f0",
-    "\u10f1": "\u10f1",
-    "\u10f2": "\u10f2",
-    "\u10f3": "\u10f3",
-    "\u10f4": "\u10f4",
-    "\u10f5": "\u10f5",
-    "\u10f6": "\u10f6",
-    "\u10f7": "\u10f7",
-    "\u10f8": "\u10f8",
-    "\u10f9": "\u10f9",
-    "\u10fa": "\u10fa",
-    "\u10fd": "\u10fd",
-    "\u10fe": "\u10fe",
-    "\u10ff": "\u10ff",
-    "\u1f80": "\u1f88",
-    "\u1f81": "\u1f89",
-    "\u1f82": "\u1f8a",
-    "\u1f83": "\u1f8b",
-    "\u1f84": "\u1f8c",
-    "\u1f85": "\u1f8d",
-    "\u1f86": "\u1f8e",
-    "\u1f87": "\u1f8f",
-    "\u1f88": "\u1f88",
-    "\u1f89": "\u1f89",
-    "\u1f8a": "\u1f8a",
-    "\u1f8b": "\u1f8b",
-    "\u1f8c": "\u1f8c",
-    "\u1f8d": "\u1f8d",
-    "\u1f8e": "\u1f8e",
-    "\u1f8f": "\u1f8f",
-    "\u1f90": "\u1f98",
-    "\u1f91": "\u1f99",
-    "\u1f92": "\u1f9a",
-    "\u1f93": "\u1f9b",
-    "\u1f94": "\u1f9c",
-    "\u1f95": "\u1f9d",
-    "\u1f96": "\u1f9e",
-    "\u1f97": "\u1f9f",
-    "\u1f98": "\u1f98",
-    "\u1f99": "\u1f99",
-    "\u1f9a": "\u1f9a",
-    "\u1f9b": "\u1f9b",
-    "\u1f9c": "\u1f9c",
-    "\u1f9d": "\u1f9d",
-    "\u1f9e": "\u1f9e",
-    "\u1f9f": "\u1f9f",
-    "\u1fa0": "\u1fa8",
-    "\u1fa1": "\u1fa9",
-    "\u1fa2": "\u1faa",
-    "\u1fa3": "\u1fab",
-    "\u1fa4": "\u1fac",
-    "\u1fa5": "\u1fad",
-    "\u1fa6": "\u1fae",
-    "\u1fa7": "\u1faf",
-    "\u1fa8": "\u1fa8",
-    "\u1fa9": "\u1fa9",
-    "\u1faa": "\u1faa",
-    "\u1fab": "\u1fab",
-    "\u1fac": "\u1fac",
-    "\u1fad": "\u1fad",
-    "\u1fae": "\u1fae",
-    "\u1faf": "\u1faf",
     "\u1fb2": "\u1fba\u0345",
-    "\u1fb3": "\u1fbc",
     "\u1fb4": "\u0386\u0345",
     "\u1fb7": "\u0391\u0342\u0345",
-    "\u1fbc": "\u1fbc",
     "\u1fc2": "\u1fca\u0345",
-    "\u1fc3": "\u1fcc",
     "\u1fc4": "\u0389\u0345",
     "\u1fc7": "\u0397\u0342\u0345",
-    "\u1fcc": "\u1fcc",
     "\u1ff2": "\u1ffa\u0345",
-    "\u1ff3": "\u1ffc",
     "\u1ff4": "\u038f\u0345",
     "\u1ff7": "\u03a9\u0342\u0345",
-    "\u1ffc": "\u1ffc",
     "\ufb00": "\u0046\u0066",
     "\ufb01": "\u0046\u0069",
     "\ufb02": "\u0046\u006c",
@@ -175,6 +72,12 @@ _TITLECASE_FIRST = {
     "\ufb16": "\u054e\u0576",
     "\ufb17": "\u0544\u056d",
 }
+# used by tests to enumerate every override
+_TITLECASE_FIRST = {
+    **dict(zip(_TITLE_1TO1_FROM, _TITLE_1TO1_TO)),
+    **{c: c for c in _TITLE_IDENTITY},
+    **_TITLE_MULTI,
+}
 
 
 def capitalize(s: Column) -> Column:
@@ -184,16 +87,41 @@ def capitalize(s: Column) -> Column:
     Not ``initcap`` (which capitalizes every word) — verified in
     SURVEY.md §2.2 R12: 'retail Commercial x'.capitalize() →
     'Retail commercial x'. First-char titlecase ≠ uppercase for the
-    ``_TITLECASE_FIRST`` table above; everything else upper-cases
-    identically in the JVM and CPython (both follow Unicode
-    SpecialCasing), so the override CASE falls back to ``upper``.
+    override tables above; everything else upper-cases identically in
+    the JVM and CPython (both follow Unicode SpecialCasing).
     """
-    first = F.substring(s, 1, 1)
-    head = None
-    for c, tc in _TITLECASE_FIRST.items():
-        cond = first == F.lit(c)
-        head = F.when(cond, F.lit(tc)) if head is None else head.when(cond, F.lit(tc))
-    head = head.otherwise(F.upper(first))
+    # Bind the first char ONCE through a single-element higher-order
+    # transform: `s` may be a LARGE derived expression (the render
+    # trees feed extraction+format subtrees in here), and Spark does no
+    # CSE across CASE branches — referencing `first` from each override
+    # branch would embed a full copy of `s` per reference (measured:
+    # the 2000-file ETL corpus went 1.1s → 10.2s when this tree blew
+    # janino's 64 KB method limit and execution fell back to
+    # interpreted). Inside the lambda every reference is to the bound
+    # variable, so `s` appears exactly 3× in the final expression.
+    def _title_head(fc: Column) -> Column:
+        translated = F.translate(fc, _TITLE_1TO1_FROM, _TITLE_1TO1_TO)
+        is_identity = (
+            F.translate(fc, _TITLE_IDENTITY, "\x01" * len(_TITLE_IDENTITY))
+            == "\x01"
+        )
+        head = None
+        for c, tc in _TITLE_MULTI.items():
+            cond = fc == F.lit(c)
+            head = (
+                F.when(cond, F.lit(tc))
+                if head is None
+                else head.when(cond, F.lit(tc))
+            )
+        return (
+            head.when(is_identity, fc)  # e.g. Georgian ა: titlecase = itself
+            .when(translated != fc, translated)  # 1:1 override (ǆ → ǅ)
+            .otherwise(F.upper(fc))  # everything else: titlecase ≡ upper
+        )
+
+    head = F.element_at(
+        F.transform(F.array(F.substring(s, 1, 1)), _title_head), 1
+    )
     return F.concat(head, F.lower(s.substr(F.lit(2), F.length(s))))
 
 
