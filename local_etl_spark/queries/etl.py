@@ -694,3 +694,51 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ops",
         (F.col("op") != "delete").alias("alive"),
     )
+
+
+@query(
+    "etl_pseudonymize",
+    family="etl",
+    oracle="""
+    SELECT o_orderkey,
+           substr(sha256('pepper-v1:cust:'
+                         || CAST(o_custkey AS VARCHAR)), 1, 16)
+               AS cust_token,
+           CAST(extract(YEAR FROM o_orderdate) AS INT) AS order_year,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def etl_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization for data sharing: the customer key is
+    replaced by a peppered SHA-256 token (truncated to 64 bits) while
+    the order date is generalized to year — PII leaves the dataset,
+    but the token is DETERMINISTIC, so joins and per-customer
+    aggregates still work across every pseudonymized table that used
+    the same pepper (the property plain row-number anonymization
+    destroys, and the piece llm_kanon_suppress doesn't cover —
+    k-anonymity suppresses, this re-keys). Rotating the pepper
+    unlinkably re-keys the corpus. sha256 hex is byte-identical in
+    both engines; truncation to 16 hex chars keeps the token
+    join-friendly at a 2⁻³² birthday bound per ~10⁴ entities
+    (widen for larger domains — documented).
+
+    Scale: pure map-side expression work, zero shuffle — anonymizing
+    a corpus costs one scan at any size.
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit("pepper-v1:cust:"), F.col("o_custkey").cast("string")
+                ),
+                256,
+            ),
+            1,
+            16,
+        ).alias("cust_token"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderpriority",
+    )

@@ -373,3 +373,87 @@ def llm_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_top_frac") <= MAX_TOP_FRAC)
         ).alias("keep"),
     )
+
+
+@query(
+    "llm_eval_coverage",
+    family="llm",
+    oracle="""
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    eval_ AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    tb AS (
+        SELECT DISTINCT ws[i] || ' ' || ws[i+1] AS bigram
+        FROM (SELECT string_split(text, ' ') AS ws FROM train),
+             unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    eb AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM eval_),
+             unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    per_doc AS (
+        SELECT eb.doc_id,
+               count(*) AS n_bigrams,
+               count(tb.bigram) AS n_covered
+        FROM eb LEFT JOIN tb ON tb.bigram = eb.bigram
+        GROUP BY eb.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_covered,
+           n_covered * 1.0 / n_bigrams AS coverage
+    FROM per_doc
+    """,
+)
+def llm_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram coverage: for each held-out document (every
+    10th doc), the fraction of its bigrams that appear ANYWHERE in the
+    training split — the aggregate counterpart of llm_contamination
+    (which flags individual leaked spans): high coverage means the
+    eval set does not measure generalization; near-total coverage
+    flags a split leak. Bigram membership is exact (no sketch), counts
+    are integers, the ratio divides two exact longs.
+
+    Scale: the train side reduces to DISTINCT bigrams before the join
+    (vocabulary-sized, not corpus-sized); the eval side is the small
+    split. The join key is the bigram string here for oracle
+    readability — xxhash64 it at 100 TB (llm_dedup_ngram's trick)
+    to shuffle 8-byte keys.
+    """
+    d = t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+
+    def bigrams(df, with_doc):
+        staged = (
+            df.select("doc_id", F.split("text", " ").alias("ws"))
+            .filter(F.size("ws") >= 2)
+            .persist()  # Generate re-evaluation gotcha (llm_dedup.py)
+        )
+        ex = staged.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i-1], ' ', ws[i]))"
+                )
+            ).alias("bigram"),
+        )
+        return ex if with_doc else ex.select("bigram").distinct()
+
+    tb = bigrams(train, with_doc=False).withColumn("hit", F.lit(1))
+    eb = bigrams(ev, with_doc=True)
+    per_doc = (
+        eb.join(tb, "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("hit").alias("n_covered"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_covered",
+        (F.col("n_covered") * F.lit(1.0) / F.col("n_bigrams")).alias("coverage"),
+    )
