@@ -225,3 +225,54 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("key")
     )
     return open_k.exceptAll(done_k)
+
+
+@query(
+    "set_symmetric_diff",
+    family="sortset",
+    oracle="""
+    (SELECT DISTINCT o_custkey AS custkey FROM orders
+     WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+       AND o_orderdate < TIMESTAMP '1999-01-01'
+     EXCEPT
+     SELECT DISTINCT o_custkey FROM orders
+     WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+       AND o_orderdate < TIMESTAMP '2000-01-01')
+    UNION
+    (SELECT DISTINCT o_custkey FROM orders
+     WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+       AND o_orderdate < TIMESTAMP '2000-01-01'
+     EXCEPT
+     SELECT DISTINCT o_custkey FROM orders
+     WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+       AND o_orderdate < TIMESTAMP '1999-01-01')
+    """,
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference (churn-or-new): customers who ordered in
+    exactly ONE of 1998/1999 — the set algebra EXCEPT/UNION compose,
+    completing the set-operation family. The oracle spells out the
+    two-EXCEPT-plus-UNION textbook form; the engine computes the same
+    set in ONE pass as an aggregate predicate (count per year, keep
+    keys seen in exactly one) — a single shuffle on custkey versus the
+    four scans + three set-op exchanges of the literal form, the
+    algebraic rewrite that matters when the inputs are 100 TB scans
+    rather than CTEs.
+    """
+    o = t(spark, sf_dir, "orders")
+    y98 = (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    y99 = (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        o.filter(y98 | y99)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(y98.cast("int")).alias("in98"),
+            F.max(y99.cast("int")).alias("in99"),
+        )
+        .filter(F.col("in98") + F.col("in99") == 1)
+        .select("custkey")
+    )
