@@ -739,3 +739,75 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+CONTAIN_T = 0.7
+
+
+@query(
+    "llm_dedup_containment",
+    family="llm",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    SELECT d1, d2,
+           CAST(ca.n AS BIGINT) AS n1, CAST(cb.n AS BIGINT) AS n2,
+           round(shared * 1.0 / least(ca.n, cb.n), 6) AS containment
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = d1
+    JOIN cnt cb ON cb.doc_id = d2
+    WHERE shared * 1.0 / least(ca.n, cb.n) >= {CONTAIN_T}
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs: shared / min(|A|, |B|) ≥ τ —
+    the asymmetric overlap measure (Broder's containment) that catches
+    near-SUPERSET duplication Jaccard structurally cannot: a document
+    embedded verbatim inside a 10× larger one has containment ~1.0 but
+    Jaccard ~0.1, below any usable symmetric threshold — the
+    boilerplate-wrapper and quote-expansion cases a real corpus is full
+    of. Same df-capped inverted index as llm_dedup_ngram (postings for
+    stop-shingles dropped before the self-join bounds pair fan-out at
+    cap² per shingle), and the same count-only closure: containment
+    needs just the shared count and the two set sizes — no shingle
+    array ever travels through the pair shuffle (the 11× array-dragging
+    trap, CLAUDE.md). On a corpus where the cap binds, pairs touching
+    capped shingles under-count `shared` (a lower bound — the cap can
+    only MISS pairs, never invent them); route those through
+    llm_dedup_ngram's full-set verify split. The testdata corpus is
+    cap-inert, so the oracle checks exact equality here.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = with_shingles(docs).persist()
+    counts = sh.select("doc_id", F.size("shingles").alias("n"))
+    post = (
+        sh.select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+    )
+    df_ok = (
+        post.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("h")
+    )
+    post = post.join(df_ok, "h")
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    cb = counts.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    contain = F.col("shared") / F.least("n1", "n2")
+    return (
+        pairs.join(ca, "d1")
+        .join(cb, "d2")
+        .filter(contain >= CONTAIN_T)
+        .select("d1", "d2", "n1", "n2", F.round(contain, 6).alias("containment"))
+    )
