@@ -450,3 +450,140 @@ def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "win_streaks",
+    family="windows",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - to_days(CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT)) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+               count(*) AS streak_days
+        FROM isl GROUP BY user_id, anchor
+    ),
+    best AS (
+        SELECT user_id, streak_start, streak_end, streak_days,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY streak_days DESC,
+                                           streak_start) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_streaks
+        FROM streaks
+    )
+    SELECT user_id, streak_start, streak_end,
+           CAST(streak_days AS BIGINT) AS streak_days,
+           CAST(n_streaks AS BIGINT) AS n_streaks
+    FROM best WHERE rn = 1
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands date trick: subtract row_number (in day order)
+    from each distinct active day; consecutive days collapse to ONE
+    anchor value, so a plain groupBy on (user, anchor) materializes
+    every streak without self-joins or iterative logic. Deterministic
+    pick of the best streak: (length DESC, start) total order.
+
+    Plan: distinct days, the day-ordered window, the streak groupBy
+    and the best-pick window all key on user_id — one exchange serves
+    all four (ENSURE_REQUIREMENTS inserts nothing); the islands trick
+    turns what looks like sequence analysis into two partition-local
+    sorted passes. Integer date arithmetic ⇒ exact in both engines.
+    """
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor",
+        F.col("d") - F.make_interval(days=F.row_number().over(w)),
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), "streak_start"
+    )
+    return (
+        streaks.select(
+            "user_id",
+            "streak_start",
+            "streak_end",
+            "streak_days",
+            F.row_number().over(wb).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .alias("n_streaks"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "streak_start", "streak_end", "streak_days", "n_streaks"
+        )
+    )
+
+
+@query(
+    "win_attribution",
+    family="windows",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           min(c.ts) AS first_touch_ts,
+           max(c.ts) AS last_touch_ts,
+           count(*) AS n_touches,
+           round(1.0 / count(*), 6) AS linear_credit
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-model marketing attribution in one pass: per converted
+    purchase, the FIRST-touch and LAST-touch click in the 1-hour
+    lookback plus the LINEAR model's per-touch credit (1/n) — the
+    three standard attribution models from one aggregate, instead of
+    one as-of join per model. min/max/count are order-insensitive, so
+    the result is deterministic at any parallelism.
+
+    Scale: the interval join banded on user_id (the equi component)
+    shuffles each side once; the per-purchase aggregate reuses the
+    purchase-side partitioning. The streaming twin is
+    core.click_attribution (same join, watermark-bounded state) with
+    this aggregate applied per micro-batch output.
+    """
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts > p.purchase_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts <= p.purchase_ts),
+    )
+    return joined.groupBy("purchase_id", "user_id", "purchase_ts").agg(
+        F.min("c_ts").alias("first_touch_ts"),
+        F.max("c_ts").alias("last_touch_ts"),
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.lit(1.0) / F.count(F.lit(1)), 6).alias("linear_credit"),
+    )
