@@ -693,3 +693,57 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rt.n").alias("rt_name"),
         F.col("rt.s").alias("rt_segment"),
     )
+
+
+@query(
+    "fn_csv",
+    family="functions",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(s_suppkey AS VARCHAR) || ','
+               || s_name || ','
+               || CAST(s_nationkey AS VARCHAR) AS csv_line,
+           s_suppkey AS rt_key,
+           s_name AS rt_name,
+           s_nationkey AS rt_nation
+    FROM supplier
+    """,
+)
+def fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV line family (to_csv / from_csv): render each supplier row to
+    a CSV line and parse it straight back, emitting the line and the
+    round-tripped scalars — the in-expression (not sink-level) CSV
+    path used for embedding delimited payloads in message envelopes.
+    Supplier names are quote/comma/newline-free in this corpus, so the
+    unquoted oracle rendering is exact (to_csv would quote otherwise —
+    the fn_xml oracle shows the escaping-aware variant of this
+    pattern). Round-trip typing: from_csv parses back to the declared
+    long/string/int schema, which the oracle checks by emitting the
+    source columns directly.
+
+    Scale: pure map-side expression work, zero shuffle.
+    """
+    schema = "k LONG, n STRING, nk INT"
+    s = t(spark, sf_dir, "supplier")
+    rendered = s.select(
+        "s_suppkey",
+        F.to_csv(
+            F.struct(
+                F.col("s_suppkey").alias("k"),
+                F.col("s_name").alias("n"),
+                F.col("s_nationkey").alias("nk"),
+            )
+        ).alias("csv_line"),
+    )
+    parsed = rendered.select(
+        "s_suppkey",
+        "csv_line",
+        F.from_csv("csv_line", schema).alias("rt"),
+    )
+    return parsed.select(
+        "s_suppkey",
+        "csv_line",
+        F.col("rt.k").alias("rt_key"),
+        F.col("rt.n").alias("rt_name"),
+        F.col("rt.nk").alias("rt_nation"),
+    )
