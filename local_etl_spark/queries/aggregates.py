@@ -1242,3 +1242,82 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+_PARETO_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS rev
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT rev,
+           row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+           count(*) OVER () AS n
+    FROM per_cust
+),
+cum AS (
+    SELECT CASE WHEN rk <= CAST(ceil(n * 0.10) AS BIGINT) THEN 'top10'
+                WHEN rk <= CAST(ceil(n * 0.20) AS BIGINT) THEN 'next10'
+                ELSE 'rest' END AS bucket,
+           rev, n
+    FROM ranked
+)
+SELECT bucket,
+       count(*) AS n_custs,
+       CAST(CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DECIMAL(28,6))
+            AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+           / (SELECT CAST(CAST(sum(CAST(rev AS DECIMAL(18,6)))
+                     AS DECIMAL(28,6)) AS DOUBLE) FROM per_cust)
+           AS revenue_share
+FROM cum
+GROUP BY bucket
+"""
+
+
+@query("agg_pareto", family="aggregations", oracle=_PARETO_ORACLE)
+def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: revenue share of the top-10% / next-10% /
+    remaining customers — the "80/20" audit that, with agg_gini, makes
+    up the concentration toolkit. Customers rank by exact-decimal
+    revenue with a custkey tiebreak (total order ⇒ deterministic
+    bucket edges at any parallelism); per-customer revenues are exact
+    decimal-valued doubles, so re-summing them per bucket through the
+    DECIMAL fold is order-insensitive and the shares divide identical
+    doubles.
+
+    Scale: one shuffle to aggregate per customer, one rank window
+    (range-partitioned global sort over the AGGREGATE, never the
+    facts), bucket-sized final aggregate + 1-row total broadcast.
+    """
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(dsum(dec("o_totalprice")).alias("rev"))
+    w = Window.orderBy(F.desc("rev"), "o_custkey")
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rk") <= F.ceil(F.col("n") * 0.10).cast("bigint"), "top10")
+        .when(F.col("rk") <= F.ceil(F.col("n") * 0.20).cast("bigint"), "next10")
+        .otherwise("rest")
+    )
+    total = per_cust.agg(dsum(dec("rev")).alias("total_rev"))
+    return (
+        ranked.select(bucket.alias("bucket"), "rev")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum(dec("rev")).alias("revenue"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_custs",
+            "revenue",
+            (F.col("revenue") / F.col("total_rev")).alias("revenue_share"),
+        )
+    )

@@ -747,3 +747,44 @@ def fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rt.n").alias("rt_name"),
         F.col("rt.nk").alias("rt_nation"),
     )
+
+
+@query(
+    "fn_mask",
+    family="functions",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked_name,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_mktsegment, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', '*', 'g') AS masked_segment
+    FROM customer
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data redaction with ``mask()`` (Spark 3.4+): upper→X, lower→x,
+    digit→n (or a custom digit char) while preserving string SHAPE and
+    punctuation — the display-layer redaction that keeps formats
+    recognizable (IDs still look like IDs), complementing
+    etl_pseudonymize's joinable tokens (mask destroys joinability by
+    design: equal inputs of the same shape collide). DuckDB has no
+    mask(), so the oracle re-derives it as three global
+    character-class regexp_replace passes — exactly mask()'s ASCII
+    semantics on this corpus (mask() additionally handles Unicode
+    case categories; corpus is ASCII so the oracle is exact).
+
+    Scale: map-side expression, zero shuffle.
+    """
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_name"),
+        F.mask(
+            "c_mktsegment",
+            F.lit("X"),
+            F.lit("x"),
+            F.lit("*"),
+        ).alias("masked_segment"),
+    )

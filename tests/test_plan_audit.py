@@ -45,6 +45,7 @@ ALLOW_NESTED_LOOP = {
     # contingency-table aggregate
     "agg_benford",  # 1-row broadcast digit-count total
     "llm_mix_temperature",  # 1-row broadcast total + normalizer scalars
+    "agg_pareto",  # 1-row broadcast total-revenue denominator
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
