@@ -132,14 +132,16 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
         SELECT *,
-               sum(n_tokens) OVER (
+               -- CAST: DuckDB windowed sum(BIGINT) is HUGEINT → pandas
+               -- float64 → driver hash mismatch vs Spark's BIGINT.
+               CAST(sum(n_tokens) OVER (
                    PARTITION BY lang, source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) - n_tokens AS t_offset
+               ) - n_tokens AS BIGINT) AS t_offset
         FROM tok
     )
     SELECT doc_id, lang, source, n_tokens, t_offset,
-           t_offset // {PACK_BUDGET} AS seq_id
+           CAST(t_offset // {PACK_BUDGET} AS BIGINT) AS seq_id
     FROM c
     """,
 )

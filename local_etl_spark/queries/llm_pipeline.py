@@ -194,11 +194,13 @@ MIX_WEIGHTS = (1.0, 0.5, 0.25, 0.1)
     oracle=f"""
     WITH rated AS (
         SELECT doc_id, source,
-               CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4
+               -- CAST: bare decimal literals type the CASE as DECIMAL in
+               -- DuckDB; Spark emits DOUBLE — driver canon diverges.
+               CAST(CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4
                     WHEN 0 THEN {MIX_WEIGHTS[0]}
                     WHEN 1 THEN {MIX_WEIGHTS[1]}
                     WHEN 2 THEN {MIX_WEIGHTS[2]}
-                    ELSE {MIX_WEIGHTS[3]} END AS rate
+                    ELSE {MIX_WEIGHTS[3]} END AS DOUBLE) AS rate
         FROM documents
     ),
     ranked AS (

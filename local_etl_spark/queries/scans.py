@@ -234,7 +234,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, count(*) AS n,
            min(event_id) AS min_id, max(event_id) AS max_id,
-           sum(event_id) AS id_sum,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
                 AS DOUBLE) AS value_sum
     FROM events
@@ -375,7 +375,7 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="scans",
     oracle="""
     SELECT o_orderpriority, coalesce(o_orderstatus, 'UNKNOWN') AS status,
-           count(*) AS n, sum(o_orderkey) AS key_sum
+           count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
     FROM (
       SELECT o_orderkey, o_orderpriority, NULL AS o_orderstatus
       FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
@@ -436,7 +436,7 @@ N_CORRUPT_LINES = 3
     oracle=f"""
     SELECT count(*) AS n_valid,
            CAST({N_CORRUPT_LINES} AS BIGINT) AS n_corrupt,
-           sum(n_nationkey) AS key_sum,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
            count(DISTINCT n_regionkey) AS n_regions
     FROM nation
     """,

@@ -42,8 +42,10 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     -- every event belongs to the 4 epoch-aligned 15-min-sliding 1-h
     -- windows ending after it: starts bucket-45m .. bucket-0m
-    SELECT to_timestamp(floor(epoch(ts) / 900) * 900
-                        - k.k * 900) AS win_start,
+    -- CAST: DuckDB to_timestamp() is TIMESTAMPTZ; the driver's pandas
+    -- canon sees datetime64[us, UTC] vs Spark's naive timestamp.
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900
+                             - k.k * 900) AS TIMESTAMP) AS win_start,
            count(*) AS n_events, {_DSUM_SQL} AS total_value
     FROM events
     CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
@@ -228,14 +230,18 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="streaming",
     oracle=f"""
     WITH sub AS (
-        SELECT to_timestamp(floor(epoch(ts) / 900) * 900) AS w15,
+        -- CAST: DuckDB to_timestamp() is TIMESTAMPTZ (driver schema
+        -- mismatch vs Spark's naive timestamp)
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900)
+                    AS TIMESTAMP) AS w15,
                event_type,
                {_DSUM_SQL} AS sub_total,
                count(*) AS sub_n
         FROM events
         GROUP BY 1, 2
     )
-    SELECT to_timestamp(floor(epoch(w15) / 3600) * 3600) AS win_start,
+    SELECT CAST(to_timestamp(floor(epoch(w15) / 3600) * 3600)
+                AS TIMESTAMP) AS win_start,
            event_type,
            CAST(sum(sub_n) AS BIGINT) AS n_events,
            CAST(CAST(sum(CAST(sub_total AS DECIMAL(18,6)))

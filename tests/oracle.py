@@ -46,9 +46,22 @@ def _canon_cell(v):
             return "NaN"
         return repr(float(v))
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # The driver's pandas canon renders DECIMAL as float64 (`5.0`)
+        # where Spark emits int/exact repr — an oracle emitting DECIMAL
+        # is a typing bug; fail here instead of masking it.
+        raise AssertionError(
+            f"oracle emitted DECIMAL cell {v!r} — CAST the oracle column "
+            "to DOUBLE/BIGINT (driver pandas canon diverges on DECIMAL)"
+        )
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        if v.tzinfo is not None:
+            # DuckDB TIMESTAMPTZ → pandas datetime64[us, UTC] → driver
+            # schema mismatch vs Spark's naive timestamp. Fail loudly.
+            raise AssertionError(
+                f"oracle emitted tz-aware timestamp {v!r} — CAST(... AS "
+                "TIMESTAMP) in the oracle (driver sees a schema mismatch)"
+            )
+        return v.isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

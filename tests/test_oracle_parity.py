@@ -40,6 +40,32 @@ def test_registry_contract(spark):
     assert all(callable(f) for f in q.values())
 
 
+def test_oracle_type_sweep():
+    """DESCRIBE every oracle and reject result types the driver's pandas
+    canonicalizer diverges on: TIMESTAMP WITH TIME ZONE (tz-aware
+    datetime64 vs Spark's naive timestamp → schema mismatch), HUGEINT
+    (→ float64 → `5.0` vs `5` hash mismatch), DECIMAL (same float64
+    rendering problem). r2 shipped 7 such oracles; this sweep catches
+    the class before the driver does. Pure DuckDB — no Spark needed."""
+    from tests.oracle import duck_connect
+
+    banned = ("TIMESTAMP WITH TIME ZONE", "HUGEINT", "DECIMAL", "UHUGEINT")
+    con = duck_connect(SF_DIR)
+    try:
+        offenders = []
+        for spec in SPECS:
+            rows = con.execute(f"DESCRIBE ({spec.oracle})").fetchall()
+            for col, coltype, *_ in rows:
+                if any(b in coltype.upper() for b in banned):
+                    offenders.append(f"{spec.name}.{col}: {coltype}")
+        assert not offenders, (
+            "oracle result types the driver canon diverges on "
+            f"(CAST them to TIMESTAMP/BIGINT/DOUBLE): {offenders}"
+        )
+    finally:
+        con.close()
+
+
 @pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
 def test_oracled_schema_canon_safe(spark, spec):
     """The driver canonicalizes oracled results with pandas sort_values,
