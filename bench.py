@@ -56,6 +56,15 @@ HEADLINE = [
     "win_match_recognize",
     "llm_dsir_weight",
     "stream_chained_agg",
+    # round-3 additions: the r2 oracle-fix queries join the headline
+    # suite (VERDICT r2 item 8) + the new runtime bloom-filter join.
+    "stream_sliding",
+    "llm_pack_sequences",
+    "llm_mix_weighted",
+    "sink_compaction",
+    "scan_parquet_evolve",
+    "scan_csv_malformed",
+    "join_bloom",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →

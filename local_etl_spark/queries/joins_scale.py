@@ -353,3 +353,67 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = F.levenshtein("name_a", "name_b")
     return cand.filter(dist <= 1).select("name_a", "name_b", dist.alias("dist"))
+
+
+# Conf pins for the runtime bloom-filter demo. The defaults gate the
+# optimization to genuinely large scans (application side > 10 GB) and
+# to joins the planner would not broadcast — at test SF both gates would
+# suppress it, so the query pins them low, forces physical planning,
+# then restores the session confs (the planned QueryExecution is cached
+# on the returned DataFrame, so the later collect() reuses it).
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "join_bloom",
+    family="joins",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — DPP's sibling for
+    NON-partition keys.
+
+    A selective dim-side predicate (urgent orders) cannot prune the fact
+    scan statically: ``l_orderkey`` is not a partition column, so every
+    fact row normally travels through the shuffle before the join drops
+    ~80% of them. Spark's ``InjectRuntimeFilter`` builds a bloom filter
+    over the filtered creation side (``bloom_filter_agg`` subquery) and
+    injects ``might_contain(l_orderkey)`` into the fact scan's filters,
+    discarding non-matching rows BEFORE the exchange — at 100 TB that
+    converts the dominant shuffle into one sized by the selectivity.
+    Semantics are unchanged (bloom = no false negatives), which is
+    exactly what the plain-SQL oracle checks; the plan-shape test pins
+    the ``might_contain``/``bloom_filter_agg`` nodes.
+    """
+    from local_etl_spark.queries._util import dec, dsum
+
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    out = (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        .agg(
+            F.count("*").alias("n"),
+            dsum(dec("l_extendedprice")).alias("revenue"),
+        )
+    )
+    prev = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        out._jdf.queryExecution().executedPlan()  # plan under pinned confs
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    return out

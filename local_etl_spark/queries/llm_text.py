@@ -40,6 +40,33 @@ def _words(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
+# Corpus-size cutoff for forcing the vocab-table broadcast in llm_tfidf:
+# below this, the distinct-term table certainly fits in executor memory
+# (vocab grows sub-linearly with corpus bytes — Heaps' law); above it,
+# the hint is dropped and AQE sizes the ACTUAL aggregate output at
+# runtime, converting to broadcast iff it fits the configured threshold.
+VOCAB_BROADCAST_CORPUS_BYTES = 1 << 30  # 1 GiB
+
+
+def _corpus_bytes(sf_dir: str, table: str = "documents") -> int:
+    """Driver-side parquet footprint of one table — filesystem metadata
+    only, no Spark job. Used for cheap broadcast-vs-shuffle branches."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        # unknown source (URI, view) → never force the broadcast
+        return VOCAB_BROADCAST_CORPUS_BYTES
+
+
 @query(
     "llm_text_stats",
     family="llm",
@@ -122,8 +149,13 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     That deletes the corpus-wide (doc, term) shuffle the relational
     shape needs — the only remaining corpus-sized exchanges are the df
     aggregate over distinct pairs and the per-doc top-3 window, both of
-    which are inherent to the result. N (a 1-row agg) and df (one row
-    per vocab term) broadcast back. Staged through two selects + persist
+    which are inherent to the result. N (a 1-row agg) always broadcasts
+    back; the vocab df table is broadcast-HINTED only while the source
+    corpus is under ``VOCAB_BROADCAST_CORPUS_BYTES`` — at open-vocab
+    100 TB a forced vocab broadcast could exceed executor memory, so
+    past the cutoff the join is left unhinted and AQE converts to
+    broadcast at runtime iff the aggregate actually fits the configured
+    threshold. Staged through two selects + persist
     so Generate doesn't re-evaluate the fold per output row (see
     llm_dedup.py) and CollapseProject can't inline the multiply-
     referenced sort.
@@ -155,8 +187,13 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     score = F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    vocab = (
+        F.broadcast(df)
+        if _corpus_bytes(sf_dir) < VOCAB_BROADCAST_CORPUS_BYTES
+        else df
+    )
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(vocab, "term")
         .join(F.broadcast(n_df))
         .select("doc_id", "term", score.alias("score"))
         .withColumn("rn", F.row_number().over(w))

@@ -312,3 +312,49 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark):
     )
     # the dim side must broadcast (DPP reuses its exchange as the filter)
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_vocab_broadcast_branches_on_corpus_size(spark, monkeypatch):
+    """llm_tfidf force-broadcasts the vocab df table only while the
+    source corpus is under VOCAB_BROADCAST_CORPUS_BYTES; past the cutoff
+    the join is unhinted so AQE sizes the aggregate at runtime (a forced
+    open-vocab broadcast could exceed executor memory at 100 TB). Both
+    shapes must be visible in the plan."""
+    from local_etl_spark.queries import llm_text
+
+    # disable stats-based auto-broadcast so the HINT's presence/absence
+    # is the only thing deciding the join strategy in the static plan
+    # (at sf0.001 the size estimate would otherwise broadcast anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # small corpus (the real sf0.001 footprint): hint forces BHJ
+        plan = _plan(spark, "llm_tfidf")
+        assert "BroadcastHashJoin" in plan
+
+        # pretend the corpus is huge: hint dropped → static plan keeps
+        # the shuffle join (AQE may still convert at runtime from the
+        # ACTUAL aggregate size — that's the point of the branch)
+        monkeypatch.setattr(llm_text, "_corpus_bytes", lambda *a, **k: 1 << 50)
+        df = llm_text.llm_tfidf(spark, SF)
+        plan_big = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+        # the 1-row corpus-count broadcast is unconditional (hinted)
+        assert "BroadcastNestedLoopJoin" in plan_big or "BroadcastHashJoin" in plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_join_prunes_fact_rows_at_runtime(spark):
+    """join_bloom's fact scan must carry a might_contain(l_orderkey)
+    runtime filter fed by a bloom_filter_agg over the filtered dim side —
+    row-level pruning BEFORE the exchange, the non-partition-key sibling
+    of DPP. Without it every fact row crosses the shuffle just to be
+    dropped by the join."""
+    plan = _plan(spark, "join_bloom")
+    assert "might_contain" in plan, "no runtime bloom filter on the fact scan"
+    assert "bloom_filter_agg" in plan, "no bloom creation aggregate"
