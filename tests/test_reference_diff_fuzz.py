@@ -81,6 +81,62 @@ def _invalid_user_docs() -> dict[str, dict]:
         "bad_top_array.json": [1, 2, 3],
         "bad_top_string.json": "just a string",
         "bad_top_number.json": 42,
+        # --- round-3 corpus: nested-envelope type confusions ---
+        # booleans where numbers expected: jsonschema SPECIAL-CASES bool
+        # (True is an int in Python but NOT a valid "integer"/"number")
+        # — classic engine-divergence bait
+        "bad_score_bool.json": u(score=True),
+        "bad_id_bool.json": u(id=True),
+        # numeric STRINGS where numbers expected (no coercion in
+        # draft-07: "3" is not of type 'integer')
+        "bad_id_numstr.json": u(id="3"),
+        "bad_score_numstr.json": u(score="5.0"),
+        # containers where leaves expected (nested one level down)
+        "bad_name_obj.json": u(name={"first": "Ada"}),
+        "bad_addr_list.json": u(address=["1 Main St"]),
+        "bad_job_float.json": u(job=3.5),
+        # metadata-leaf confusions
+        "bad_meta_type_obj.json": {
+            "metadata": {**meta, "type": {"t": "user"}},
+            "payload": dict(payload),
+        },
+        "bad_meta_eventid_num.json": {
+            "metadata": {**meta, "event_id": 7},
+            "payload": dict(payload),
+        },
+        "bad_meta_eventat_bool.json": {
+            "metadata": {**meta, "event_at": False},
+            "payload": dict(payload),
+        },
+        # envelope-level scalar/bool confusions
+        "bad_payload_numstr.json": {"metadata": dict(meta), "payload": "123"},
+        "bad_payload_bool.json": {"metadata": dict(meta), "payload": True},
+        "bad_metadata_bool.json": {"metadata": False, "payload": dict(payload)},
+        "bad_top_bool.json": True,
+        # multi-error across BOTH envelopes' leaves: best_match must
+        # pick the same one of the two
+        "bad_nested_multi.json": {
+            "metadata": {**meta, "event_id": 1},
+            "payload": {**payload, "name": []},
+        },
+    }
+
+
+def _invalid_card_docs(card: dict) -> dict[str, dict]:
+    def c(fn, **over):
+        doc = json.loads(json.dumps(card))
+        doc["payload"].update(over)
+        doc["metadata"]["event_id"] = f"cbad_{fn}"
+        return doc
+
+    bad_env = json.loads(json.dumps(card))
+    bad_env["payload"] = 5
+    return {
+        "bad_active_str.json": c("a", active="yes"),
+        "bad_payload_num.json": bad_env,
+        # round-3: bool-as-integer and int-as-boolean traps
+        "bad_userid_bool.json": c("b", user_id=True),
+        "bad_active_num.json": c("d", active=1),
     }
 
 
@@ -158,17 +214,8 @@ def _build_corpus(dest) -> None:
         doc["payload"]["id"] = i
         doc["metadata"]["event_id"] = f"c{i}"
         (dest / "cards" / f"cd{i:05d}.json").write_text(json.dumps(doc, indent=2))
-    bad_card = json.loads(json.dumps(card))
-    bad_card["payload"]["active"] = "yes"
-    bad_card["metadata"]["event_id"] = "cbad0"
-    (dest / "cards" / "bad_active_str.json").write_text(
-        json.dumps(bad_card, indent=2)
-    )
-    bad_card2 = json.loads(json.dumps(card))
-    bad_card2["payload"] = 5
-    (dest / "cards" / "bad_payload_num.json").write_text(
-        json.dumps(bad_card2, indent=2)
-    )
+    for fn, doc in _invalid_card_docs(card).items():
+        (dest / "cards" / fn).write_text(json.dumps(doc, indent=2))
 
 
 def _run_reference(script: str, cwd) -> str:
@@ -300,7 +347,7 @@ def test_error_log_messages_match_best_match(fuzz_run):
     ref_entries = _ref_error_entries(str(ref1 / "errors.log"))
     eng_entries = _engine_error_entries(str(out / "errors.log.d"))
     # engine ran twice (v2 then v1): errors duplicate as a set no-op
-    assert len(ref_entries) == len(_invalid_user_docs()) + 2
+    assert len(ref_entries) == len(_invalid_user_docs()) + 4
     assert ref_entries == eng_entries, (
         sorted(ref_entries - eng_entries)[:3],
         sorted(eng_entries - ref_entries)[:3],
