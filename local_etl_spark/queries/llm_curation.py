@@ -1,0 +1,414 @@
+"""Corpus-curation operators, round 3 (SURVEY.md §2.4-J extensions):
+sub-document boilerplate removal, lexical-diversity and readability
+scoring, Zipf-law fitting, and the BPE pair-count step of tokenizer
+training. All hot-path logic is JVM array/regex expressions over the
+scan stage; corpus-sized shuffles appear only where inherent (the
+chunk-frequency aggregate, the corpus pair count).
+
+Determinism contract (see registry docstring): integer folds are exact;
+every double is produced by a fixed-operand-order expression (single
+divisions/ln of identical inputs, or ordered folds via the
+list_sum(list(x ORDER BY k)) ≡ aggregate(array_sort(...)) identity),
+then rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import t
+from local_etl_spark.registry import query
+
+# Sub-document dedup granularity: chunks of CHUNK_TOKENS consecutive
+# tokens; a chunk present in more than BOILERPLATE_DOC_FREQ distinct
+# documents is boilerplate (CCNet §4.1 paragraph dedup, Dolma §C.2).
+CHUNK_TOKENS = 2
+BOILERPLATE_DOC_FREQ = 25
+
+# MATTR lexical-diversity window (Covington & McFall 2010)
+TTR_WINDOW = 25
+
+# Flesch pseudo-sentence length: the corpus has no sentence punctuation,
+# so readability segments every WORDS_PER_SENTENCE tokens (documented
+# divergence from prose Flesch; the mechanics are the contract).
+WORDS_PER_SENTENCE = 15
+
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "llm_boilerplate_chunks",
+    family="llm",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(string_split(text, ' '),
+                                          (i - 1) * {CHUNK_TOKENS} + 1,
+                                          i * {CHUNK_TOKENS}), ' ') AS chunk
+        FROM documents,
+             LATERAL (SELECT unnest(range(1,
+                 CAST(ceil(len(string_split(text, ' ')) * 1.0
+                           / {CHUNK_TOKENS}) AS INT) + 1)) AS i)
+    ),
+    hot AS (
+        SELECT chunk FROM chunks
+        GROUP BY chunk
+        HAVING count(DISTINCT doc_id) > {BOILERPLATE_DOC_FREQ}
+    ),
+    kept AS (
+        SELECT c.doc_id,
+               string_agg(c.chunk, ' ' ORDER BY c.pos) AS clean_text,
+               count(*) AS n_kept
+        FROM chunks c ANTI JOIN hot USING (chunk)
+        GROUP BY c.doc_id
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_chunks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def llm_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal (CCNet/Dolma paragraph dedup).
+
+    Documents are segmented into consecutive fixed-token chunks; a chunk
+    occurring in more than ``BOILERPLATE_DOC_FREQ`` distinct documents
+    is corpus boilerplate (headers, navigation, license blurbs) and is
+    struck from every document; the survivors are re-assembled in
+    position order. This is the step between exact-document dedup and
+    quality filtering in a pretraining pipeline — near-duplicate PARTS
+    of otherwise-unique pages.
+
+    Scale shape: chunk-frequency aggregate (one hash shuffle on the
+    chunk, map-side partial distinct), LEFT ANTI join of the chunk
+    stream against the hot set co-partitioned on the same key, then one
+    reassembly shuffle on doc_id. No array column ever crosses an
+    exchange; the hot set is selectivity-sized (could broadcast, but at
+    100 TB its size is data-dependent, so the co-partitioned anti join
+    is the safe default and AQE may still convert it).
+    """
+    docs = t(spark, sf_dir, "documents")
+    chunks = (
+        docs.select("doc_id", F.split("text", " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, CAST(ceil(size(_w) / {CHUNK_TOKENS}.0) AS INT)),"
+                    f" i -> array_join(slice(_w, (i - 1) * {CHUNK_TOKENS} + 1,"
+                    f" {CHUNK_TOKENS}), ' '))"
+                )
+            ).alias("pos", "chunk"),
+        )
+    )
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > BOILERPLATE_DOC_FREQ)
+        .select("chunk")
+    )
+    kept = (
+        chunks.join(hot, "chunk", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, chunk))),"
+                " s -> s.chunk), ' ')"
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
+@query(
+    "llm_readability",
+    family="llm",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                    w -> greatest(len(regexp_extract_all(w, '[aeiou]+')), 1)))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_syllables,
+           round(206.835
+                 - 1.015 * (n_words * 1.0
+                            / ceil(n_words * 1.0 / {WORDS_PER_SENTENCE}))
+                 - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch
+    FROM s
+    """,
+)
+def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring with a vowel-run syllable heuristic.
+
+    Syllables per word = number of maximal vowel runs (min 1) — the
+    standard cheap approximation; sentences are fixed token segments
+    because the corpus carries no punctuation (documented divergence
+    from prose Flesch). Map-only: both folds are in-row integer sums,
+    the score is one fixed-operand-order double expression rounded to
+    6 dp — nothing leaves the scan stage.
+    """
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("bigint").alias("n_words"),
+        F.expr(
+            "aggregate(transform(split(text, ' '),"
+            " w -> greatest(size(regexp_extract_all(w, '[aeiou]+', 0)), 1)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("n_syllables"),
+    )
+    n, syl = F.col("n_words"), F.col("n_syllables")
+    sentences = F.ceil(n * F.lit(1.0) / WORDS_PER_SENTENCE)
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n * F.lit(1.0) / sentences)
+        - F.lit(84.6) * (syl * F.lit(1.0) / n),
+        6,
+    )
+    return staged.select("doc_id", "n_words", "n_syllables", flesch.alias("flesch"))
+
+
+@query(
+    "llm_ttr",
+    family="llm",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           round(len(list_distinct(toks)) * 1.0 / n, 6) AS ttr,
+           CASE WHEN n >= {TTR_WINDOW} THEN
+               round(CAST(list_sum(list_transform(range(1, n - {TTR_WINDOW} + 2),
+                    i -> len(list_distinct(list_slice(toks, i,
+                                           i + {TTR_WINDOW} - 1)))))
+                     AS BIGINT) * 1.0
+                     / ({TTR_WINDOW} * (n - {TTR_WINDOW} + 1)), 6)
+           ELSE round(len(list_distinct(toks)) * 1.0 / n, 6)
+           END AS mattr
+    FROM w
+    """,
+)
+def llm_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity: plain type-token ratio + MATTR.
+
+    MATTR (moving-average TTR, Covington & McFall 2010) averages the
+    distinct-token ratio over every sliding ``TTR_WINDOW``-token window,
+    removing plain TTR's length bias — a standard quality signal for
+    pretraining corpora (low diversity ⇒ template/spam text). Map-only
+    in-row fold, O(n·window) per document; short docs fall back to
+    whole-doc TTR. Integer sums are exact; the two divisions are single
+    fixed-order double ops rounded to 6 dp. Spark ``sequence(1, 0)``
+    descends rather than yielding empty — the short-doc CASE guards it.
+    """
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.split("text", " ").alias("_t"), F.expr("size(split(text, ' '))").alias("_n")
+    )
+    n = F.col("_n")
+    ttr = F.round(F.expr("size(array_distinct(_t))") * F.lit(1.0) / n, 6)
+    win_sum = F.expr(
+        f"aggregate(transform(sequence(1, _n - {TTR_WINDOW} + 1),"
+        f" i -> size(array_distinct(slice(_t, i, {TTR_WINDOW})))),"
+        " 0L, (a, x) -> a + x)"
+    )
+    mattr = F.when(
+        n >= TTR_WINDOW,
+        F.round(
+            win_sum * F.lit(1.0) / (F.lit(TTR_WINDOW) * (n - TTR_WINDOW + 1)), 6
+        ),
+    ).otherwise(ttr)
+    return staged.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        ttr.alias("ttr"),
+        mattr.alias("mattr"),
+    )
+
+
+@query(
+    "llm_zipf_fit",
+    family="llm",
+    oracle="""
+    WITH freq AS (
+        SELECT w AS term, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    ranked AS (
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+        FROM freq
+    ),
+    pts AS (
+        SELECT rnk, ln(rnk * 1.0) AS x, ln(cnt * 1.0) AS y FROM ranked
+    ),
+    m AS (
+        SELECT count(*) * 1.0 AS n,
+               list_sum(list(x ORDER BY rnk)) AS sx,
+               list_sum(list(y ORDER BY rnk)) AS sy,
+               list_sum(list(x * x ORDER BY rnk)) AS sxx,
+               list_sum(list(x * y ORDER BY rnk)) AS sxy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept
+    FROM m
+    """,
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus rank-frequency curve.
+
+    OLS of ln(freq) on ln(rank) — natural text has slope ≈ −1; a flat
+    or cliff-shaped curve flags template spam or a broken tokenizer, so
+    the slope is a one-number corpus health check. Term frequencies
+    pre-aggregate in-row (tfidf's sorted-runs trick is overkill here:
+    the unnest+groupBy df shuffle ships one row per (doc, distinct
+    term), vocabulary-bounded). The four OLS moments are folded in
+    explicit rank order on both engines (ordered-fold identity, see
+    module docstring) because a plain sum(double) diverges cross-engine
+    in the low bits; slope/intercept are then single fixed-order
+    expressions rounded to 6 dp.
+    """
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(Window.orderBy(F.desc("cnt"), "term"))
+    pts = freq.select(
+        rnk.alias("rnk"),
+        F.log(F.col("cnt") * F.lit(1.0)).alias("y"),
+    ).select("rnk", F.log(F.col("rnk") * F.lit(1.0)).alias("x"), "y")
+    folded = pts.agg(
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("n"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(rnk, x))),"
+            " s -> s.x), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(rnk, y))),"
+            " s -> s.y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(rnk, x))),"
+            " s -> s.x * s.x), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(rnk, x, y))),"
+            " s -> s.x * s.y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return folded.select(
+        n.cast("bigint").alias("n_vocab"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+@query(
+    "llm_bpe_pairs",
+    family="llm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS l FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_zip(list_slice(l, 1, len(l) - 1),
+                               list_slice(l, 2, len(l)))) AS p
+        FROM toks WHERE len(l) >= 2
+    ),
+    counted AS (
+        -- list_zip yields unnamed structs in DuckDB: numeric index only
+        SELECT p[1] || ' ' || p[2] AS pair,
+               count(*) AS cnt
+        FROM pairs GROUP BY 1
+    )
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+    FROM counted
+    ORDER BY cnt DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency — the candidate-scoring step of one BPE
+    tokenizer-training merge round (Sennrich et al. 2016 §3.2).
+
+    Corpus-wide counts of every adjacent token pair, top
+    ``BPE_TOP_PAIRS`` by count (pair-lexicographic tie-break, so the
+    'merge choice' is engine-independent). Pairs pre-aggregate IN-ROW
+    with the sorted-runs fold before the corpus shuffle, so the
+    exchange ships one row per (doc, distinct pair) instead of one per
+    token — at 100 TB that is the difference between shuffling the
+    corpus and shuffling its vocabulary profile. Final top-k is a
+    per-partition heap (TakeOrderedAndProject), never a global sort.
+    """
+    docs = t(spark, sf_dir, "documents")
+    # in-row: build pair strings, sort, fold runs into (pair, cnt)
+    staged = (
+        docs.select(F.split("text", " ").alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(
+            F.expr(
+                "array_sort(zip_with(slice(_w, 1, size(_w) - 1),"
+                " slice(_w, 2, size(_w) - 1), (a, b) -> concat(a, ' ', b)))"
+            ).alias("_p")
+        )
+        .select(
+            F.expr(
+                "filter(sequence(0, size(_p) - 1),"
+                " i -> i = size(_p) - 1 OR _p[i] != _p[i+1])"
+            ).alias("_ends"),
+            "_p",
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(_ends, concat(array(-1),"
+                    " slice(_ends, 1, size(_ends) - 1)),"
+                    " (e, p) -> named_struct('pair', _p[e],"
+                    " 'cnt', CAST(e - p AS BIGINT)))"
+                )
+            ).alias("pc")
+        )
+        .select("pc.pair", "pc.cnt")
+    )
+    from pyspark.sql import Window
+
+    counted = staged.groupBy("pair").agg(F.sum("cnt").alias("cnt"))
+    top = counted.orderBy(F.desc("cnt"), "pair").limit(BPE_TOP_PAIRS)
+    return top.select(
+        "pair",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "pair"))
+        .cast("bigint")
+        .alias("rnk"),
+    )

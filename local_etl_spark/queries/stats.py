@@ -1,0 +1,453 @@
+"""Statistical profile operators, round 3 (SURVEY.md §2.4-B
+extensions): distribution entropy, two-sample KS distance, a pairwise
+correlation matrix, series autocorrelation, and PSI drift between
+partitions — the data-quality/monitoring layer of a production
+pipeline.
+
+Determinism discipline (same as agg_regr/agg_welch_t): moments
+accumulate as exact decimals or exact integers; estimators derive in
+closed form with fixed-operand-order double expressions; multi-term
+double sums fold in explicit key order (the list_sum(list(x ORDER BY
+k)) ≡ aggregate(array_sort(collect_list(struct(k, x)))) identity);
+everything rounds to 6 dp at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from local_etl_spark.queries._util import dec, t
+from local_etl_spark.registry import query
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+N_COHORTS = 8
+
+# entropy = -Σ p ln p over the event-type mix, terms added in fixed
+# alphabetical type order so both engines evaluate the identical chain
+_ENT_TERMS_SQL = " + ".join(
+    f"(CASE WHEN c{i} > 0 THEN (c{i} * 1.0 / n) * ln(c{i} * 1.0 / n) "
+    "ELSE 0.0 END)"
+    for i in range(len(EVENT_TYPES))
+)
+_ENT_COUNTS_SQL = ", ".join(
+    f"sum(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END) AS c{i}"
+    for i, et in enumerate(EVENT_TYPES)
+)
+
+
+@query(
+    "agg_entropy",
+    family="aggregations",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id % {N_COHORTS} AS cohort,
+               count(*) AS n, {_ENT_COUNTS_SQL}
+        FROM events
+        GROUP BY 1
+    )
+    SELECT cohort, CAST(n AS BIGINT) AS n_events,
+           round(-({_ENT_TERMS_SQL}), 6) AS entropy
+    FROM c
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per user cohort.
+
+    The behavioural-diversity profile: a cohort whose entropy collapses
+    is dominated by one event type (bot traffic, an error storm). One
+    partial+final hash aggregate — the shuffle payload is 6 counters
+    per cohort; the entropy itself is a fixed-order 5-term expression
+    over the pivoted counts (0·ln 0 := 0 guarded per term), so the
+    result is bit-identical across engines. Scale: group count = cohort
+    count, independent of data volume.
+    """
+    e = t(spark, sf_dir, "events")
+    counts = [
+        F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).alias(f"c{i}")
+        for i, et in enumerate(EVENT_TYPES)
+    ]
+    g = e.groupBy((F.col("user_id") % N_COHORTS).alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n"), *counts
+    )
+    n = F.col("n")
+
+    def term(i: int) -> F.Column:
+        p = F.col(f"c{i}") * F.lit(1.0) / n
+        return F.when(F.col(f"c{i}") > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+    ent = term(0)
+    for i in range(1, len(EVENT_TYPES)):
+        ent = ent + term(i)
+    return g.select(
+        "cohort",
+        n.cast("bigint").alias("n_events"),
+        F.round(-ent, 6).alias("entropy"),
+    )
+
+
+@query(
+    "agg_ks_test",
+    family="aggregations",
+    oracle="""
+    WITH s AS (
+        SELECT value, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (
+        SELECT value,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        FROM s GROUP BY value
+    ),
+    cum AS (
+        SELECT value,
+               sum(c1) OVER (ORDER BY value) AS a,
+               sum(c2) OVER (ORDER BY value) AS b
+        FROM c
+    ),
+    tot AS (
+        SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2
+        FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(max(abs(a * 1.0 / n1 - b * 1.0 / n2)), 6) AS ks_d
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance (click vs purchase value
+    distributions): D = max |F₁(x) − F₂(x)| over the pooled support.
+
+    Exact ECDFs via cumulative integer counts over the grouped distinct
+    values — each ECDF evaluation is ONE double division (correctly
+    rounded), |·| and max are exact, so D matches across engines
+    bit-for-bit. The unpartitioned cumulative window is a global sort
+    over DISTINCT values (not raw rows — the groupBy collapses first);
+    at 100 TB the exact form gives way to a binned ECDF (fixed-edge
+    histogram, error ≤ bin width), same downstream formula.
+    """
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    c = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    w = Window.orderBy("value")
+    cum = c.select(
+        F.sum("c1").over(w).alias("a"),
+        F.sum("c2").over(w).alias("b"),
+    )
+    tot = e.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n2"
+        ),
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("a") * F.lit(1.0) / F.col("n1")
+                        - F.col("b") * F.lit(1.0) / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            "ks_d",
+        )
+    )
+
+
+# the three profiled lineitem measures, in the exact-decimal forms the
+# r2 postmortems mandate: quantity is integral, price goes to floored
+# k$ (3 dp — squares exact at scale 6, inside the int64 fast path),
+# discount is 2 dp natively
+_CORR_X_SQL = "CAST(l_quantity AS DECIMAL(18,6))"
+_CORR_Y_SQL = (
+    "CAST(CAST(floor(l_extendedprice) AS DECIMAL(18,0))"
+    " * CAST(0.001 AS DECIMAL(9,3)) AS DECIMAL(18,6))"
+)
+_CORR_Z_SQL = "CAST(l_discount AS DECIMAL(18,6))"
+
+
+def _corr_sql(sx: str, sy: str, sxx: str, syy: str, sxy: str) -> str:
+    return (
+        f"round((n * {sxy} - {sx} * {sy})"
+        f" / sqrt((n * {sxx} - {sx} * {sx}) * (n * {syy} - {sy} * {sy})), 6)"
+    )
+
+
+@query(
+    "agg_corr_matrix",
+    family="aggregations",
+    oracle=f"""
+    WITH m AS (
+        SELECT count(*) * 1.0 AS n,
+               CAST(CAST(sum({_CORR_X_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS sx,
+               CAST(CAST(sum({_CORR_X_SQL} * {_CORR_X_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS sxx,
+               CAST(CAST(sum({_CORR_Y_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS sy,
+               CAST(CAST(sum({_CORR_Y_SQL} * {_CORR_Y_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS syy,
+               CAST(CAST(sum({_CORR_Z_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS sz,
+               CAST(CAST(sum({_CORR_Z_SQL} * {_CORR_Z_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS szz,
+               CAST(CAST(sum({_CORR_X_SQL} * {_CORR_Y_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS sxy,
+               CAST(CAST(sum({_CORR_X_SQL} * {_CORR_Z_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS sxz,
+               CAST(CAST(sum({_CORR_Y_SQL} * {_CORR_Z_SQL}) AS DECIMAL(28,6)) AS DOUBLE) AS syz
+        FROM lineitem
+    )
+    SELECT 'quantity~price_k' AS pair,
+           {_corr_sql('sx', 'sy', 'sxx', 'syy', 'sxy')} AS corr
+    FROM m
+    UNION ALL
+    SELECT 'quantity~discount',
+           {_corr_sql('sx', 'sz', 'sxx', 'szz', 'sxz')}
+    FROM m
+    UNION ALL
+    SELECT 'price_k~discount',
+           {_corr_sql('sy', 'sz', 'syy', 'szz', 'syz')}
+    FROM m
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three lineitem measures
+    (quantity, floored-k$ price, discount), flattened to scalar
+    (pair, corr) rows for driver-canon safety.
+
+    ONE aggregation pass computes all nine cross-moments as exact
+    decimals (48 bytes of shuffle payload total — the corr of 100 TB is
+    a single combine tree); each correlation then derives in closed
+    form with fixed-operand-order double ops, identical text on both
+    engines. The k$ floor keeps squares inside the int64 decimal fast
+    path (agg_regr postmortem).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    y = (
+        F.floor("l_extendedprice").cast("decimal(18,0)")
+        * F.lit("0.001").cast("decimal(9,3)")
+    ).cast("decimal(18,6)")
+    z = dec("l_discount")
+
+    def dmom(c):
+        return F.sum(c).cast("decimal(28,6)").cast("double")
+
+    m = li.agg(
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("n"),
+        dmom(x).alias("sx"),
+        dmom(x * x).alias("sxx"),
+        dmom(y).alias("sy"),
+        dmom(y * y).alias("syy"),
+        dmom(z).alias("sz"),
+        dmom(z * z).alias("szz"),
+        dmom(x * y).alias("sxy"),
+        dmom(x * z).alias("sxz"),
+        dmom(y * z).alias("syz"),
+    )
+    n = F.col("n")
+
+    def corr(sx, sy, sxx, syy, sxy):
+        sx, sy, sxx, syy, sxy = (F.col(c) for c in (sx, sy, sxx, syy, sxy))
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+
+    pairs = m.select(
+        F.array(
+            F.struct(
+                F.lit("quantity~price_k").alias("pair"),
+                corr("sx", "sy", "sxx", "syy", "sxy").alias("corr"),
+            ),
+            F.struct(
+                F.lit("quantity~discount").alias("pair"),
+                corr("sx", "sz", "sxx", "szz", "sxz").alias("corr"),
+            ),
+            F.struct(
+                F.lit("price_k~discount").alias("pair"),
+                corr("sy", "sz", "syy", "szz", "syz").alias("corr"),
+            ),
+        ).alias("rows")
+    )
+    return pairs.select(F.inline("rows"))
+
+
+@query(
+    "agg_autocorr",
+    family="aggregations",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY 1
+    ),
+    p AS (
+        SELECT c, lag(c) OVER (ORDER BY day) AS pc FROM d
+    ),
+    m AS (
+        SELECT count(*) * 1.0 AS n,
+               CAST(sum(c) AS DOUBLE) AS sx,
+               CAST(sum(c * c) AS DOUBLE) AS sxx,
+               CAST(sum(pc) AS DOUBLE) AS sy,
+               CAST(sum(pc * pc) AS DOUBLE) AS syy,
+               CAST(sum(c * pc) AS DOUBLE) AS sxy
+        FROM p WHERE pc IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS lag1_autocorr
+    FROM m
+    """,
+)
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    seasonality/trend smoke test of a monitoring pipeline (near 0 ⇒
+    day-to-day load is memoryless; near ±1 ⇒ trend or alternation).
+
+    Operationalized as Pearson between the day series and its lag —
+    all moments are exact BIGINT sums over integer counts (no decimal
+    needed), the estimator is one fixed-order double expression. The
+    raw stream collapses to one row per day BEFORE the ordered lag
+    window, so the global sort touches day-count rows, not events.
+    """
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = d.select(
+        "c", F.lag("c").over(Window.orderBy("day")).alias("pc")
+    ).filter(F.col("pc").isNotNull())
+    m = p.agg(
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("n"),
+        F.sum("c").cast("double").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("sxx"),
+        F.sum("pc").cast("double").alias("sy"),
+        F.sum(F.col("pc") * F.col("pc")).cast("double").alias("syy"),
+        F.sum(F.col("c") * F.col("pc")).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return m.select(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("lag1_autocorr"),
+    )
+
+
+N_PSI_BUCKETS = 10
+PSI_BUCKET_WIDTH = 50_000  # o_totalprice spans ~1k..500k
+
+
+@query(
+    "etl_drift_psi",
+    family="etl",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT least({N_PSI_BUCKETS - 1},
+                     CAST(floor(o_totalprice / {PSI_BUCKET_WIDTH}) AS INT))
+                   AS bucket,
+               CASE WHEN year(o_orderdate) = 1995 THEN 'a' ELSE 'b' END AS side
+        FROM orders
+        WHERE year(o_orderdate) IN (1995, 2000)
+    ),
+    c AS (
+        SELECT bucket,
+               sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+        FROM tagged GROUP BY bucket
+    ),
+    spine AS (
+        SELECT unnest(range({N_PSI_BUCKETS})) AS bucket
+    ),
+    f AS (
+        SELECT s.bucket,
+               coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb,
+               sum(coalesce(ca, 0)) OVER () AS na,
+               sum(coalesce(cb, 0)) OVER () AS nb
+        FROM spine s LEFT JOIN c ON s.bucket = c.bucket
+    ),
+    terms AS (
+        SELECT bucket,
+               ((ca + 1) * 1.0 / (na + {N_PSI_BUCKETS})
+                - (cb + 1) * 1.0 / (nb + {N_PSI_BUCKETS}))
+               * ln(((ca + 1) * 1.0 / (na + {N_PSI_BUCKETS}))
+                    / ((cb + 1) * 1.0 / (nb + {N_PSI_BUCKETS}))) AS term,
+               na, nb
+        FROM f
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_base,
+           CAST(max(nb) AS BIGINT) AS n_current,
+           round(list_sum(list(term ORDER BY bucket)), 6) AS psi
+    FROM terms
+    """,
+)
+def etl_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order-year partitions —
+    the standard distribution-drift monitor a production ETL runs on
+    every refresh (PSI < 0.1 stable, > 0.25 action).
+
+    Fixed-edge buckets (data-independent, so base and current are
+    binned identically without a quantile pass), Laplace-smoothed
+    shares so empty buckets stay finite, and the 10 PSI terms fold in
+    explicit bucket order (ordered-fold identity, module docstring).
+    Scale: one partial+final aggregate to 10 counters per side; the
+    bucket spine is a literal range, so the whole comparison is a
+    metadata-sized job regardless of partition size.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 2000)
+    )
+    tagged = o.select(
+        F.least(
+            F.lit(N_PSI_BUCKETS - 1),
+            F.floor(F.col("o_totalprice") / PSI_BUCKET_WIDTH).cast("int"),
+        ).alias("bucket"),
+        F.when(F.year("o_orderdate") == 1995, "a").otherwise("b").alias("side"),
+    )
+    c = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    spine = spark.range(N_PSI_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    f = (
+        spine.join(F.broadcast(c), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .withColumn("na", F.sum("ca").over(Window.partitionBy()))
+        .withColumn("nb", F.sum("cb").over(Window.partitionBy()))
+    )
+    pa = (F.col("ca") + 1) * F.lit(1.0) / (F.col("na") + N_PSI_BUCKETS)
+    pb = (F.col("cb") + 1) * F.lit(1.0) / (F.col("nb") + N_PSI_BUCKETS)
+    terms = f.select(
+        "bucket", "na", "nb", ((pa - pb) * F.log(pa / pb)).alias("term")
+    )
+    return terms.agg(
+        F.max("na").cast("bigint").alias("n_base"),
+        F.max("nb").cast("bigint").alias("n_current"),
+        F.round(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(bucket, term))),"
+                " s -> s.term), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+            ),
+            6,
+        ).alias("psi"),
+    )
