@@ -322,3 +322,202 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(sample_batches, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("resized_sha", T.StringType()),
+    ]
+)
+
+
+def resize_ppm(raw: bytes, factor: int) -> bytes:
+    """REAL nearest-neighbor downscale of a P6 PPM: sample every
+    `factor`-th pixel row/column and re-emit a well-formed smaller PPM
+    (opens in any image viewer, like the originals)."""
+    meta = decode_ppm(raw)
+    w, h = meta["width"], meta["height"]
+    header_end = len(raw) - w * h * 3
+    pixels = raw[header_end:]
+    nw, nh = max(1, w // factor), max(1, h // factor)
+    rows = []
+    for y in range(nh):
+        sy = y * factor
+        row = bytearray()
+        for x in range(nw):
+            sx = x * factor
+            off = (sy * w + sx) * 3
+            row += pixels[off : off + 3]
+        rows.append(bytes(row))
+    return b"P6\n%d %d\n255\n" % (nw, nh) + b"".join(rows)
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Arrow-batched image resize over the media table (image rows
+    only): the downsample step of a vision-pretraining pipeline. The
+    kernel re-encodes a real PPM, so downstream stages can re-decode
+    the output payload with the same parser."""
+
+    def resize_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZED_SCHEMA.fields}
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "image":
+                    continue
+                raw = bytes(payload)
+                src = decode_ppm(raw)
+                small = resize_ppm(raw, factor)
+                meta = decode_ppm(small)
+                out["doc_id"].append(doc_id)
+                out["src_width"].append(src["width"])
+                out["src_height"].append(src["height"])
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["n_bytes"].append(len(small))
+                out["resized_sha"].append(hashlib.sha1(small).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def wav_windows(raw: bytes, win: int) -> list[dict]:
+    """Per-window RMS energy + peak amplitude over a WAV's PCM16
+    stream — the frame-level feature extraction in front of any audio
+    model. Pure-integer moments; one sqrt per window."""
+    import math
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, data = 12, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            data = raw[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("missing data chunk")
+    n = len(data) // 2
+    samples = struct.unpack("<%dh" % n, data[: 2 * n])
+    out = []
+    for i in range(0, n, win):
+        chunk = samples[i : i + win]
+        ss = sum(s * s for s in chunk)
+        out.append(
+            {
+                "win_idx": i // win,
+                "n_samples": len(chunk),
+                "rms": math.sqrt(ss / len(chunk)),
+                "peak": max(abs(s) for s in chunk),
+            }
+        )
+    return out
+
+
+def audio_features(media: DataFrame, win: int = 64) -> DataFrame:
+    """Arrow-batched audio feature extraction (audio rows only): one
+    row per fixed-size sample window with RMS energy and peak — the
+    row-per-frame fan-out shape shared with frame_sample."""
+
+    def feature_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "audio":
+                    continue
+                for w in wav_windows(bytes(payload), win):
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(w["win_idx"])
+                    out["n_samples"].append(w["n_samples"])
+                    out["rms"].append(w["rms"])
+                    out["peak"].append(w["peak"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(feature_batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("mad", T.DoubleType()),
+        T.StructField("is_cut", T.IntegerType()),
+    ]
+)
+
+SCENE_CUT_MAD = 48.0
+
+
+def y4m_scene_diffs(raw: bytes) -> list[dict]:
+    """Mean-absolute-difference between consecutive luma planes of a
+    real Y4M stream — the shot-boundary signal of video preprocessing.
+    One row per frame transition; a transition whose luma MAD exceeds
+    SCENE_CUT_MAD is a cut candidate."""
+    nl = raw.index(b"\n")
+    params = {p[:1]: p[1:] for p in raw[:nl].split(b" ")[1:] if p}
+    w, h = int(params[b"W"]), int(params[b"H"])
+    frame_len = w * h * 3 // 2
+    pos, prev, idx, out = nl + 1, None, 0, []
+    while pos < len(raw):
+        fnl = raw.index(b"\n", pos)
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad frame marker")
+        luma = raw[fnl + 1 : fnl + 1 + w * h]
+        if prev is not None:
+            mad = sum(abs(a - b) for a, b in zip(luma, prev)) / len(luma)
+            out.append(
+                {"frame_idx": idx, "mad": mad, "is_cut": int(mad > SCENE_CUT_MAD)}
+            )
+        prev = luma
+        idx += 1
+        pos = fnl + 1 + frame_len
+    return out
+
+
+def scene_cuts(media: DataFrame) -> DataFrame:
+    """Arrow-batched scene-cut detection (video rows only): walks each
+    Y4M stream once, emitting one row per frame transition."""
+
+    def scene_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in SCENE_SCHEMA.fields}
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "video":
+                    continue
+                for d in y4m_scene_diffs(bytes(payload)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(d["frame_idx"])
+                    out["mad"].append(d["mad"])
+                    out["is_cut"].append(d["is_cut"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(scene_batches, schema=SCENE_SCHEMA)

@@ -171,3 +171,174 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_lines").alias("total_lines"),
         )
     )
+
+
+_NATION_EDGES_SQL = """
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                        greatest(c.c_nationkey, s.s_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+"""
+
+
+def _nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected nation-level trade edges (a < b): nations A and B are
+    adjacent when any customer in one bought from any supplier in the
+    other. Unlike the bipartite supplier↔customer graph (which cannot
+    contain triangles), this projection is a general graph. The heavy
+    part is the fact-fact lineitem⋈orders shuffle; both nation lookups
+    broadcast, and the DISTINCT collapses to the (≤ nations²) edge set
+    with map-side partial aggregation."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+    )
+    return pairs.select(
+        F.least("c_nationkey", "s_nationkey").alias("a"),
+        F.greatest("c_nationkey", "s_nationkey").alias("b"),
+    ).distinct()
+
+
+@query(
+    "graph_triangles",
+    family="graph",
+    oracle=f"""
+    WITH e AS ({_NATION_EDGES_SQL}
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    member AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM member GROUP BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the nation trade graph — the
+    clustering-structure primitive (triangle counting is the standard
+    first 'is this graph community-shaped?' measurement, and the
+    building block of clustering coefficients).
+
+    Ordered enumeration (x < y < z via a<b edges joined tip-to-tail)
+    counts each triangle exactly once with two equi-joins — never a
+    cartesian wedge check. Scale: the dominant cost is the edge
+    DERIVATION from 100 TB of fact data (one fact-fact shuffle +
+    broadcast dims, then a distinct that collapses to ≤|V|² rows); the
+    triangle join itself runs on the collapsed edge set. For graphs
+    whose edge set is itself huge, the same query holds — the two
+    joins hash-partition on edge endpoints (the standard distributed
+    triangle enumeration).
+    """
+    e = _nation_edges(spark, sf_dir).persist()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    member = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "graph_jaccard",
+    family="graph",
+    oracle=f"""
+    WITH e AS ({_NATION_EDGES_SQL}
+    ),
+    adj AS (
+        SELECT a AS u, b AS n FROM e
+        UNION ALL
+        SELECT b AS u, a AS n FROM e
+    ),
+    deg AS (
+        SELECT u, count(*) AS d FROM adj GROUP BY u
+    ),
+    common AS (
+        SELECT x.u AS u, y.u AS v, count(*) AS c
+        FROM adj x JOIN adj y ON x.n = y.n AND x.u < y.u
+        GROUP BY x.u, y.u
+    )
+    SELECT c.u AS node_a, c.v AS node_b,
+           CAST(c.c AS BIGINT) AS n_common,
+           CAST(da.d AS BIGINT) AS deg_a,
+           CAST(db.d AS BIGINT) AS deg_b,
+           round(c.c * 1.0 / (da.d + db.d - c.c), 6) AS jaccard
+    FROM common c
+    JOIN deg da ON da.u = c.u
+    JOIN deg db ON db.u = c.v
+    """,
+)
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity for every connected nation pair
+    — the structural-equivalence measure behind link prediction and
+    role discovery (two nations trading with the same partners are
+    interchangeable in the network even if they never trade directly).
+
+    Exact counting form: |N(u)∩N(v)| via the adjacency self-join on
+    the shared neighbor (hash-partitioned on the neighbor key — the
+    standard 'wedge' enumeration), |N(u)∪N(v)| = deg(u)+deg(v)−common,
+    so the only double is ONE division rounded to 6 dp. Scale: wedge
+    count is Σ_n deg(n)², the inherent cost of exact Jaccard; for
+    power-law graphs cap the hub degree or sample wedges (documented
+    divergence), exactly like the df-cap in llm_dedup_ngram.
+    """
+    e = _nation_edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("n"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("n")))
+        .persist()
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    common = (
+        x.join(y, (F.col("x.n") == F.col("y.n")) & (F.col("x.u") < F.col("y.u")))
+        .groupBy(F.col("x.u").alias("u"), F.col("y.u").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(F.col("u").alias("_u"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("_v"), F.col("d").alias("deg_b"))
+    return (
+        common.join(F.broadcast(da), common.u == F.col("_u"))
+        .join(F.broadcast(db), common.v == F.col("_v"))
+        .select(
+            F.col("u").alias("node_a"),
+            F.col("v").alias("node_b"),
+            F.col("c").cast("bigint").alias("n_common"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            F.round(
+                F.col("c")
+                * F.lit(1.0)
+                / (F.col("deg_a") + F.col("deg_b") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -58,3 +58,46 @@ def llm_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media(t(spark, sf_dir, "documents"))
     return frame_sample(media, every_n=10)
+
+
+@query("llm_media_resize", family="llm", oracle=None)
+def llm_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real nearest-neighbor image downscale over the media table's
+    image rows: the kernel parses each P6 PPM, samples every 2nd pixel
+    row/column, and re-emits a well-formed smaller PPM whose sha1 is
+    the output's content address (multimodal/columns.py resize_images;
+    pytest cross-checks every resized payload against a driver-side
+    reference resample). Rows-only: byte-level re-encoding isn't
+    SQL-expressible."""
+    from local_etl_spark.multimodal.columns import resize_images
+
+    media = synthesize_media(t(spark, sf_dir, "documents"))
+    return resize_images(media, factor=2)
+
+
+@query("llm_audio_features", family="llm", oracle=None)
+def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction over the media table's WAV
+    rows: per 64-sample window, RMS energy and peak amplitude from the
+    real PCM16 stream (multimodal/columns.py audio_features) — the
+    frame-level fan-out in front of any audio model, same row-per-unit
+    shape as frame_sample. Rows-only; pytest re-derives every window
+    from the same bytes driver-side."""
+    from local_etl_spark.multimodal.columns import audio_features
+
+    media = synthesize_media(t(spark, sf_dir, "documents"))
+    return audio_features(media, win=64)
+
+
+@query("llm_video_scenes", family="llm", oracle=None)
+def llm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the media table's Y4M rows: mean
+    absolute luma difference between consecutive frames, flagged
+    against a fixed threshold (multimodal/columns.py scene_cuts) —
+    the shot-boundary step of video curation. Rows-only; pytest
+    walks the same streams driver-side and compares every (frame,
+    mad, flag) row."""
+    from local_etl_spark.multimodal.columns import scene_cuts
+
+    media = synthesize_media(t(spark, sf_dir, "documents"))
+    return scene_cuts(media)

@@ -245,3 +245,90 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the driver; every statement is still a full distributed plan."""
     register_views(spark, sf_dir)
     return spark.sql(_SCRIPT)
+
+
+# --- round-3 SQL-surface additions -------------------------------------
+
+_GROUP_BY_ALL = """
+SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+       count(*) AS n,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ALL
+"""
+
+sql_group_by_all = _sql_query(
+    "sql_group_by_all",
+    _GROUP_BY_ALL,
+    "GROUP BY ALL (Spark 3.4+/DuckDB shared syntax): every "
+    "non-aggregate select item becomes a grouping key, eliminating the "
+    "classic copy-the-select-list maintenance bug. One dialect-neutral "
+    "text on both engines; semantically identical to the explicit "
+    "GROUP BY 1,2,3 plan (same partial+final hash aggregate), so the "
+    "sugar costs nothing at any scale.",
+)
+
+_UNPIVOT = """
+SELECT c_mktsegment, metric, val
+FROM (
+  SELECT c_mktsegment,
+         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+              AS DECIMAL(28,6)) AS DOUBLE) AS total_bal,
+         CAST(count(*) AS DOUBLE) AS n_cust,
+         CAST(max(c_custkey) AS DOUBLE) AS max_key
+  FROM customer GROUP BY c_mktsegment
+) m
+UNPIVOT (val FOR metric IN (total_bal, n_cust, max_key))
+"""
+
+sql_unpivot = _sql_query(
+    "sql_unpivot",
+    _UNPIVOT,
+    "SQL-standard UNPIVOT clause (Spark 3.4+ and DuckDB share the "
+    "text): a per-segment metric block rotates into tidy (segment, "
+    "metric, value) rows — the SQL front door to agg_unpivot's "
+    "DataFrame stack() shape. Metrics are pre-cast to one DOUBLE type "
+    "because UNPIVOT requires a common value type; the rotation itself "
+    "is a map-side Expand (rows × metrics), no shuffle beyond the "
+    "source aggregate.",
+)
+
+
+@query(
+    "sql_distinct_on",
+    family="sql",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON emulation — latest order per customer.
+
+    DuckDB/Postgres DISTINCT ON keeps the first row per key under the
+    query's ORDER BY; Spark has no such clause, so the engine form is
+    the max_by-on-a-composite-key aggregate: one partial+final hash
+    aggregate where each task ships a single champion row per key —
+    strictly cheaper than the row_number()=1 window, which must sort
+    every partition (CLAUDE gotcha: count/rank-over-window = a sort).
+    The composite (o_orderdate, o_orderkey) max key makes the champion
+    unique, so both engines pick the identical row.
+    """
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries._util import t
+
+    o = t(spark, sf_dir, "orders")
+    key = F.struct("o_orderdate", "o_orderkey")
+    g = o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", key).alias("o_orderkey"),
+        F.max_by("o_orderdate", key).alias("o_orderdate"),
+        F.max_by(F.col("o_totalprice").cast("double"), key).alias(
+            "o_totalprice"
+        ),
+    )
+    return g.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")

@@ -587,3 +587,137 @@ def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.round(F.lit(1.0) / F.count(F.lit(1)), 6).alias("linear_credit"),
     )
+
+
+@query(
+    "win_drawdown",
+    family="windows",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,6))
+                             ELSE CAST(-value AS DECIMAL(18,6)) END)
+                    AS DECIMAL(18,6)) AS net
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+        GROUP BY 1
+    ),
+    series AS (
+        SELECT day, net,
+               CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS DECIMAL(28,6)) AS cum
+        FROM daily
+    ),
+    peaks AS (
+        SELECT day, net, cum,
+               max(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+        FROM series
+    )
+    SELECT day,
+           CAST(net AS DOUBLE) AS net,
+           CAST(cum AS DOUBLE) AS cum,
+           CAST(peak AS DOUBLE) AS peak,
+           CAST(peak - cum AS DOUBLE) AS drawdown,
+           CAST(max(peak - cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) AS max_drawdown_so_far
+    FROM peaks
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and maximum drawdown of the daily net-value series
+    (purchases credit, errors debit) — the risk-curve window battery
+    every monitoring dashboard runs on a cumulative KPI.
+
+    The raw stream collapses to one row per day BEFORE any ordered
+    window, so the global sort touches day-count rows, not events (at
+    100 TB: still one row per day). Every windowed sum/max runs over
+    exact DECIMAL — frame order cannot perturb a bit — and converts to
+    DOUBLE only at the output edge; drawdown subtraction happens in
+    decimal, so peak − cum is exact.
+    """
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    signed = F.when(
+        F.col("event_type") == "purchase", dec("value")
+    ).otherwise(dec(-F.col("value")))
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(signed).cast("decimal(18,6)").alias("net")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    series = daily.select(
+        "day", "net", F.sum("net").over(w).cast("decimal(28,6)").alias("cum")
+    )
+    peaks = series.select(
+        "day", "net", "cum", F.max("cum").over(w).alias("peak")
+    )
+    dd = F.col("peak") - F.col("cum")
+    return peaks.select(
+        "day",
+        F.col("net").cast("double").alias("net"),
+        F.col("cum").cast("double").alias("cum"),
+        F.col("peak").cast("double").alias("peak"),
+        dd.cast("double").alias("drawdown"),
+        F.max(dd).over(w).cast("double").alias("max_drawdown_so_far"),
+    )
+
+
+@query(
+    "win_zscore",
+    family="windows",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               count(*) * 1.0 AS n,
+               CAST(sum(c) AS DOUBLE) AS sx,
+               CAST(sum(c * c) AS DOUBLE) AS sxx
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, CAST(d.c AS BIGINT) AS n_events,
+           round((d.c - sx / n)
+                 / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zscore,
+           CASE WHEN abs((d.c - sx / n)
+                         / sqrt((sxx - sx * sx / n) / (n - 1))) > 2.0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM d JOIN m ON d.event_type = m.event_type
+    """,
+)
+def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume z-score anomaly flags per event type — the
+    volume-anomaly detector of a streaming-adjacent monitoring stack
+    (|z| > 2 flags a day whose event count sits outside ~95% of that
+    type's distribution).
+
+    The moments are exact BIGINT sums over integer day counts,
+    aggregated per type and JOINED back (broadcast — type-count-sized)
+    rather than windowed: a count-over-window would sort every
+    partition (CLAUDE gotcha), while groupBy + broadcast join reuses
+    the day-aggregate's exchange and stays sort-free. The z expression
+    is fixed-operand-order double math rounded to 6 dp; the flag
+    re-derives the same expression so both engines branch on the
+    identical double.
+    """
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = d.groupBy("event_type").agg(
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("n"),
+        F.sum("c").cast("double").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("sxx"),
+    )
+    j = d.join(F.broadcast(m), "event_type")
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (F.col("c") - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
+    return j.select(
+        "event_type",
+        "day",
+        F.col("c").cast("bigint").alias("n_events"),
+        F.round(z, 6).alias("zscore"),
+        F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
+    )

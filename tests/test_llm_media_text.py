@@ -274,3 +274,108 @@ def test_funnel_matches_python_spec(spark):
         for r in get("agg_funnel").fn(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_media_resize_matches_reference_resample(spark):
+    """Every resized payload sha matches a driver-side nearest-neighbor
+    resample of the same source PPM, and the emitted dims follow
+    floor(dim/2) with the min-1 guard."""
+    from local_etl_spark.multimodal.columns import (
+        _gen_payload,
+        media_dims,
+        resize_images,
+        resize_ppm,
+    )
+
+    docs = table(spark, SF, "documents").limit(30)
+    out = {r["doc_id"]: r for r in resize_images(synthesize_media(docs), 2).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    n_images = 0
+    for doc_id, text in texts.items():
+        dims = media_dims(doc_id)
+        if dims["modality"] != "image":
+            assert doc_id not in out  # non-image rows are filtered
+            continue
+        n_images += 1
+        _, payload = _gen_payload(doc_id, text)
+        ref = resize_ppm(payload, 2)
+        r = out[doc_id]
+        assert r["resized_sha"] == hashlib.sha1(ref).hexdigest()
+        assert (r["src_width"], r["src_height"]) == (dims["img_w"], dims["img_h"])
+        assert r["width"] == max(1, dims["img_w"] // 2)
+        assert r["height"] == max(1, dims["img_h"] // 2)
+        assert r["n_bytes"] == len(ref)
+        # the output is itself a valid PPM with the declared dims
+        from local_etl_spark.multimodal.columns import decode_ppm
+
+        meta = decode_ppm(ref)
+        assert (meta["width"], meta["height"]) == (r["width"], r["height"])
+    assert n_images > 0 and len(out) == n_images
+
+
+def test_audio_features_match_reference_windows(spark):
+    """Every (window, rms, peak) row equals a driver-side walk of the
+    same WAV bytes; window count covers the full PCM stream."""
+    from local_etl_spark.multimodal.columns import (
+        _gen_payload,
+        media_dims,
+        audio_features,
+        wav_windows,
+    )
+
+    docs = table(spark, SF, "documents").limit(30)
+    rows = audio_features(synthesize_media(docs), win=64).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["win_idx"]] = r
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    n_audio = 0
+    for doc_id, text in texts.items():
+        dims = media_dims(doc_id)
+        if dims["modality"] != "audio":
+            assert doc_id not in got
+            continue
+        n_audio += 1
+        _, payload = _gen_payload(doc_id, text)
+        ref = {w["win_idx"]: w for w in wav_windows(payload, 64)}
+        assert set(got[doc_id]) == set(ref)
+        for idx, w in ref.items():
+            r = got[doc_id][idx]
+            assert r["n_samples"] == w["n_samples"]
+            assert r["peak"] == w["peak"]
+            assert r["rms"] == pytest.approx(w["rms"], abs=0)
+    assert n_audio > 0 and len(got) == n_audio
+
+
+def test_video_scenes_match_reference_walk(spark):
+    """Every frame-transition MAD + cut flag equals a driver-side walk
+    of the same Y4M stream; transitions per doc = n_frames - 1."""
+    from local_etl_spark.multimodal.columns import (
+        _gen_payload,
+        media_dims,
+        scene_cuts,
+        y4m_scene_diffs,
+    )
+
+    docs = table(spark, SF, "documents").limit(30)
+    rows = scene_cuts(synthesize_media(docs)).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    n_video = 0
+    for doc_id, text in texts.items():
+        dims = media_dims(doc_id)
+        if dims["modality"] != "video":
+            assert doc_id not in got
+            continue
+        n_video += 1
+        _, payload = _gen_payload(doc_id, text)
+        ref = {d["frame_idx"]: d for d in y4m_scene_diffs(payload)}
+        assert len(ref) == dims["n_frames"] - 1
+        assert set(got[doc_id]) == set(ref)
+        for idx, d in ref.items():
+            r = got[doc_id][idx]
+            assert r["mad"] == pytest.approx(d["mad"], abs=0)
+            assert r["is_cut"] == d["is_cut"]
+    assert n_video > 0 and len(got) == n_video
