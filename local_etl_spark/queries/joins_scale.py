@@ -417,3 +417,76 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in prev.items():
             spark.conf.set(k, v)
     return out
+
+
+INCIDENT_MIN_ERRORS = 2
+
+
+@query(
+    "join_interval_overlap",
+    family="joins",
+    oracle=f"""
+    WITH a AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(ts) AS a_start, max(ts) AS a_end
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT CAST(ts AS DATE) AS day,
+               date_trunc('hour', ts) AS b_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS b_end,
+               count(*) AS n_err
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= {INCIDENT_MIN_ERRORS}
+    )
+    SELECT a.user_id, a.day,
+           count(*) AS n_incidents,
+           CAST(sum(b.n_err) AS BIGINT) AS n_incident_errors
+    FROM a JOIN b
+      ON a.day = b.day
+     AND a.a_start < b.b_end AND b.b_start <= a.a_end
+    GROUP BY 1, 2
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join, banded: per-user daily activity
+    spans [first event, last event] matched against error-incident
+    hours (hours with ≥ INCIDENT_MIN_ERRORS errors) they overlap —
+    'which users were active during an incident', the bread-and-butter
+    correlation query of observability pipelines.
+
+    Both interval sets nest inside a calendar day, so the day is an
+    exact banding key: the join is an EQUI join on day with the
+    two-sided overlap residual (a_start < b_end AND b_start <= a_end)
+    as a post-filter — never a nested-loop interval scan (plan-pinned
+    like join_range_banded). Scale: both sides pre-aggregate before
+    the join (activity to user×day, incidents to qualifying hours), so
+    the exchange carries summaries, not raw events; intervals spanning
+    band boundaries generalize via the standard duplicate-into-both-
+    bands + dedup trick (join_range_banded's docstring).
+    """
+    e = t(spark, sf_dir, "events")
+    a = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("a_start"), F.max("ts").alias("a_end")
+    )
+    b = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("b_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= INCIDENT_MIN_ERRORS)
+        .withColumn("b_end", F.col("b_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    j = a.join(
+        b,
+        (a.day == b.day)
+        & (F.col("a_start") < F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end")),
+    )
+    return j.groupBy(a.user_id, a.day).agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.sum("n_err").cast("bigint").alias("n_incident_errors"),
+    )

@@ -485,3 +485,72 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_dup", F.lit(False)).alias("suppressed"),
         )
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 30
+
+
+@query("llm_mmr_diversify", family="llm", oracle=None)
+def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) over the brute-force candidate pool: greedy selection of K
+    results maximizing λ·relevance − (1−λ)·max-similarity-to-selected —
+    the diversity step between retrieval and context assembly in a RAG
+    / dedup-aware sampling pipeline.
+
+    Distribution shape: candidate scoring is the full distributed
+    cosine scan (same TakeOrderedAndProject top-k as llm_simsearch);
+    only the MMR_CANDIDATES-row pool crosses to the driver for the
+    inherently sequential greedy loop (each pick depends on all prior
+    picks), mirroring the IVF-centroid allowance — model-sized, never
+    corpus-sized. Rows-only: iterative argmax isn't SQL-expressible;
+    tests/test_llm_sim.py re-runs the greedy spec in NumPy and asserts
+    the identical selection, order, and scores.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine("embedding", "qv"), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_CANDIDATES)
+        .collect()
+    )
+    import math
+
+    def cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return num / (na * nb)
+
+    selected: list[tuple] = []
+    remaining = {r["vec_id"]: r for r in pool}
+    while remaining and len(selected) < K:
+        best = None
+        for vid in sorted(remaining):  # vec_id-ordered scan → stable ties
+            r = remaining[vid]
+            max_sim = max(
+                (cos(r["embedding"], s[3]) for s in selected), default=0.0
+            )
+            score = MMR_LAMBDA * r["rel"] - (1.0 - MMR_LAMBDA) * max_sim
+            if best is None or score > best[1]:
+                best = (vid, score)
+        vid, score = best
+        r = remaining.pop(vid)
+        selected.append((len(selected) + 1, vid, r["rel"], r["embedding"], score))
+    rows = [
+        (rank, vid, float(rel), float(score))
+        for rank, vid, rel, _, score in selected
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )

@@ -669,3 +669,127 @@ def scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# sf-INDEPENDENT binary corpus: the oracle's read_blob glob is baked
+# into static SQL, so the payload bytes must not depend on which sf_dir
+# the engine ran at — files derive from doc ids alone.
+_BINSCAN_DIR = os.path.join(tempfile.gettempdir(), "local_etl_spark_binscan")
+_BINSCAN_DOCS = 40
+
+
+def _write_binscan_corpus() -> str:
+    """Write the deterministic real-media file corpus (PPM/WAV/Y4M via
+    the multimodal generator) once; idempotent re-write if absent."""
+    from local_etl_spark.multimodal.columns import _gen_payload
+
+    os.makedirs(_BINSCAN_DIR, exist_ok=True)
+    for doc_id in range(_BINSCAN_DOCS):
+        path = os.path.join(_BINSCAN_DIR, f"doc{doc_id:05d}.bin")
+        if not os.path.exists(path):
+            _, payload = _gen_payload(doc_id, f"doc{doc_id}")
+            with open(path, "wb") as fh:
+                fh.write(payload)
+    return _BINSCAN_DIR
+
+
+@query(
+    "scan_binaryfile",
+    family="scans",
+    oracle=f"""
+    SELECT parse_filename(filename) AS fname,
+           CAST(size AS BIGINT) AS n_bytes,
+           md5(to_base64(content)) AS payload_md5
+    FROM read_blob('{_BINSCAN_DIR}/*.bin')
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion (`binaryFile` source): the landing
+    scan of every multimodal pipeline — media files become (path,
+    length, content) rows with bytes intact, ready for the
+    mapInPandas decode kernels (multimodal/columns.py). Content
+    addressing via md5-over-base64, the one hash both engines compute
+    identically on blobs. The corpus is the deterministic real-media
+    fileset (PPM/WAV/Y4M), written sf-independently so the oracle's
+    static glob always sees the same bytes. Scale: binaryFile is
+    splittable per FILE (one task per file, never mid-file), so the
+    partition count is the file count — compaction/packing (cf.
+    sink_compaction) applies to blobs exactly as to parquet.
+    """
+    d = _write_binscan_corpus()
+    df = spark.read.format("binaryFile").load(d)
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+        # Spark base64 MIME-wraps at 76 chars (RFC 2045); DuckDB
+        # to_base64 never wraps — strip the CR/LF before hashing
+        F.md5(F.regexp_replace(F.base64("content"), "[\\r\\n]", "")).alias(
+            "payload_md5"
+        ),
+    )
+
+
+@query(
+    "sink_snapshot",
+    family="scans",
+    oracle="""
+    SELECT 1 AS version, count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM orders WHERE year(o_orderdate) = 1995
+    UNION ALL
+    SELECT 2, count(*),
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE)
+    FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    """,
+)
+def sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning + time travel on plain parquet — the
+    manifest pattern under Iceberg/Delta, re-implemented with files
+    (the format jars are absent; cf. scan_skipping's min/max
+    manifests). Version 1 lands the 1995 orders; version 2 APPENDS the
+    1996 file and a new manifest LISTING both — readers of v1 keep a
+    consistent view because manifests are immutable and data files are
+    never rewritten (snapshot isolation by construction). The query
+    time-travels to BOTH versions through their manifests and
+    aggregates each state; the oracle recomputes both states from the
+    source table, proving the versioned reads are lossless. Scale:
+    manifest size = file count, commits are O(1) manifest writes —
+    exactly why every lakehouse format works this way.
+    """
+    import json
+
+    from local_etl_spark.queries._util import dec, dsum
+
+    base = _cache_dir(sf_dir, "orders_snapshots")
+    o = t(spark, sf_dir, "orders")
+    f1 = _materialize(
+        o.filter(F.year("o_orderdate") == 1995),
+        os.path.join(base, "data", "f1"),
+        "parquet",
+    )
+    f2 = _materialize(
+        o.filter(F.year("o_orderdate") == 1996),
+        os.path.join(base, "data", "f2"),
+        "parquet",
+    )
+    manifests = {1: [f1], 2: [f1, f2]}
+    for v, files in manifests.items():
+        mpath = os.path.join(base, f"manifest-v{v}.json")
+        if not os.path.exists(mpath):
+            with open(mpath, "w") as fh:
+                json.dump({"version": v, "files": files}, fh)
+
+    out = None
+    for v in (1, 2):
+        with open(os.path.join(base, f"manifest-v{v}.json")) as fh:
+            snap_files = json.load(fh)["files"]
+        state = spark.read.parquet(*snap_files)
+        agg = state.agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice")).alias("revenue"),
+        ).select("version", "n_orders", "revenue")
+        out = agg if out is None else out.unionAll(agg)
+    return out

@@ -163,3 +163,59 @@ def test_semdedup_exact_within_cells_and_recall(spark):
     baseline = sum((len(v) / n) ** 2 for v in cells.values())
     enrichment = (captured / len(true_pairs)) / baseline
     assert enrichment >= 2.0, (captured, len(true_pairs), baseline)
+
+
+def test_mmr_matches_numpy_greedy_spec(spark):
+    """The MMR selection (order, ids, scores) must equal an independent
+    NumPy implementation of the greedy λ-tradeoff over the same
+    candidate pool, and must actually diversify (its tail diverges from
+    pure relevance order on this pool)."""
+    import numpy as np
+
+    from local_etl_spark.queries.llm_sim import (
+        K,
+        MMR_CANDIDATES,
+        MMR_LAMBDA,
+        cosine,
+    )
+    from pyspark.sql import functions as F
+
+    emb = table(spark, SF, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            "vec_id", "embedding", F.round(cosine("embedding", "qv"), 6).alias("rel")
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_CANDIDATES)
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in pool}
+    rels = {r["vec_id"]: r["rel"] for r in pool}
+
+    def ncos(a, b):
+        return float(np.dot(a, b) / (np.sqrt(np.dot(a, a)) * np.sqrt(np.dot(b, b))))
+
+    chosen, remaining = [], dict(vecs)
+    while remaining and len(chosen) < K:
+        best = None
+        for vid in sorted(remaining):
+            max_sim = max((ncos(vecs[vid], vecs[c]) for c, _ in chosen), default=0.0)
+            score = MMR_LAMBDA * rels[vid] - (1.0 - MMR_LAMBDA) * max_sim
+            if best is None or score > best[1]:
+                best = (vid, score)
+        remaining.pop(best[0])
+        chosen.append(best)
+
+    got = get("llm_mmr_diversify").fn(spark, SF).orderBy("rank").collect()
+    assert [r["vec_id"] for r in got] == [vid for vid, _ in chosen]
+    for r, (vid, score) in zip(got, chosen):
+        assert r["relevance"] == rels[vid]
+        assert abs(r["mmr_score"] - score) < 1e-9
+    # diversification is real: MMR order != pure-relevance order
+    rel_order = [r["vec_id"] for r in pool[:K]]
+    assert [r["vec_id"] for r in got] != rel_order

@@ -46,6 +46,7 @@ ALLOW_NESTED_LOOP = {
     "agg_benford",  # 1-row broadcast digit-count total
     "llm_mix_temperature",  # 1-row broadcast total + normalizer scalars
     "agg_pareto",  # 1-row broadcast total-revenue denominator
+    "agg_ks_test",  # 1-row broadcast (n1, n2) sample-size scalars
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
@@ -57,6 +58,10 @@ ALLOW_PYTHON = {
     "llm_media_framesample",
     "udf_arrow",
     "stream_stateful",
+    # round-3 real-codec kernels (Arrow-batched mapInPandas by contract)
+    "llm_media_resize",
+    "llm_audio_features",
+    "llm_video_scenes",
 }
 
 
