@@ -793,3 +793,88 @@ def sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_orders", "revenue")
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+def _make_pyds_sink():
+    """Factory for the Python Data Source SINK (classes built here so
+    pickling ships them by value to executors; cf. scan_python_ds)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+
+            from pyspark import TaskContext
+
+            # partition-id filenames make task retries idempotent
+            # (a rerun overwrites its own file, never duplicates)
+            pid = TaskContext.get().partitionId()
+            _os.makedirs(self.path, exist_ok=True)
+            n = 0
+            with open(
+                _os.path.join(self.path, f"part-{pid:05d}.jsonl"), "w"
+            ) as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return WriterCommitMessage()
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options)
+
+    return JsonlSink
+
+
+@query(
+    "sink_python_ds",
+    family="scans",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Spark 4 Python Data Source writer API — the
+    reverse of scan_python_ds and the extension point for bespoke
+    destinations (internal services, exotic formats). Each executor
+    task streams its partition through the Python writer (partition-id
+    filenames keep retries idempotent — the exactly-once discipline
+    every custom sink needs); the commit protocol gathers one
+    WriterCommitMessage per task. The query then reads the files back
+    through the ordinary JSON reader and the oracle checks content
+    against the source table — proving the full custom write → read
+    cycle is lossless. Scale: writer parallelism = partition count, no
+    driver involvement in the data path.
+    """
+    import shutil
+
+    if "jsonl_sink" not in getattr(spark, "_pyds_registered", set()):
+        spark.dataSource.register(_make_pyds_sink())
+        reg = getattr(spark, "_pyds_registered", set())
+        reg.add("jsonl_sink")
+        spark._pyds_registered = reg
+    out = _cache_dir(sf_dir, "nation_pyds_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.format("jsonl_sink")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    return spark.read.schema(NATION_SCHEMA).json(out).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -721,3 +721,119 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("zscore"),
         F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+@query(
+    "win_interpolate",
+    family="windows",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) AS n,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                    AS DECIMAL(28,6)) AS DOUBLE) / count(*) AS val
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    spine AS (
+        SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                      (SELECT max(day) FROM daily),
+                                      INTERVAL 1 DAY))::DATE AS day
+    ),
+    obs AS (
+        -- deterministic sensor outage: every 3rd day-of-month is lost
+        SELECT s.day,
+               CASE WHEN day(s.day) % 3 = 0 THEN NULL ELSE d.val END AS val
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ),
+    ctx AS (
+        SELECT day, val,
+               last_value(val IGNORE NULLS) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS prev_val,
+               last_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_day,
+               first_value(val IGNORE NULLS) OVER (
+                   ORDER BY day ROWS BETWEEN 1 FOLLOWING
+                   AND UNBOUNDED FOLLOWING) AS next_val,
+               first_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING
+                         AND UNBOUNDED FOLLOWING) AS next_day
+        FROM obs
+    )
+    SELECT day,
+           CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END AS observed,
+           round(CASE
+               WHEN val IS NOT NULL THEN val
+               WHEN prev_val IS NULL THEN next_val
+               WHEN next_val IS NULL THEN prev_val
+               ELSE prev_val + (next_val - prev_val)
+                    * (date_diff('day', prev_day, day) * 1.0
+                       / date_diff('day', prev_day, next_day))
+           END, 6) AS val_filled
+    FROM ctx
+    """,
+)
+def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation: the daily
+    purchase-value series loses every 3rd day-of-month (a deterministic
+    'sensor outage'), and missing days are reconstructed from their
+    nearest observed neighbors — the resample/interpolate step every
+    feature pipeline runs before a model sees a regular series.
+
+    Shape: calendar spine (sequence over the observed range) LEFT JOIN
+    the day aggregate, then four IGNORE NULLS window lookups (previous/
+    next observed value and day) and one closed-form lerp — boundary
+    gaps degrade to forward/backward fill. Determinism: the day
+    aggregate divides an exact decimal sum by an integer count, the
+    lerp is fixed-operand-order double math rounded to 6 dp, and
+    day-distance ratios are exact integers. Scale: everything after
+    the first aggregate operates on day-count rows; the ordered window
+    is calendar-sized, never event-sized.
+    """
+    from local_etl_spark.queries._util import dsum
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        (dsum(dec("value")) / F.count(F.lit(1))).alias("val")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    obs = spine.join(daily, "day", "left").select(
+        "day",
+        F.when(F.dayofmonth("day") % 3 == 0, F.lit(None)).otherwise(
+            F.col("val")
+        ).alias("val"),
+    )
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.orderBy("day").rowsBetween(1, Window.unboundedFollowing)
+    day_if_obs = F.when(F.col("val").isNotNull(), F.col("day"))
+    ctx = obs.select(
+        "day",
+        "val",
+        F.last("val", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(day_if_obs, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.first("val", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(day_if_obs, ignorenulls=True).over(w_next).alias("next_day"),
+    )
+    lerp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        F.datediff("day", "prev_day")
+        * F.lit(1.0)
+        / F.datediff("next_day", "prev_day")
+    )
+    filled = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(lerp)
+    )
+    return ctx.select(
+        "day",
+        F.when(F.col("val").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.round(filled, 6).alias("val_filled"),
+    )
