@@ -65,6 +65,13 @@ HEADLINE = [
     "scan_parquet_evolve",
     "scan_csv_malformed",
     "join_bloom",
+    # round-3 new-operator representatives (one per family batch)
+    "llm_boilerplate_chunks",
+    "llm_bpe_pairs",
+    "graph_triangles",
+    "agg_corr_matrix",
+    "agg_ks_test",
+    "win_drawdown",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →
