@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from local_etl_spark.etl import transforms
 from local_etl_spark.etl.schema_translate import parse_schema
 from local_etl_spark.etl.pipeline import classify
-from local_etl_spark.queries._util import dec, t
+from local_etl_spark.queries._util import dec, dsum, t
 from local_etl_spark.registry import query
 
 
@@ -741,4 +741,59 @@ def etl_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cust_token"),
         F.year("o_orderdate").cast("int").alias("order_year"),
         "o_orderpriority",
+    )
+
+
+@query(
+    "etl_union_evolve",
+    family="etl",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    unioned AS (
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT coalesce(o_orderpriority, '<pre-schema>') AS priority,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def etl_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: an old batch written BEFORE a column existed
+    is combined with a new batch via ``unionByName(allowMissingColumns
+    =True)`` — Spark aligns by NAME and null-fills the missing column,
+    the everyday append step when upstream schemas evolve (positional
+    UNION would silently misalign or fail). The old batch's rows land
+    in a '<pre-schema>' bucket downstream. Scale: the union is a
+    zero-shuffle plan concatenation; only the final aggregate moves
+    data, identical to a single-schema append.
+    """
+    o = t(spark, sf_dir, "orders")
+    v1 = o.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = o.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("o_totalprice")).alias("revenue"),
+        )
     )

@@ -788,3 +788,52 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("*"),
         ).alias("masked_segment"),
     )
+
+
+@query(
+    "fn_collate",
+    family="functions",
+    oracle="""
+    WITH mixed AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg_mixed,
+               c_acctbal
+        FROM customer
+    )
+    SELECT min(seg_mixed) AS seg_repr,
+           count(*) AS n,
+           CAST(sum(CASE WHEN seg_mixed = upper(seg_mixed)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_upper
+    FROM mixed
+    GROUP BY lower(seg_mixed)
+    """,
+)
+def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATION (`COLLATE
+    UTF8_LCASE`) — the declarative alternative to lower()-normalizing
+    every comparison site, and a headline Spark 4 SQL feature. The
+    collated key is LOAD-BEARING (it defines the groups: upper- and
+    lower-cased segment spellings land together) but never emitted —
+    a collated group's representative value is engine-arbitrary, so the
+    output key is the group's binary min (deterministic everywhere),
+    which is exactly how the lower()-based oracle reproduces the same
+    rows. Scale: the collation applies inside the hash-aggregate's key
+    comparison — same one-shuffle plan as any groupBy, no normalization
+    projection needed.
+    """
+    c = t(spark, sf_dir, "customer")
+    mixed = c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        ).otherwise(F.lower("c_mktsegment")).alias("seg_mixed"),
+    )
+    g = mixed.groupBy(F.expr("seg_mixed COLLATE UTF8_LCASE").alias("k")).agg(
+        F.min(F.expr("seg_mixed COLLATE UTF8_BINARY")).alias("seg_repr"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("seg_mixed") == F.upper("seg_mixed"), 1).otherwise(0)
+        ).cast("bigint").alias("n_upper"),
+    )
+    return g.select("seg_repr", "n", "n_upper")
