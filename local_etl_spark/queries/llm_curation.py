@@ -93,6 +93,9 @@ def llm_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the safe default and AQE may still convert it).
     """
     docs = t(spark, sf_dir, "documents")
+    # persisted: the chunk stream feeds THREE consumers (hot set, kept
+    # reassembly, per-doc totals) — without it each consumer re-scans
+    # and re-explodes the whole corpus (3× the dominant cost at 100 TB)
     chunks = (
         docs.select("doc_id", F.split("text", " ").alias("_w"))
         .select(
@@ -105,6 +108,7 @@ def llm_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pos", "chunk"),
         )
+        .persist()
     )
     hot = (
         chunks.groupBy("chunk")

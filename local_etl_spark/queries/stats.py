@@ -133,22 +133,24 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
+    # persisted: both the cumulative window and the totals consume the
+    # grouped counts — one events scan total
     c = e.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "c2"
         ),
-    )
+    ).persist()
     w = Window.orderBy("value")
     cum = c.select(
         F.sum("c1").over(w).alias("a"),
         F.sum("c2").over(w).alias("b"),
     )
-    tot = e.agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "n2"
-        ),
+    # totals derive from the grouped counts, NOT the raw stream — a
+    # second events scan would double the dominant cost at scale
+    tot = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
     )
     return (
         cum.join(F.broadcast(tot))

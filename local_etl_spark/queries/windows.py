@@ -703,9 +703,11 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical double.
     """
     e = t(spark, sf_dir, "events")
+    # persisted: the day aggregate feeds both the moments and the join
+    # probe — without it the raw stream is scanned twice
     d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).persist()
     m = d.groupBy("event_type").agg(
         (F.count(F.lit(1)) * F.lit(1.0)).alias("n"),
         F.sum("c").cast("double").alias("sx"),
@@ -795,9 +797,11 @@ def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_etl_spark.queries._util import dsum
 
     e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # persisted: the spine bounds and the spine join both consume the
+    # day aggregate — one events scan total
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         (dsum(dec("value")) / F.count(F.lit(1))).alias("val")
-    )
+    ).persist()
     bounds = daily.agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )

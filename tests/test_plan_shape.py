@@ -358,3 +358,63 @@ def test_bloom_join_prunes_fact_rows_at_runtime(spark):
     plan = _plan(spark, "join_bloom")
     assert "might_contain" in plan, "no runtime bloom filter on the fact scan"
     assert "bloom_filter_agg" in plan, "no bloom creation aggregate"
+
+
+def test_interval_overlap_is_equi_join(spark):
+    # the day band must make the interval-interval join an EQUI join
+    # with residual filters — never a nested-loop interval scan
+    plan = _plan(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_bpe_pairs_preaggregates_and_heaps(spark):
+    # in-row run-length fold must partial-aggregate before the vocab
+    # shuffle, and the final top-k must be per-partition heaps
+    plan = _plan(spark, "llm_bpe_pairs")
+    assert "partial_sum" in plan, "pair counts lost map-side combine"
+    assert "TakeOrderedAndProject" in plan, "top-k compiled to global sort"
+
+
+def test_corr_matrix_single_aggregate_pass(spark):
+    # all nine cross-moments must come from ONE aggregation over ONE
+    # scan — a second lineitem scan would double the 100 TB cost
+    import re
+
+    df = get("agg_corr_matrix").fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1, (
+        "corr matrix scans its input more than once"
+    )
+
+
+def test_triangle_enumeration_stays_equi(spark):
+    plan = _plan(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_collate_groups_without_normalization_projection(spark):
+    # the collation must live inside the aggregate's key comparison —
+    # one partial+final hash aggregate, same as any groupBy
+    plan = _plan(spark, "fn_collate")
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_drawdown_sorts_days_not_events(spark):
+    # the ordered windows must sit ABOVE the day aggregate: exactly one
+    # aggregate pass over the raw stream before any Window node
+    df = get("win_drawdown").fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert win_pos >= 0 and agg_pos >= 0
+    # in executedPlan string, downstream operators print FIRST — the
+    # Window must appear before (above) the aggregate in the tree
+    assert win_pos < plan.rfind("HashAggregate"), (
+        "window not above the day aggregate"
+    )
