@@ -260,3 +260,26 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py). The DuckDB oracle re-derives both window
     levels from epoch-floor buckets."""
     return core.chained_window_agg(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_static_join",
+    family="streaming",
+    oracle=f"""
+    SELECT date_trunc('hour', e.ts) AS win_start,
+           c.c_mktsegment AS segment,
+           count(*) AS n_events, {_DSUM_SQL} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: events probe the broadcast
+    customer dimension (no state, no watermark on the static side),
+    rolled up per (1-hour window, market segment) — the canonical
+    streaming enrichment topology (streaming twin:
+    core.enriched_segment_counts; tests/test_streaming.py asserts
+    stream == batch in complete mode)."""
+    return core.enriched_segment_counts(
+        t(spark, sf_dir, "events"), t(spark, sf_dir, "customer")
+    )

@@ -496,3 +496,30 @@ def chained_window_agg(events: DataFrame, watermark: str | None = None) -> DataF
             "n_subwindows",
         )
     )
+
+
+def enriched_segment_counts(
+    events: DataFrame, dim: DataFrame, watermark: str | None = None
+) -> DataFrame:
+    """Stream-static enrichment join + windowed aggregate: each event
+    joins the (static, broadcast) customer dimension, then rolls up
+    per (1-hour window, market segment) — the canonical streaming
+    enrichment topology. The static side needs no watermark and holds
+    no state: every micro-batch probes the same broadcast table, so
+    the only streaming state is the downstream window aggregate's."""
+    e = _maybe_watermark(events, watermark)
+    d = F.broadcast(dim.select("c_custkey", "c_mktsegment"))
+    return (
+        e.join(d, e.user_id == d.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -119,6 +119,11 @@ def _invalid_user_docs() -> dict[str, dict]:
             "metadata": {**meta, "event_id": 1},
             "payload": {**payload, "name": []},
         },
+        # filename edge cases: spaces / unicode / extra dots must flow
+        # through the error log AND the quarantine copy byte-for-byte
+        "bad name with spaces.json": u(score="nope"),
+        "bad_näme_ünicode.json": u(id="x"),
+        "bad.multi.dots.json": u(address=7),
     }
 
 
@@ -173,6 +178,9 @@ def _edge_valid_user_docs() -> dict[str, dict]:
         ),
         "edge_score_int.json": u("e9008", score=42),
         "edge_name_5tok.json": u("e9009", name="A B C D E"),
+        # VALID docs behind odd filenames: the scan must ingest them
+        "edge name spaced.json": u("e9010"),
+        "edge_ünïcode_name.json": u("e9011"),
     }
 
 

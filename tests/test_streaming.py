@@ -440,3 +440,19 @@ def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
     want = set(_canon(core.dedup_events(_batch_events(spark, str(src)))))
     assert total == want
     assert len(total - first) == 1  # only the flush-row view is new
+
+
+def test_stream_static_join_equals_batch(spark, src, tmp_path):
+    """Stream-static enrichment: the broadcast customer dimension is
+    probed by every micro-batch with no state on the static side, and
+    the windowed segment rollup converges to the batch answer."""
+    dim = table(spark, SF, "customer")
+    _run_to_memory(
+        core.enriched_segment_counts(_read_stream(spark, src), dim),
+        "mem_static_join",
+        tmp_path,
+        "complete",
+    )
+    got = _canon(spark.table("mem_static_join"))
+    want = _canon(core.enriched_segment_counts(_batch_events(spark, src), dim))
+    assert got == want
