@@ -332,3 +332,175 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return g.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+_PARAMS_TEXT = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus = :status
+  AND o_orderdate >= CAST(:cutoff AS TIMESTAMP)
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "sql_params",
+    family="sql",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_orderdate >= CAST('1997-01-01' AS TIMESTAMP)
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers, Spark 3.4+):
+    ``:status`` / ``:cutoff`` bind server-side through ``spark.sql(...,
+    args=...)`` — the injection-safe front door for templated queries
+    (vs string interpolation, which both injects and defeats plan
+    caching). The oracle is the same text with literals inlined, so
+    parity proves binding changes nothing semantically. Plan: binding
+    happens at parse time; the bound literal still drives predicate
+    pushdown and partition pruning exactly like an inline constant."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _PARAMS_TEXT, args={"status": "F", "cutoff": "1997-01-01"}
+    )
+
+
+@query(
+    "sql_exec_immediate",
+    family="sql",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal >= 1000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4): dynamic SQL — a query held in a
+    string variable — executed with positional ``?`` binds via USING,
+    the migration target for stored-procedure-style dynamic statements.
+    The dynamic text compiles to exactly the plan of its static
+    equivalent (which is what the oracle runs)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT c_mktsegment,
+                  count(*) AS n,
+                  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                       AS DECIMAL(28,6)) AS DOUBLE) AS total_bal
+           FROM customer
+           WHERE c_acctbal >= ?
+           GROUP BY c_mktsegment'
+          USING 1000.0
+        """
+    )
+
+
+@query(
+    "sql_udf",
+    family="sql",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(18,6))
+                          AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS disc_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 ``CREATE FUNCTION ...
+    RETURN <expr>``): the discounted-price formula lives ONCE as a
+    catalog object instead of being copy-pasted into every query — and
+    because the body is a SQL expression, Catalyst INLINES it (no UDF
+    call boundary, full codegen/pushdown), unlike Python UDFs. The
+    oracle inlines the identical expression by hand; parity proves the
+    function boundary is semantically free. The function returns exact
+    DECIMAL so the aggregate keeps the engine-wide determinism policy."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(18,6)
+        RETURN CAST(CAST(p AS DECIMAL(18,6))
+                    * CAST(1 - d AS DECIMAL(18,6)) AS DECIMAL(18,6))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(CAST(sum(disc_price(l_extendedprice, l_discount))
+                    AS DECIMAL(28,6)) AS DOUBLE) AS disc_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+N_QTY_BUCKETS = 5
+QTY_BUCKET_WIDTH = 10
+
+
+@query(
+    "sql_table_fn",
+    family="sql",
+    oracle=f"""
+    WITH buckets AS (
+        SELECT CAST(i AS INT) AS bucket,
+               i * {QTY_BUCKET_WIDTH} AS lo,
+               (i + 1) * {QTY_BUCKET_WIDTH} AS hi
+        FROM generate_series(0, {N_QTY_BUCKETS - 1}) AS t(i)
+    )
+    SELECT b.bucket, b.lo, b.hi, count(l.l_quantity) AS n
+    FROM buckets b
+    LEFT JOIN lineitem l
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.bucket, b.lo, b.hi
+    """,
+)
+def sql_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (Spark 4 ``RETURNS TABLE``): a
+    parameterized bucket spine generated by a catalog TVF and consumed
+    like any relation — the reusable-dimension pattern (calendar
+    spines, bucket edges, tier tables) without materializing a table.
+    The TVF body is a bounded ``range`` filtered by the argument
+    (Spark requires foldable range bounds), and the bucket join is a
+    broadcast of the spine. Oracle re-derives the spine from
+    generate_series."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION qty_buckets(n INT)
+        RETURNS TABLE(bucket INT, lo BIGINT, hi BIGINT)
+        RETURN SELECT CAST(id AS INT) AS bucket,
+                      id * {QTY_BUCKET_WIDTH} AS lo,
+                      (id + 1) * {QTY_BUCKET_WIDTH} AS hi
+               FROM range(0, 1000) WHERE id < n
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT b.bucket, b.lo, b.hi, count(l.l_quantity) AS n
+        FROM qty_buckets({N_QTY_BUCKETS}) b
+        LEFT JOIN lineitem l
+          ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        GROUP BY b.bucket, b.lo, b.hi
+        """
+    )
