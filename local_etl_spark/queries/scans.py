@@ -878,3 +878,222 @@ def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(NATION_SCHEMA).json(out).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@query(
+    "sink_vacuum",
+    family="scans",
+    oracle="""
+    SELECT 2 AS version, count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    """,
+)
+def sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM for the manifest-versioned store (sink_snapshot's
+    completion): expire old snapshots, then delete every data file no
+    surviving manifest references — exactly Delta VACUUM / Iceberg
+    expire_snapshots, jar-free. The dir first gains an ORPHAN file (a
+    failed-write simulation) plus the v1-only manifest; vacuum retains
+    only v2, walks the surviving manifests' file lists, and removes the
+    orphan and nothing else. The oracle checks the v2 read AFTER vacuum
+    against the source table — lossless by construction because vacuum
+    never touches referenced files. pytest asserts the orphan is gone
+    and the v1 manifest expired. Scale: vacuum cost = listing ∪
+    manifest union — metadata-sized, no data scan.
+    """
+    import json
+
+    from local_etl_spark.queries._util import dec, dsum
+
+    # reuse (or build) the snapshot layout, then add an orphan file
+    sink_snapshot(spark, sf_dir).collect()
+    base = _cache_dir(sf_dir, "orders_snapshots")
+    orphan_dir = os.path.join(base, "data", "f_orphan")
+    os.makedirs(orphan_dir, exist_ok=True)
+    orphan = os.path.join(orphan_dir, "leftover.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1 not really parquet PAR1")
+
+    # expire every version but the latest
+    versions = sorted(
+        int(f.split("-v")[1].split(".")[0])
+        for f in os.listdir(base)
+        if f.startswith("manifest-v")
+    )
+    keep = versions[-1]
+    referenced: set[str] = set()
+    for v in versions:
+        mpath = os.path.join(base, f"manifest-v{v}.json")
+        if v == keep:
+            with open(mpath) as fh:
+                referenced.update(json.load(fh)["files"])
+        else:
+            os.remove(mpath)
+    data_root = os.path.join(base, "data")
+    for name in list(os.listdir(data_root)):
+        path = os.path.join(data_root, name)
+        if path not in referenced:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+
+    with open(os.path.join(base, f"manifest-v{keep}.json")) as fh:
+        files = json.load(fh)["files"]
+    state = spark.read.parquet(*files)
+    return state.agg(
+        F.lit(keep).alias("version"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dec("o_totalprice")).alias("revenue"),
+    ).select("version", "n_orders", "revenue")
+
+
+@query(
+    "sink_rebalance",
+    family="scans",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE REBALANCE hint on the write path: ``hint("rebalance")``
+    inserts a shuffle whose partition sizes AQE coalesces AND splits to
+    the target advisory size — unlike ``repartition(n)`` (fixed n,
+    skew-blind) or ``coalesce`` (merge-only), rebalance fixes both
+    too-many-small and too-few-giant output files, which is THE
+    file-sizing tool for a 100 TB sink. The rewritten copy is read back
+    and content-checked against the source (rebalance moves rows, never
+    changes them); pytest pins the file count within the advisory
+    envelope.
+    """
+    ev = t(spark, sf_dir, "events")
+    out = _cache_dir(sf_dir, "events_rebalanced")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev.hint("rebalance").write.mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+@query(
+    "scan_observe",
+    family="scans",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS total_value
+    FROM events
+    """,
+)
+def scan_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation API (`df.observe`): named metrics accumulate ON the
+    stream during a normal action — zero extra scans, zero extra
+    shuffles — and surface to the driver afterwards; this is how the
+    ETL pipeline's R15 counters work (etl/pipeline.py `observe()`), and
+    the only sane way to count rows/validity at 100 TB (a separate
+    count() doubles the scan). The query materializes the observed
+    metrics as a 1-row DataFrame; the oracle recomputes them
+    relationally, proving the accumulated values equal the declarative
+    aggregates.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("scan_metrics")
+    ev = t(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("total_value"),
+    )
+    ev.write.format("noop").mode("overwrite").save()  # one pass, no sink
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_high"], m["total_value"])],
+        "n_rows BIGINT, n_high BIGINT, total_value DOUBLE",
+    )
+
+
+@query(
+    "etl_backfill_partitions",
+    family="etl",
+    oracle="""
+    SELECT o_orderpriority AS priority, count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def etl_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill — the recovery op every
+    partitioned lake needs: diff the DECLARED partition keys (from the
+    source) against the directories that actually exist in the sink,
+    and rewrite ONLY the missing ones. A partition is deliberately
+    deleted first (a failed/interrupted job simulation); the backfill
+    restores exactly it, touching nothing else (existing partition
+    dirs keep their mtimes — pytest-pinned), and the read-back must
+    equal the source. Scale: the diff is metadata-only (distinct keys
+    vs a directory listing); the rewrite scans only the missing
+    partitions' source rows via partition-pruned predicates — never a
+    full re-land.
+    """
+    import shutil
+
+    from local_etl_spark.queries._util import dec, dsum
+
+    o = t(spark, sf_dir, "orders")
+    path = _cache_dir(sf_dir, "orders_backfill")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    # simulate a lost partition
+    victims = [
+        d for d in os.listdir(path) if d.startswith("o_orderpriority=")
+    ]
+    lost = sorted(victims)[0]
+    shutil.rmtree(os.path.join(path, lost))
+
+    declared = {
+        r["o_orderpriority"] for r in o.select("o_orderpriority").distinct().collect()
+    }
+    present = {
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        if d.startswith("o_orderpriority=")
+    }
+    missing = sorted(declared - present)
+    for key in missing:
+        # partition-pruned source scan; write straight into the dir
+        (
+            o.filter(F.col("o_orderpriority") == key)
+            .drop("o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, f"o_orderpriority={key}"))
+        )
+    back = spark.read.option("basePath", path).parquet(
+        *[
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if d.startswith("o_orderpriority=")
+        ]
+    )
+    return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(dec("o_totalprice")).alias("revenue"),
+    )

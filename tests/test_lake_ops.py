@@ -1,0 +1,52 @@
+"""Behavioral evidence for the lakehouse-maintenance operators'
+docstring claims (vacuum orphan removal, backfill minimality,
+rebalance file sizing) — the parts the value-level oracle can't see."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from local_etl_spark.queries.scans import _cache_dir
+from local_etl_spark.registry import get
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_vacuum_removes_orphans_and_expires_manifests(spark):
+    get("sink_vacuum").fn(spark, SF).collect()
+    base = _cache_dir(SF, "orders_snapshots")
+    # orphan gone, referenced files intact
+    assert not os.path.exists(os.path.join(base, "data", "f_orphan"))
+    assert os.path.exists(os.path.join(base, "data", "f1", "_SUCCESS"))
+    assert os.path.exists(os.path.join(base, "data", "f2", "_SUCCESS"))
+    manifests = [f for f in os.listdir(base) if f.startswith("manifest-v")]
+    assert manifests == ["manifest-v2.json"]
+
+
+def test_backfill_restores_only_missing_partition(spark):
+    # first run to build the layout (and backfill the first victim)
+    get("etl_backfill_partitions").fn(spark, SF).collect()
+    path = _cache_dir(SF, "orders_backfill")
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("o_orderpriority=")
+    )
+    assert len(dirs) == 5
+    untouched = dirs[-1]
+    mtime_before = os.path.getmtime(os.path.join(path, untouched))
+    # second run deletes dirs[0] again and must rewrite ONLY it
+    get("etl_backfill_partitions").fn(spark, SF).collect()
+    assert os.path.getmtime(os.path.join(path, untouched)) == mtime_before
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("o_orderpriority=")
+    ) == dirs
+
+
+def test_rebalance_yields_bounded_file_count(spark):
+    get("sink_rebalance").fn(spark, SF).collect()
+    out = _cache_dir(SF, "events_rebalanced")
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    # AQE rebalance coalesces the tiny test dataset into a handful of
+    # right-sized files — never the shuffle-partition count (32), and
+    # never zero
+    assert 0 < len(files) <= 8, files
