@@ -283,3 +283,113 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.enriched_segment_counts(
         t(spark, sf_dir, "events"), t(spark, sf_dir, "customer")
     )
+
+
+@query(
+    "stream_foreach_merge",
+    family="streaming",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events, {_DSUM_SQL} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed merge — the standard streaming-upsert
+    topology (Structured Streaming's answer to MERGE INTO a keyed
+    store): each micro-batch pre-aggregates per user, then merges into
+    a versioned parquet state via union + re-aggregate, so the sink
+    holds exactly one row per key after every batch. Unlike the other
+    stream_* entries (batch twins of streaming cores), this one RUNS
+    the real stream: events replay as ts-ordered file chunks with
+    maxFilesPerTrigger=1, and the returned DataFrame is the final
+    merged state. It is still SQL-oracled because the state keeps
+    EXACT DECIMAL totals — decimal addition is associative across any
+    batch slicing, so the final state equals the one-shot batch
+    aggregate bit-for-bit (cast to DOUBLE only at the edge).
+
+    Scale: each merge shuffles (prev_state ∪ batch_agg) on the key —
+    state-sized, not stream-sized; versioned state dirs give
+    atomic-rename isolation (readers never see a half-written merge).
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries._util import dec
+
+    base = _os.path.join(
+        "/tmp",
+        "local_etl_spark_scan_cache",
+        _os.path.basename(_os.path.normpath(sf_dir)) or "sf",
+        "foreach_merge",
+    )
+    src = _os.path.join(base, "src")
+    state_root = _os.path.join(base, "state")
+    ckpt = _os.path.join(base, "ckpt")
+    for d in (src, state_root, ckpt):
+        _shutil.rmtree(d, ignore_errors=True)
+    _os.makedirs(src)
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "value",
+    )
+    rows = ev.orderBy("ts", "event_id").collect()
+    n_chunks = 3
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        with open(_os.path.join(src, f"chunk{i}.json"), "w") as fh:
+            for r in rows[i * per : (i + 1) * per]:
+                fh.write(_json.dumps(r.asDict()) + "\n")
+        _os.utime(
+            _os.path.join(src, f"chunk{i}.json"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+
+    schema = "event_id BIGINT, ts STRING, user_id BIGINT, value DOUBLE"
+
+    def merge(batch_df, batch_id):
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("decimal(28,6)").alias("total_dec"),
+        )
+        versions = sorted(_glob.glob(_os.path.join(state_root, "v*")))
+        if versions:
+            prev = batch_df.sparkSession.read.parquet(versions[-1])
+            agg = (
+                prev.unionByName(agg)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_dec").cast("decimal(28,6)").alias("total_dec"),
+                )
+            )
+        agg.write.mode("overwrite").parquet(
+            _os.path.join(state_root, f"v{batch_id:05d}")
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = sorted(_glob.glob(_os.path.join(state_root, "v*")))[-1]
+    return spark.read.parquet(final).select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_dec").cast("double").alias("total_value"),
+    )

@@ -66,6 +66,30 @@ def test_oracle_type_sweep():
         con.close()
 
 
+def test_oracle_type_sweep_detects_r2_bug_classes():
+    """Negative control: the sweep's DESCRIBE check must flag each of
+    the exact SQL shapes that caused the r2 driver failures — an
+    un-cast to_timestamp (TIMESTAMPTZ), a bare integer sum (HUGEINT),
+    and a bare decimal-literal CASE (DECIMAL)."""
+    from tests.oracle import duck_connect
+
+    bad = {
+        "to_timestamp(42) AS w": "TIMESTAMP WITH TIME ZONE",
+        "sum(x) AS s": "HUGEINT",
+        "CASE WHEN x = 1 THEN 0.5 ELSE 0.25 END AS r": "DECIMAL",
+    }
+    con = duck_connect(SF_DIR)
+    try:
+        for expr, expected in bad.items():
+            rows = con.execute(
+                f"DESCRIBE (SELECT {expr} FROM (SELECT 1 AS x))"
+            ).fetchall()
+            types = [r[1].upper() for r in rows]
+            assert any(expected in t for t in types), (expr, types)
+    finally:
+        con.close()
+
+
 @pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
 def test_oracled_schema_canon_safe(spark, spec):
     """The driver canonicalizes oracled results with pandas sort_values,
