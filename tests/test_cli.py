@@ -19,3 +19,29 @@ def test_format_duration_full_units():
     assert format_duration(2 * 86400 + 3 * 3600 + 4 * 60 + 5) == (
         "2 day(s), 3 hour(s), 4 minute(s), 5.00 second(s)"
     )
+
+
+def test_presentation_prefix_prioritizes_unverified():
+    """The driver verifies ~the first 50 presentation entries. The
+    prefix must (a) contain only SQL-oracled queries, (b) lead with
+    this round's oracle fixes, and (c) fill the rest with queries the
+    driver has never checked — re-verifying known greens wastes the
+    bounded correctness window (VERDICT r2 item 3)."""
+    from local_etl_spark import registry
+
+    registry._load_all_modules()
+    order = registry._presentation_order()
+    assert len(order) == len(registry.REGISTRY)
+    assert len(set(order)) == len(order)
+    prefix = order[:50]
+    assert all(registry.REGISTRY[n].oracle for n in prefix)
+    assert list(prefix[: len(registry.FIXED_THIS_ROUND)]) == [
+        n for n in registry.FIXED_THIS_ROUND if n in registry.REGISTRY
+    ]
+    fresh = [n for n in prefix if n not in registry.DRIVER_CHECKED]
+    assert len(fresh) >= 40, f"only {len(fresh)} never-checked in prefix"
+    # rows-only entries must come last (they can never produce a green)
+    first_rows_only = next(
+        i for i, n in enumerate(order) if not registry.REGISTRY[n].oracle
+    )
+    assert all(not registry.REGISTRY[n].oracle for n in order[first_rows_only:])
