@@ -406,3 +406,117 @@ def test_counters_match_reference_stdout(fuzz_run):
             m.table: (m.file_count, m.valid_count, m.invalid_count) for m in ms
         }
         assert got == ref_counts
+
+
+# --- randomized mutation corpus ------------------------------------------
+# A seeded generator derives N invalid documents by substituting a
+# random wrong-typed value at a random schema path — generalizing the
+# hand-picked shapes above. Every generated doc keeps all required
+# fields present, so the reference's survivable drop path handles it.
+
+_MUT_PATHS = [
+    ("payload", "id"),
+    ("payload", "name"),
+    ("payload", "address"),
+    ("payload", "job"),
+    ("payload", "score"),
+    ("metadata", "type"),
+    ("metadata", "event_at"),
+    ("metadata", "event_id"),
+    ("payload",),
+    ("metadata",),
+]
+_MUT_VALUES = [
+    None,
+    True,
+    False,
+    0,
+    -1,
+    3.5,
+    "0",
+    "true",
+    "",
+    [],
+    [1],
+    {},
+    {"k": 1},
+    "ünïcode",
+    "x" * 300,
+]
+
+
+def _mutation_corpus(n: int, seed: int) -> dict[str, dict]:
+    import random
+
+    rng = random.Random(seed)
+    meta = {"type": "user", "event_at": "2023-10-05 22:55:01", "event_id": "m"}
+    payload = {
+        "id": 1,
+        "name": "Ada Lovelace",
+        "address": "1 Main St\nCity, ST 11111",
+        "job": "Engineer",
+        "score": 5.0,
+    }
+    out = {}
+    made = 0
+    while made < n:
+        path = rng.choice(_MUT_PATHS)
+        val = rng.choice(_MUT_VALUES)
+        doc = {"metadata": dict(meta), "payload": dict(payload)}
+        cur = doc
+        for k in path[:-1]:
+            cur = cur[k]
+        orig = cur[path[-1]]
+        if val == orig or (isinstance(val, type(orig)) and not isinstance(val, bool)):
+            continue  # still-valid substitution — skip
+        # validity exceptions the schema actually permits
+        if path == ("payload", "score") and isinstance(val, (int, float)) and not isinstance(val, bool):
+            continue  # score is "number": ints are valid
+        if path[-1] in ("name", "address", "job", "type", "event_at", "event_id") and isinstance(val, str):
+            continue  # plain strings stay valid (format not asserted)
+        if path in (("payload",), ("metadata",)) and isinstance(val, dict):
+            continue  # {} drops required keys → "required property" path
+        cur[path[-1]] = val
+        out[f"mut_{made:03d}.json"] = doc
+        made += 1
+    return out
+
+
+def test_randomized_mutations_match_reference(spark, tmp_path):
+    """40 seeded random type mutations: the engine's validation
+    when-chain must reproduce jsonschema best_match()'s message for
+    every one, and valid rows must be unaffected."""
+    from local_etl_spark.etl.pipeline import run_pipeline
+
+    base = tmp_path
+    ref = base / "ref"
+    (ref / "users").mkdir(parents=True)
+    (ref / "cards").mkdir()
+    for s in ("user-events-schema.json", "card-events-schema.json"):
+        shutil.copy(f"/root/reference/{s}", ref / s)
+    from local_etl_spark.etl.corpus import generate
+
+    for i, raw in enumerate(generate(30, seed=23, corrupt_rate=0, repair_rate=0)):
+        (ref / "users" / f"ev{i:05d}.json").write_text(
+            json.dumps(json.loads(raw), indent=2)
+        )
+    muts = _mutation_corpus(40, seed=1234)
+    for fn, doc in muts.items():
+        (ref / "users" / fn).write_text(json.dumps(doc, indent=2))
+
+    _run_reference("/root/reference/main2.py", ref)
+    ref_entries = _ref_error_entries(str(ref / "errors.log"))
+    assert len(ref_entries) == len(muts)  # every mutation was dropped
+
+    out = base / "engine"
+    cfg = _engine_cfg(ref, out)
+    run_pipeline(spark, cfg, version=2)
+    eng_entries = _engine_error_entries(str(out / "errors.log.d"))
+    assert ref_entries == eng_entries, (
+        sorted(ref_entries - eng_entries)[:5],
+        sorted(eng_entries - ref_entries)[:5],
+    )
+    # valid rows all survived, byte-identical
+    ref_rows = _ref_rows(str(ref / "users.csv"))
+    assert len(ref_rows) == 30
+    _diff(ref_rows, _engine_rows(str(out / "users.csv")), "event_id")
