@@ -193,12 +193,22 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     centroids = _lloyd(spark, sf_dir, k=IVF_CELLS, iters=KM_ITERS, spherical=True)
 
+    # normalized vector staged through its own select so the 16-way
+    # argmin binds it once, and the whole assignment PERSISTED: the
+    # probe filter below would otherwise substitute the cid alias into
+    # its predicate (filter pushdown undoes projection barriers),
+    # re-embedding the normalize fold 16× per row in interpreted HOF
+    # land — measured 11.5s vs 0.5s at sf0.1. At 100 TB the same
+    # materialization is the partition-by-cell write the docstring
+    # describes.
     assigned = emb.select(
+        "vec_id", "label", "embedding", F.expr(_UNIT_EMBEDDING).alias("_u")
+    ).select(
         "vec_id",
         "label",
         "embedding",
-        _km_assign_expr(centroids, vector=_UNIT_EMBEDDING).alias("cid"),
-    )
+        _km_assign_expr(centroids, vector="_u").alias("cid"),
+    ).persist()
 
     # probe selection: the query vector is a parameter, not data — a
     # 64-float driver fetch, then a k-row argsort against the model
@@ -279,10 +289,25 @@ def _lloyd(
         renorm([float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     ]
+    # Per-iteration assignment stays the in-row unrolled argmin fold,
+    # with TWO load-bearing adjustments found by measurement (89s → 12s
+    # spherical training at sf0.1):
+    #   1. the (possibly normalized) vector is staged through its OWN
+    #      persisted select — a same-select alias re-embeds the
+    #      64-element normalize fold once PER CENTROID (SCALE.md §10's
+    #      blowup class), and persisting it also deletes the per-round
+    #      re-scan;
+    #   2. a fully relational assignment (explode + broadcast
+    #      centroid-dim join + decimal dot sums) was A/B-measured at
+    #      1.8× SLOWER here — its extra shuffle jobs cost more than the
+    #      interpreted HOF folds save at local scale; on a real cluster
+    #      with big corpora the relational form wins and is what
+    #      llm_kmeans_train documents as the scale path.
+    staged = emb.select(F.expr(vec).alias("v")).persist()
     for _ in range(iters):
-        assigned = emb.select(
-            F.expr(vec).alias("v"),
-            _km_assign_expr(centroids, vector=vec).alias("cell"),
+        assigned = staged.select(
+            "v",
+            _km_assign_expr(centroids, vector="v").alias("cell"),
         )
         per_dim = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
@@ -296,6 +321,7 @@ def _lloyd(
             new_c.setdefault(r["cell"], []).append(float(r["m"]))
         # a cell can go empty mid-iteration: keep its previous centroid
         centroids = [renorm(new_c.get(j, centroids[j])) for j in range(k)]
+    staged.unpersist()
     _MODEL_CACHE[key] = centroids
     return centroids
 
@@ -308,6 +334,11 @@ def _km_assign_expr(
     array_min over (d2, cell) structs picks the winner — assignment
     costs ZERO shuffles and no join at any corpus size. ``vector`` is
     the SQL expression for the vector column (e.g. a normalized view)."""
+    # unrolled per-centroid fold bodies: a generic loop over a 2-D
+    # literal matrix (element_at(array(array(...)), j)) was tried and is
+    # ~10× SLOWER at runtime — the matrix literal re-materializes per
+    # row per lambda element. The unrolled form keeps each centroid's
+    # constants in straight-line codegen.
     entries = []
     for j, c in enumerate(centroids):
         arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + ")"
@@ -466,9 +497,11 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = _lloyd(spark, sf_dir, k=IVF_CELLS, iters=KM_ITERS, spherical=True)
     assigned = emb.select(
+        "vec_id", "embedding", F.expr(_UNIT_EMBEDDING).alias("_u")
+    ).select(
         "vec_id",
         "embedding",
-        _km_assign_expr(centroids, vector=_UNIT_EMBEDDING).alias("cid"),
+        _km_assign_expr(centroids, vector="_u").alias("cid"),
     ).persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
