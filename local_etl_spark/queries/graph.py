@@ -98,6 +98,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(DAMPING) * F.coalesce("mass", F.lit(0.0))
                 ).alias("rank"),
             )
+            # per-round truncation; a sparser every-3rd-round schedule
+            # was measured and saves nothing here — the per-iteration
+            # edge-list shuffle, not the checkpoint job, is the cost
             .localCheckpoint()
         )
     norm.unpersist()
