@@ -212,3 +212,102 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         count_batches, "doc_id long, n_chars_py long, n_tokens_py long"
     )
+
+
+@query(
+    "udf_cogrouped",
+    family="udf",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, count(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, count(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           CAST(coalesce(n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases,
+           CASE WHEN coalesce(n_clicks, 0) > 0
+                THEN round(coalesce(n_purchases, 0) * 1.0 / n_clicks, 6)
+           END AS conversion
+    FROM c FULL JOIN p ON c.user_id = p.user_id
+    """,
+)
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas map (`groupby().cogroup().applyInPandas`) — the
+    two-sided Arrow surface: each key's click rows AND purchase rows
+    arrive as a pandas DataFrame pair in one Python call, the shape for
+    custom per-key alignment logic no single-input UDF can express
+    (here: conversion stats; in production: per-key reconciliation,
+    feature joins with bespoke matching). Keys present on only one side
+    arrive with an empty partner frame — the full-outer semantics the
+    oracle mirrors relationally. Both sides co-shuffle on the key, one
+    Python round-trip per key group.
+    """
+
+    def stats(clicks: "pd.DataFrame", purchases: "pd.DataFrame") -> "pd.DataFrame":
+        key_src = clicks if len(clicks) else purchases
+        uid = int(key_src["user_id"].iloc[0])
+        n_c, n_p = len(clicks), len(purchases)
+        conv = round(n_p * 1.0 / n_c, 6) if n_c > 0 else None
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [n_c],
+                "n_purchases": [n_p],
+                "conversion": [conv],
+            }
+        )
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id"
+    )
+    return (
+        clicks.groupby("user_id")
+        .cogroup(purchases.groupby("user_id"))
+        .applyInPandas(
+            stats,
+            "user_id long, n_clicks long, n_purchases long, conversion double",
+        )
+    )
+
+
+@query(
+    "api_pandas_on_spark",
+    family="udf",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-API-on-Spark front door (`df.pandas_api()`, the
+    Koalas lineage): a pandas-shaped groupby/agg that PLANS as ordinary
+    Catalyst operators — the migration path for pandas codebases that
+    outgrew one machine. The ps ops here (groupby, count/sum, concat,
+    reset_index) compile to the same partial+final hash aggregate the
+    oracle's GROUP BY runs; `to_spark()` hands the logical plan back
+    with zero materialization. Integer-exact aggregates keep it
+    SQL-oracled.
+    """
+    import pyspark.pandas as ps_api
+
+    psdf = (
+        t(spark, sf_dir, "documents").select("lang", "n_chars").pandas_api()
+    )
+    g = psdf.groupby("lang")["n_chars"]
+    stats = ps_api.concat(
+        [g.count().rename("n_docs"), g.sum().rename("total_chars")], axis=1
+    ).reset_index()
+    return stats.to_spark().select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+    )

@@ -64,6 +64,7 @@ ALLOW_PYTHON = {
     "llm_media_resize",
     "llm_audio_features",
     "llm_video_scenes",
+    "udf_cogrouped",  # two-sided Arrow surface (FlatMapCoGroupsInPandas)
 }
 
 
