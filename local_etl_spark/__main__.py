@@ -63,7 +63,48 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="local core count (default: session.py's $SPARK_GRAFT_CPUS)",
     )
+    ap.add_argument(
+        "--query",
+        metavar="NAME",
+        help="run one registry query (QUERIES.md) instead of the ETL "
+        "pipeline and print its rows; 'list' enumerates names",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default=None,
+        help="testdata dir for --query (default: catalog.DEFAULT_SF_DIR)",
+    )
+    ap.add_argument(
+        "--limit",
+        type=int,
+        default=20,
+        help="max rows --query prints (0 = all)",
+    )
     args = ap.parse_args(argv)
+
+    if args.query:
+        from local_etl_spark import registry
+        from local_etl_spark.catalog import DEFAULT_SF_DIR
+        from local_etl_spark.session import get_spark
+
+        registry._load_all_modules()
+        if args.query == "list":
+            for name in registry._presentation_order():
+                spec = registry.REGISTRY[name]
+                kind = "SQL " if spec.oracle else "rows"
+                print(f"{kind}  {name}")
+            return 0
+        if args.query not in registry.REGISTRY:
+            print(f"unknown query {args.query!r}; try --query list", file=sys.stderr)
+            return 2
+        spark = get_spark("local-etl-spark-cli", cpus=args.cpus)
+        start = time.perf_counter()
+        df = registry.REGISTRY[args.query].fn(
+            spark, args.sf_dir or DEFAULT_SF_DIR
+        )
+        df.show(args.limit or df.count(), truncate=False)
+        print(f"Elapsed: {format_duration(time.perf_counter() - start)}")
+        return 0
 
     from local_etl_spark.etl.config import load_config, reference_config
     from local_etl_spark.etl.pipeline import run_pipeline

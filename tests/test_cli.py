@@ -45,3 +45,20 @@ def test_presentation_prefix_prioritizes_unverified():
         i for i, n in enumerate(order) if not registry.REGISTRY[n].oracle
     )
     assert all(not registry.REGISTRY[n].oracle for n in order[first_rows_only:])
+
+
+def test_cli_query_runner(spark, capsys):
+    """--query list enumerates the registry; --query NAME runs it."""
+    from local_etl_spark.__main__ import main
+
+    assert main(["--query", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "agg_groupby" in out and out.count("\n") >= 240
+
+    assert main(
+        ["--query", "agg_global", "--sf-dir", "/root/testdata/sf0.001"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "Elapsed:" in out
+
+    assert main(["--query", "definitely_not_a_query"]) == 2
