@@ -1097,3 +1097,53 @@ def etl_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(dec("o_totalprice")).alias("revenue"),
     )
+
+
+@query(
+    "scan_recursive_glob",
+    family="scans",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive directory ingestion with file filtering
+    (``recursiveFileLookup`` + ``pathGlobFilter``): the landing-zone
+    reality where producers drop files into arbitrary nested folders
+    with manifests/receipts mixed in. The corpus is rewritten into a
+    3-level tree (type/shard/files) with decoy ``.txt`` receipts in
+    every folder; the scan walks the tree (partition inference OFF —
+    directory names are NOT data here) and the glob admits only the
+    parquet payload. The oracle proves the filtered recursive read is
+    exactly the flat table. Scale: listing is the only extra cost —
+    driver-side on a filesystem, delegated to the object-store listing
+    API in production.
+    """
+    ev = t(spark, sf_dir, "events")
+    root = _cache_dir(sf_dir, "events_nested")
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        for et in ("click", "error", "purchase", "signup", "view"):
+            (
+                ev.filter(F.col("event_type") == et)
+                .coalesce(2)
+                .write.mode("overwrite")
+                .parquet(os.path.join(root, et, "shard0"))
+            )
+            # decoy non-data files the glob must skip
+            with open(os.path.join(root, et, "receipt.txt"), "w") as fh:
+                fh.write("manifest placeholder\n")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(root)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )

@@ -504,3 +504,28 @@ def sql_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY b.bucket, b.lo, b.hi
         """
     )
+
+
+_FILTER_CLAUSE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_large,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                 FILTER (WHERE o_orderstatus = 'F')
+            AS DECIMAL(28,6)) AS DOUBLE) AS finished_revenue
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+sql_filter_clause = _sql_query(
+    "sql_filter_clause",
+    _FILTER_CLAUSE,
+    "Aggregate FILTER clause (SQL:2003, shared Spark/DuckDB text): "
+    "per-aggregate predicates without the sum(CASE WHEN ...) "
+    "contortion — several conditional metrics in ONE pass over ONE "
+    "grouped aggregate. Plans identically to the CASE form (the "
+    "filter folds into the aggregate's input projection), so the "
+    "sugar is free at any scale; the filtered decimal sum keeps the "
+    "engine-wide money discipline.",
+)
