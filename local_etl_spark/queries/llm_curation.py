@@ -545,3 +545,117 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit(2.0) * r * p / (r + p), 6))
         .alias("rouge2_f1"),
     )
+
+
+SPAN_TOKENS = 5  # corruption granularity (block = span candidate)
+SPAN_MASK_HEX = "28"  # first 2 md5 hex chars below this ⇒ masked (~16%)
+
+
+@query(
+    "llm_span_corruption",
+    family="llm",
+    oracle=f"""
+    WITH blocks AS (
+        SELECT doc_id, i - 1 AS blk,
+               array_to_string(list_slice(string_split(text, ' '),
+                                          (i - 1) * {SPAN_TOKENS} + 1,
+                                          i * {SPAN_TOKENS}), ' ') AS chunk
+        FROM documents,
+             LATERAL (SELECT unnest(range(1,
+                 CAST(ceil(len(string_split(text, ' ')) * 1.0
+                           / {SPAN_TOKENS}) AS INT) + 1)) AS i)
+    ),
+    flagged AS (
+        SELECT doc_id, blk, chunk,
+               substr(md5(doc_id || ':' || blk), 1, 2) < '{SPAN_MASK_HEX}'
+                   AS masked
+        FROM blocks
+    ),
+    numbered AS (
+        SELECT *,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id, masked ORDER BY blk) AS BIGINT)
+                   AS k
+        FROM flagged
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN masked
+                           THEN '<extra_id_' || (k - 1) || '>'
+                           ELSE chunk END, ' ' ORDER BY blk)
+               AS corrupted_text,
+           coalesce(string_agg(CASE WHEN masked
+                        THEN '<extra_id_' || (k - 1) || '> ' || chunk END,
+                        ' ' ORDER BY blk), '') AS target_text,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked_spans
+    FROM numbered
+    GROUP BY doc_id
+    """,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2 span corruption — the denoising-objective preprocessing
+    step: fixed-width token spans are masked by a DETERMINISTIC
+    per-(doc, span) md5 gate (seedless, partitioning-independent,
+    reproducible on any engine — the same reason the samplers use
+    md5-rank), each masked span is replaced by a numbered sentinel in
+    the corrupted text, and the target sequence pairs each sentinel
+    with the span it hides. ~16% of spans mask at the '{0x28}/256'
+    threshold (T5 trains at 15%).
+
+    Shape: spans derive in-row (the boilerplate chunk transform), the
+    sentinel numbering is a per-doc window over span flags, and both
+    output sequences reassemble with position-ordered aggregation —
+    one exchange on doc_id after the map-side span stream. Lexicographic
+    comparison of lowercase hex prefixes equals numeric comparison, so
+    the mask gate is identical in both engines bit-for-bit.
+    """
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    blocks = (
+        docs.select("doc_id", F.split("text", " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, CAST(ceil(size(_w) / {SPAN_TOKENS}.0) AS INT)),"
+                    f" i -> array_join(slice(_w, (i - 1) * {SPAN_TOKENS} + 1,"
+                    f" {SPAN_TOKENS}), ' '))"
+                )
+            ).alias("blk", "chunk"),
+        )
+    )
+    flagged = blocks.select(
+        "doc_id",
+        "blk",
+        "chunk",
+        (
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("blk"))), 1, 2
+            )
+            < SPAN_MASK_HEX
+        ).alias("masked"),
+    )
+    w = Window.partitionBy("doc_id", "masked").orderBy("blk")
+    numbered = flagged.withColumn(
+        "k", F.row_number().over(w).cast("bigint")
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), (F.col("k") - 1), F.lit(">"))
+    corrupted_piece = F.when(F.col("masked"), sentinel).otherwise(F.col("chunk"))
+    target_piece = F.when(
+        F.col("masked"), F.concat(sentinel, F.lit(" "), F.col("chunk"))
+    )
+    numbered = numbered.withColumn("cp", corrupted_piece).withColumn(
+        "tp", target_piece
+    )
+    return numbered.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(blk, cp))),"
+            " s -> s.cp), ' ')"
+        ).alias("corrupted_text"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(blk, tp))),"
+            " s -> s.tp), ' ')"
+        ).alias("target_text"),
+        F.sum(F.col("masked").cast("int")).cast("bigint").alias("n_masked_spans"),
+    ).select("doc_id", "corrupted_text", "target_text", "n_masked_spans")
