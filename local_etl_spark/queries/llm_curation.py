@@ -659,3 +659,105 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("target_text"),
         F.sum(F.col("masked").cast("int")).cast("bigint").alias("n_masked_spans"),
     ).select("doc_id", "corrupted_text", "target_text", "n_masked_spans")
+
+
+# FIM gate and cut-point derivation: md5-seeded like span corruption.
+# hex chars → ints via ascii() (portable to both engines; conv() is
+# Spark-only and DuckDB lacks hex-string casts).
+_FIM_GATE_HEX = "80"  # first 2 md5 hex chars below this ⇒ transform (~50%)
+
+
+def _fim_cut_sql(doc: str, tag: str, n: str) -> str:
+    """1-based cut point in [1, n-1] from two md5-hex chars (shared
+    Spark/DuckDB text)."""
+    h = f"md5({doc} || ':{tag}')"
+    return (
+        f"(1 + (ascii(substr({h}, 1, 1)) * 256 + ascii(substr({h}, 2, 1)))"
+        f" % ({n} - 1))"
+    )
+
+
+@query(
+    "llm_fim_transform",
+    family="llm",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS l,
+               len(string_split(text, ' ')) AS n,
+               substr(md5(doc_id || ':fim'), 1, 2) < '{_FIM_GATE_HEX}'
+                   AS apply_fim
+        FROM documents
+    ),
+    cuts AS (
+        SELECT doc_id, l, n, apply_fim,
+               least({_fim_cut_sql('doc_id', 'c1', 'n')},
+                     {_fim_cut_sql('doc_id', 'c2', 'n')}) AS c1,
+               greatest({_fim_cut_sql('doc_id', 'c1', 'n')},
+                        {_fim_cut_sql('doc_id', 'c2', 'n')}) AS c2
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(apply_fim AS INT) AS fim_applied,
+           -- coalesce: DuckDB array_to_string of an EMPTY slice is
+           -- NULL (Spark array_join gives ''), and one NULL segment
+           -- nulls the whole concatenation
+           CASE WHEN apply_fim THEN
+               '<PRE> ' || coalesce(array_to_string(list_slice(l, 1, c1), ' '), '')
+               || ' <SUF> ' || coalesce(array_to_string(list_slice(l, c2 + 1, n), ' '), '')
+               || ' <MID> ' || coalesce(array_to_string(list_slice(l, c1 + 1, c2), ' '), '')
+           ELSE array_to_string(l, ' ') END AS fim_text,
+           CAST(CASE WHEN apply_fim THEN c2 - c1 ELSE 0 END AS BIGINT)
+               AS n_middle_tokens
+    FROM cuts
+    """,
+)
+def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, PSM format):
+    ~half the corpus (md5-gated, seedless and partitioning-independent)
+    is rearranged to ``<PRE> prefix <SUF> suffix <MID> middle`` so an
+    autoregressive model learns infilling for free; the rest passes
+    through untouched — exactly the mixed objective the paper trains.
+    Cut points derive from per-doc md5 chars (ascii() folding — the
+    hex→int path both engines share), ordered by least/greatest so the
+    middle span is well-formed; empty middles (c1 = c2) are legal FIM.
+    Map-only: slicing and tagging happen in-row on the scan, nothing
+    shuffles.
+    """
+    docs = t(spark, sf_dir, "documents")
+    cut1 = _fim_cut_sql("doc_id", "c1", "_n")
+    cut2 = _fim_cut_sql("doc_id", "c2", "_n")
+    staged = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("_l"),
+        F.expr("size(split(text, ' '))").alias("_n"),
+        (
+            F.substring(F.md5(F.concat(F.col("doc_id"), F.lit(":fim"))), 1, 2)
+            < _FIM_GATE_HEX
+        ).alias("apply_fim"),
+    ).select(
+        "doc_id",
+        "_l",
+        "_n",
+        "apply_fim",
+        F.expr(f"least({cut1}, {cut2})").alias("c1"),
+        F.expr(f"greatest({cut1}, {cut2})").alias("c2"),
+    )
+    psm = F.concat(
+        F.lit("<PRE> "),
+        F.expr("array_join(slice(_l, 1, c1), ' ')"),
+        F.lit(" <SUF> "),
+        F.expr("array_join(slice(_l, c2 + 1, _n - c2), ' ')"),
+        F.lit(" <MID> "),
+        F.expr("array_join(slice(_l, c1 + 1, c2 - c1), ' ')"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("apply_fim").cast("int").alias("fim_applied"),
+        F.when(F.col("apply_fim"), psm)
+        .otherwise(F.expr("array_join(_l, ' ')"))
+        .alias("fim_text"),
+        F.when(F.col("apply_fim"), F.col("c2") - F.col("c1"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_middle_tokens"),
+    )

@@ -203,3 +203,42 @@ def test_flesch_monotone_in_syllable_density(spark):
     )
     got = {r["doc_id"]: r["f"] for r in staged.select("doc_id", flesch.alias("f")).collect()}
     assert got[1] > got[2]
+
+
+def test_span_corruption_reconstructs_original(spark):
+    """Denoising invariant: substituting each sentinel in the corrupted
+    sequence with its span from the target sequence must reproduce the
+    original text exactly, for every document — the property that makes
+    the (corrupted, target) pair a lossless training example."""
+    import re
+
+    texts = _texts(spark)
+    rows = get("llm_span_corruption").fn(spark, SF).collect()
+    assert len(rows) == len(texts)
+    n_masked_total = 0
+    for r in rows:
+        # parse target: '<extra_id_k> span tokens ...' segments
+        spans = {}
+        if r["target_text"]:
+            parts = re.split(r"(<extra_id_\d+>)", r["target_text"])
+            cur = None
+            for p in parts:
+                p = p.strip()
+                if not p:
+                    continue
+                if p.startswith("<extra_id_"):
+                    cur = p
+                    spans[cur] = []
+                else:
+                    spans[cur].append(p)
+        rebuilt = re.sub(
+            r"<extra_id_\d+>",
+            lambda m: " ".join(spans[m.group(0)]),
+            r["corrupted_text"],
+        )
+        assert rebuilt == texts[r["doc_id"]], r["doc_id"]
+        assert r["n_masked_spans"] == len(spans)
+        n_masked_total += r["n_masked_spans"]
+    # the gate actually fires at ~16%: loose two-sided bound
+    total_spans = sum((len(t.split(" ")) + 4) // 5 for t in texts.values())
+    assert 0.10 < n_masked_total / total_spans < 0.25
