@@ -1147,3 +1147,73 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").cast("bigint").alias("id_sum"),
     )
+
+
+@query(
+    "scan_xml",
+    family="scans",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML file source (spark-xml, merged into Spark 4): the
+    nation table round-trips through element-per-row XML files
+    (``rowTag``-delimited) and is read back with an explicit schema —
+    the enterprise-interchange format the built-in JSON/CSV readers
+    don't cover (fn_xml exercises the to_xml/from_xml FUNCTIONS; this
+    is the FILE connector, with the same write→read lossless contract
+    as scan_json/scan_csv/scan_orc). Explicit schema skips the
+    inference pass, exactly like the other text formats at scale.
+    """
+    path = _cache_dir(sf_dir, "nation_xml")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            t(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .write.format("xml")
+            .option("rowTag", "nation")
+            .mode("overwrite")
+            .save(path)
+        )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(NATION_SCHEMA)
+        .load(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@query(
+    "sink_codec",
+    family="scans",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec round-trip (zstd parquet): the codec decision
+    every 100 TB sink makes — zstd trades a little write CPU for
+    materially smaller files than the snappy default (ratio
+    pytest-pinned in tests/test_lake_ops.py), which at scale is less
+    object-store footprint AND fewer bytes scanned per query. The
+    rewritten copy is read back and content-checked; codecs are
+    framing-only, so the oracle proves losslessness.
+    """
+    ev = t(spark, sf_dir, "events")
+    for codec in ("snappy", "zstd"):
+        out = _cache_dir(sf_dir, f"events_{codec}")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            ev.coalesce(4).write.mode("overwrite").option(
+                "compression", codec
+            ).parquet(out)
+    back = spark.read.parquet(_cache_dir(sf_dir, "events_zstd"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )

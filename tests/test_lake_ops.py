@@ -50,3 +50,20 @@ def test_rebalance_yields_bounded_file_count(spark):
     # right-sized files — never the shuffle-partition count (32), and
     # never zero
     assert 0 < len(files) <= 8, files
+
+
+def test_zstd_smaller_than_snappy(spark):
+    """sink_codec's premise: zstd output is materially smaller than the
+    snappy default on the same rows/layout."""
+    get("sink_codec").fn(spark, SF).collect()
+
+    def size(codec):
+        d = _cache_dir(SF, f"events_{codec}")
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    snappy, zstd = size("snappy"), size("zstd")
+    assert zstd < snappy * 0.95, (snappy, zstd)
