@@ -797,3 +797,69 @@ def etl_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dec("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@query(
+    "etl_table_diff",
+    family="etl",
+    oracle="""
+    WITH v1 AS (
+        SELECT * FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    v2 AS (
+        SELECT * FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    ),
+    keyed AS (
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN md5(a.o_orderstatus || '|' || a.o_totalprice
+                             || '|' || a.o_orderpriority)
+                      <> md5(b.o_orderstatus || '|' || b.o_totalprice
+                             || '|' || b.o_orderpriority) THEN 'changed'
+                    ELSE 'unchanged' END AS delta
+        FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT delta, count(*) AS n,
+           CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+    FROM keyed GROUP BY delta
+    """,
+)
+def etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the table-diff audit every migration
+    and replication pipeline runs: two versions of a keyed table are
+    FULL-OUTER joined on the key and each row is classed
+    added/removed/changed/unchanged, with change detection via a
+    row-content hash so wide tables compare on one column instead of
+    n (the standard reconciliation trick; a raw column-by-column
+    compare ships every field through the join). Here v2 extends v1
+    with the 1996 orders, so the diff is all added+unchanged — the
+    oracle re-derives the same classes relationally. Scale: ONE
+    co-partitioned full-outer shuffle on the key; the hash collapses
+    the comparison payload to 32 bytes/row regardless of width.
+    """
+    o = t(spark, sf_dir, "orders")
+    row_hash = F.md5(
+        F.concat_ws(
+            "|", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+    )
+    v1 = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_orderkey").alias("k1"), row_hash.alias("h1")
+    )
+    v2 = o.filter(F.year("o_orderdate").isin(1995, 1996)).select(
+        F.col("o_orderkey").alias("k2"), row_hash.alias("h2")
+    )
+    keyed = v1.join(v2, v1.k1 == v2.k2, "full").select(
+        F.coalesce("k1", "k2").alias("k"),
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("delta"),
+    )
+    return keyed.groupBy("delta").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").cast("bigint").alias("min_key"),
+        F.max("k").cast("bigint").alias("max_key"),
+    )

@@ -393,3 +393,84 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("total_dec").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "stream_trigger_availablenow",
+    family="streaming",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n_events, {_DSUM_SQL} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_trigger_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow batch-drain: the production pattern for
+    INCREMENTAL BATCH jobs — the stream starts, processes everything
+    currently available in bounded micro-batches, commits the
+    checkpoint, and STOPS (unlike processAllAvailable, which is a test
+    utility on a still-running query; unlike continuous triggers, no
+    idle cluster). Runs the real stream over ts-ordered file chunks
+    into a memory sink in complete mode; the drained result must equal
+    the batch windowed aggregate, which is exactly what the oracle
+    recomputes. Scale: each micro-batch is source-rate-limited
+    (maxFilesPerTrigger), so the drain never builds an unbounded batch
+    — the property that makes AvailableNow safe on a backlog.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    base = _os.path.join(
+        "/tmp",
+        "local_etl_spark_scan_cache",
+        _os.path.basename(_os.path.normpath(sf_dir)) or "sf",
+        "availablenow",
+    )
+    src, ckpt = _os.path.join(base, "src"), _os.path.join(base, "ckpt")
+    for d in (src, ckpt):
+        _shutil.rmtree(d, ignore_errors=True)
+    _os.makedirs(src)
+    rows = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+            "value",
+        )
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    n_chunks = 3
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        with open(_os.path.join(src, f"chunk{i}.json"), "w") as fh:
+            for r in rows[i * per : (i + 1) * per]:
+                fh.write(_json.dumps(r.asDict()) + "\n")
+        _os.utime(
+            _os.path.join(src, f"chunk{i}.json"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+    schema = "event_id BIGINT, ts STRING, event_type STRING, value DOUBLE"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = core.tumbling_counts(sdf)
+    name = "mem_availablenow"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # AvailableNow stops ITSELF after the drain
+    return spark.table(name)
