@@ -147,3 +147,27 @@ def test_prefix_filter_equals_plain_index(spark):
         map(tuple, get("llm_dedup_prefix").fn(spark, SF).collect())
     )
     assert plain == pruned and len(plain) > 0
+
+
+def test_bloom_incremental_no_false_negatives_bounded_fp(spark):
+    """Bloom routing semantics: every true duplicate routes to
+    'verify' (no false negatives — the property that makes 'admit'
+    safe with NO join against history), and the false-positive rate
+    stays within ~5x the configured 1%."""
+    from local_etl_spark.registry import get
+
+    rows = get("llm_dedup_bloom_incremental").fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    fp = fn = n_new_unique = 0
+    for r in rows:
+        if r["is_true_dup"]:
+            assert r["probably_seen"], f"false negative at doc {r['doc_id']}"
+            assert r["route"] == "verify"
+        else:
+            n_new_unique += 1
+            if r["probably_seen"]:
+                fp += 1
+    assert n_new_unique > 0
+    assert fp / n_new_unique <= 0.05, (fp, n_new_unique)
