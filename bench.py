@@ -72,6 +72,12 @@ HEADLINE = [
     "agg_corr_matrix",
     "agg_ks_test",
     "win_drawdown",
+    # late round-3 additions
+    "llm_rouge_overlap",
+    "llm_span_corruption",
+    "win_interpolate",
+    "sql_filter_clause",
+    "etl_table_diff",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →
