@@ -566,3 +566,91 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attr_sum"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    family="joins",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+        SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts,
+               abs(epoch_us(c.cts) - epoch_us(p.pts)) AS gap_us,
+               CASE WHEN c.cts <= p.pts THEN 0 ELSE 1 END AS fwd
+        FROM p JOIN c ON c.user_id = p.user_id
+        WHERE c.cts >= p.pts - INTERVAL 1 HOUR
+          AND c.cts <= p.pts + INTERVAL 1 HOUR
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY purchase_id
+            ORDER BY gap_us, fwd, click_id) AS rn
+        FROM cand
+    )
+    SELECT purchase_id, user_id, pts AS purchase_ts,
+           click_id, cts AS click_ts,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join — the third as-of flavor (join_asof
+    is backward, join_asof_forward forward): each purchase pairs with
+    the temporally CLOSEST click within ±1 h in either direction, the
+    matching rule for sensor alignment and nearest-tick enrichment.
+    Tie-break (equal gap both directions) prefers the backward match,
+    then the lower id — a total order, so both engines pick the same
+    row. The gap is exact integer microseconds.
+
+    Shape: per-user candidate join with a two-sided residual bound
+    (same shape as the stream-stream interval joins), then one
+    partial+final ``min_by``-style champion aggregate per purchase —
+    shipped as min(struct(gap, fwd, id, payload)), one champion per
+    group per task, cheaper than the rank window's partition sort.
+    """
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    cand = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.cts >= F.expr("pts - INTERVAL 1 HOUR"))
+        & (c.cts <= F.expr("pts + INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "pts",
+        "click_id",
+        "cts",
+        # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
+        F.expr("abs(timestampdiff(MICROSECOND, pts, cts))").alias("gap_us"),
+        F.when(F.col("cts") <= F.col("pts"), 0).otherwise(1).alias("fwd"),
+    )
+    champ = cand.groupBy("purchase_id").agg(
+        F.min(
+            F.struct("gap_us", "fwd", "click_id", "user_id", "pts", "cts")
+        ).alias("m")
+    )
+    return champ.select(
+        "purchase_id",
+        F.col("m.user_id").alias("user_id"),
+        F.col("m.pts").alias("purchase_ts"),
+        F.col("m.click_id").alias("click_id"),
+        F.col("m.cts").alias("click_ts"),
+        F.col("m.gap_us").cast("bigint").alias("gap_us"),
+    )
