@@ -456,3 +456,50 @@ def etl_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+N_EQUIDEPTH_BUCKETS = 8
+
+
+@query(
+    "agg_histogram_equidepth",
+    family="aggregations",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT value,
+               ntile({N_EQUIDEPTH_BUCKETS}) OVER (
+                   ORDER BY value, event_id) AS bucket
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT bucket, count(*) AS n,
+           CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi
+    FROM ranked GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile buckets) of purchase values —
+    agg_histogram's sibling: fixed-width buckets show shape but starve
+    on skew (one bucket hoards the mass); equi-depth buckets each hold
+    ~1/k of the rows, so the BOUNDARIES carry the distribution — the
+    representation query optimizers and drift monitors actually store.
+    ``ntile`` over a TOTAL order (value, then the unique event_id)
+    makes every bucket assignment deterministic, so both engines place
+    identical rows in identical buckets; bounds are exact input values.
+    Scale note: exact ntile is a global sort — at 100 TB the same
+    output comes from approx_percentile boundaries + one bucketing
+    pass (two scans, no sort), the documented trade of every
+    equi-depth implementation.
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ranked = e.select(
+        "value",
+        F.ntile(N_EQUIDEPTH_BUCKETS)
+        .over(Window.orderBy("value", "event_id"))
+        .alias("bucket"),
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )
