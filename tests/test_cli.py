@@ -23,10 +23,11 @@ def test_format_duration_full_units():
 
 def test_presentation_prefix_prioritizes_unverified():
     """The driver verifies ~the first 50 presentation entries. The
-    prefix must (a) contain only SQL-oracled queries, (b) lead with
-    this round's oracle fixes, and (c) fill the rest with queries the
-    driver has never checked — re-verifying known greens wastes the
-    bounded correctness window (VERDICT r2 item 3)."""
+    prefix must (a) lead with this round's fixes, (b) re-present the
+    rows-only entries whose ledger still shows `no_oracle` errors, and
+    (c) fill the rest with SQL-oracled queries the driver has never
+    checked — re-verifying known greens wastes the bounded correctness
+    window (VERDICT r3 item 1)."""
     from local_etl_spark import registry
 
     registry._load_all_modules()
@@ -34,17 +35,20 @@ def test_presentation_prefix_prioritizes_unverified():
     assert len(order) == len(registry.REGISTRY)
     assert len(set(order)) == len(order)
     prefix = order[:50]
-    assert all(registry.REGISTRY[n].oracle for n in prefix)
-    assert list(prefix[: len(registry.FIXED_THIS_ROUND)]) == [
-        n for n in registry.FIXED_THIS_ROUND if n in registry.REGISTRY
-    ]
-    fresh = [n for n in prefix if n not in registry.DRIVER_CHECKED]
+    head = list(registry.FIXED_THIS_ROUND) + list(registry.ROWS_ONLY_REPRESENT)
+    assert list(prefix[: len(head)]) == [n for n in head if n in registry.REGISTRY]
+    # everything after the explicit head is SQL-oracled, never-checked
+    tail = prefix[len(head):]
+    assert all(registry.REGISTRY[n].oracle for n in tail)
+    fresh = [n for n in tail if n not in registry.DRIVER_CHECKED]
     assert len(fresh) >= 40, f"only {len(fresh)} never-checked in prefix"
-    # rows-only entries must come last (they can never produce a green)
-    first_rows_only = next(
-        i for i, n in enumerate(order) if not registry.REGISTRY[n].oracle
-    )
-    assert all(not registry.REGISTRY[n].oracle for n in order[first_rows_only:])
+    # remaining rows-only entries must come last
+    rows_only_tail = [
+        n for n in order
+        if not registry.REGISTRY[n].oracle and n not in registry.ROWS_ONLY_REPRESENT
+    ]
+    first = order.index(rows_only_tail[0])
+    assert all(not registry.REGISTRY[n].oracle for n in order[first:])
 
 
 def test_cli_query_runner(spark, capsys):
