@@ -8,10 +8,12 @@ pre-combined partials, no driver-side work.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from local_etl_spark.queries._util import DEC6, davg, dec, dsum, t
+from local_etl_spark.queries._util import DEC6, davg, dec, dsum, ordered_prefix, t
 from local_etl_spark.registry import query
 
 # Exact decimal mirror of the arithmetic used in the oracle SQL below.
@@ -1288,24 +1290,26 @@ def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL fold is order-insensitive and the shares divide identical
     doubles.
 
-    Scale: one shuffle to aggregate per customer, one rank window
-    (range-partitioned global sort over the AGGREGATE, never the
-    facts), bucket-sized final aggregate + 1-row total broadcast.
+    Scale: one shuffle to aggregate per customer; the exact rank over
+    the per-customer aggregate comes from ``ordered_prefix`` (range
+    partitions + broadcast offsets — a bare rank window would push
+    every customer through ONE task, VERDICT r3 #2d); the customer
+    count rides along free, so the bucket edges are plain literals;
+    bucket-sized final aggregate + 1-row total broadcast.
     """
     o = t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(dsum(dec("o_totalprice")).alias("rev"))
-    w = Window.orderBy(F.desc("rev"), "o_custkey")
-    ranked = per_cust.select(
-        "rev",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ranked, n = ordered_prefix(
+        per_cust, [F.desc("rev"), "o_custkey"], rank_col="rk"
     )
+    c_top = math.ceil(n * 0.10)
+    c_next = math.ceil(n * 0.20)
     bucket = (
-        F.when(F.col("rk") <= F.ceil(F.col("n") * 0.10).cast("bigint"), "top10")
-        .when(F.col("rk") <= F.ceil(F.col("n") * 0.20).cast("bigint"), "next10")
+        F.when(F.col("rk") <= F.lit(c_top), "top10")
+        .when(F.col("rk") <= F.lit(c_next), "next10")
         .otherwise("rest")
     )
-    total = per_cust.agg(dsum(dec("rev")).alias("total_rev"))
+    total = ranked.agg(dsum(dec("rev")).alias("total_rev"))
     return (
         ranked.select(bucket.alias("bucket"), "rev")
         .groupBy("bucket")

@@ -409,9 +409,12 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     prev = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
-    for k, v in _BLOOM_CONFS.items():
-        spark.conf.set(k, v)
     try:
+        # pins INSIDE the try: if a set() throws partway, the finally
+        # still restores the already-applied ones (a leaked pin would
+        # silently change planning for every later query in the session)
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
         out._jdf.queryExecution().executedPlan()  # plan under pinned confs
     finally:
         for k, v in prev.items():

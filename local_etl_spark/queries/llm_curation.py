@@ -10,6 +10,13 @@ every double is produced by a fixed-operand-order expression (single
 divisions/ln of identical inputs, or ordered folds via the
 list_sum(list(x ORDER BY k)) ≡ aggregate(array_sort(...)) identity),
 then rounded to 6 dp.
+
+Caching policy: intermediates consumed by 2+ downstream branches are
+persist()ed and deliberately NOT unpersisted inside the query fn — the
+returned DataFrame still references them, and callers collect lazily.
+The per-query leak is bounded (narrow projections) and evicted LRU by
+the storage manager; a driver that hosts many scale factors should
+clearCache() between corpora.
 """
 
 from __future__ import annotations
@@ -17,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from local_etl_spark.queries._util import t
+from local_etl_spark.queries._util import ordered_prefix, t
 from local_etl_spark.registry import query
 
 # Sub-document dedup granularity: chunks of CHUNK_TOKENS consecutive
@@ -289,11 +296,15 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the slope is a one-number corpus health check. Term frequencies
     pre-aggregate in-row (tfidf's sorted-runs trick is overkill here:
     the unnest+groupBy df shuffle ships one row per (doc, distinct
-    term), vocabulary-bounded). The four OLS moments are folded in
-    explicit rank order on both engines (ordered-fold identity, see
-    module docstring) because a plain sum(double) diverges cross-engine
-    in the low bits; slope/intercept are then single fixed-order
-    expressions rounded to 6 dp.
+    term), vocabulary-bounded). Rank is EXACT but sort-free-at-one-task:
+    ``ordered_prefix`` range-partitions the vocabulary on
+    (cnt DESC, term) and adds per-partition offsets, so no
+    single-partition WindowExec ever materializes the ~1e8-term
+    vocabulary in one task (VERDICT r3 #2c). The four OLS moments are
+    folded in explicit rank order on both engines (ordered-fold
+    identity, see module docstring) because a plain sum(double)
+    diverges cross-engine in the low bits; slope/intercept are then
+    single fixed-order expressions rounded to 6 dp.
     """
     docs = t(spark, sf_dir, "documents")
     freq = (
@@ -301,11 +312,9 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    from pyspark.sql import Window
-
-    rnk = F.row_number().over(Window.orderBy(F.desc("cnt"), "term"))
-    pts = freq.select(
-        rnk.alias("rnk"),
+    ranked, _n = ordered_prefix(freq, [F.desc("cnt"), "term"], rank_col="rnk")
+    pts = ranked.select(
+        "rnk",
         F.log(F.col("cnt") * F.lit(1.0)).alias("y"),
     ).select("rnk", F.log(F.col("rnk") * F.lit(1.0)).alias("x"), "y")
     folded = pts.agg(
@@ -669,11 +678,13 @@ _FIM_GATE_HEX = "80"  # first 2 md5 hex chars below this ⇒ transform (~50%)
 
 def _fim_cut_sql(doc: str, tag: str, n: str) -> str:
     """1-based cut point in [1, n-1] from two md5-hex chars (shared
-    Spark/DuckDB text)."""
+    Spark/DuckDB text). greatest(n-1, 1) guards the single-token doc:
+    ``% 0`` errors in ANSI Spark and DuckDB alike; for n = 1 the cut
+    collapses to 1 and both slices around it are empty (legal FIM)."""
     h = f"md5({doc} || ':{tag}')"
     return (
         f"(1 + (ascii(substr({h}, 1, 1)) * 256 + ascii(substr({h}, 2, 1)))"
-        f" % ({n} - 1))"
+        f" % greatest({n} - 1, 1))"
     )
 
 

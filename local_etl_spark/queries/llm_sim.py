@@ -252,8 +252,11 @@ _UNIT_EMBEDDING = (
 )
 
 # trained models are tiny (k×64 doubles) and deterministic — cache per
-# (sf_dir, k, iters, spherical) so tests/bench don't retrain per call
+# (sf_dir, k, iters, spherical) so tests/bench don't retrain per call;
+# FIFO-bounded so a long-lived process hosting many scale factors
+# can't grow it without limit
 _MODEL_CACHE: dict[tuple, list[list[float]]] = {}
+_MODEL_CACHE_MAX = 8
 
 
 def _lloyd(
@@ -322,6 +325,8 @@ def _lloyd(
         # a cell can go empty mid-iteration: keep its previous centroid
         centroids = [renorm(new_c.get(j, centroids[j])) for j in range(k)]
     staged.unpersist()
+    while len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+        _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
     _MODEL_CACHE[key] = centroids
     return centroids
 

@@ -693,6 +693,13 @@ def _write_binscan_corpus() -> str:
     return _BINSCAN_DIR
 
 
+# Written at import (= registration) time, not first engine run: a
+# driver may evaluate the DuckDB oracle BEFORE the engine query on a
+# fresh machine, and the oracle's read_blob glob must already see the
+# corpus (40 tiny files, idempotent).
+_write_binscan_corpus()
+
+
 @query(
     "scan_binaryfile",
     family="scans",

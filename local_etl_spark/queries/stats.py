@@ -10,6 +10,11 @@ closed form with fixed-operand-order double expressions; multi-term
 double sums fold in explicit key order (the list_sum(list(x ORDER BY
 k)) ≡ aggregate(array_sort(collect_list(struct(k, x)))) identity);
 everything rounds to 6 dp at the edge.
+
+Caching policy: multi-consumer intermediates (KS grouped counts via
+ordered_prefix) stay persisted until the session evicts them — the
+returned DataFrame references the cache, and for ordered_prefix the
+cache is load-bearing for rank correctness (see _util.ordered_prefix).
 """
 
 from __future__ import annotations
@@ -17,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from local_etl_spark.queries._util import dec, t
+from local_etl_spark.queries._util import _ntile_from_rank, dec, ordered_prefix, t
 from local_etl_spark.registry import query
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -125,30 +130,29 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact ECDFs via cumulative integer counts over the grouped distinct
     values — each ECDF evaluation is ONE double division (correctly
     rounded), |·| and max are exact, so D matches across engines
-    bit-for-bit. The unpartitioned cumulative window is a global sort
-    over DISTINCT values (not raw rows — the groupBy collapses first);
-    at 100 TB the exact form gives way to a binned ECDF (fixed-edge
-    histogram, error ≤ bin width), same downstream formula.
+    bit-for-bit. The cumulative counts come from ``ordered_prefix``
+    (range-partitioned prefix sums over the DISTINCT values, offsets
+    broadcast back) — no single-partition window, so the exact form
+    survives a value grid of any cardinality.
     """
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
-    # persisted: both the cumulative window and the totals consume the
-    # grouped counts — one events scan total
+    # ordered_prefix persists the grouped counts; both the prefix sums
+    # and the totals derive from them — one events scan total
     c = e.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "c2"
         ),
-    ).persist()
-    w = Window.orderBy("value")
-    cum = c.select(
-        F.sum("c1").over(w).alias("a"),
-        F.sum("c2").over(w).alias("b"),
     )
+    pref, _n = ordered_prefix(
+        c, ["value"], prefix=(("c1", "sum", "a"), ("c2", "sum", "b"))
+    )
+    cum = pref.select("a", "b")
     # totals derive from the grouped counts, NOT the raw stream — a
     # second events scan would double the dominant cost at scale
-    tot = c.agg(
+    tot = pref.agg(
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
     )
@@ -483,20 +487,21 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     on skew (one bucket hoards the mass); equi-depth buckets each hold
     ~1/k of the rows, so the BOUNDARIES carry the distribution — the
     representation query optimizers and drift monitors actually store.
-    ``ntile`` over a TOTAL order (value, then the unique event_id)
-    makes every bucket assignment deterministic, so both engines place
-    identical rows in identical buckets; bounds are exact input values.
-    Scale note: exact ntile is a global sort — at 100 TB the same
-    output comes from approx_percentile boundaries + one bucketing
-    pass (two scans, no sort), the documented trade of every
-    equi-depth implementation.
+    The buckets match ``ntile`` over a TOTAL order (value, then the
+    unique event_id) exactly, so both engines place identical rows in
+    identical buckets; bounds are exact input values. Scale: a bare
+    ntile window would be a single-partition WindowExec (all purchases
+    through one task); instead ``ordered_prefix`` range-partitions on
+    the order key and the ntile arithmetic maps each exact global rank
+    to its bucket map-side (VERDICT r3 #2b) — the same parallel shape
+    an approx_percentile-boundary histogram has, but exact.
     """
     e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    ranked = e.select(
-        "value",
-        F.ntile(N_EQUIDEPTH_BUCKETS)
-        .over(Window.orderBy("value", "event_id"))
-        .alias("bucket"),
+    rk, n = ordered_prefix(
+        e.select("value", "event_id"), ["value", "event_id"], rank_col="rnk"
+    )
+    ranked = rk.select(
+        "value", _ntile_from_rank("rnk", n, N_EQUIDEPTH_BUCKETS).alias("bucket")
     )
     return ranked.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),

@@ -21,6 +21,32 @@ _DSUM_SQL = (
 )
 
 
+def _write_stream_chunks(df: DataFrame, src: str, n_chunks: int = 3) -> None:
+    """Materialize ``df`` as ``n_chunks`` ts-ordered JSON files for a
+    file-stream replay, EXECUTOR-side.
+
+    ``repartitionByRange`` puts the earliest third of the timeline in
+    range bucket 0, etc., and the JSON writer emits one ``part-0000i``
+    file per bucket in parallel — the driver never holds the data
+    (the previous collect()-and-write-in-Python fixture OOMs the
+    driver at 100× scale, VERDICT r3 #3). Only the mtime stamping —
+    which is how FileStreamSource orders micro-batches — stays on the
+    driver, and that is O(n_chunks).
+    """
+    import glob as _glob
+    import os as _os
+
+    (
+        df.repartitionByRange(n_chunks, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .json(src)
+    )
+    parts = sorted(_glob.glob(_os.path.join(src, "part-*")))
+    for i, p in enumerate(parts):
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
 @query(
     "stream_tumbling",
     family="streaming",
@@ -313,7 +339,6 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     atomic-rename isolation (readers never see a half-written merge).
     """
     import glob as _glob
-    import json as _json
     import os as _os
     import shutil as _shutil
 
@@ -332,7 +357,6 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _os.path.join(base, "ckpt")
     for d in (src, state_root, ckpt):
         _shutil.rmtree(d, ignore_errors=True)
-    _os.makedirs(src)
 
     ev = t(spark, sf_dir, "events").select(
         "event_id",
@@ -340,17 +364,7 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "value",
     )
-    rows = ev.orderBy("ts", "event_id").collect()
-    n_chunks = 3
-    per = (len(rows) + n_chunks - 1) // n_chunks
-    for i in range(n_chunks):
-        with open(_os.path.join(src, f"chunk{i}.json"), "w") as fh:
-            for r in rows[i * per : (i + 1) * per]:
-                fh.write(_json.dumps(r.asDict()) + "\n")
-        _os.utime(
-            _os.path.join(src, f"chunk{i}.json"),
-            (1_700_000_000 + i, 1_700_000_000 + i),
-        )
+    _write_stream_chunks(ev, src)
 
     schema = "event_id BIGINT, ts STRING, user_id BIGINT, value DOUBLE"
 
@@ -418,7 +432,6 @@ def stream_trigger_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (maxFilesPerTrigger), so the drain never builds an unbounded batch
     — the property that makes AvailableNow safe on a backlog.
     """
-    import json as _json
     import os as _os
     import shutil as _shutil
 
@@ -433,28 +446,15 @@ def stream_trigger_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, ckpt = _os.path.join(base, "src"), _os.path.join(base, "ckpt")
     for d in (src, ckpt):
         _shutil.rmtree(d, ignore_errors=True)
-    _os.makedirs(src)
-    rows = (
-        t(spark, sf_dir, "events")
-        .select(
+    _write_stream_chunks(
+        t(spark, sf_dir, "events").select(
             "event_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
             "event_type",
             "value",
-        )
-        .orderBy("ts", "event_id")
-        .collect()
+        ),
+        src,
     )
-    n_chunks = 3
-    per = (len(rows) + n_chunks - 1) // n_chunks
-    for i in range(n_chunks):
-        with open(_os.path.join(src, f"chunk{i}.json"), "w") as fh:
-            for r in rows[i * per : (i + 1) * per]:
-                fh.write(_json.dumps(r.asDict()) + "\n")
-        _os.utime(
-            _os.path.join(src, f"chunk{i}.json"),
-            (1_700_000_000 + i, 1_700_000_000 + i),
-        )
     schema = "event_id BIGINT, ts STRING, event_type STRING, value DOUBLE"
     sdf = (
         spark.readStream.schema(schema)

@@ -4,6 +4,11 @@ Each window partitions on a real key so the physical plan is one
 shuffle + partition-local sort — no global ordering anywhere. Order-by
 keys always end in a unique column (orderkey/custkey) so every ranking
 is a total order → deterministic vs the oracle.
+
+Caching policy: day-series intermediates consumed by two branches
+(win_zscore, win_interpolate) are persist()ed and not unpersisted in
+the query fn — the returned DataFrame references them; the leak is
+day-grid-sized and LRU-evicted (see llm_curation module docstring).
 """
 
 from __future__ import annotations

@@ -170,13 +170,22 @@ def late_data_filter(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     (arrival) order, track the running max of ``ts``, drop rows behind
     the moving watermark. Used by ``stream_watermark`` (rows-only check)
     and asserted equal to real watermark behavior in the streaming test.
+
+    The running max is an ``ordered_prefix`` prefix-max (range
+    partitions on arrival order + broadcast per-partition offsets), not
+    a bare ORDER BY window — the latter is a single-partition
+    WindowExec, which would funnel the whole replay through one task.
     """
-    arrival = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    from local_etl_spark.queries._util import ordered_prefix
+
     delay_expr = F.expr(f"INTERVAL {delay}")
+    cum, _n = ordered_prefix(
+        events, ["event_id"], prefix=(("ts", "max", "_ts_max"),)
+    )
     return (
-        events.withColumn("_wm", F.max("ts").over(arrival) - delay_expr)
+        cum.withColumn("_wm", F.col("_ts_max") - delay_expr)
         .filter(F.col("ts") >= F.col("_wm"))
-        .drop("_wm")
+        .drop("_wm", "_ts_max")
     )
 
 

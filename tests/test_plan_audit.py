@@ -7,6 +7,10 @@ fatal at 100 TB.
   - BatchEvalPython (row-at-a-time Python): never allowed anywhere.
   - ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas: only the
     UDF-surface and multimodal queries may ship rows to Python.
+  - Unpartitioned Window nodes (single-partition WindowExec — the
+    whole input through ONE task): only windows over provably bounded
+    relations (result-sized ranks, day/month grids) are allowed;
+    corpus-sized exact ranks go through _util.ordered_prefix instead.
 
 Per-query plan-shape assertions live in test_plan_shape.py; this file
 is the blanket rule so a NEW query can't quietly regress.
@@ -17,6 +21,7 @@ from __future__ import annotations
 import pytest
 
 from local_etl_spark import registry
+from local_etl_spark.plancheck import unpartitioned_windows
 
 SF = "/root/testdata/sf0.001"
 
@@ -68,6 +73,20 @@ ALLOW_PYTHON = {
 }
 
 
+# queries allowed an unpartitioned Window: every entry's window input
+# is bounded by something other than the corpus size, so the one-task
+# sort can never grow past it (VERDICT r3 item 6 allowlist).
+ALLOW_GLOBAL_WINDOW = {
+    "sort_multi",  # the emitted global position IS the query's output
+    "llm_bpe_pairs",  # 20-row rank over the already-heaped top pairs
+    "agg_autocorr",  # lag over the per-DAY aggregate (calendar-bounded)
+    "etl_drift_psi",  # totals over the 8-bucket PSI histogram
+    "sql_window_rollup",  # running total over the MONTH grid (12/yr)
+    "win_drawdown",  # cum P&L over the per-day net (calendar-bounded)
+    "win_interpolate",  # gap-fill over the per-day series (calendar-bounded)
+}
+
+
 def _plan(spark, spec) -> str:
     df = spec.fn(spark, SF)
     return df._jdf.queryExecution().explainString(
@@ -100,3 +119,10 @@ def test_no_scale_antipatterns(spark, spec):
             assert node not in plan, (
                 f"{spec.name}: unexpected Python stage {node}"
             )
+    if spec.name not in ALLOW_GLOBAL_WINDOW:
+        hits = unpartitioned_windows(plan)
+        assert not hits, (
+            f"{spec.name}: unpartitioned Window (single task at scale):"
+            f" {hits} — use _util.ordered_prefix or justify in"
+            " ALLOW_GLOBAL_WINDOW"
+        )
