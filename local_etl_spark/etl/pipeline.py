@@ -38,8 +38,9 @@ from local_etl_spark.etl.validate import (
     CLASS_OTHER,
     CLASS_VALID,
     compiled_validity_leaves,
+    _pythonize_message,
     leaf_exprs,
-    render_value,
+    render_typed,
 )
 
 
@@ -126,15 +127,17 @@ def read_event_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _render_field(obj: str, fname: str) -> Column:
+def _render_field(obj: str, fname: str, json_type: str | None = None) -> Column:
     """Output rendering of one envelope field as the reference's CSV
     writer would print it: missing key → '' (restval), None → ''
-    (csv module), str(value) otherwise."""
+    (csv module), str(value) otherwise. ``json_type`` (the field's
+    declared schema type) narrows the render to the shapes a VALID row
+    can hold — see validate.render_typed."""
     fv = F.variant_get(F.col("v"), f"$.{obj}.{fname}", "variant")
     sv = F.schema_of_variant(fv)
     return F.coalesce(
         F.when(F.is_variant_null(fv), F.lit("")).otherwise(
-            render_value(fv, sv, quote_strings=False)
+            render_typed(fv, sv, json_type)
         ),
         F.lit(""),
     )
@@ -155,7 +158,10 @@ def classify(docs: DataFrame, schema: EnvelopeSchema) -> DataFrame:
       3. class/validity derived from error_msg (one copy of the CASE
          instead of four), DROPPING the leaf columns so the persisted
          classification stays slim (caching ~26 variant leaves per row
-         measurably slows materialization).
+         measurably slows materialization). The Python float-repr
+         rewrite of the message's leading token also happens here —
+         over the plain error_msg COLUMN, so the big CASE is never
+         re-referenced (validate._pythonize_message docstring).
     """
     leaves = leaf_exprs(schema)
     val = compiled_validity_leaves(schema)
@@ -165,7 +171,7 @@ def classify(docs: DataFrame, schema: EnvelopeSchema) -> DataFrame:
     msg = F.col("error_msg")
     return staged.select(
         *docs.columns,
-        F.col("error_msg"),
+        _pythonize_message(msg).alias("error_msg"),
         F.when(F.col("v").isNull(), CLASS_CORRUPT)
         .when(msg.isNull(), CLASS_VALID)
         .when(msg.contains("is a required property"), CLASS_MISSING)
@@ -184,8 +190,10 @@ def _payload_columns(schema: EnvelopeSchema, version: int) -> dict[str, Column]:
     runs (and the multi-sink fan-out) reuse one compiled set.
     """
     payload_fields = list(schema.payload.required)
+    types = {f.name: f.json_type for f in schema.payload.fields}
     cols: dict[str, Column] = {
-        fname: _render_field("payload", fname) for fname in payload_fields
+        fname: _render_field("payload", fname, types.get(fname))
+        for fname in payload_fields
     }
 
     # ad-hoc users fixes, gated on address presence in the DOCUMENT —
@@ -205,7 +213,15 @@ def _payload_columns(schema: EnvelopeSchema, version: int) -> dict[str, Column]:
 
     if version == 2:
         # FK propagation: metadata.event_id or '' (main2.py:226)
-        cols["event_id"] = _render_field("metadata", "event_id")
+        cols["event_id"] = _render_field(
+            "metadata",
+            "event_id",
+            next(
+                (f.json_type for f in schema.metadata.fields
+                 if f.name == "event_id"),
+                None,
+            ),
+        )
         # name/created_by_name prefix-suffix normalization (main2.py:234-256)
         name_col = next(
             (c for c in ("name", "created_by_name") if c in cols), None
@@ -221,10 +237,11 @@ def _payload_columns(schema: EnvelopeSchema, version: int) -> dict[str, Column]:
 @lru_cache(maxsize=64)
 def _v1_out_columns(schema: EnvelopeSchema) -> tuple[Column, ...]:
     cols = _payload_columns(schema, version=1)
+    mtypes = {f.name: f.json_type for f in schema.metadata.fields}
     return tuple(
         [cols[f].alias(f) for f in schema.payload.required]
         + [
-            _render_field("metadata", f).alias(f)
+            _render_field("metadata", f, mtypes.get(f)).alias(f)
             for f in schema.metadata.required
         ]
     )
@@ -241,9 +258,13 @@ def _v2_out_columns(
 ) -> tuple[tuple[Column, ...], tuple[Column, ...]]:
     payload_fields, metadata_fields = v2_field_names(schema)
     cols = _payload_columns(schema, version=2)
+    mtypes = {f.name: f.json_type for f in schema.metadata.fields}
     return (
         tuple(cols[f].alias(f) for f in payload_fields),
-        tuple(_render_field("metadata", f).alias(f) for f in metadata_fields),
+        tuple(
+            _render_field("metadata", f, mtypes.get(f)).alias(f)
+            for f in metadata_fields
+        ),
     )
 
 

@@ -60,23 +60,125 @@ def _type_ok(fv: Column, sv: Column, json_type: str) -> Column:
     if json_type == "number":
         return _is_numeric(sv)
     if json_type == "integer":
+        # Python jsonschema draft-07: int, or float with is_integer()
+        # (so 2.0 AND 1e40 are valid integers; inf/2.5 are not).
+        # `dbl % 1.0 == 0` mirrors float.is_integer exactly — the
+        # previous `dbl == floor(dbl)` broke above 2^63 because
+        # floor(double) returns LONG and silently SATURATES, rejecting
+        # huge int literals the reference accepts (fuzz round 4).
         dbl = F.try_variant_get(fv, "$", "double")
-        return (sv == "BIGINT") | (_is_numeric(sv) & (dbl == F.floor(dbl)))
+        return (sv == "BIGINT") | (_is_numeric(sv) & (dbl % F.lit(1.0) == 0.0))
     raise ValueError(f"unsupported json type {json_type!r}")
+
+
+def _py_double_str(d: Column) -> Column:
+    """Render a DOUBLE the way Python ``str(float)`` would.
+
+    The round-trip DIGITS agree between the JVM and CPython for every
+    value class the corpora produce (fuzz-verified over uniform, 2-dp,
+    and wide-exponent samples); only the surface differs: Java casts go
+    scientific outside [1e-3, 1e7) with a ``d.dddEn`` shape, Python
+    outside [1e-4, 1e16) with ``d[.ddd]e±XX`` (exponent sign always,
+    ≥2 exponent digits) — and inf/nan spell differently. Rewriting the
+    JAVA cast text keeps the digits and fixes the surface. (Documented
+    divergence: round large-magnitude literals like 2.5e22/1e23/5e-324
+    where the pre-Ryū JVM emits a non-shortest form —
+    2.4999999999999998E22 — that no surface rewrite can repair.)
+
+    Placement (measured, round 4 — three failure modes were hit
+    before landing here): the ~40-node rewrite tree appears in exactly
+    THREE places — once per numeric payload field (≤2 per schema,
+    inlined, fits codegen now that string fields use render_typed) and
+    once as a post-pass over the final error message
+    (_pythonize_message). Inlining it into every message slot blew
+    janino's 64 KB method limit (silent interpreted fallback for the
+    WHOLE projection, the SCALE.md §10 class: ETL bench 1.2 → 3.6 s);
+    hiding it behind a per-slot single-element ``transform`` lambda
+    compiled but cost ~0.4 s of driver-side work per pipeline RUN
+    (13 lambda sites re-analyzed by every sink job: steady files
+    bench 1.1 → 1.6 s); running it as a bare HOF for every value cost
+    ~55 µs interpreted per numeric field per row (1.7 → 4.4 s at 50k
+    rows). Guard + inline at three sites has none of those costs.
+    """
+    s = d.cast("string")
+    exotic = s.contains("E") | s.contains("Inf") | s.contains("NaN")
+    return F.when(~exotic, s).otherwise(_py_float_text(s))
+
+
+def _py_float_text(s: Column) -> Column:
+    """The rewrite body over Java-style double TEXT (see
+    _py_double_str): handles E-notation, Infinity and NaN; plain
+    positional text passes through unchanged."""
+    mant = F.substring_index(s, "E", 1)
+    ex = F.substring_index(s, "E", -1).cast("int")
+    neg = mant.startswith("-")
+    m = F.when(neg, F.substr(mant, F.lit(2))).otherwise(mant)
+    ipart = F.substring_index(m, ".", 1)
+    fpart = F.regexp_replace(F.substring_index(m, ".", -1), "0+$", "")
+    digits = F.concat(ipart, fpart)
+    dlen = F.length(digits)
+    intlen = ex + F.lit(1)
+    sign = F.when(neg, F.lit("-")).otherwise(F.lit(""))
+
+    # Python scientific: d[.ddd]e±XX
+    py_mant = F.when(fpart == "", ipart).otherwise(
+        F.concat(ipart, F.lit("."), fpart)
+    )
+    abs_ex = F.abs(ex).cast("string")
+    py_exp = F.concat(
+        F.lit("e"),
+        F.when(ex < 0, F.lit("-")).otherwise(F.lit("+")),
+        # pad to >=2 digits WITHOUT lpad (lpad truncates 3-digit exps)
+        F.when(F.length(abs_ex) < 2, F.concat(F.lit("0"), abs_ex)).otherwise(
+            abs_ex
+        ),
+    )
+    sci = F.concat(sign, py_mant, py_exp)
+
+    # Java sci / Python positional, exponent in [7, 16): expand right
+    right = F.when(
+        dlen <= intlen,
+        F.concat(
+            sign, digits, F.repeat(F.lit("0"), intlen - dlen), F.lit(".0")
+        ),
+    ).otherwise(
+        F.concat(
+            sign,
+            F.substr(digits, F.lit(1), intlen),
+            F.lit("."),
+            F.substr(digits, intlen + 1),
+        )
+    )
+    # Java sci / Python positional at exponent -4: expand left
+    left = F.concat(sign, F.lit("0.000"), digits)
+
+    return (
+        F.when(s == "Infinity", F.lit("inf"))
+        .when(s == "-Infinity", F.lit("-inf"))
+        .when(s == "NaN", F.lit("nan"))
+        .when(~s.contains("E"), s)
+        .when((ex >= 7) & (ex < 16), right)
+        .when(ex == -4, left)
+        .otherwise(sci)
+    )
 
 
 def render_value(fv: Column, sv: Column, quote_strings: bool) -> Column:
     """Render a variant scalar the way Python would (reference writes
     ``str(value)`` into CSV; jsonschema messages use ``repr``).
 
-    BIGINT → int digits; DECIMAL/DOUBLE → Python-float-style text;
+    BIGINT → int digits; DECIMAL(p≥19,0) → exact digits (a JSON int
+    literal past int64 — Python ints are arbitrary precision and print
+    verbatim; int literals ≤ 10^19 parse to BIGINT, so a scale-0
+    decimal this wide can only be an int literal. Ints past 38 digits
+    land in the variant as DOUBLE and render float-style — documented
+    divergence); other DECIMAL/DOUBLE → Python str(float) text;
     true/false → True/False; JSON null → None. Containers get a
     Python-repr-style rendering of their JSON text (quote/space rewrite —
     exact for scalar containers, approximate when member strings contain
     the rewritten characters; documented divergence).
     """
     as_str = F.try_variant_get(fv, "$", "string")
-    dbl = F.try_variant_get(fv, "$", "double").cast("string")
     string_form = (
         F.concat(F.lit("'"), as_str, F.lit("'")) if quote_strings else as_str
     )
@@ -91,8 +193,85 @@ def render_value(fv: Column, sv: Column, quote_strings: bool) -> Column:
         .when(sv == "STRING", string_form)
         .when(sv == "BOOLEAN", F.when(as_str == "true", "True").otherwise("False"))
         .when(sv == "BIGINT", as_str)
-        .when(_is_numeric(sv), dbl)
+        .when(_is_wide_int(sv), _exact_int_text(fv))
+        # plain Java cast text — the Python float-repr rewrite happens
+        # ONCE over the finished message (_pythonize_message), not in
+        # each of the ~13 slots that embed this renderer
+        .when(_is_numeric(sv), F.try_variant_get(fv, "$", "double").cast("string"))
         .otherwise(container)
+    )
+
+
+def _is_wide_int(sv: Column) -> Column:
+    """DECIMAL(p≥19,0) — a JSON int literal past int64 (int literals up
+    to 2^63-1 parse to BIGINT, so a scale-0 decimal this wide can only
+    be an int literal; a '12345678901234567890.0' float literal is the
+    documented freak exception). Plain string ops instead of an rlike:
+    this check sits in the per-field render CASE of every payload row.
+    'DECIMAL(dd,0)' has length 13 exactly when p has two digits, and
+    two-digit compares are lexicographic-safe."""
+    return (
+        (F.length(sv) == 13)
+        & sv.endswith(",0)")
+        & (F.substring(sv, 9, 2) >= "19")
+    )
+
+
+def _exact_int_text(fv: Column) -> Column:
+    """Arbitrary-precision digits of a wide int literal (≤ 38 digits —
+    wider ints degrade to variant DOUBLE and render float-style;
+    documented divergence vs Python's unbounded ints)."""
+    return F.try_variant_get(fv, "$", "decimal(38,0)").cast("string")
+
+
+def render_typed(fv: Column, sv: Column, json_type: str | None) -> Column:
+    """CSV rendering of a field on the VALID-row path.
+
+    Rows reaching the output sinks passed validation, so a field's
+    variant type is already constrained by its declared json type —
+    a 'string' field IS a STRING (one variant_get instead of the full
+    render CASE). This matters because the payload projection embeds
+    the name render THREE times (prefix/name/suffix split) and the
+    address render twice; with the round-4 exact-int/float-repr
+    branches the full CASE per copy measurably slowed every sink job
+    (0.35 → 0.65 s per render pass at 50k rows). Numeric fields keep
+    the full numeric chain — a VALID 'integer' can still be BIGINT,
+    a wide int literal, or an integral-valued double ('2.0' renders
+    '2.0' like Python). Unknown/absent declared types fall back to the
+    general renderer.
+    """
+    if json_type == "string":
+        return F.try_variant_get(fv, "$", "string")
+    if json_type == "boolean":
+        return F.when(
+            F.try_variant_get(fv, "$", "string") == "true", "True"
+        ).otherwise("False")
+    if json_type in ("integer", "number"):
+        return (
+            F.when(sv == "BIGINT", F.try_variant_get(fv, "$", "string"))
+            .when(_is_wide_int(sv), _exact_int_text(fv))
+            .otherwise(_py_double_str(F.try_variant_get(fv, "$", "double")))
+        )
+    return render_value(fv, sv, quote_strings=False)
+
+
+# Leading Java float token of an error message: the rendered offending
+# value always heads the message, and only scientific/infinite forms
+# need the Python-repr rewrite (digits/containers/strings never do).
+_JAVA_FLOAT_HEAD = r"^(-?[0-9]+\.[0-9]+E-?[0-9]+|-?Infinity|NaN)"
+
+
+def _pythonize_message(msg: Column) -> Column:
+    """Rewrite the leading Java-float token of a rendered jsonschema
+    message into Python repr form ('1.0E25 is not of type ...' →
+    '1e+25 is not of type ...'). ONE instance per compiled validity —
+    the slots render numbers with a plain cast and this post-pass
+    fixes the exotic forms, which keeps the ~40-node rewrite tree out
+    of the 13 render sites (janino/driver-cost history in
+    _py_double_str's docstring)."""
+    token = F.regexp_extract(msg, _JAVA_FLOAT_HEAD, 1)
+    return F.when(msg.isNull() | (token == ""), msg).otherwise(
+        F.concat(_py_float_text(token), F.substr(msg, F.length(token) + 1))
     )
 
 
@@ -289,6 +468,10 @@ def _compile(schema: EnvelopeSchema, getv, getsv) -> Validity:
     msg = F.when(corrupt, F.lit("document is not valid JSON"))
     for fires, message in slots:
         msg = msg.when(fires, message)
+    # NOTE: msg carries plain Java float text; _pythonize_message is
+    # applied by classify() AFTER its projection barrier — applying it
+    # here would reference this 40-branch CASE three more times in the
+    # same expression (the giant-CASE re-embedding gotcha).
     msg = msg.otherwise(F.lit(None).cast("string"))
 
     error_class = (

@@ -49,6 +49,12 @@ def get_spark(app_name: str = "local-etl-spark", cpus: int | None = None) -> Spa
         # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
         # timestamp — read as long, catalog converts to µs (DuckDB parity).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reference parity (load-bearing): Python's json.load keeps the
+        # LAST occurrence of a duplicated object key; with this off,
+        # try_parse_json NULLs the whole document and the ETL pipeline
+        # would quarantine a document the reference happily validates.
+        # The variant spec's last-wins matches Python exactly.
+        .config("spark.sql.variant.allowDuplicateKeys", "true")
         # bucketed-table storage (join_bucketed) — keep out of the repo
         .config(
             "spark.sql.warehouse.dir",

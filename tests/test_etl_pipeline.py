@@ -58,6 +58,14 @@ USERS = {
         "payload": {"id": 9, "name": "A B", "address": "a", "job": "x", "score": 1},
     },
     "corrupt.json": "{definitely not json",
+    # UTF-8 BOM before the JSON: Python's json.load raises
+    # JSONDecodeError ('Expecting value'), which the reference leaves
+    # UNCAUGHT (main.py:172 / main2.py:326 crash) — engine-defined
+    # divergence: same corrupt class as malformed JSON, quarantined
+    # byte-verbatim (BOM included)
+    "bom.json": '﻿{"metadata": {"type": "user", "event_at": "t",'
+    ' "event_id": "e10"}, "payload": {"id": 10, "name": "A B",'
+    ' "address": "a", "job": "x", "score": 1}}',
     "ignored.txt": "not even considered",
 }
 
@@ -99,9 +107,9 @@ def read_csv_rows(path_dir: str) -> list[dict]:
 
 def test_counters(etl_run):
     _, _, v2m, _ = etl_run
-    # users: 11 files, 1 non-json ignored → 10; valid = 6 (incl bad_date),
-    # invalid = 4 (missing_name, missing_address, bad_type, corrupt)
-    assert (v2m["users"].file_count, v2m["users"].valid_count, v2m["users"].invalid_count) == (10, 6, 4)
+    # users: 12 files, 1 non-json ignored → 11; valid = 6 (incl bad_date),
+    # invalid = 5 (missing_name, missing_address, bad_type, corrupt, bom)
+    assert (v2m["users"].file_count, v2m["users"].valid_count, v2m["users"].invalid_count) == (11, 6, 5)
     assert (v2m["cards"].file_count, v2m["cards"].valid_count, v2m["cards"].invalid_count) == (2, 1, 1)
 
 
@@ -172,10 +180,12 @@ def test_quarantine_and_errors(etl_run, spark):
     q = spark.read.parquet(qdir)
     names = {os.path.basename(r["file_path"]) for r in q.select("file_path").collect()}
     # every invalid file (incl. repaired ones) is quarantined; ×2 runs
-    assert names == {"missing_name.json", "missing_address.json", "bad_type.json", "corrupt.json"}
+    assert names == {"missing_name.json", "missing_address.json", "bad_type.json", "corrupt.json", "bom.json"}
     out = os.path.join(base, "quarantine_materialized")
     n = materialize_quarantine(spark, qdir, out)
-    assert n >= 4
+    assert n >= 5
+    with open(os.path.join(out, "bom.json"), encoding="utf-8") as fh:
+        assert fh.read().startswith("\ufeff")  # BOM preserved verbatim
     with open(os.path.join(out, "bad_type.json"), encoding="utf-8") as fh:
         assert json.load(fh)["payload"]["id"] == "NaN"  # verbatim copy
 

@@ -124,6 +124,15 @@ def _invalid_user_docs() -> dict[str, dict]:
         "bad name with spaces.json": u(score="nope"),
         "bad_näme_ünicode.json": u(id="x"),
         "bad.multi.dots.json": u(address=7),
+        # --- round-4 corpus: numeric-extreme envelopes ---
+        # arbitrary-precision int where a string is required: Python
+        # repr prints exact digits; the engine's wide-int render must too
+        "bad_name_huge_int.json": u(name=10**25),
+        # non-integral scientific float on an integer field: the
+        # message must carry Python float repr ('1.5e-05'), which the
+        # engine derives by pythonizing the JVM's '1.5E-5'
+        "bad_id_sci_float.json": u(id=1.5e-5),
+        "bad_id_neg_sci.json": u(id=-1.234e-4),
     }
 
 
@@ -181,6 +190,79 @@ def _edge_valid_user_docs() -> dict[str, dict]:
         # VALID docs behind odd filenames: the scan must ingest them
         "edge name spaced.json": u("e9010"),
         "edge_ünïcode_name.json": u("e9011"),
+        # --- round-4: astral/combining-mark strings (paired
+        # surrogates in UTF-8, NFD decomposition) through the name
+        # tokenizer + titlecase path
+        "edge_name_emoji.json": u("e9012", name="Ada 👩‍🔬 Lovelace"),
+        "edge_name_nfd.json": u("e9013", name="José garcía Sr."),
+        # huge ints (valid "integer": Python ints are unbounded; the
+        # engine carries them as scale-0 variant decimals ≤ 38 digits)
+        "edge_id_2pow63.json": u("e9014", id=9223372036854775808),
+        "edge_id_1e25.json": u("e9015", id=10**25),
+        # float extremes (valid "number"): CSV must print Python repr
+        "edge_score_1e308.json": u("e9016", score=1e308),
+        "edge_score_sci_small.json": u("e9017", score=1.5e-5),
+    }
+
+
+# RAW-TEXT valid docs: shapes json.dumps cannot express — duplicate
+# object keys (Python json.load keeps the LAST; the engine needs
+# spark.sql.variant.allowDuplicateKeys for the same last-wins), a JSON
+# float literal overflowing to inf (1e400 → score 'inf'), an
+# integral-valued giant float literal on an integer field (Python
+# parses '…. 5' to float 1e25, is_integer() → VALID, prints '1e+25'),
+# and an escaped surrogate PAIR decoding to an astral char.
+def _raw_valid_user_docs() -> dict[str, str]:
+    def u(eid: str, payload_json: str) -> str:
+        return (
+            '{"metadata": {"type": "user", "event_at": "2023-10-06 22:55:01",'
+            f' "event_id": "{eid}"}},\n "payload": {payload_json}}}'
+        )
+
+    base = (
+        '"name": "Ada Lovelace", "address": "1 Main St\\nCity, ST 11111",'
+        ' "job": "Engineer"'
+    )
+    return {
+        "raw_dup_key_last_valid.json": u(
+            "r9101", '{"id": "bad", "id": 9101, %s, "score": 5.0}' % base
+        ),
+        "raw_score_inf.json": u(
+            "r9102", '{"id": 9102, %s, "score": 1e400}' % base
+        ),
+        "raw_id_giant_float.json": u(
+            "r9103",
+            '{"id": 10000000000000000000000000.5, %s, "score": 5.0}' % base,
+        ),
+        "raw_surrogate_pair_name.json": u(
+            "r9104",
+            '{"id": 9104, "name": "Ada \\ud83d\\ude00 Lovelace",'
+            ' "address": "A\\nB", "job": "Engineer", "score": 5.0}',
+        ),
+    }
+
+
+def _raw_invalid_user_docs() -> dict[str, str]:
+    """RAW-TEXT invalid docs: duplicate key whose LAST occurrence is the
+    bad one (drop, same best_match message), and an infinite float on an
+    integer field (message must render Python's 'inf')."""
+    def u(eid: str, payload_json: str) -> str:
+        return (
+            '{"metadata": {"type": "user", "event_at": "2023-10-05 22:55:01",'
+            f' "event_id": "{eid}"}},\n "payload": {payload_json}}}'
+        )
+
+    base = (
+        '"name": "Ada Lovelace", "address": "1 Main St\\nCity, ST 11111",'
+        ' "job": "Engineer"'
+    )
+    return {
+        "raw_dup_key_last_invalid.json": u(
+            "r9201", '{"id": 9201, "id": "bad", %s, "score": 5.0}' % base
+        ),
+        "raw_id_inf.json": u(
+            "r9202", '{"id": 1e400, %s, "score": 5.0}' % base
+        ),
     }
 
 
@@ -201,6 +283,8 @@ def _build_corpus(dest) -> None:
         (dest / "users" / fn).write_text(json.dumps(doc, indent=2))
     for fn, doc in _edge_valid_user_docs().items():
         (dest / "users" / fn).write_text(json.dumps(doc, indent=2))
+    for fn, raw in {**_raw_valid_user_docs(), **_raw_invalid_user_docs()}.items():
+        (dest / "users" / fn).write_text(raw)
     # cards: a couple of valid + the same error classes
     card = {
         "payload": {
@@ -334,7 +418,7 @@ def _engine_error_entries(errors_dir) -> set[tuple[str, str]]:
 
 def test_valid_rows_survive_v1_and_v2(fuzz_run):
     ref1, ref2, out, *_ = fuzz_run
-    n_valid = N_VALID + len(_edge_valid_user_docs())
+    n_valid = N_VALID + len(_edge_valid_user_docs()) + len(_raw_valid_user_docs())
     ref_v1 = _ref_rows(str(ref1 / "users.csv"))
     assert len(ref_v1) == n_valid  # every invalid doc was dropped
     _diff(ref_v1, _engine_rows(str(out / "users_flat.csv")), "event_id")
@@ -355,7 +439,9 @@ def test_error_log_messages_match_best_match(fuzz_run):
     ref_entries = _ref_error_entries(str(ref1 / "errors.log"))
     eng_entries = _engine_error_entries(str(out / "errors.log.d"))
     # engine ran twice (v2 then v1): errors duplicate as a set no-op
-    assert len(ref_entries) == len(_invalid_user_docs()) + 4
+    assert len(ref_entries) == (
+        len(_invalid_user_docs()) + len(_raw_invalid_user_docs()) + 4
+    )
     assert ref_entries == eng_entries, (
         sorted(ref_entries - eng_entries)[:3],
         sorted(eng_entries - ref_entries)[:3],
@@ -442,6 +528,13 @@ _MUT_VALUES = [
     {"k": 1},
     "ünïcode",
     "x" * 300,
+    # round-4: arbitrary-precision ints (valid wherever ints are;
+    # exact-digit reprs in messages elsewhere) and a scientific float
+    # whose message repr differs between the JVM ('1.5E-5') and
+    # Python ('1.5e-05')
+    10**25,
+    2**63,
+    1.5e-5,
 ]
 
 
