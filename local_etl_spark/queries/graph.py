@@ -75,6 +75,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = trade_edges(spark, sf_dir)
     # normalize outgoing weights once: P(u→v) = w/outw(u)
     outw = edges.groupBy("a").agg(F.sum("w").alias("outw"))
+    # NOT pre-repartitioned on purpose (A/B-measured round 4): pinning
+    # hashpartitioning(a) into the cache does let every iteration's
+    # join skip the edge-side exchange, but it also locks the plan to
+    # the static partition count — AQE can no longer coalesce the tiny
+    # per-iteration stages, and at local scale the extra task overhead
+    # LOSES (15.6 s → 19.0 s at sf0.1). On a 1000-executor cluster with
+    # edge lists that dwarf the rank vector the trade reverses; the
+    # module docstring documents that as the cluster-scale variant.
     norm = (
         edges.join(outw, "a")
         .select("a", "b", (F.col("w") / F.col("outw")).alias("p"))

@@ -575,3 +575,83 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+MIX_CAP = 0.25  # max share any one language may hold in the mixture
+
+
+@query(
+    "llm_mix_capped",
+    family="llm",
+    oracle=f"""
+    WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM s),
+    f AS (
+        SELECT s.lang, s.n, tot.ntot, (4 * s.n > tot.ntot) AS capped
+        FROM s CROSS JOIN tot
+    ),
+    cap AS (
+        SELECT CAST(sum(CASE WHEN capped THEN n ELSE 0 END) AS BIGINT) AS sc,
+               CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM f
+    )
+    SELECT f.lang,
+           CAST(f.n AS BIGINT) AS n_docs,
+           f.n * 1.0 / f.ntot AS p_raw,
+           CAST(f.capped AS INT) AS capped,
+           CASE WHEN f.capped THEN {MIX_CAP}
+                ELSE f.n * 1.0 / f.ntot
+                     + CAST(4 * cap.sc - cap.k * f.ntot AS DOUBLE) * f.n
+                       / (4.0 * f.ntot * (f.ntot - cap.sc))
+           END AS p_final
+    FROM f CROSS JOIN cap
+    ORDER BY f.lang
+    """,
+)
+def llm_mix_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped mixture weights with one-round redistribution: no
+    language may exceed MIX_CAP of the training mixture (the standard
+    guard against one dominant source swamping a multilingual run);
+    the excess probability mass of capped languages is redistributed
+    proportionally across the uncapped ones. Single-round semantics by
+    design (full water-filling iterates until no new language crosses
+    the cap; one round is the common practical recipe and keeps the
+    arithmetic closed-form).
+
+    Determinism: the cap test is a pure INTEGER compare (4·n > N ⇔
+    share > 0.25 — no float threshold), and the redistribution term is
+    one fixed-operand-order double expression over exact integer
+    aggregates, identical text on both engines. Scale: lang-keyed
+    count + two 1-row broadcast scalars; nothing wider than the
+    language cardinality ever shuffles.
+    """
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = s.agg(F.sum("n").cast("bigint").alias("ntot"))
+    f = s.crossJoin(F.broadcast(tot)).withColumn(
+        "capped", (F.lit(4) * F.col("n")) > F.col("ntot")
+    )
+    cap = f.agg(
+        F.sum(F.when(F.col("capped"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("sc"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    j = f.crossJoin(F.broadcast(cap))
+    redistributed = (
+        F.col("n") * F.lit(1.0) / F.col("ntot")
+        + (F.lit(4) * F.col("sc") - F.col("k") * F.col("ntot")).cast("double")
+        * F.col("n")
+        / (F.lit(4.0) * F.col("ntot") * (F.col("ntot") - F.col("sc")))
+    )
+    return j.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        (F.col("n") * F.lit(1.0) / F.col("ntot")).alias("p_raw"),
+        F.col("capped").cast("int").alias("capped"),
+        F.when(F.col("capped"), F.lit(MIX_CAP))
+        .otherwise(redistributed)
+        .alias("p_final"),
+    )

@@ -895,3 +895,57 @@ def llm_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob_kn"
         ),
     )
+
+
+@query(
+    "llm_token_fertility",
+    family="llm",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           sum(n_chars) * 1.0 / sum(len(string_split(text, ' ')))
+               AS chars_per_token,
+           sum(len(string_split(text, ' '))) * 1.0 / count(*)
+               AS tokens_per_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility profile per language: chars/token and
+    tokens/doc — the stat that decides whether a tokenizer (here the
+    whitespace baseline) is efficient for a language before burning a
+    training run on it (CJK famously blows up fertility; the corpus'
+    space-free zh documents surface exactly that).
+
+    Determinism: token and char counts are exact integers summed
+    exactly; each reported ratio is ONE division of two exact integers
+    (correctly rounded in both engines). Scale: map-side size(split())
+    per row, one lang-keyed partial+final aggregate — no shuffle wider
+    than the language cardinality.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("bigint")
+    return (
+        d.select("lang", toks.alias("tk"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tk").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            (F.col("total_chars") * F.lit(1.0) / F.col("total_tokens")).alias(
+                "chars_per_token"
+            ),
+            (F.col("total_tokens") * F.lit(1.0) / F.col("n_docs")).alias(
+                "tokens_per_doc"
+            ),
+        )
+    )

@@ -529,3 +529,53 @@ sql_filter_clause = _sql_query(
     "sugar is free at any scale; the filtered decimal sum keeps the "
     "engine-wide money discipline.",
 )
+
+
+_ORDER_BY_ALL = """
+SELECT c_mktsegment,
+       c_nationkey,
+       count(*) AS n_cust,
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+            AS DECIMAL(28,6)) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+sql_order_by_all = _sql_query(
+    "sql_order_by_all",
+    _ORDER_BY_ALL,
+    "ORDER BY ALL (Spark 4 / DuckDB shared syntax), paired with GROUP "
+    "BY ALL: the whole select list becomes the sort key left-to-right "
+    "— the interactive-analytics idiom that keeps the ordering in sync "
+    "with the projection by construction. Plans as an ordinary "
+    "aggregate + range-partitioned global sort over the (tiny) "
+    "segment×nation grid; nothing about the sugar changes the "
+    "physical shape.",
+)
+
+
+@query(
+    "sql_star_except",
+    family="sql",
+    oracle="""
+    SELECT * EXCLUDE (o_orderstatus, o_orderpriority)
+    FROM orders
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-projection with column subtraction — Spark spells it
+    ``SELECT * EXCEPT (...)`` (3.4+), DuckDB ``* EXCLUDE (...)``; the
+    one dialect split in the SQL-surface family, kept because the
+    operation itself (schema-stable wide scans minus bookkeeping
+    columns) is everyday ELT. The projection resolves at ANALYSIS
+    time, so column pruning reaches the parquet scan exactly as an
+    explicit column list would — ReadSchema drops the excluded
+    columns; no runtime cost anywhere.
+    """
+    from local_etl_spark.queries.sql_tpch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT * EXCEPT (o_orderstatus, o_orderpriority) FROM orders"
+    )

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from local_etl_spark.queries._util import _ntile_from_rank, dec, ordered_prefix, t
+from local_etl_spark.queries._util import (
+    _ntile_from_rank,
+    dec,
+    dsum,
+    ordered_prefix,
+    t,
+)
 from local_etl_spark.registry import query
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -507,4 +513,70 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("value").cast("double").alias("lo"),
         F.max("value").cast("double").alias("hi"),
+    )
+
+
+@query(
+    "agg_theil",
+    family="aggregations",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                    AS DECIMAL(28,6)) AS DOUBLE) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(CAST(rev AS DECIMAL(18,6)))
+                    AS DECIMAL(28,6)) AS DOUBLE) AS total
+        FROM per
+    ),
+    terms AS (
+        SELECT per.o_custkey,
+               (per.rev / (tot.total / tot.n))
+                   * ln(per.rev / (tot.total / tot.n)) AS term,
+               tot.n AS n
+        FROM per CROSS JOIN tot
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(list_sum(list(term ORDER BY o_custkey)) / max(n), 6)
+               AS theil_t
+    FROM terms
+    """,
+)
+def agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of per-customer revenue:
+    T = (1/N) Σ (x/μ)·ln(x/μ) — the information-theoretic sibling of
+    agg_gini (T decomposes additively across subgroups, which Gini
+    cannot; together they complete the concentration toolkit).
+
+    Determinism: x and μ derive from exact DECIMAL sums cast to
+    double; each term is a fixed-operand-order expression (one
+    division reused twice, a ln, a product), and the term sum folds in
+    explicit o_custkey order on both engines (a plain sum(double)
+    diverges in the low bits). Scale: one customer-keyed aggregate,
+    one 1-row broadcast of (N, total), and the ordered fold — at
+    cluster scale the fold's collect_list makes this a |customers|
+    buffer, traded consciously for bit determinism (the scale path is
+    a plain sum at 1e-9 tolerance).
+    """
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(dsum(dec("o_totalprice")).alias("rev"))
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(dec("rev")).alias("total"),
+    )
+    mu = F.col("total") / F.col("n")
+    term = (F.col("rev") / mu) * F.log(F.col("rev") / mu)
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "o_custkey", term.alias("term"), "n"
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(o_custkey, term))),"
+        " s -> s.term), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.expr(fold) / F.max("n"), 6).alias("theil_t"),
     )

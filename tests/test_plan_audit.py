@@ -52,6 +52,8 @@ ALLOW_NESTED_LOOP = {
     "llm_mix_temperature",  # 1-row broadcast total + normalizer scalars
     "agg_pareto",  # 1-row broadcast total-revenue denominator
     "agg_ks_test",  # 1-row broadcast (n1, n2) sample-size scalars
+    "agg_theil",  # 1-row broadcast (N, total) mean scalars
+    "llm_mix_capped",  # 1-row broadcast totals + capped-mass scalars
     "sql_table_fn",  # 5-row broadcast TVF bucket spine, range-banded
     # by definition (the spine IS the dimension)
 }
