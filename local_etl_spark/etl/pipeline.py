@@ -88,6 +88,33 @@ def _scan_partitions(spark: SparkSession, data_dir: str) -> int:
     return max(1, min(cap, n_files // 250))
 
 
+def _parse_event(raw: Column) -> Column:
+    """Document text → variant, matching Python json.load's accepted
+    grammar. The variant parser rejects the bare non-standard number
+    tokens NaN / Infinity / -Infinity that json.load accepts, so docs
+    that fail the plain parse get ONE retry with those tokens rewritten
+    (Infinity → a 1e999 literal, IEEE-identical; NaN → the
+    validate.BARE_NAN sentinel string, mapped back to nan semantics by
+    the type/render layers). coalesce short-circuits: well-formed docs
+    pay nothing, and the regexp+reparse runs only on parse failures.
+    The value-position guard `[:,[]` keeps the rewrite off quoted text
+    in every doc that matters — a doc where the pattern occurs INSIDE
+    a string parses fine on the first attempt and is never rewritten.
+    """
+    rewritten = F.regexp_replace(
+        F.regexp_replace(raw, r"([:,\[]\s*)-Infinity", "$1-1e999"),
+        r"([:,\[]\s*)Infinity",
+        "$1 1e999",
+    )
+    # the sentinel's NUL delimiters must travel as backslash-u0000 escapes (raw
+    # control chars are invalid inside a JSON string); '\\\\' in a Java
+    # replacement emits one literal backslash
+    rewritten = F.regexp_replace(
+        rewritten, r"([:,\[]\s*)NaN", '$1"\\\\u0000nan\\\\u0000"'
+    )
+    return F.coalesce(F.try_parse_json(raw), F.try_parse_json(rewritten))
+
+
 def read_event_docs(spark: SparkSession, data_dir: str) -> DataFrame:
     """Scan a directory of one-JSON-document-per-file events (R1/R2).
 
@@ -108,7 +135,7 @@ def read_event_docs(spark: SparkSession, data_dir: str) -> DataFrame:
         .select(
             F.regexp_replace(F.col("path"), "^file:", "").alias("file_path"),
             F.decode(F.col("content"), "UTF-8").alias("raw"),
-            F.try_parse_json(F.decode(F.col("content"), "UTF-8")).alias("v"),
+            _parse_event(F.decode(F.col("content"), "UTF-8")).alias("v"),
         )
     )
 
@@ -122,7 +149,7 @@ def read_event_lines(spark: SparkSession, path: str) -> DataFrame:
         .select(
             F.regexp_replace(F.input_file_name(), "^file:", "").alias("file_path"),
             F.col("value").alias("raw"),
-            F.try_parse_json(F.col("value")).alias("v"),
+            _parse_event(F.col("value")).alias("v"),
         )
     )
 

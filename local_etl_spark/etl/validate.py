@@ -51,6 +51,24 @@ def _is_numeric(sv: Column) -> Column:
     return (sv == "BIGINT") | (sv == "DOUBLE") | sv.startswith("DECIMAL")
 
 
+# Python's json.load accepts the bare non-standard tokens NaN /
+# Infinity / -Infinity; the variant parser does not. The scan layer
+# (pipeline._parse_event) re-parses failed docs with Infinity tokens
+# rewritten to 1e999 literals (IEEE-identical downstream) and bare NaN
+# rewritten to this sentinel STRING — no JSON literal parses to a
+# double NaN, so nan-ness rides in as an impossible-in-practice string
+# and the type/render layers map it back here. Engine-defined
+# divergence: a document that legitimately contains this exact
+# NUL-delimited string is rendered as nan.
+BARE_NAN = "\x00nan\x00"
+
+
+def _is_bare_nan(fv: Column, sv: Column) -> Column:
+    return (sv == "STRING") & (
+        F.try_variant_get(fv, "$", "string") == BARE_NAN
+    )
+
+
 def _type_ok(fv: Column, sv: Column, json_type: str) -> Column:
     """Does a present variant value conform to the draft-07 type?"""
     if json_type == "string":
@@ -58,7 +76,8 @@ def _type_ok(fv: Column, sv: Column, json_type: str) -> Column:
     if json_type == "boolean":
         return sv == "BOOLEAN"
     if json_type == "number":
-        return _is_numeric(sv)
+        # bare-NaN sentinel: float('nan') IS a draft-07 "number"
+        return _is_numeric(sv) | _is_bare_nan(fv, sv)
     if json_type == "integer":
         # Python jsonschema draft-07: int, or float with is_integer()
         # (so 2.0 AND 1e40 are valid integers; inf/2.5 are not).
@@ -190,6 +209,8 @@ def render_value(fv: Column, sv: Column, quote_strings: bool) -> Column:
     return (
         F.when(fv.isNull(), F.lit(None).cast("string"))
         .when(F.is_variant_null(fv), F.lit("None"))
+        # repr(nan) and str(nan) are both unquoted 'nan'
+        .when((sv == "STRING") & (as_str == BARE_NAN), F.lit("nan"))
         .when(sv == "STRING", string_form)
         .when(sv == "BOOLEAN", F.when(as_str == "true", "True").otherwise("False"))
         .when(sv == "BIGINT", as_str)
@@ -249,6 +270,7 @@ def render_typed(fv: Column, sv: Column, json_type: str | None) -> Column:
     if json_type in ("integer", "number"):
         return (
             F.when(sv == "BIGINT", F.try_variant_get(fv, "$", "string"))
+            .when(_is_bare_nan(fv, sv), F.lit("nan"))
             .when(_is_wide_int(sv), _exact_int_text(fv))
             .otherwise(_py_double_str(F.try_variant_get(fv, "$", "double")))
         )

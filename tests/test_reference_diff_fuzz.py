@@ -239,6 +239,16 @@ def _raw_valid_user_docs() -> dict[str, str]:
             '{"id": 9104, "name": "Ada \\ud83d\\ude00 Lovelace",'
             ' "address": "A\\nB", "job": "Engineer", "score": 5.0}',
         ),
+        # round-4b: bare non-standard number literals (Python json.load
+        # accepts NaN/Infinity/-Infinity by default; jsonschema counts
+        # NaN as a "number", so the doc is VALID and the CSV must carry
+        # Python's 'nan'/'-inf' spellings)
+        "raw_score_nan.json": u(
+            "r9105", '{"id": 9105, %s, "score": NaN}' % base
+        ),
+        "raw_score_neg_infinity.json": u(
+            "r9106", '{"id": 9106, %s, "score": -Infinity}' % base
+        ),
     }
 
 
@@ -262,6 +272,11 @@ def _raw_invalid_user_docs() -> dict[str, str]:
         ),
         "raw_id_inf.json": u(
             "r9202", '{"id": 1e400, %s, "score": 5.0}' % base
+        ),
+        # bare NaN on an integer field: float('nan').is_integer() is
+        # False → dropped, message must render Python's 'nan'
+        "raw_id_nan.json": u(
+            "r9203", '{"id": NaN, %s, "score": 5.0}' % base
         ),
     }
 
