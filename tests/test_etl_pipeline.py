@@ -66,6 +66,21 @@ USERS = {
     "bom.json": '﻿{"metadata": {"type": "user", "event_at": "t",'
     ' "event_id": "e10"}, "payload": {"id": 10, "name": "A B",'
     ' "address": "a", "job": "x", "score": 1}}',
+    # lone-surrogate escape: json.load ACCEPTS \ud800 (unpaired) and
+    # the doc validates, but the reference then CRASHES writing the CSV
+    # (UnicodeEncodeError: surrogates not allowed) — engine-defined
+    # divergence: the row survives with the unpaired surrogate
+    # sanitized to '?' by the JVM's UTF-8 encoder
+    "lone_surrogate.json": '{"metadata": {"type": "user", "event_at": "t",'
+    ' "event_id": "e11"}, "payload": {"id": 11, "name": "A\\ud800B C",'
+    ' "address": "a", "job": "x", "score": 1}}',
+    # literal TAB inside a JSON string: json.load is strict=True →
+    # JSONDecodeError ('Invalid control character'), UNCAUGHT in the
+    # reference (same crash class as malformed JSON) — engine-defined
+    # divergence: corrupt class, quarantined byte-verbatim
+    "ctrl_char.json": '{"metadata": {"type": "user", "event_at": "t",'
+    ' "event_id": "e12"}, "payload": {"id": 12, "name": "A\tB",'
+    ' "address": "a", "job": "x", "score": 1}}',
     "ignored.txt": "not even considered",
 }
 
@@ -107,9 +122,10 @@ def read_csv_rows(path_dir: str) -> list[dict]:
 
 def test_counters(etl_run):
     _, _, v2m, _ = etl_run
-    # users: 12 files, 1 non-json ignored → 11; valid = 6 (incl bad_date),
-    # invalid = 5 (missing_name, missing_address, bad_type, corrupt, bom)
-    assert (v2m["users"].file_count, v2m["users"].valid_count, v2m["users"].invalid_count) == (11, 6, 5)
+    # users: 14 files, 1 non-json ignored → 13; valid = 7 (incl
+    # bad_date + lone_surrogate), invalid = 6 (missing_name,
+    # missing_address, bad_type, corrupt, bom, ctrl_char)
+    assert (v2m["users"].file_count, v2m["users"].valid_count, v2m["users"].invalid_count) == (13, 7, 6)
     assert (v2m["cards"].file_count, v2m["cards"].valid_count, v2m["cards"].invalid_count) == (2, 1, 1)
 
 
@@ -117,7 +133,10 @@ def test_v2_users_payload(etl_run):
     base, cfg, _, _ = etl_run
     rows = {r["id"]: r for r in read_csv_rows(os.path.join(base, "users.csv"))}
     # dropped: bad_type (id NaN string → type error), corrupt
-    assert set(rows) == {"1", "2", "3", "4", "5", "6", "7", "9"}
+    assert set(rows) == {"1", "2", "3", "4", "5", "6", "7", "9", "11"}
+    # unpaired surrogate sanitized by the JVM encoder; name rules
+    # still apply to the sanitized text (2 tokens + trailing token)
+    assert "?" in (rows["11"]["name"] + rows["11"]["suffix"])
     r1 = rows["1"]
     assert r1["address"] == "8279 Rodriguez Ports Paulbury, VI 89148"
     assert r1["job"] == "Retail commercial horticulturist"
@@ -154,7 +173,7 @@ def test_v2_metadata(etl_run):
     rows = read_csv_rows(os.path.join(base, "metadata.csv"))
     by_type = {r["event_id"]: r["type"] for r in rows}
     assert set(by_type) == {
-        "e1", "e2", "e3", "e4", "e5", "e6", "e7", "e9", "c1", "c2"
+        "e1", "e2", "e3", "e4", "e5", "e6", "e7", "e9", "e11", "c1", "c2"
     }
     assert all(
         t == ("card" if e.startswith("c") else "user")
@@ -165,7 +184,7 @@ def test_v2_metadata(etl_run):
 def test_v1_flat_output(etl_run):
     base, _, _, _ = etl_run
     rows = {r["id"]: r for r in read_csv_rows(os.path.join(base, "users_flat.csv"))}
-    assert set(rows) == {"1", "2", "3", "4", "5", "6", "7", "9"}
+    assert set(rows) == {"1", "2", "3", "4", "5", "6", "7", "9", "11"}
     # v1: no prefix/suffix columns (event_id IS present — it's a
     # metadata required field in the v1 flat header), name untouched
     assert "prefix" not in rows["1"] and "suffix" not in rows["1"]
@@ -180,10 +199,12 @@ def test_quarantine_and_errors(etl_run, spark):
     q = spark.read.parquet(qdir)
     names = {os.path.basename(r["file_path"]) for r in q.select("file_path").collect()}
     # every invalid file (incl. repaired ones) is quarantined; ×2 runs
-    assert names == {"missing_name.json", "missing_address.json", "bad_type.json", "corrupt.json", "bom.json"}
+    assert names == {"missing_name.json", "missing_address.json", "bad_type.json", "corrupt.json", "bom.json", "ctrl_char.json"}
     out = os.path.join(base, "quarantine_materialized")
     n = materialize_quarantine(spark, qdir, out)
-    assert n >= 5
+    assert n >= 6
+    with open(os.path.join(out, "ctrl_char.json"), encoding="utf-8") as fh:
+        assert "A\tB" in fh.read()  # control char preserved verbatim
     with open(os.path.join(out, "bom.json"), encoding="utf-8") as fh:
         assert fh.read().startswith("\ufeff")  # BOM preserved verbatim
     with open(os.path.join(out, "bad_type.json"), encoding="utf-8") as fh:
