@@ -353,3 +353,70 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+BFS_SOURCE = "s1"  # supplier 1
+BFS_MAX_HOPS = 4
+
+
+@query(
+    "graph_bfs",
+    family="graph",
+    oracle=f"""
+    WITH RECURSIVE pair AS (
+        SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT a, b FROM pair UNION ALL SELECT b, a FROM pair
+    ),
+    bfs AS (
+        SELECT '{BFS_SOURCE}' AS node, 0 AS hop
+        UNION
+        SELECT e.b AS node, bfs.hop + 1 AS hop
+        FROM bfs JOIN edges e ON e.a = bfs.node
+        WHERE bfs.hop < {BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(min(hop) AS INT) AS hop
+    FROM bfs GROUP BY node ORDER BY node
+    """,
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distance over the trade graph (source =
+    supplier 1, bounded to BFS_MAX_HOPS=4 hops): the shortest-path
+    skeleton of reachability/impact analysis, and the iterative twin
+    the recursive-CTE oracle can check exactly — unlike pagerank's
+    float fixpoint, hop counts are discrete, so this is the graph
+    family's SQL-oracled iterative algorithm.
+
+    Level-synchronous frontier expansion: each round joins the current
+    frontier to the edge list (node-keyed equi-join), anti-joins the
+    visited set (same key, so one partitioning serves both), and the
+    first time a node is seen IS its minimum hop — no min() needed
+    engine-side. The frontier/visited sets are node-sized, never
+    path-sized (the oracle's UNION-dedup recursion is the same trick:
+    per-level dedup keeps the working table ≤ |nodes| instead of
+    exploding with path multiplicity). localCheckpoint per round
+    truncates lineage exactly as graph_pagerank does. 4 rounds × one
+    join each; every shuffle keys on the node id.
+    """
+    pair = trade_edges(spark, sf_dir).select("a", "b").distinct().persist()
+    visited = spark.createDataFrame(
+        [(BFS_SOURCE, 0)], "node string, hop int"
+    ).localCheckpoint()
+    frontier = visited
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(pair, frontier.node == pair.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    pair.unpersist()
+    return visited

@@ -1224,3 +1224,62 @@ def sink_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").cast("bigint").alias("id_sum"),
     )
+
+
+BLOOM_PROBE_CUSTKEY = 371  # point-lookup key the bloom filter serves
+
+
+@query(
+    "scan_parquet_bloomfilter",
+    family="scans",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_custkey = {BLOOM_PROBE_CUSTKEY}
+    ORDER BY o_orderkey
+    """,
+)
+def scan_parquet_bloomfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet column bloom filters on the write path + a point lookup
+    on the read path — the needle-in-a-haystack pattern at 100 TB:
+    min/max row-group stats are useless for a high-cardinality key
+    that is uniformly spread (every row group's [min,max] contains
+    every probe), but a per-row-group bloom filter lets the reader
+    skip row groups that provably lack the key, turning a full-column
+    scan into a handful of row-group reads. The filter also reaches
+    the scan as an ordinary pushed predicate, so correctness never
+    depends on the bloom metadata (it only prunes I/O).
+
+    Dictionary encoding is disabled for this layout on purpose:
+    parquet-mr SKIPS the bloom filter for fully dictionary-encoded
+    column chunks (the dictionary is already an exact membership
+    filter — measured: the option alone adds 0 bytes at test scale),
+    and the 100 TB case this layout exists for is precisely the
+    high-cardinality key that has fallen back to plain encoding.
+    tests/test_lake_ops.py proves the filter is really in the file:
+    an identical dictionary-off write without the option is
+    byte-smaller by at least the filter's size (neither this
+    container's pyarrow nor DuckDB exposes bloom offsets, so the size
+    delta is the observable).
+    """
+    out = _cache_dir(sf_dir, "orders_bloom")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            t(spark, sf_dir, "orders")
+            .coalesce(4)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_custkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+            .option("parquet.enable.dictionary", "false")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("o_custkey") == BLOOM_PROBE_CUSTKEY)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )

@@ -846,3 +846,95 @@ def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("val").isNotNull(), 1).otherwise(0).alias("observed"),
         F.round(filled, 6).alias("val_filled"),
     )
+
+
+SESSION_GAP_MIN = 30  # inactivity gap that closes a session
+
+
+@query(
+    "win_sessionize",
+    family="windows",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts)
+                         <= {SESSION_GAP_MIN} * 60000000
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id,
+               sum(new_sess) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT)
+               AS duration_us
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a user's events split into sessions at
+    every >30-minute inactivity gap (the canonical web-analytics
+    operator; stream_session is this query's streaming twin with state
+    timeouts instead of lag).
+
+    The gaps-and-islands recipe in two partition-local passes: lag
+    over (user, ts) flags session starts, a running sum of the flags
+    numbers the sessions, then one groupBy collapses each island to
+    (start, end, count, duration). Every window and the aggregate key
+    on user_id, so ONE user exchange serves all three — no global
+    window anywhere, and the session count per user is bounded by the
+    user's own event count regardless of corpus size. Boundary flags
+    compare timestamps only (ties get flag 0 under any tiebreak), so
+    the event_id tiebreak is for deterministic traversal, not output.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff handles TIMESTAMP_NTZ (a plain long cast does not);
+    # microsecond precision — a SECOND-truncated gap compare puts a
+    # 1800.5 s gap in the same session while the oracle's interval
+    # compare splits it (timestamps are exact µs, so µs diffs are exact)
+    gap_ok = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") <= (
+        SESSION_GAP_MIN * 60_000_000
+    )
+    flagged = e.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_ok, 0).otherwise(1).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess").over(w).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias(
+                "duration_us"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("bigint").alias("session_id"),
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("duration_us").cast("bigint").alias("duration_us"),
+        )
+    )

@@ -67,3 +67,26 @@ def test_zstd_smaller_than_snappy(spark):
 
     snappy, zstd = size("snappy"), size("zstd")
     assert zstd < snappy * 0.95, (snappy, zstd)
+
+
+def test_bloomfilter_bytes_present_in_footer(spark):
+    get("scan_parquet_bloomfilter").fn(spark, SF).collect()
+    bloom_dir = _cache_dir(SF, "orders_bloom")
+    from local_etl_spark.queries._util import t
+
+    plain_dir = _cache_dir(SF, "orders_bloom_off")
+    if not os.path.exists(os.path.join(plain_dir, "_SUCCESS")):
+        # same layout minus the bloom option (dictionary off in both:
+        # parquet-mr skips blooms for dict-encoded chunks)
+        t(spark, SF, "orders").coalesce(4).write.mode("overwrite").option(
+            "parquet.enable.dictionary", "false"
+        ).parquet(plain_dir)
+
+    def psize(d):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+
+    # same rows, same codec; the only delta is the bloom filter bytes
+    # (expected ndv 20k → ≥ a KB per non-empty file)
+    assert psize(bloom_dir) - psize(plain_dir) > 1024

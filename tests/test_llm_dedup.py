@@ -171,3 +171,22 @@ def test_bloom_incremental_no_false_negatives_bounded_fp(spark):
                 fp += 1
     assert n_new_unique > 0
     assert fp / n_new_unique <= 0.05, (fp, n_new_unique)
+
+
+def test_lsh_cosine_subset_and_recall(spark):
+    """SRP-LSH near-dup pairs: every returned pair is exact-verified
+    (subset of the brute-force result with identical scores), and the
+    32x6 banding recalls >=0.8 of the exact pairs at this corpus'
+    loose 0.4 threshold (measured 0.92 at both test SFs; see the
+    operator docstring for the band-bits/recall trade)."""
+    exact = {
+        (r["v1"], r["v2"]): r["score"]
+        for r in get("llm_dedup_embed").fn(spark, SF).collect()
+    }
+    lsh = {
+        (r["v1"], r["v2"]): r["score"]
+        for r in get("llm_dedup_lsh_cosine").fn(spark, SF).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(lsh[k] == exact[k] for k in lsh)
+    assert len(lsh) / len(exact) >= 0.8

@@ -72,6 +72,9 @@ ALLOW_PYTHON = {
     "llm_audio_features",
     "llm_video_scenes",
     "udf_cogrouped",  # two-sided Arrow surface (FlatMapCoGroupsInPandas)
+    # SRP hashing is one numpy matmul per Arrow batch by design — the
+    # JVM per-row alternative is ~192 interpreted HOF folds/row
+    "llm_dedup_lsh_cosine",
 }
 
 
