@@ -134,6 +134,29 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_within_wm",
+    family="streaming",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state dedup (core.dedup_events_within_watermark —
+    dropDuplicatesWithinWatermark in streaming mode): same keep-first
+    rows on the batch path, but the streaming twin evicts per-key
+    state once the watermark passes event time + delay, trading
+    unbounded state growth for at-least-once re-emission beyond the
+    delay (both halves pinned in tests/test_streaming.py)."""
+    return core.dedup_events_within_watermark(t(spark, sf_dir, "events"))
+
+
+@query(
     "stream_stateful",
     family="streaming",
     oracle=f"""

@@ -115,6 +115,38 @@ def dedup_events(events: DataFrame, watermark: str | None = None) -> DataFrame:
     )
 
 
+def dedup_events_within_watermark(
+    events: DataFrame, delay: str = "30 minutes"
+) -> DataFrame:
+    """Keep one event per (user_id, event_type) with BOUNDED state
+    (Spark 3.5 ``dropDuplicatesWithinWatermark``).
+
+    Plain streaming ``dropDuplicates`` retains one state row per key
+    FOREVER — on an unbounded key space the state store grows without
+    bound, which is the scale-killer of long-running dedup streams.
+    The within-watermark variant evicts a key's state once the
+    watermark passes its event time + delay; the price is the relaxed
+    contract: a duplicate arriving after eviction RE-EMITS (exactly-
+    once dedup only within the delay, at-least-once beyond it).
+    tests/test_streaming.py pins both halves — a dup inside the delay
+    is dropped, a re-occurrence beyond it re-emits.
+
+    Batch mode: keep-first-by-(ts, event_id) row_number — equal to the
+    streaming answer whenever all of a key's duplicates fall within
+    the delay (true for the oracle corpus replay).
+    """
+    if _is_streaming(events):
+        return events.withWatermark(
+            "ts", delay
+        ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def user_totals(events: DataFrame, watermark: str | None = None) -> DataFrame:
     """Per-user lifetime totals — the custom-stateful-operator example.
 

@@ -456,3 +456,50 @@ def test_stream_static_join_equals_batch(spark, src, tmp_path):
     got = _canon(spark.table("mem_static_join"))
     want = _canon(core.enriched_segment_counts(_batch_events(spark, src), dim))
     assert got == want
+
+
+def test_dedup_within_watermark_evicts_and_reemits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's two-sided contract: a duplicate
+    key arriving while its state is live (within the 30-min delay) is
+    DROPPED; once the watermark passes the key's event time + delay
+    the state is evicted and a later re-occurrence RE-EMITS — the
+    bounded-state trade plain dropDuplicates (stream_dedup) never
+    makes. Chunks arrive in separate micro-batches (maxFilesPerTrigger
+    1) so the watermark advances between them. Eviction LAGS the
+    watermark by one micro-batch (state cleanup runs at end-of-batch,
+    AFTER that batch's dedup — measured: a re-occurrence in the same
+    batch that first runs under the advanced watermark is still
+    dropped), hence the extra advancing chunk before the
+    re-occurrence."""
+    chunks = [
+        [(0, "2024-01-01 01:00:00.000000", 1, "click", 1.0, "{}")],
+        # same key 10 min later: inside the delay → dropped
+        [(1, "2024-01-01 01:10:00.000000", 1, "click", 2.0, "{}")],
+        # other key far ahead: watermark → 04:30 after this batch
+        [(2, "2024-01-01 05:00:00.000000", 9, "advance", 1.0, "{}")],
+        # one batch under the advanced watermark: end-of-batch cleanup
+        # evicts u1-click (expiry 01:40 < 04:30)
+        [(3, "2024-01-01 05:30:00.000000", 9, "advance", 2.0, "{}")],
+        # same key again, after eviction → re-emits
+        [(4, "2024-01-01 06:00:00.000000", 1, "click", 3.0, "{}")],
+    ]
+    src = tmp_path / "wmdd_src"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(chunks):
+        p = src / f"c{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(cols, r))) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    _run_to_memory(
+        core.dedup_events_within_watermark(_read_stream(spark, str(src))),
+        "mem_wmdd",
+        tmp_path,
+        "append",
+    )
+    got = {r["event_id"] for r in spark.table("mem_wmdd").collect()}
+    # 1 dropped as dup; 3 dropped (dup of the live u9-advance state);
+    # 4 re-emitted after eviction
+    assert got == {0, 2, 4}
