@@ -1283,3 +1283,60 @@ def scan_parquet_bloomfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
         )
     )
+
+
+@query(
+    "sink_dynamic_overwrite",
+    family="scans",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_custkey
+    FROM orders
+    WHERE o_orderstatus <> 'F' OR o_orderkey % 2 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse backfill primitive:
+    ``partitionOverwriteMode=dynamic`` replaces ONLY the partitions
+    present in the incoming write (here: o_orderstatus='F' rewritten
+    to its even-keyed rows) and leaves every other partition's files
+    untouched; the STATIC default would truncate the whole table
+    first, which on a 100 TB partitioned store turns a one-partition
+    correction into a full rewrite. The conf is pinned around the
+    write and restored (session-shared); tests/test_lake_ops.py
+    proves untouched partitions kept their original data files
+    (mtime-stable), i.e. the overwrite really was partition-scoped.
+    """
+    out = _cache_dir(sf_dir, "orders_dynpart")
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    marker = os.path.join(out, "_built")
+    if not os.path.exists(marker):
+        src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        _dynamic_overwrite_f_even(spark, src, out)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(out).select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+
+
+def _dynamic_overwrite_f_even(spark: SparkSession, src: DataFrame, out: str) -> None:
+    """The partition-scoped correction step (also driven directly by
+    tests/test_lake_ops.py to prove non-target partitions' files stay
+    byte-untouched on a re-run)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            src.filter(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderkey") % 2 == 0)
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

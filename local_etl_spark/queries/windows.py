@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from local_etl_spark.queries._util import dec, t
+from local_etl_spark.queries._util import dec, dsum, t
 from local_etl_spark.registry import query
 
 
@@ -937,4 +937,59 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("bigint").alias("n_events"),
             F.col("duration_us").cast("bigint").alias("duration_us"),
         )
+    )
+
+
+@query(
+    "win_period_over_period",
+    family="windows",
+    oracle="""
+    WITH m AS (
+        SELECT c_nationkey AS nationkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                    AS DECIMAL(28,6)) AS DOUBLE) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT nationkey, month, rev,
+           lag(rev) OVER w AS prev_rev,
+           round((rev - lag(rev) OVER w) / lag(rev) OVER w, 6) AS mom_pct
+    FROM m
+    WINDOW w AS (PARTITION BY nationkey ORDER BY month)
+    ORDER BY nationkey, month
+    """,
+)
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the
+    period-over-period comparison every reporting layer ships: one
+    month-grain aggregate, then lag over (nation, month) for the
+    previous period and the relative delta (first month NULL by
+    definition, no fallback fabrication).
+
+    Scale: the aggregate collapses orders to a nation×month grid
+    BEFORE any window (the window input is bounded by that grid, not
+    the fact table), and the lag partitions by nation — the groupBy
+    and the window share the nationkey exchange. Determinism: revenue
+    is the engine-wide exact-DECIMAL sum cast to double; the growth
+    rate is one fixed-operand-order division rounded at the edge.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(dsum(dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("month")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "nationkey",
+        "month",
+        "rev",
+        prev.alias("prev_rev"),
+        F.round((F.col("rev") - prev) / prev, 6).alias("mom_pct"),
     )

@@ -90,3 +90,26 @@ def test_bloomfilter_bytes_present_in_footer(spark):
     # same rows, same codec; the only delta is the bloom filter bytes
     # (expected ndv 20k → ≥ a KB per non-empty file)
     assert psize(bloom_dir) - psize(plain_dir) > 1024
+
+
+def test_dynamic_overwrite_touches_only_target_partition(spark):
+    q = get("sink_dynamic_overwrite")
+    q.fn(spark, SF).collect()
+    base = _cache_dir(SF, "orders_dynpart")
+    untouched = {}
+    for d in os.listdir(base):
+        if d.startswith("o_orderstatus=") and "=F" not in d:
+            for f in glob.glob(os.path.join(base, d, "*.parquet")):
+                untouched[f] = os.path.getmtime(f)
+    assert untouched  # other partitions exist
+    # rerun ONLY the dynamic correction step: F is rewritten, every
+    # other partition's files must remain byte-untouched
+    from local_etl_spark.queries._util import t
+    from local_etl_spark.queries.scans import _dynamic_overwrite_f_even
+
+    src = t(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    _dynamic_overwrite_f_even(spark, src, base)
+    for f, mt in untouched.items():
+        assert os.path.getmtime(f) == mt, f"non-target partition rewritten: {f}"
