@@ -78,6 +78,12 @@ HEADLINE = [
     "win_interpolate",
     "sql_filter_clause",
     "etl_table_diff",
+    # round-4 additions
+    "win_sessionize",
+    "win_gap_fill",
+    "llm_dedup_lsh_cosine",
+    "llm_bpe_train",
+    "sink_dynamic_overwrite",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →

@@ -993,3 +993,66 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_rev"),
         F.round((F.col("rev") - prev) / prev, 6).alias("mom_pct"),
     )
+
+
+@query(
+    "win_gap_fill",
+    family="windows",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id, CAST(unnest(generate_series(lo, hi,
+               INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    )
+    SELECT spine.user_id, spine.day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+           CAST(d.n IS NULL AS INT) AS filled
+    FROM spine LEFT JOIN d
+      ON d.user_id = spine.user_id AND d.day = spine.day
+    ORDER BY spine.user_id, spine.day
+    """,
+)
+def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily gap fill: densify each user's activity series so
+    EMPTY days appear with an explicit zero (the per-key twin of
+    sql_recursive's global calendar spine — rates, SLAs and rolling
+    averages are all wrong on a series with silent holes).
+
+    The spine comes from ``sequence(min_day, max_day)`` exploded per
+    user — generation is bounded by each user's own span (never a
+    global calendar × users cross join), stays on the user's partition,
+    and the spine←counts join shares the groupBys' user_id exchange.
+    Everything is integer/date arithmetic — nothing to round.
+    """
+    e = t(spark, sf_dir, "events")
+    d = (
+        e.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = (
+        d.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    return (
+        spine.join(d, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().cast("int").alias("filled"),
+        )
+    )

@@ -242,3 +242,47 @@ def test_span_corruption_reconstructs_original(spark):
     # the gate actually fires at ~16%: loose two-sided bound
     total_spans = sum((len(t.split(" ")) + 4) // 5 for t in texts.values())
     assert 0.10 < n_masked_total / total_spans < 0.25
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The 8 learned merges must equal a pure-Python Sennrich-style
+    BPE on the same corpus: same ASCII-whitespace tokenization (Java
+    regex \\s is ASCII-only), same freq weighting, same lookaround
+    left-to-right merge application, same (count DESC, pair ASC)
+    tie-break."""
+    import re
+
+    texts = [
+        r["text"]
+        for r in table(spark, SF, "documents").select("text").collect()
+    ]
+    freqs = Counter()
+    for t in texts:
+        for w in re.split("[ \t\n\x0b\f\r]+", t):
+            if w:
+                freqs[w] += 1
+    vocab = {tuple(w): n for w, n in freqs.items()}
+    want = []
+    for step in range(1, 9):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, l, r, l + r, cnt))
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(l + " " + r) + r"(?!\S)"
+        )
+        vocab = {
+            tuple(pat.sub((l + r).replace("\\", "\\\\"), " ".join(s)).split(" ")): n
+            for s, n in vocab.items()
+        }
+    got = [
+        tuple(r)
+        for r in get("llm_bpe_train").fn(spark, SF).orderBy("step").collect()
+    ]
+    assert got == want

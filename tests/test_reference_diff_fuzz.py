@@ -249,6 +249,20 @@ def _raw_valid_user_docs() -> dict[str, str]:
         "raw_score_neg_infinity.json": u(
             "r9106", '{"id": 9106, %s, "score": -Infinity}' % base
         ),
+        # \u-escaped characters inside object KEYS: 'name' decodes
+        # to 'name' in both parsers, so the doc is VALID and complete
+        "raw_escaped_key.json": u(
+            "r9107",
+            '{"id": 9107, "\\u006eame": "Ada Lovelace",'
+            ' "address": "1 Main St\\nCity, ST 11111",'
+            ' "job": "Engineer", "score": 5.0}',
+        ),
+        # integral-valued exponent literal on an integer field:
+        # Python parses 1E+4 to float 10000.0, is_integer() → VALID,
+        # CSV prints '10000.0'
+        "raw_id_exp_int.json": u(
+            "r9108", '{"id": 1E+4, %s, "score": 5.0}' % base
+        ),
     }
 
 
