@@ -904,13 +904,14 @@ def llm_dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     band bits are the dial that trades candidate volume for recall.
 
     Scale shape: hashing is a map-only Arrow pass (one matmul per
-    batch — the per-row JVM fold alternative is ~64 interpreted
+    batch — the per-row JVM fold alternative is ~192 interpreted
     HOF folds/row, measured-slow in llm_sim §SCALE.md); candidates
-    come from a band-key equi-join (never all-pairs); the exact
-    verify joins candidate PAIRS back to the (id, vec, norm) side
-    table on the vector id — pair-keyed shuffles only. The
-    brute-force twin (llm_dedup_embed) is the small-corpus path; this
-    is the 100 TB one.
+    never materialize as a pair relation — each band BUCKET verifies
+    its own members in one vectorized applyInPandas pass (dim-
+    sequential accumulation, bit-identical to the JVM fold) and emits
+    only surviving pairs, so nothing wider than the results crosses a
+    shuffle. The brute-force twin (llm_dedup_embed) is the
+    small-corpus path; this is the 100 TB one.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -936,40 +937,51 @@ def llm_dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[:, b] = (b << bits) | key
         return pd.Series(list(out))
 
+    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"v1": pd.Series(dtype="int64"),
+                 "v2": pd.Series(dtype="int64"),
+                 "raw": pd.Series(dtype="float64")}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ii, jj = np.triu_indices(len(ids), 1)
+        # dim-SEQUENTIAL accumulation — the same add order as the JVM
+        # aggregate fold (and the DuckDB list_sum oracle), so scores
+        # are bit-identical to llm_dedup_embed's; a matmul's pairwise
+        # summation would differ in the low bits
+        a, b = m[ii], m[jj]
+        acc = np.zeros(len(ii))
+        nrm = np.zeros(len(ids))
+        for k in range(m.shape[1]):
+            acc += a[:, k] * b[:, k]
+            nrm += m[:, k] * m[:, k]
+        nrm = np.sqrt(nrm)
+        cos = acc / (nrm[ii] * nrm[jj])
+        keep = cos >= COSINE_T
+        return pd.DataFrame(
+            {"v1": ids[ii][keep], "v2": ids[jj][keep], "raw": cos[keep]}
+        )
+
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # persisted: the self-join consumes this twice — without the cache
-    # each side re-runs the scan AND the Arrow hash pass
     keys = emb.select(
-        "vec_id", F.explode(band_keys("embedding")).alias("bkey")
-    ).persist()
-    cand = (
-        keys.alias("a")
-        .join(
-            keys.alias("b"),
-            (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2")
-        )
-        .dropDuplicates(["v1", "v2"])
+        "vec_id", "embedding", F.explode(band_keys("embedding")).alias("bkey")
     )
-    nrm = F.sqrt(dot("embedding", "embedding"))
-    side = emb.select("vec_id", "embedding", nrm.alias("nrm")).persist()
-    a = side.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    # bucket-LOCAL verification: each band bucket verifies its own
+    # members in one vectorized pass and emits only the surviving
+    # pairs. The previous relational form (candidate-pair self-join →
+    # dropDuplicates over ~40% of all pairs at this loose threshold →
+    # re-join both 64-float arrays) materialized millions of
+    # pair×array rows; bucket-local verify ships each vector once per
+    # band and shuffles nothing wider than the surviving pairs
+    # (measured 2.5 → 1.6 s at sf0.1, best-of-2).
+    pairs = keys.groupBy("bkey").applyInPandas(
+        verify_bucket, "v1 bigint, v2 bigint, raw double"
     )
-    b = side.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
-    return (
-        cand.join(a, "v1")
-        .join(b, "v2")
-        .filter(cos >= COSINE_T)
-        .select("v1", "v2", F.round(cos, 6).alias("score"))
+    return pairs.dropDuplicates(["v1", "v2"]).select(
+        "v1", "v2", F.round("raw", 6).alias("score")
     )
