@@ -805,6 +805,23 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     'aa aa', not 'aa a a'). Tie-break: (count DESC, left, right) in
     binary order, which equals Python's tuple compare.
     """
+    merges = _learn_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string, weight bigint",
+    )
+
+
+_BPE_MERGE_CACHE: dict[str, list[tuple]] = {}
+_BPE_MERGE_CACHE_MAX = 8
+
+
+def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The 8-round merge-learning loop (llm_bpe_train docstring);
+    memoized per sf_dir so llm_bpe_apply reuses the learned table
+    instead of re-running the loop (model-sized values, bounded)."""
+    if sf_dir in _BPE_MERGE_CACHE:
+        return _BPE_MERGE_CACHE[sf_dir]
     docs = t(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
@@ -849,6 +866,63 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("a"),
             "freq",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, weight bigint"
+    while len(_BPE_MERGE_CACHE) >= _BPE_MERGE_CACHE_MAX:
+        _BPE_MERGE_CACHE.pop(next(iter(_BPE_MERGE_CACHE)))
+    _BPE_MERGE_CACHE[sf_dir] = merges
+    return merges
+
+
+@query("llm_bpe_apply", family="llm", oracle=None)
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize with the learned merges — the apply half of
+    llm_bpe_train, reporting what the 8 merges actually bought per
+    language: distinct words, total characters, total symbols after
+    applying every merge in order, and the symbols/chars compression
+    ratio (the fertility gain a tokenizer-training pipeline gates on
+    before committing to a vocab).
+
+    Apply is a map-only chain of the SAME lookaround substitutions the
+    trainer used (order matters: merge k can consume merge k-1's
+    output, e.g. 'p'+'ar' after 'a'+'r'), over the per-(lang, word)
+    distinct table — vocab-sized input, one lang-keyed aggregate out,
+    nothing corpus-sized anywhere. Rows-only: the result depends on
+    the learned merge table (pytest re-derives it in pure Python and
+    checks the per-lang symbol counts)."""
+    merges = _learn_bpe(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select("lang", F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    sym = F.array_join(F.split("w", ""), " ")
+    for _, l, r, merged, _w in merges:
+        pat = r"(?<!\S)" + _bpe_quote(l + " " + r) + r"(?!\S)"
+        repl = merged.replace("\\", "\\\\").replace("$", "\\$")
+        sym = F.regexp_replace(sym, pat, repl)
+    return (
+        words.select(
+            "lang",
+            "freq",
+            F.length("w").cast("bigint").alias("chars"),
+            F.size(F.split(sym, " ")).cast("bigint").alias("symbols"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.col("chars") * F.col("freq")).cast("bigint").alias("total_chars"),
+            F.sum(F.col("symbols") * F.col("freq"))
+            .cast("bigint")
+            .alias("total_symbols"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "total_chars",
+            "total_symbols",
+            F.round(
+                F.col("total_symbols") * F.lit(1.0) / F.col("total_chars"), 6
+            ).alias("compression"),
+        )
     )

@@ -1056,3 +1056,86 @@ def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().cast("int").alias("filled"),
         )
     )
+
+
+_RCORR_WINDOW = (
+    "PARTITION BY nationkey ORDER BY day "
+    "RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW"
+)
+
+_RCORR_BODY = """
+SELECT nationkey, CAST(day AS DATE) AS day,
+       CAST(count(*) OVER w AS BIGINT) AS n_days,
+       CASE WHEN count(*) OVER w * sum(x * x) OVER w
+                 - sum(x) OVER w * sum(x) OVER w = 0
+              OR count(*) OVER w * sum(y * y) OVER w
+                 - sum(y) OVER w * sum(y) OVER w = 0
+            THEN NULL
+            ELSE round(
+              CAST(count(*) OVER w * sum(x * y) OVER w
+                   - sum(x) OVER w * sum(y) OVER w AS DOUBLE)
+              / sqrt(CAST(count(*) OVER w * sum(x * x) OVER w
+                          - sum(x) OVER w * sum(x) OVER w AS DOUBLE)
+                     * CAST(count(*) OVER w * sum(y * y) OVER w
+                            - sum(y) OVER w * sum(y) OVER w AS DOUBLE)), 6)
+       END AS rcorr
+FROM {src}
+WINDOW w AS ({win})
+"""
+
+
+@query(
+    "win_rolling_corr",
+    family="windows",
+    oracle=f"""
+    WITH d AS (
+        SELECT c_nationkey AS nationkey,
+               CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,6))) / 1000)
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    {_RCORR_BODY.format(src="d", win=_RCORR_WINDOW)}
+    ORDER BY nationkey, day
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between daily revenue and daily
+    order count per nation over a trailing 90-day event-time frame —
+    the windowed version of agg_corr_matrix's moment algebra, and the
+    monitoring primitive behind 'did these two series decouple
+    recently?'.
+
+    Determinism across engines is the hard part: both engines compute
+    sliding-frame aggregates with different internal accumulation
+    (DuckDB segment trees vs Spark's running frames), so DOUBLE frame
+    sums would drift in the low bits. Every windowed sum here is over
+    exact INTEGERS (revenue floor-scaled to k$, counts as-is — the
+    agg_regr scaling trick, keeping n·Σx² within int64), and the
+    correlation derives from those exact moments in one fixed-operand
+    double expression, rounded at the edge. Zero-variance frames are
+    NULL by explicit integer guard, not by engine-specific division
+    semantics. Scale: the window input is the nation×day grid (never
+    the fact table) and the day aggregate + window share the
+    nationkey exchange."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    d = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg(
+            F.floor(F.sum(dec("o_totalprice")) / 1000)
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+    )
+    d.createOrReplaceTempView("_win_rcorr_days")
+    return spark.sql(
+        _RCORR_BODY.format(src="_win_rcorr_days", win=_RCORR_WINDOW)
+    )

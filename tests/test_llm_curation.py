@@ -286,3 +286,41 @@ def test_bpe_train_matches_python_reference(spark):
         for r in get("llm_bpe_train").fn(spark, SF).orderBy("step").collect()
     ]
     assert got == want
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    """Per-lang symbol totals after applying the 8 learned merges (in
+    order) must equal a pure-Python apply over the same (lang, word)
+    frequency table."""
+    import re
+
+    rows = table(spark, SF, "documents").select("lang", "text").collect()
+    freqs = Counter()
+    for r in rows:
+        for w in re.split("[ \t\n\x0b\f\r]+", r["text"]):
+            if w:
+                freqs[(r["lang"], w)] += 1
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in get("llm_bpe_train").fn(spark, SF).orderBy("step").collect()
+    ]
+    pats = [
+        (re.compile(r"(?<!\S)" + re.escape(l + " " + rr) + r"(?!\S)"), m)
+        for l, rr, m in merges
+    ]
+
+    def n_symbols(w):
+        s = " ".join(w)
+        for pat, m in pats:
+            s = pat.sub(m.replace("\\", "\\\\"), s)
+        return len(s.split(" "))
+
+    want = {}
+    for (lang, w), n in freqs.items():
+        tw, tc, ts = want.get(lang, (0, 0, 0))
+        want[lang] = (tw + 1, tc + len(w) * n, ts + n_symbols(w) * n)
+    got = {
+        r["lang"]: (r["n_words"], r["total_chars"], r["total_symbols"])
+        for r in get("llm_bpe_apply").fn(spark, SF).collect()
+    }
+    assert got == want
