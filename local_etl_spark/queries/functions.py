@@ -837,3 +837,38 @@ def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_upper"),
     )
     return g.select("seg_repr", "n", "n_upper")
+
+
+AES_KEY = "0123456789abcdef0123456789abcdef"  # 32-byte demo key
+
+
+@query(
+    "fn_aes",
+    family="functions",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey
+    """,
+)
+def fn_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level AES round trip (aes_encrypt → aes_decrypt,
+    AES-256-GCM): the at-rest field-encryption primitive for PII
+    columns where fn_mask/etl_pseudonymize are one-way. GCM's random
+    IV makes ciphertext nondeterministic per run, so the oracle
+    checks the only stable contract — decrypt(encrypt(x)) is the
+    IDENTITY — by comparing the decrypted output against the plain
+    source; tests/test_plan_shape.py additionally pins that the
+    ciphertext itself differs from the plaintext and carries the
+    12-byte IV + 16-byte tag overhead. Map-only both ways; key
+    distribution (a literal here) is a KMS concern, not a plan one.
+    """
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    enc = F.expr(f"aes_encrypt(s_name, '{AES_KEY}')")
+    return (
+        s.select("s_suppkey", enc.alias("ct"))
+        .select(
+            "s_suppkey",
+            F.expr(
+                f"CAST(aes_decrypt(ct, '{AES_KEY}') AS STRING)"
+            ).alias("s_name"),
+        )
+    )

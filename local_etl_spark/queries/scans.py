@@ -1340,3 +1340,53 @@ def _dynamic_overwrite_f_even(spark: SparkSession, src: DataFrame, out: str) -> 
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+@query(
+    "scan_csv_multiline",
+    family="scans",
+    oracle="""
+    SELECT s_suppkey,
+           s_name || chr(10) || 'nation=' || CAST(s_nationkey AS VARCHAR)
+               AS note
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip with QUOTED EMBEDDED NEWLINES (multiLine read):
+    the classic CSV trap — a record spanning physical lines. The
+    writer quotes the newline-bearing field; the reader must be told
+    ``multiLine`` or it would split records mid-field. The honest
+    scale note cuts the other way from every other scan here: a
+    multiLine CSV file is NOT line-splittable (a worker cannot know
+    whether an arbitrary byte offset sits inside a quoted field), so
+    Spark parses each file whole — at 100 TB you keep records
+    one-per-line (scan_csv) or switch to a framed format; this query
+    exists to prove correctness of the escape hatch, and its
+    docstring is the warning label.
+    """
+    path = _cache_dir(sf_dir, "supplier_multiline_csv")
+    marker = os.path.join(path, "_SUCCESS")
+    src = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.concat(
+            F.col("s_name"),
+            F.lit("\n"),
+            F.lit("nation="),
+            F.col("s_nationkey").cast("string"),
+        ).alias("note"),
+    )
+    if not os.path.exists(marker):
+        src.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(path)
+    )

@@ -418,3 +418,25 @@ def test_drawdown_sorts_days_not_events(spark):
     assert win_pos < plan.rfind("HashAggregate"), (
         "window not above the day aggregate"
     )
+
+
+def test_aes_ciphertext_is_real(spark):
+    """fn_aes's oracle can only see the identity round trip; this pins
+    that encryption actually happened: ciphertext != plaintext bytes,
+    and GCM framing adds exactly 12 IV + 16 tag bytes over the
+    plaintext length."""
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries._util import t as tbl
+    from local_etl_spark.queries.functions import AES_KEY
+
+    s = tbl(spark, SF, "supplier").select("s_suppkey", "s_name").limit(20)
+    rows = s.select(
+        "s_name",
+        F.expr(f"aes_encrypt(s_name, '{AES_KEY}')").alias("ct"),
+    ).collect()
+    assert rows
+    for r in rows:
+        pt = r["s_name"].encode()
+        assert bytes(r["ct"]) != pt
+        assert len(r["ct"]) == len(pt) + 12 + 16
