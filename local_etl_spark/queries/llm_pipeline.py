@@ -655,3 +655,95 @@ def llm_mix_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(redistributed)
         .alias("p_final"),
     )
+
+
+SFT_INSTR_CHARS = 200  # instruction truncation budget
+SFT_RESP_CHARS = 400  # response truncation budget
+
+
+@query(
+    "llm_sft_format",
+    family="llm",
+    oracle=f"""
+    WITH sides AS (
+        SELECT doc_id // 2 AS pair_id,
+               doc_id % 2 AS side,
+               text
+        FROM documents
+    ),
+    pairs AS (
+        SELECT i.pair_id,
+               substr(i.text, 1, {SFT_INSTR_CHARS}) AS instr,
+               substr(r.text, 1, {SFT_RESP_CHARS}) AS resp,
+               len(i.text) > {SFT_INSTR_CHARS} AS i_trunc,
+               len(r.text) > {SFT_RESP_CHARS} AS r_trunc
+        FROM sides i JOIN sides r
+          ON i.pair_id = r.pair_id AND i.side = 0 AND r.side = 1
+    ),
+    fmt AS (
+        SELECT pair_id, i_trunc, r_trunc,
+               '<|user|>' || chr(10) || instr || chr(10)
+                   || '<|assistant|>' || chr(10) || resp AS example
+        FROM pairs
+    )
+    SELECT pair_id,
+           CAST(len(example) AS BIGINT) AS n_chars,
+           CAST(len(string_split(example, ' ')) AS BIGINT) AS n_tokens,
+           CAST(i_trunc AS INT) + CAST(r_trunc AS INT) AS n_truncated,
+           md5(example) AS content_md5
+    FROM fmt
+    ORDER BY pair_id
+    """,
+)
+def llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-example assembly: adjacent document pairs become
+    one chat-templated example ('<|user|>\\n' instruction
+    '\\n<|assistant|>\\n' response) with per-side truncation budgets —
+    the formatting step between a curated corpus and a fine-tuning
+    run, with the bookkeeping a pipeline gates on (char/token sizes,
+    how many sides were cut). The md5 witness pins the EXACT
+    assembled bytes cross-engine without shipping long strings
+    through the canonicalizer.
+
+    Map-only after one pair_id-keyed self-join (both sides come from
+    the same scan, shuffled once on pair_id); substr/concat/md5 are
+    byte-identical in both engines on UTF-8.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        "text",
+    )
+    i = d.filter(F.col("side") == 0).select(
+        "pair_id",
+        F.substring("text", 1, SFT_INSTR_CHARS).alias("instr"),
+        (F.length("text") > SFT_INSTR_CHARS).alias("i_trunc"),
+    )
+    r = d.filter(F.col("side") == 1).select(
+        "pair_id",
+        F.substring("text", 1, SFT_RESP_CHARS).alias("resp"),
+        (F.length("text") > SFT_RESP_CHARS).alias("r_trunc"),
+    )
+    example = F.concat(
+        F.lit("<|user|>\n"),
+        F.col("instr"),
+        F.lit("\n<|assistant|>\n"),
+        F.col("resp"),
+    )
+    return (
+        i.join(r, "pair_id")
+        .select(
+            "pair_id",
+            example.alias("example"),
+            (F.col("i_trunc").cast("int") + F.col("r_trunc").cast("int")).alias(
+                "n_truncated"
+            ),
+        )
+        .select(
+            "pair_id",
+            F.length("example").cast("bigint").alias("n_chars"),
+            F.size(F.split("example", " ")).cast("bigint").alias("n_tokens"),
+            "n_truncated",
+            F.md5("example").alias("content_md5"),
+        )
+    )

@@ -580,3 +580,74 @@ def agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_customers"),
         F.round(F.expr(fold) / F.max("n"), 6).alias("theil_t"),
     )
+
+
+MAD_K = 1.4826  # normal-consistency constant
+MAD_SIGMAS = 3.0
+
+
+@query(
+    "agg_outlier_mad",
+    family="aggregations",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, med.med,
+               abs(e.value - med.med) AS adev
+        FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(dev.med), 6) AS med,
+           round(max(mad.mad), 6) AS mad,
+           CAST(sum(CASE WHEN dev.adev > {MAD_SIGMAS} * {MAD_K} * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    ORDER BY dev.event_type
+    """,
+)
+def agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute
+    deviation with the 1.4826 normal-consistency constant, flagging
+    |x − med| > 3σ̂ — the robust twin of win_zscore (mean/stddev break
+    down exactly when the outliers you hunt are present; medians
+    don't).
+
+    Determinism: both engines interpolate exact medians on the same
+    doubles (the agg_median contract), deviations are single-op
+    doubles, and the threshold compare is one fixed expression on
+    both sides — boundary cases resolve identically because the
+    operands are bit-identical. Scale shape: two grouped exact
+    medians + two broadcast-able joins of the per-type scalars back
+    to the stream, ALL keyed on event_type (one exchange); at 100 TB
+    swap the exact medians for approx_percentile(0.5) — the same
+    documented trade as agg_median.
+    """
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    thresh = F.lit(MAD_SIGMAS) * F.lit(MAD_K) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(F.when(F.col("adev") > thresh, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

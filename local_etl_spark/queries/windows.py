@@ -1139,3 +1139,89 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _RCORR_BODY.format(src="_win_rcorr_days", win=_RCORR_WINDOW)
     )
+
+
+_CUSUM_BODY = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS x
+    FROM {src} GROUP BY event_type, CAST(ts AS DATE)
+),
+tot AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS DECIMAL(28,6)) AS total
+    FROM daily GROUP BY event_type
+),
+dev AS (
+    SELECT d.event_type, d.day, t.n,
+           CAST(CAST(t.n AS DECIMAL(10,0)) * d.x - t.total
+                AS DECIMAL(38,6)) AS dd
+    FROM daily d JOIN tot t ON d.event_type = t.event_type
+),
+pre1 AS (
+    SELECT event_type, day, n,
+           sum(dd) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s
+    FROM dev
+),
+pre AS (
+    SELECT event_type, day, n, s,
+           least(CAST(0 AS DECIMAL(38,6)),
+                 min(s) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)) AS runmin
+    FROM pre1
+),
+cu AS (
+    SELECT event_type, day, n, s - runmin AS cusum,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY s - runmin DESC, day) AS rk,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY day DESC) AS last_rk
+    FROM cu_base
+)
+SELECT event_type, n AS n_days,
+       round(CAST(max(CASE WHEN rk = 1 THEN cusum END) AS DOUBLE)
+             / max(n), 6) AS peak_cusum,
+       max(CASE WHEN rk = 1 THEN day END) AS peak_day,
+       round(CAST(max(CASE WHEN last_rk = 1 THEN cusum END) AS DOUBLE)
+             / max(n), 6) AS final_cusum
+FROM cu
+GROUP BY event_type, n
+ORDER BY event_type
+"""
+
+
+@query(
+    "win_cusum",
+    family="windows",
+    oracle=_CUSUM_BODY.replace("{src}", "events").replace(
+        "FROM cu_base", "FROM pre"
+    ),
+)
+def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint statistic per event type over the
+    daily-value series: C_t = S_t − min_{j≤t} S_j where S is the
+    prefix sum of deviations from the series mean — the control-chart
+    operator behind 'when did this metric shift upward?'. Reports the
+    peak statistic, the day it peaked (the changepoint estimate,
+    first-day tie-break), and the final value.
+
+    The recursive textbook form C_t = max(0, C_{t−1} + d_t) is
+    window-INexpressible, but it algebraically equals prefix-sum
+    minus running-min — two frame aggregates (win_drawdown's trick
+    pointed the other way). Determinism: deviations are scaled by n
+    (d_t = n·x_t − total) so NO division happens before the windows —
+    every prefix/min/compare runs in EXACT DECIMAL (frame-accumulator
+    order cannot matter), and the single normalizing division to
+    double happens at the edge. Scale: windows partition by
+    event_type over the type×day grid, never the event stream.
+    """
+    t(spark, sf_dir, "events").createOrReplaceTempView("_win_cusum_events")
+    return spark.sql(
+        _CUSUM_BODY.replace("{src}", "_win_cusum_events").replace(
+            "FROM cu_base", "FROM pre"
+        )
+    )

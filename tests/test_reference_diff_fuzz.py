@@ -564,6 +564,14 @@ _MUT_VALUES = [
     10**25,
     2**63,
     1.5e-5,
+    # round-4b: non-standard number tokens (json.dumps emits the bare
+    # NaN/Infinity literals with allow_nan=True, exactly what the
+    # reference's json.load reads back) — exercises nan/inf landing on
+    # STRING and INTEGER fields, whose messages must render Python's
+    # 'nan'/'inf'/'-inf' spellings
+    float("nan"),
+    float("inf"),
+    float("-inf"),
 ]
 
 
