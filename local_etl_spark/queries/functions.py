@@ -872,3 +872,51 @@ def fn_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s_name"),
         )
     )
+
+
+@query(
+    "fn_bitmap",
+    family="functions",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def fn_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 bitmap function family (bitmap_bucket_number /
+    bitmap_bit_position / bitmap_construct_agg / bitmap_count): EXACT
+    distinct counting as a two-level rollup — keys hash to a
+    (bucket, bit) address, each (group, bucket) partial aggregates to
+    one fixed 4 KB bitmap, and the group's distinct count is the sum
+    of per-bucket popcounts. This is the warehouse pattern for exact
+    COUNT(DISTINCT) at 100 TB: the shuffle carries one bitmap per
+    (group, bucket) instead of one row per distinct key, partials
+    merge by OR (associative, any order), and — unlike HLL sketches
+    (agg_approx_cd) — the answer is exact. The oracle is the plain
+    COUNT(DISTINCT), proving the bitmap algebra loses nothing;
+    agg_bitmap_distinct is the hand-rolled bit_or forebear of the
+    same idea for key spaces under 64.
+    """
+    from local_etl_spark.queries.sql_tpch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(sum(cnt) AS BIGINT) AS n_distinct
+        FROM (
+            SELECT c_mktsegment,
+                   bitmap_bucket_number(c_custkey) AS bucket,
+                   bitmap_count(
+                       bitmap_construct_agg(bitmap_bit_position(c_custkey))
+                   ) AS cnt
+            FROM customer
+            GROUP BY c_mktsegment, bitmap_bucket_number(c_custkey)
+        )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )

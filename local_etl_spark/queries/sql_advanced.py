@@ -579,3 +579,41 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * EXCEPT (o_orderstatus, o_orderpriority) FROM orders"
     )
+
+
+@query(
+    "sql_identifier",
+    family="sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 4): table AND column names bound
+    from parameters — the injection-safe way to template the
+    STRUCTURAL parts of a query, which ordinary parameter markers
+    (sql_params) cannot touch (markers bind values, never
+    identifiers; string interpolation of names is the SQL-injection
+    classic). The oracle is the resolved text, so parity proves the
+    indirection changes nothing semantically; resolution happens at
+    ANALYSIS time, so pushdown/pruning see an ordinary column
+    reference."""
+    from local_etl_spark.queries.sql_tpch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:gcol) AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(IDENTIFIER(:kcol)) AS BIGINT) AS max_key
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:gcol)
+        ORDER BY IDENTIFIER(:gcol)
+        """,
+        args={"tbl": "orders", "gcol": "o_orderpriority", "kcol": "o_orderkey"},
+    )
