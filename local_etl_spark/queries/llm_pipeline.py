@@ -747,3 +747,72 @@ def llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("example").alias("content_md5"),
         )
     )
+
+
+@query(
+    "llm_dpo_format",
+    family="llm",
+    oracle="""
+    WITH sides AS (
+        SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side, text,
+               len(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    p AS (
+        SELECT a.pair_id,
+               a.text AS t0, b.text AS t1,
+               a.toks AS k0, b.toks AS k1
+        FROM sides a JOIN sides b
+          ON a.pair_id = b.pair_id AND a.side = 0 AND b.side = 1
+    )
+    SELECT pair_id,
+           CAST(CASE WHEN k1 > k0 THEN 1 ELSE 0 END AS INT) AS chosen_side,
+           CAST(abs(k1 - k0) AS BIGINT) AS margin_tokens,
+           md5(CASE WHEN k1 > k0 THEN t1 ELSE t0 END) AS chosen_md5,
+           md5(CASE WHEN k1 > k0 THEN t0 ELSE t1 END) AS rejected_md5
+    FROM p
+    ORDER BY pair_id
+    """,
+)
+def llm_dpo_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair assembly: adjacent documents become a
+    (chosen, rejected) pair under a deterministic preference rule
+    (more whitespace tokens wins; ties keep side 0 — an integer
+    compare, so no float threshold anywhere) with the preference
+    margin a trainer filters on (small-margin pairs teach nothing).
+    Completes the post-training data family next to llm_sft_format;
+    md5 witnesses pin the exact chosen/rejected bytes cross-engine.
+
+    One pair_id-keyed self-join off one scan (same shape as
+    sft_format), then map-only selection — at 100 TB the pairing key
+    would be a real grouping id, and the plan is unchanged.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 2).cast("bigint").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        "text",
+        F.size(F.split("text", " ")).alias("toks"),
+    )
+    a = d.filter(F.col("side") == 0).select(
+        "pair_id", F.col("text").alias("t0"), F.col("toks").alias("k0")
+    )
+    b = d.filter(F.col("side") == 1).select(
+        "pair_id", F.col("text").alias("t1"), F.col("toks").alias("k1")
+    )
+    pick1 = F.col("k1") > F.col("k0")
+    return (
+        a.join(b, "pair_id")
+        .select(
+            "pair_id",
+            F.when(pick1, 1).otherwise(0).cast("int").alias("chosen_side"),
+            F.abs(F.col("k1") - F.col("k0")).cast("bigint").alias(
+                "margin_tokens"
+            ),
+            F.md5(F.when(pick1, F.col("t1")).otherwise(F.col("t0"))).alias(
+                "chosen_md5"
+            ),
+            F.md5(F.when(pick1, F.col("t0")).otherwise(F.col("t1"))).alias(
+                "rejected_md5"
+            ),
+        )
+    )
