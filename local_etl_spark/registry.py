@@ -106,27 +106,34 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
     "stream_chained_agg", "stream_join", "stream_outer_join",
     "stream_semi_join", "stream_stateful", "udf_cogrouped",
     "win_ignore_nulls", "win_match_recognize", "win_range_interval",
+    # round 4 (CORRECTNESS_r04.json — 46/46 SQL checks green + 4
+    # rows-only re-presents recorded; agg_collect/fn_map and the four
+    # rows-only re-presents were already listed above)
+    "agg_benford", "agg_chi2", "agg_gini", "agg_pareto", "agg_welch_t",
+    "etl_backfill_partitions", "etl_drift_psi", "etl_table_diff",
+    "etl_union_evolve", "fn_aes", "fn_bitmap", "graph_bfs", "join_asof",
+    "join_asof_forward", "join_cross", "join_exists_flag", "join_multiway",
+    "llm_bpe_pairs", "llm_rouge_overlap", "llm_span_corruption", "llm_ttr",
+    "llm_zipf_fit", "scan_binaryfile", "scan_skipping", "set_except_all",
+    "set_symmetric_diff", "sink_python_ds", "sink_snapshot", "sink_vacuum",
+    "sql_q10", "sql_q13", "sql_q14", "sql_q15", "sql_q16",
+    "stream_dedup_within_wm", "stream_foreach_merge",
+    "stream_full_outer_join", "stream_static_join",
+    "stream_trigger_availablenow", "win_attribution", "win_drawdown",
+    "win_ewma", "win_retention_cohort", "win_streaks",
 })
 
 # Queries whose LAST driver-recorded status is a failure that has since
 # been fixed — banked first so the corrections land in the next
-# CORRECTNESS ledger regardless of prefix depth. agg_collect / fn_map
-# crashed the driver's canonicalizer in r1 (list cells), were made
-# scalar-only in r2, and have never been re-presented (VERDICT r3 #2).
-FIXED_THIS_ROUND: tuple[str, ...] = (
-    "agg_collect",
-    "fn_map",
-)
+# CORRECTNESS ledger regardless of prefix depth. Empty for round 5:
+# round 4 produced zero driver crashes (agg_collect/fn_map re-presented
+# green in r4 and now live in DRIVER_CHECKED).
+FIXED_THIS_ROUND: tuple[str, ...] = ()
 
-# Rows-only queries whose r1 ledger rows carry a `no_oracle` error
-# string; re-present them once inside the prefix so the ledger records
-# a clean rows-only check (VERDICT r3 next-round item 7).
-ROWS_ONLY_REPRESENT: tuple[str, ...] = (
-    "agg_approx_cd",
-    "agg_approx_quantile",
-    "agg_sketch_rollup",
-    "etl_incremental",
-)
+# Rows-only queries re-presented once so the ledger records a clean
+# rows-only check. Empty for round 5: the four r1 `no_oracle` entries
+# were re-presented in r4 and recorded with row counts.
+ROWS_ONLY_REPRESENT: tuple[str, ...] = ()
 
 
 def _presentation_order() -> list[str]:
