@@ -84,6 +84,15 @@ HEADLINE = [
     "llm_dedup_lsh_cosine",
     "llm_bpe_train",
     "sink_dynamic_overwrite",
+    # round-5 additions: the heaviest previously-unbenched operators
+    # (VERDICT r4 item 8) so their regressions land in this ledger, plus
+    # the rewritten hot-bucket-proof minhash
+    "llm_semdedup",
+    "llm_simsearch_ivf",
+    "graph_pagerank",
+    "llm_dedup_prefix",
+    "etl_upsert",
+    "llm_dedup_minhash",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →
@@ -223,6 +232,13 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 4)
+    # load visibility (VERDICT r4 item 3): ambient machine load inflates
+    # single-shot numbers 1.5-2x uniformly; recording the 1-minute
+    # loadavg makes per-query deltas adjudicable from the JSON alone
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     print(
         json.dumps(
             {
@@ -231,6 +247,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                "loadavg_1m": load1,
+                "ncpu": os.cpu_count(),
             }
         )
     )

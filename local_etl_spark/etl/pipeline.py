@@ -100,6 +100,17 @@ def _parse_event(raw: Column) -> Column:
     The value-position guard `[:,[]` keeps the rewrite off quoted text
     in every doc that matters — a doc where the pattern occurs INSIDE
     a string parses fine on the first attempt and is never rewritten.
+
+    Documented divergence (ADVICE r4): a doc that BOTH fails the first
+    parse (a bare nonfinite token somewhere) AND carries a quoted
+    string containing a value-position-shaped token — e.g.
+    ``{"note": "cost: Infinity", "score": NaN}`` — has the quoted text
+    rewritten too (note becomes ``'cost:  1e999'``), where json.load
+    preserves the string intact. A regex cannot see JSON string
+    boundaries; the collision needs both shapes in one document, the
+    same both-at-once rarity class as the BARE_NAN sentinel collision.
+    Engine-defined and pinned in
+    tests/test_etl_pipeline.py::test_parse_event_rewrite_collision.
     """
     rewritten = F.regexp_replace(
         F.regexp_replace(raw, r"([:,\[]\s*)-Infinity", "$1-1e999"),

@@ -264,7 +264,11 @@ def render_typed(fv: Column, sv: Column, json_type: str | None) -> Column:
     if json_type == "string":
         return F.try_variant_get(fv, "$", "string")
     if json_type == "boolean":
-        return F.when(
+        # NULL-transparent (ADVICE r4): a missing key must surface NULL
+        # so _render_field's coalesce('') contract renders '' — the old
+        # otherwise('False') silently invented a value for absent
+        # fields (latent: no current envelope schema declares booleans)
+        return F.when(fv.isNull(), F.lit(None).cast("string")).when(
             F.try_variant_get(fv, "$", "string") == "true", "True"
         ).otherwise("False")
     if json_type in ("integer", "number"):

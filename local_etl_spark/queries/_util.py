@@ -45,11 +45,15 @@ def ordered_prefix(
     parallel; driver state and the broadcast scale with the partition
     count, not the data.
 
-    The range-partitioned relation is persisted and deliberately NOT
-    unpersisted: the bucket-id column must be identical between the
-    offsets job and the final job, and range boundaries are re-sampled
-    on recompute — the cache is load-bearing for correctness, not an
-    optimization.
+    The range-partitioned relation is localCheckpoint()ed (ADVICE r4):
+    the bucket-id column must be identical between the offsets job and
+    the final job, and range boundaries are re-sampled on recompute. A
+    plain persist() leaves a recompute path open (executor loss,
+    StorageLevel eviction) that would silently re-sample boundaries and
+    corrupt ranks; a local checkpoint TRUNCATES the lineage, so losing
+    a checkpointed block fails the job loudly instead — fail-stop, not
+    fail-wrong. Deliberately never released: the blocks must outlive
+    this call for the returned DataFrame's final job.
 
     Returns ``(df_with_rank_and_prefix_cols, total_row_count)`` — the
     total comes free from the offsets job, so callers never need a
@@ -61,7 +65,7 @@ def ordered_prefix(
         df.repartitionByRange(npart, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, (src, kind, _out) in enumerate(prefix):

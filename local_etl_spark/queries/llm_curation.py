@@ -21,6 +21,9 @@ clearCache() between corpora.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint inference
+# under `from __future__ import annotations` resolves hints from module
+# globals (r4 gotcha — a local import leaves 'pd' unresolvable)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -925,4 +928,211 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("total_symbols") * F.lit(1.0) / F.col("total_chars"), 6
             ).alias("compression"),
         )
+    )
+
+
+# --- Unigram-LM tokenizer trainer (Kudo 2018) ---------------------------
+
+UNI_MAX_PIECE = 4  # seed pieces: substrings up to this many chars
+UNI_SEED_SIZE = 160  # multi-char seed pieces kept (by corpus freq)
+UNI_VOCAB = 96  # target vocab after pruning (single chars always kept)
+UNI_EM_ROUNDS = 3
+UNI_PRUNE_FRAC = 0.25  # drop at most this fraction of pieces per round
+_UNI_MODEL_CACHE: dict[str, list[tuple]] = {}
+_UNI_CACHE_MAX = 8
+
+
+def _viterbi_segment(word: str, logp: dict[str, float], max_len: int) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs: maximize
+    total log-prob; ties broken by FEWER pieces, then lexicographically
+    smaller final piece — a total, engine-independent order. Pure
+    function shared verbatim by the executor UDF and the pytest
+    Python reference, so agreement is exact, not approximate."""
+    n = len(word)
+    NEG = float("-inf")
+    # (score, -npieces, last_piece_desc) maximized; None = unreachable
+    best: list[tuple | None] = [(0.0, 0)] + [None] * n
+    back: list[int] = [0] * (n + 1)
+    for i in range(1, n + 1):
+        cand = None
+        cand_l = 0
+        for ln in range(1, min(max_len, i) + 1):
+            prev = best[i - ln]
+            if prev is None:
+                continue
+            lp = logp.get(word[i - ln : i])
+            if lp is None:
+                continue
+            key = (prev[0] + lp, prev[1] - 1, word[i - ln : i])
+            # max by (score, fewer pieces, smaller piece) — tuple order
+            if cand is None or (key[0], key[1], _desc(key[2])) > (
+                cand[0], cand[1], _desc(cand[2])
+            ):
+                cand = key
+                cand_l = ln
+        if cand is not None:
+            best[i] = (cand[0], cand[1])
+            back[i] = cand_l
+    if best[n] is None:  # unreachable with single chars in vocab
+        return list(word)
+    out = []
+    i = n
+    while i > 0:
+        out.append(word[i - back[i] : i])
+        i -= back[i]
+    out.reverse()
+    return out
+
+
+def _desc(s: str) -> tuple:
+    """Order-reversing key for strings (prefer lexicographically
+    SMALLER piece under a max())."""
+    return tuple(-ord(c) for c in s)
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def _learn_unigram(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Unigram-LM training loop (Kudo 2018, Viterbi-EM variant).
+
+    Scale shape (the _learn_bpe pattern): the corpus collapses ONCE to
+    the distinct-(word, freq) table; seed-candidate counting is an
+    explode+sum over that table; each EM round broadcasts the
+    vocab-sized log-prob model into an Arrow-batched segmentation pass
+    and reduces piece counts back with one vocab-keyed aggregate.
+    Driver state is only the model (piece → prob). E-step counts are
+    exact BIGINTs, M-step probs identical double divisions on both the
+    engine and the pytest Python reference — so the reference check is
+    EXACT equality, not tolerance.
+
+    Rounds: EM re-estimation on the seed vocab, pruning the
+    lowest-probability quarter (never single chars — segmentability
+    invariant) until UNI_VOCAB remains, then a final EM round on the
+    pruned vocab.
+    """
+    if sf_dir in _UNI_MODEL_CACHE:
+        return _UNI_MODEL_CACHE[sf_dir]
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    words = _word_freqs(spark, sf_dir).persist()
+
+    # seed: all substrings of length 1..UNI_MAX_PIECE (per occurrence),
+    # frequency-weighted; keep top UNI_SEED_SIZE multi-char pieces
+    # (freq DESC, piece ASC — binary order = Python tuple order) plus
+    # every single char
+    subs = F.expr(
+        f"""flatten(transform(sequence(1, length(w)), i ->
+              transform(sequence(1, least({UNI_MAX_PIECE}, length(w) - i + 1)),
+                        l -> substring(w, i, l))))"""
+    )
+    piece_freq = (
+        words.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("pfreq"))
+        .persist()
+    )
+    chars = {
+        r["piece"]: r["pfreq"]
+        for r in piece_freq.filter(F.length("piece") == 1).collect()
+    }
+    multi = {
+        r["piece"]: r["pfreq"]
+        for r in piece_freq.filter(F.length("piece") >= 2)
+        .orderBy(F.col("pfreq").desc(), "piece")
+        .limit(UNI_SEED_SIZE)
+        .collect()
+    }
+    counts = {**chars, **multi}
+
+    def estep(logp: dict[str, float]) -> dict[str, int]:
+        # UDF built inside the round (module-level pandas_udf gotcha);
+        # the model rides the pickled closure — vocab-sized, bounded
+        @pandas_udf("array<string>")
+        def seg(ws: pd.Series) -> pd.Series:
+            return ws.map(
+                lambda w: _viterbi_segment(w, logp, UNI_MAX_PIECE)
+            )
+
+        rows = (
+            words.select(F.explode(seg("w")).alias("piece"), "freq")
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .collect()
+        )
+        return {r["piece"]: r["cnt"] for r in rows}
+
+    def to_logp(c: dict[str, int]) -> dict[str, float]:
+        total = sum(c.values())
+        return {p: math.log(v / total) for p, v in c.items() if v > 0}
+
+    vocab = dict(counts)
+    for _ in range(UNI_EM_ROUNDS):
+        used = estep(to_logp(vocab))
+        # prune: drop the lowest-count multi-char pieces (unused ones
+        # first — count 0), at most PRUNE_FRAC of the vocab per round,
+        # never below the UNI_VOCAB target, never single chars
+        survivors = {p: used.get(p, 0) for p in vocab}
+        multi_sorted = sorted(
+            (p for p in survivors if len(p) >= 2),
+            key=lambda p: (survivors[p], p),
+        )
+        n_char = len(vocab) - len(multi_sorted)
+        droppable = max(0, len(vocab) - max(UNI_VOCAB, n_char))
+        drop = set(
+            multi_sorted[: min(droppable, int(len(vocab) * UNI_PRUNE_FRAC))]
+        )
+        vocab = {
+            p: (c if c > 0 else 1)  # floor keeps pruned-survivors alive
+            for p, c in survivors.items()
+            if p not in drop
+        }
+    final = estep(to_logp(vocab))
+    total = sum(final.values())
+    model = sorted(
+        ((p, c) for p, c in final.items() if c > 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    out = [
+        (rank + 1, p, int(c), round(math.log(c / total), 6))
+        for rank, (p, c) in enumerate(model)
+    ]
+    words.unpersist()
+    piece_freq.unpersist()
+    while len(_UNI_MODEL_CACHE) >= _UNI_CACHE_MAX:
+        _UNI_MODEL_CACHE.pop(next(iter(_UNI_MODEL_CACHE)))
+    _UNI_MODEL_CACHE[sf_dir] = out
+    return out
+
+
+@query("llm_tokenizer_unigram", family="llm", oracle=None)
+def llm_tokenizer_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018) — the second trainer
+    of the tokenizer family next to llm_bpe_train: seed a substring
+    vocabulary from corpus frequencies, run Viterbi-EM rounds that
+    re-estimate piece probabilities from the best segmentations, prune
+    low-probability pieces toward the vocab target, and emit the
+    learned (rank, piece, count, logprob) table.
+
+    Scale design in _learn_unigram (the memoized-model _learn_bpe
+    pattern); the segmentation E-step is Arrow-batched with the
+    vocab-sized model broadcast in the closure — per-word Viterbi is an
+    inherently sequential DP, the textbook case for a pandas UDF over
+    rows rather than a JVM expression. Rows-only for the driver
+    (iterative EM); tests/test_llm_curation.py checks EXACT model
+    equality against a pure-Python reference running the same
+    algorithm on the collected (word, freq) table.
+    """
+    model = _learn_unigram(spark, sf_dir)
+    return spark.createDataFrame(
+        model, "rank int, piece string, count bigint, logprob double"
     )

@@ -696,8 +696,14 @@ def _write_binscan_corpus() -> str:
 # Written at import (= registration) time, not first engine run: a
 # driver may evaluate the DuckDB oracle BEFORE the engine query on a
 # fresh machine, and the oracle's read_blob glob must already see the
-# corpus (40 tiny files, idempotent).
-_write_binscan_corpus()
+# corpus (40 tiny files, idempotent). Best-effort only (ADVICE r4): a
+# read-only or full filesystem must not take down the whole registry —
+# the in-function call in scan_binaryfile retries at first use, so only
+# the binscan query (and its oracle-first-run convenience) degrades.
+try:
+    _write_binscan_corpus()
+except OSError:
+    pass
 
 
 @query(

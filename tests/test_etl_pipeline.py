@@ -305,3 +305,33 @@ def test_incremental_processes_only_new_files(spark, tmp_path):
     # exactly-once per file: event_ids never repeat across runs
     ids = [r["event_id"] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_parse_event_rewrite_collision(spark):
+    """Pins the documented _parse_event divergence (ADVICE r4): a doc
+    that fails the first parse (bare NaN) AND carries a quoted string
+    shaped like a value-position nonfinite token has the quoted text
+    rewritten on the retry — json.load would preserve the string. Also
+    pins the non-colliding shapes on either side: pattern-inside-string
+    alone is untouched (first parse succeeds), bare token alone
+    rewrites only the token."""
+    from local_etl_spark.etl.pipeline import _parse_event
+    from pyspark.sql import functions as F
+
+    docs = [
+        # collision: BOTH shapes in one doc → string mutated (divergence)
+        ('{"note": "cost: Infinity", "score": NaN}', "cost:  1e999"),
+        # string shape alone: first parse succeeds, never rewritten
+        ('{"note": "cost: Infinity", "score": 1}', "cost: Infinity"),
+        # bare token alone: rewrite hits only the value position
+        ('{"note": "plain", "score": Infinity}', "plain"),
+    ]
+    df = spark.createDataFrame([(d,) for d, _ in docs], "raw string")
+    rows = df.select(
+        F.variant_get(_parse_event(F.col("raw")), "$.note", "string").alias("note"),
+        F.variant_get(_parse_event(F.col("raw")), "$.score", "double").alias("score"),
+    ).collect()
+    assert [r["note"] for r in rows] == [want for _, want in docs]
+    # the rewrites land IEEE-identically where json.load agrees
+    assert rows[1]["score"] == 1.0
+    assert rows[2]["score"] == float("inf")

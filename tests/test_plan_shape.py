@@ -440,3 +440,84 @@ def test_aes_ciphertext_is_real(spark):
         pt = r["s_name"].encode()
         assert bytes(r["ct"]) != pt
         assert len(r["ct"]) == len(pt) + 12 + 16
+
+
+def _simple_plan(spark, name: str) -> str:
+    return get(name).fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sessionize_single_exchange(spark):
+    """win_sessionize's claim: lag-flag, running-sum and the final
+    session aggregate all key on user_id, so the whole operator rides
+    ONE hash exchange and no global window appears."""
+    plan = _simple_plan(spark, "win_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(user_id" in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all(s.startswith("user_id") for s in specs), specs
+
+
+def test_cusum_windows_over_day_grid(spark):
+    """win_cusum's claim: every window partitions by event_type and
+    runs over the type×day GRID (the upstream day-grain aggregate),
+    never the raw fact table."""
+    import re
+
+    plan = _simple_plan(spark, "win_cusum")
+    specs = re.findall(r"windowspecdefinition\(([^,]+)[,#]", plan)
+    assert specs and all(s.startswith("event_type") for s in specs), specs
+    # the day-grain aggregate (event_type × date_trunc grouping) feeds it
+    assert re.search(
+        r"HashAggregate\(keys=\[event_type#\d+, _groupingexpression", plan
+    ), "windows not fed by the type×day aggregate"
+
+
+def test_rolling_corr_windows_over_day_grid(spark):
+    """win_rolling_corr's claim: the INTERVAL-range windows partition
+    by nation and see only the nation×day grid built by the upstream
+    aggregate."""
+    import re
+
+    plan = _simple_plan(spark, "win_rolling_corr")
+    specs = re.findall(r"windowspecdefinition\(([^,]+)[,#]", plan)
+    assert specs and all(s.startswith("nationkey") for s in specs), specs
+    assert "INTERVAL '-90' DAY" in plan, "range frame lost"
+    assert re.search(
+        r"HashAggregate\(keys=\[c_nationkey#\d+, _groupingexpression", plan
+    ), "windows not fed by the nation×day aggregate"
+
+
+def test_bitmap_distinct_merges_partials_by_or(spark):
+    """fn_bitmap's claim: the exact-distinct rollup builds bitmaps
+    map-side (partial bitmap_construct_agg) and merges by OR across
+    the (group, bucket) shuffle — the shuffle carries 4 KB bitmaps,
+    never raw keys."""
+    plan = _simple_plan(spark, "fn_bitmap")
+    assert "partial_bitmap_construct_agg" in plan, "no map-side bitmap partials"
+    assert "bitmapBucketNumber" in plan, "bucket grouping missing"
+
+
+def test_bfs_round_is_node_keyed_equi_join(spark):
+    """graph_bfs's claim: each level-synchronous round is node-keyed
+    equi-joins only (frontier×edges inner + visited anti), never a
+    nested-loop/cartesian expansion. The operator localCheckpoints
+    each round, so the pin recreates one round's plan explicitly."""
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries.graph import BFS_SOURCE, trade_edges
+
+    pair = trade_edges(spark, SF).select("a", "b")
+    frontier = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, hop int")
+    nxt = (
+        frontier.join(pair, frontier.node == pair.a)
+        .select(F.col("b").alias("node"))
+        .distinct()
+        .join(frontier.select("node"), "node", "left_anti")
+        .select("node", F.lit(1).alias("hop"))
+    )
+    plan = nxt._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") >= 2, "expected inner + anti node joins"
