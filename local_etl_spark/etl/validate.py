@@ -72,7 +72,12 @@ def _is_bare_nan(fv: Column, sv: Column) -> Column:
 def _type_ok(fv: Column, sv: Column, json_type: str) -> Column:
     """Does a present variant value conform to the draft-07 type?"""
     if json_type == "string":
-        return sv == "STRING"
+        # the bare-NaN sentinel travels as a STRING variant but means
+        # float('nan') — NOT a valid draft-07 string (fuzz round 5: a
+        # bare NaN on a string field validated clean and the row
+        # silently skipped routing instead of dropping with
+        # "nan is not of type 'string'")
+        return (sv == "STRING") & ~_is_bare_nan(fv, sv)
     if json_type == "boolean":
         return sv == "BOOLEAN"
     if json_type == "number":
@@ -206,6 +211,17 @@ def render_value(fv: Column, sv: Column, quote_strings: bool) -> Column:
         ":",
         ": ",
     )
+    # Python-repr spellings for unquoted JSON literals at VALUE
+    # positions inside containers (fuzz round 5: nested True/None two
+    # levels down rendered as json 'true'/'null'). Value positions are
+    # preceded by '[', ': ' or ', ' after the rewrites above; quoted
+    # member STRINGS equal to these words sit behind a quote, so they
+    # don't match (a string CONTAINING ' true,' can still be mutated —
+    # the same documented approximation as the quote/space rewrite).
+    for tok, py in (("true", "True"), ("false", "False"), ("null", "None")):
+        container = F.regexp_replace(
+            container, f"(?<=[\\[:, ]){tok}(?=[,\\]}}]|$)", py
+        )
     return (
         F.when(fv.isNull(), F.lit(None).cast("string"))
         .when(F.is_variant_null(fv), F.lit("None"))

@@ -81,6 +81,13 @@ USERS = {
     "ctrl_char.json": '{"metadata": {"type": "user", "event_at": "t",'
     ' "event_id": "e12"}, "payload": {"id": 12, "name": "A\tB",'
     ' "address": "a", "job": "x", "score": 1}}',
+    # lone RAW carriage return inside a string: the same strict-mode
+    # control-character crash class (r5 fuzz sweep) — corrupt,
+    # quarantined byte-verbatim; the ESCAPED \r twin is live-diffed
+    # through the CSV quoting path in test_reference_diff_fuzz.py
+    "cr_char.json": '{"metadata": {"type": "user", "event_at": "t",'
+    ' "event_id": "e13"}, "payload": {"id": 13, "name": "A\rB",'
+    ' "address": "a", "job": "x", "score": 1}}',
     "ignored.txt": "not even considered",
 }
 
@@ -122,10 +129,10 @@ def read_csv_rows(path_dir: str) -> list[dict]:
 
 def test_counters(etl_run):
     _, _, v2m, _ = etl_run
-    # users: 14 files, 1 non-json ignored → 13; valid = 7 (incl
-    # bad_date + lone_surrogate), invalid = 6 (missing_name,
+    # users: 15 files, 1 non-json ignored → 14; valid = 7 (incl
+    # bad_date + lone_surrogate), invalid = 7 (missing_name,
     # missing_address, bad_type, corrupt, bom, ctrl_char)
-    assert (v2m["users"].file_count, v2m["users"].valid_count, v2m["users"].invalid_count) == (13, 7, 6)
+    assert (v2m["users"].file_count, v2m["users"].valid_count, v2m["users"].invalid_count) == (14, 7, 7)
     assert (v2m["cards"].file_count, v2m["cards"].valid_count, v2m["cards"].invalid_count) == (2, 1, 1)
 
 
@@ -199,10 +206,10 @@ def test_quarantine_and_errors(etl_run, spark):
     q = spark.read.parquet(qdir)
     names = {os.path.basename(r["file_path"]) for r in q.select("file_path").collect()}
     # every invalid file (incl. repaired ones) is quarantined; ×2 runs
-    assert names == {"missing_name.json", "missing_address.json", "bad_type.json", "corrupt.json", "bom.json", "ctrl_char.json"}
+    assert names == {"missing_name.json", "missing_address.json", "bad_type.json", "corrupt.json", "bom.json", "ctrl_char.json", "cr_char.json"}
     out = os.path.join(base, "quarantine_materialized")
     n = materialize_quarantine(spark, qdir, out)
-    assert n >= 6
+    assert n >= 7
     with open(os.path.join(out, "ctrl_char.json"), encoding="utf-8") as fh:
         assert "A\tB" in fh.read()  # control char preserved verbatim
     with open(os.path.join(out, "bom.json"), encoding="utf-8") as fh:
@@ -335,3 +342,28 @@ def test_parse_event_rewrite_collision(spark):
     # the rewrites land IEEE-identically where json.load agrees
     assert rows[1]["score"] == 1.0
     assert rows[2]["score"] == float("inf")
+
+
+def test_negative_zero_sign_divergence(spark):
+    """Documented divergence (fuzz round 5): Python json.load keeps
+    float -0.0 and prints '-0.0'; Spark's variant parser stores JSON
+    decimals as BigDecimal, which has no negative zero, so the engine
+    renders '0.0' on both the CSV and error-message paths. Pinned here
+    because the sign is unrecoverable post-parse and an always-on
+    raw-token rewrite would mutate quoted strings shaped like
+    '... -0.0' (a worse collision class than the one it fixes)."""
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.etl import validate as V
+
+    df = spark.createDataFrame(
+        [('{"score": -0.0}',)], "raw string"
+    ).select(F.parse_json("raw").alias("v"))
+    fv = F.try_variant_get(F.col("v"), "$.score", "variant")
+    sv = F.schema_of_variant(fv)
+    row = df.select(
+        V.render_typed(fv, sv, "number").alias("csv_form"),
+        V.render_value(fv, sv, quote_strings=False).alias("msg_form"),
+    ).first()
+    assert row["csv_form"] == "0.0"  # engine-defined; Python says -0.0
+    assert row["msg_form"] == "0.0"
