@@ -920,3 +920,52 @@ def fn_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@query(
+    "fn_regexp",
+    family="functions",
+    oracle=r"""
+    SELECT p_partkey,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT)
+               AS n_vowel_runs,
+           regexp_extract(p_name, '^[a-z]+') AS first_word,
+           coalesce(array_to_string(
+               regexp_extract_all(p_name, '[a-z]{4,}'), '|'), '')
+               AS long_tokens,
+           CAST(len(regexp_split_to_array(p_name, '[^a-z]+')) AS BIGINT)
+               AS n_fields,
+           regexp_replace(p_name, '(^| )([a-z])', '\1<\2>', 'g')
+               AS marked
+    FROM part
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression function family over part names: match
+    counting (regexp_count), anchored first-match extraction
+    (regexp_extract with EXPLICIT group 0 — Spark requires the index
+    for group-free patterns), all-matches extraction flattened to a
+    scalar witness, regex splitting, and group-referencing
+    replacement.
+
+    Cross-engine notes baked into the oracle: DuckDB spells count as
+    len(regexp_extract_all(..)); backreferences in replacements are
+    \\1 in DuckDB vs $1 in Spark (same Java/RE2-compatible pattern
+    semantics on this alphabet); array results collapse through
+    array_join/array_to_string with a coalesce('') because DuckDB
+    returns NULL for the empty-list join. All map-side, codegen'd,
+    pushdown-transparent.
+    """
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_count("p_name", F.lit("[aeiou]+"))
+        .cast("bigint")
+        .alias("n_vowel_runs"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit("[a-z]{4,}"), 0), "|"
+        ).alias("long_tokens"),
+        F.size(F.split("p_name", "[^a-z]+")).cast("bigint").alias("n_fields"),
+        F.regexp_replace("p_name", "(^| )([a-z])", "$1<$2>").alias("marked"),
+    )

@@ -816,3 +816,156 @@ def llm_dpo_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+GRPO_GROUP = 8  # responses per prompt group
+
+# deterministic lang → index (alphabetical) for tie-free argmax keys
+_CARD_LANGS = ("de", "en", "es", "fr", "zh")
+_CARD_IDX_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{l}' THEN {i}" for i, l in enumerate(_CARD_LANGS)
+    )
+    + " ELSE 7 END"
+)
+
+
+@query(
+    "llm_grpo_advantage",
+    family="llm",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, doc_id // {GRPO_GROUP} AS group_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS reward
+        FROM documents
+    ),
+    g AS (
+        SELECT group_id, CAST(count(*) AS BIGINT) AS gn,
+               CAST(sum(reward) AS BIGINT) AS s1,
+               CAST(sum(reward * reward) AS BIGINT) AS s2
+        FROM r GROUP BY group_id
+    )
+    SELECT r.doc_id, r.group_id, r.reward,
+           round(CAST(g.s1 AS DOUBLE) / g.gn, 6) AS group_mean,
+           CASE WHEN g.gn * g.s2 = g.s1 * g.s1 THEN 0.0
+                ELSE round((r.reward - CAST(g.s1 AS DOUBLE) / g.gn)
+                     / sqrt((CAST(g.s2 AS DOUBLE)
+                             - CAST(g.s1 AS DOUBLE) * g.s1 / g.gn) / g.gn), 6)
+           END AS advantage
+    FROM r JOIN g ON r.group_id = g.group_id
+    """,
+)
+def llm_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO-style group-relative advantages: documents bucket into
+    fixed prompt groups of GRPO_GROUP=8 and each member's reward is
+    standardized against its OWN group's mean/std — the
+    critic-free advantage estimate GRPO replaces a value model with
+    (all-identical groups get advantage 0 by the exact zero-variance
+    guard, not a NaN).
+
+    Determinism: the reward is an exact integer (distinct-token
+    count), group moments are exact BIGINT sums, the zero-variance
+    guard is an INTEGER identity (n·Σx² = (Σx)²), and the
+    standardization chain is a fixed double expression. Scale: one
+    group-keyed aggregate + a co-partitioned join back on the same
+    key — a single exchange end to end, the same shape the RL data
+    loader needs per batch.
+    """
+    d = t(spark, sf_dir, "documents")
+    r = d.select(
+        "doc_id",
+        (F.col("doc_id") / GRPO_GROUP).cast("bigint").alias("group_id"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("reward"),
+    )
+    g = r.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+        F.sum("reward").cast("bigint").alias("s1"),
+        F.sum(F.col("reward") * F.col("reward")).cast("bigint").alias("s2"),
+    )
+    mean = "CAST(s1 AS DOUBLE) / gn"
+    var = f"(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / gn) / gn"
+    return r.join(g, "group_id").select(
+        "doc_id",
+        "group_id",
+        "reward",
+        F.expr(f"round({mean}, 6)").alias("group_mean"),
+        F.expr(
+            f"CASE WHEN gn * s2 = s1 * s1 THEN 0.0"
+            f" ELSE round((reward - {mean}) / sqrt({var}), 6) END"
+        ).alias("advantage"),
+    )
+
+
+@query(
+    "llm_dataset_card",
+    family="llm",
+    oracle=f"""
+    WITH lc AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt,
+               {_CARD_IDX_SQL} AS idx
+        FROM documents GROUP BY source, lang
+    ),
+    top AS (
+        SELECT source, arg_max(lang, cnt * 8 + (7 - idx)) AS top_lang
+        FROM lc GROUP BY source
+    ),
+    base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars
+        FROM documents GROUP BY source
+    )
+    SELECT base.source, n_docs, n_langs, total_chars,
+           round(avg_chars, 6) AS avg_chars, p50_chars, top_lang
+    FROM base JOIN top ON base.source = top.source
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary per source — the per-subcorpus statistics
+    block a dataset release documents (HuggingFace dataset cards,
+    Dolma/Pile papers): document counts, language coverage, size
+    totals, central length statistics, and the dominant language.
+
+    Determinism: counts/totals are exact integers; avg is one
+    division; the length median interpolates identically
+    (h = (n−1)·q on integer-valued doubles); the dominant language
+    uses the composite exact-BIGINT argmax key (count·8 + (7−idx))
+    so count ties break alphabetically in BOTH engines — max_by on a
+    bare count would be engine-arbitrary. Scale: two source-keyed
+    aggregates sharing one exchange + a broadcast-sized join
+    (sources are enumerable).
+    """
+    d = t(spark, sf_dir, "documents")
+    idx = F.expr(_CARD_IDX_SQL)
+    lc = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).withColumn("idx", idx)
+    top = lc.groupBy("source").agg(
+        F.max_by("lang", F.col("cnt") * 8 + (F.lit(7) - F.col("idx"))).alias(
+            "top_lang"
+        )
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)).alias(
+            "p50_chars"
+        ),
+    )
+    return base.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_chars",
+        F.round("avg_chars", 6).alias("avg_chars"),
+        "p50_chars",
+        "top_lang",
+    )

@@ -276,3 +276,45 @@ def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("in98") + F.col("in99") == 1)
         .select("custkey")
     )
+
+
+@query(
+    "win_topn_ties",
+    family="windows",
+    oracle="""
+    WITH r AS (
+        SELECT n.n_name, o.o_orderkey, o.o_totalprice,
+               rank() OVER (PARTITION BY n.n_name
+                            ORDER BY o.o_totalprice DESC) AS rnk
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def win_topn_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order values per nation WITH TIES — rank() ≤ k keeps
+    every row tied at the boundary, the SQL:2008 FETCH ... WITH TIES
+    semantics, versus topk_per_group's row_number cut that
+    arbitrarily drops tied rows. Output size is data-dependent (≥ 3k
+    rows per nation), which is exactly the point being pinned.
+
+    Determinism: ties produce the SAME extra rows in both engines
+    because rank() is order-derived, not tie-broken. Scale: the dims
+    broadcast onto the orders scan and the window partitions on the
+    nation key — one exchange, per-partition top-k sort.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("o_totalprice").desc())
+    return (
+        joined.select("n_name", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -651,3 +651,417 @@ def agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --- round-5 additions: classical inference + robust-DQ operators ------
+
+MW_GROUPS = ("click", "purchase")
+
+# the final U/z chain as ONE shared SQL text over PRE-CAST double
+# columns: both engines evaluate the identical expression over
+# identical exact integers-as-doubles, so results match bit-for-bit
+# (r1x2 = 2·R1 is an exact integer; u1 is a half-integer, exact in
+# double). Every operand is cast to DOUBLE first — a bare 1.0 literal
+# is DECIMAL in DuckDB and would drag the whole chain into decimal
+# arithmetic there.
+_MW_CAST_SQL = (
+    "CAST(r1x2 AS DOUBLE) AS r1x2d, CAST(ties AS DOUBLE) AS tiesd,"
+    " CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,"
+    " CAST(n AS DOUBLE) AS nd"
+)
+_MW_U1_SQL = "r1x2d / 2 - n1d * (n1d + 1) / 2"
+_MW_Z_SQL = (
+    f"round((({_MW_U1_SQL}) - n1d * n2d / 2)"
+    " / sqrt(n1d * n2d / 12"
+    "        * ((nd + 1) - tiesd / (nd * (nd - 1)))), 6)"
+)
+
+
+@query(
+    "agg_mann_whitney",
+    family="stats",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_id, event_type AS grp, value FROM events
+        WHERE event_type IN ('{MW_GROUPS[0]}', '{MW_GROUPS[1]}')
+    ),
+    r AS (
+        SELECT grp, value,
+               row_number() OVER (ORDER BY value, event_id) AS rk
+        FROM s
+    ),
+    v AS (
+        SELECT value, min(rk) AS lo, max(rk) AS hi, count(*) AS t,
+               sum(CASE WHEN grp = '{MW_GROUPS[0]}' THEN 1 ELSE 0 END) AS n1v
+        FROM r GROUP BY value
+    ),
+    a AS (
+        SELECT CAST(sum(n1v * (lo + hi)) AS BIGINT) AS r1x2,
+               CAST(sum(t * t * t - t) AS BIGINT) AS ties,
+               CAST(sum(n1v) AS BIGINT) AS n1,
+               CAST(sum(t) AS BIGINT) AS n
+        FROM v
+    )
+    SELECT n1, n2, {_MW_U1_SQL} AS u1,
+           n1d * n2d - ({_MW_U1_SQL}) AS u2, {_MW_Z_SQL} AS z
+    FROM (SELECT n1, n - n1 AS n2, {_MW_CAST_SQL}
+          FROM (SELECT r1x2, ties, n1, n, n - n1 AS n2 FROM a))
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test (rank-sum) between click and purchase event
+    values — the distribution-free two-sample test next to
+    agg_welch_t, with exact mid-rank tie handling and the tie-corrected
+    normal approximation z.
+
+    Scale design: global ranks come from ``ordered_prefix`` (range
+    partition + per-partition offsets), NEVER a single-task global
+    window; tied ranks are then averaged PER DISTINCT VALUE with one
+    value-keyed aggregate — (min_rank + max_rank) per value gives
+    2·midrank as an exact integer, so 2·R1 = Σ n1_v·(lo+hi) stays in
+    BIGINT and every derived statistic is a fixed double chain over
+    exact integers (shared SQL text with the oracle — bit-identical).
+    The t³ tie term stays in int64 up to ~2M copies of one value;
+    past that ANSI mode fails loudly rather than silently wrapping.
+    """
+    s = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*MW_GROUPS))
+        .select("event_id", F.col("event_type").alias("grp"), "value")
+    )
+    rk, _n = ordered_prefix(s, ["value", "event_id"], rank_col="rk")
+    v = rk.groupBy("value").agg(
+        F.min("rk").alias("lo"),
+        F.max("rk").alias("hi"),
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("grp") == MW_GROUPS[0], 1).otherwise(0)).alias("n1v"),
+    )
+    a = v.agg(
+        F.sum(F.col("n1v") * (F.col("lo") + F.col("hi"))).cast("bigint").alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("ties"),
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum("t").cast("bigint").alias("n"),
+    ).withColumn("n2", F.col("n") - F.col("n1"))
+    cast = a.selectExpr("n1", "n2", *_MW_CAST_SQL.split(", "))
+    return cast.select(
+        "n1",
+        "n2",
+        F.expr(_MW_U1_SQL).alias("u1"),
+        F.expr(f"n1d * n2d - ({_MW_U1_SQL})").alias("u2"),
+        F.expr(_MW_Z_SQL).alias("z"),
+    )
+
+
+# one-way ANOVA over the 5 event types: conditional one-pass moments in
+# fixed type order (the agg_entropy pattern) so the F chain is the
+# identical expression text in both engines
+_ANOVA_MOMENTS_SQL = ", ".join(
+    f"CAST(sum(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i}, "
+    f"CAST(sum(CASE WHEN event_type = '{et}' THEN CAST(value AS DECIMAL(18,6)) END) AS DECIMAL(28,6)) AS s{i}"
+    for i, et in enumerate(EVENT_TYPES)
+)
+_ANOVA_SXX_SQL = (
+    "CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))"
+    " AS DECIMAL(38,12))"
+)
+_ANOVA_N_SQL = " + ".join(f"n{i}" for i in range(len(EVENT_TYPES)))
+_ANOVA_S_SQL = " + ".join(f"CAST(s{i} AS DOUBLE)" for i in range(len(EVENT_TYPES)))
+_ANOVA_GROUPSQ_SQL = " + ".join(
+    f"(CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / n{i})"
+    for i in range(len(EVENT_TYPES))
+)
+
+
+@query(
+    "agg_anova",
+    family="stats",
+    oracle=f"""
+    WITH m AS (SELECT {_ANOVA_MOMENTS_SQL}, {_ANOVA_SXX_SQL} AS sxx FROM events),
+    d AS (
+        SELECT {_ANOVA_N_SQL} AS n, {_ANOVA_S_SQL} AS s,
+               {_ANOVA_GROUPSQ_SQL} AS gsq, CAST(sxx AS DOUBLE) AS sxx
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n, {len(EVENT_TYPES)} AS k,
+           round(gsq - s * s / n, 6) AS ss_between,
+           round(sxx - gsq, 6) AS ss_within,
+           round(((gsq - s * s / n) / {len(EVENT_TYPES) - 1})
+                 / ((sxx - gsq) / (n - {len(EVENT_TYPES)})), 6) AS f_stat
+    FROM d
+    """,
+)
+def agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five event types on event value —
+    completes the hypothesis-testing family (welch_t: two means;
+    chi2: categorical independence; ks: distribution equality;
+    mann_whitney: rank shift; anova: k means at once).
+
+    Numeric discipline: ONE conditional one-pass aggregate produces
+    per-type counts and exact-DECIMAL sums plus the exact Σx²
+    (DECIMAL(18,6)² stays inside int64 limbs in DuckDB at these
+    magnitudes and precision 37 in Spark); the F statistic is then a
+    fixed expression chain over those exact values in declared type
+    order — identical text both engines, so 6-dp rounding is safe.
+    Scale: one partial+final scan, a 1-row result, zero joins.
+    """
+    e = t(spark, sf_dir, "events")
+    m = e.agg(
+        *[
+            c
+            for i, et in enumerate(EVENT_TYPES)
+            for c in (
+                F.sum(F.when(F.col("event_type") == et, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n{i}"),
+                F.sum(
+                    F.when(F.col("event_type") == et, dec("value"))
+                ).cast("decimal(28,6)").alias(f"s{i}"),
+            )
+        ],
+        F.sum(dec("value") * dec("value")).cast("decimal(38,12)").alias("sxx"),
+    )
+    d = m.select(
+        F.expr(_ANOVA_N_SQL).alias("n"),
+        F.expr(_ANOVA_S_SQL).alias("s"),
+        F.expr(_ANOVA_GROUPSQ_SQL).alias("gsq"),
+        F.col("sxx").cast("double").alias("sxx"),
+    )
+    k = len(EVENT_TYPES)
+    return d.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(k).alias("k"),
+        F.expr("round(gsq - s * s / n, 6)").alias("ss_between"),
+        F.expr("round(sxx - gsq, 6)").alias("ss_within"),
+        F.expr(
+            f"round(((gsq - s * s / n) / {k - 1})"
+            f" / ((sxx - gsq) / (n - {k})), 6)"
+        ).alias("f_stat"),
+    )
+
+
+# skewness/kurtosis are scale-invariant, so integer CENTS give exact
+# raw moments. Per-term widths are STAGED so nothing overflows: x² fits
+# int64 (x ≤ ~5e5 cents), x³ = DECIMAL(12)·DECIMAL(18) (30 digits),
+# x⁴ = DECIMAL(18)·DECIMAL(18) (36 digits) — all ≤ 38-digit exact
+# decimals on both engines; sums accumulate in DECIMAL(38)/HUGEINT.
+_SK_X = "CAST(round(value * 100) AS BIGINT)"
+# width split per engine (same exact values): Spark decimal products
+# must keep p1+p2+1 ≤ 38, so terms stage at DECIMAL(18); DuckDB
+# multiplies width-≤18 decimals in int64 (overflows) and needs ≥19 to
+# take the hugeint path
+_SK_X2 = f"CAST({_SK_X} * {_SK_X} AS DECIMAL(18,0))"
+_SK_X3 = f"CAST(CAST({_SK_X} AS DECIMAL(12,0)) * {_SK_X2} AS DECIMAL(38,0))"
+_SK_X4 = f"CAST({_SK_X2} * {_SK_X2} AS DECIMAL(38,0))"
+_SK_X2_DUCK = f"CAST({_SK_X} * {_SK_X} AS DECIMAL(19,0))"
+_SK_X3_DUCK = f"CAST(CAST({_SK_X} AS DECIMAL(19,0)) * {_SK_X2_DUCK} AS DECIMAL(38,0))"
+_SK_X4_DUCK = f"CAST({_SK_X2_DUCK} * {_SK_X2_DUCK} AS DECIMAL(38,0))"
+_SK_CHAIN = (
+    "m2x", "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n"
+)
+
+
+@query(
+    "agg_skew_kurtosis",
+    family="stats",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST({_SK_X} AS DECIMAL(38,0))) AS s1,
+               sum(CAST({_SK_X2_DUCK} AS DECIMAL(38,0))) AS s2,
+               sum({_SK_X3_DUCK}) AS s3,
+               sum({_SK_X4_DUCK}) AS s4
+        FROM events GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)) / n AS m2,
+               (CAST(s3 AS DOUBLE) - 3 * (CAST(s1 AS DOUBLE) / n) * CAST(s2 AS DOUBLE)
+                + 2 * n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / n AS m3,
+               (CAST(s4 AS DOUBLE) - 4 * (CAST(s1 AS DOUBLE) / n) * CAST(s3 AS DOUBLE)
+                + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * CAST(s2 AS DOUBLE)
+                - 3 * n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                  * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / n AS m4
+        FROM m
+    )
+    SELECT event_type, n,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+    FROM c
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type skewness and excess kurtosis — the shape moments
+    a drift monitor tracks beyond mean/variance. Built-in skewness()/
+    kurtosis() differ cross-engine in bias convention AND accumulation
+    order, so both engines compute the same closed form over EXACT
+    integer-cents raw moments (standardized moments are scale-
+    invariant; the cents rescale buys exactness for free, the
+    agg_corr_matrix trick): x⁴ per-term stays inside int64, sums are
+    DECIMAL(38)/HUGEINT, the central-moment chain is a shared fixed
+    expression, and the only libm call is one correctly-rounded sqrt.
+    Scale: one partial+final grouped scan, 5-row output.
+    """
+    x = F.expr(_SK_X)
+    m = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            # staged per-term widths (see _SK_X2/_SK_X3/_SK_X4): the
+            # raw long chain overflows at x⁴ once values pass ~3e4
+            # cents, and Spark partial sums over long would overflow
+            # far earlier — every term lands in DECIMAL(38,0) pre-sum
+            F.sum(x.cast("decimal(38,0)")).alias("s1"),
+            F.sum(F.expr(_SK_X2).cast("decimal(38,0)")).alias("s2"),
+            F.sum(F.expr(_SK_X3)).alias("s3"),
+            F.sum(F.expr(_SK_X4)).alias("s4"),
+        )
+    )
+    mu = "(CAST(s1 AS DOUBLE) / n)"
+    c = m.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * {mu}) / n"
+        ).alias("m2"),
+        F.expr(
+            f"(CAST(s3 AS DOUBLE) - 3 * {mu} * CAST(s2 AS DOUBLE)"
+            f" + 2 * n * {mu} * {mu} * {mu}) / n"
+        ).alias("m3"),
+        F.expr(
+            f"(CAST(s4 AS DOUBLE) - 4 * {mu} * CAST(s3 AS DOUBLE)"
+            f" + 6 * {mu} * {mu} * CAST(s2 AS DOUBLE)"
+            f" - 3 * n * {mu} * {mu} * {mu} * {mu}) / n"
+        ).alias("m4"),
+    )
+    return c.select(
+        "event_type",
+        "n",
+        F.expr("round(m3 / (m2 * sqrt(m2)), 6)").alias("skewness"),
+        F.expr("round(m4 / (m2 * m2) - 3.0, 6)").alias("excess_kurtosis"),
+    )
+
+
+IQR_K = 1.5  # Tukey fence multiplier
+
+
+@query(
+    "etl_outlier_iqr",
+    family="stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(max(q.q1), 6) AS q1, round(max(q.q3), 6) AS q3,
+           round(max(q.q1) - {IQR_K} * (max(q.q3) - max(q.q1)), 6) AS lo_fence,
+           round(max(q.q3) + {IQR_K} * (max(q.q3) - max(q.q1)), 6) AS hi_fence,
+           CAST(sum(CASE WHEN e.value < q.q1 - {IQR_K} * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN e.value > q.q3 + {IQR_K} * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+)
+def etl_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier profile per event type — the
+    quartile-based data-quality screen next to agg_outlier_mad's
+    median/MAD one (IQR tolerates 25% contamination, MAD 50%; DQ
+    suites ship both).
+
+    Determinism: exact linear-interpolated quartiles — Spark
+    percentile() and DuckDB quantile_cont() share the h = (n−1)·q
+    interpolation on the same sorted doubles — and fences are one
+    fixed multiply/add chain. Scale: the exact percentile is a
+    per-group sort (SortAggregate); at 100 TB swap approx_percentile
+    boundaries exactly as agg_outlier_mad documents, and the
+    fence-count join is broadcast (5 rows) over one co-partitioned
+    scan.
+    """
+    e = t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fenced = e.join(F.broadcast(q), "event_type")
+    lo = F.col("q1") - F.lit(IQR_K) * iqr
+    hi = F.col("q3") + F.lit(IQR_K) * iqr
+    return fenced.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.max("q1"), 6).alias("q1"),
+        F.round(F.max("q3"), 6).alias("q3"),
+        F.round(F.max("q1") - F.lit(IQR_K) * (F.max("q3") - F.max("q1")), 6).alias(
+            "lo_fence"
+        ),
+        F.round(F.max("q3") + F.lit(IQR_K) * (F.max("q3") - F.max("q1")), 6).alias(
+            "hi_fence"
+        ),
+        F.sum(F.when(F.col("value") < lo, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low"),
+        F.sum(F.when(F.col("value") > hi, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    family="stats",
+    oracle="""
+    WITH p AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT flag, price, w,
+               sum(w) OVER (PARTITION BY flag ORDER BY price) AS cw,
+               sum(w) OVER (PARTITION BY flag) AS wtot
+        FROM p
+    )
+    SELECT flag, CAST(max(wtot) AS BIGINT) AS total_weight,
+           min(CASE WHEN 2 * cw >= wtot THEN price END) AS weighted_median
+    FROM c GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity reaches half the total — the
+    inventory-weighted 'typical price' a plain median (one row, one
+    vote) misrepresents.
+
+    All-integer determinism: weights are integral quantities, the
+    threshold test is 2·cumw ≥ total in exact BIGINTs (no halving, no
+    floats), and the winning price is an input value, not an
+    interpolation. Scale: prices pre-aggregate per (flag, price) —
+    the window then runs over the DISTINCT-price grid co-partitioned
+    by flag, and the flag-total window shares the same exchange.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    wc = Window.partitionBy("flag").orderBy("price")
+    wt = Window.partitionBy("flag")
+    c = p.select(
+        "flag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("wtot"),
+    )
+    return c.groupBy("flag").agg(
+        F.max("wtot").cast("bigint").alias("total_weight"),
+        F.min(F.when(F.lit(2) * F.col("cw") >= F.col("wtot"), F.col("price"))).alias(
+            "weighted_median"
+        ),
+    )
