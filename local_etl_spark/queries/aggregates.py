@@ -1325,3 +1325,50 @@ def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") / F.col("total_rev")).alias("revenue_share"),
         )
     )
+
+
+@query("agg_count_min_sketch", family="aggregations", oracle=None)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min sketch frequency estimation over event types: ONE
+    mergeable fixed-size sketch (ε=0.001, δ=0.99) summarizes the whole
+    stream, then each type's estimated frequency is read from it next
+    to the exact count — the heavy-hitter primitive whose partials
+    merge associatively across 100 TB partitions while the exact
+    groupBy carries a full shuffle.
+
+    The sketch binary is MODEL-sized (w·d counters, independent of
+    data volume): deserializing it driver-side to answer point queries
+    is the intended use, not a collect() anti-pattern. CMS guarantees
+    estimate ≥ exact, and ≤ exact + ε·N with probability δ —
+    pytest pins both bounds (rows-only: sketch internals are
+    seed/implementation-specific, not SQL-expressible).
+    """
+    e = t(spark, sf_dir, "events")
+    row = e.agg(
+        F.count_min_sketch(
+            "event_type", F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("cms"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(row["cms"]))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    exact = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    est = {
+        r["event_type"]: cms.estimateCount(r["event_type"])
+        for r in exact.select("event_type").collect()
+    }
+    est_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in est.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    return exact.select(
+        "event_type",
+        "exact_n",
+        est_col.cast("bigint").alias("cms_estimate"),
+        F.lit(int(row["n"])).cast("bigint").alias("stream_total"),
+    ).orderBy("event_type")

@@ -654,3 +654,71 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.cts").alias("click_ts"),
         F.col("m.gap_us").cast("bigint").alias("gap_us"),
     )
+
+
+ASOF_TOLERANCE_MIN = 30
+
+
+@query(
+    "join_asof_tolerance",
+    family="joins",
+    oracle=f"""
+SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTE) AS click_ts
+FROM events p WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance: each purchase attributes to
+    the most recent prior click ONLY if it happened within the last 30
+    minutes; stale matches become NULL instead of silently linking a
+    purchase to a days-old click (the market-data/attribution
+    semantics pandas merge_asof calls ``tolerance``). LEFT semantics:
+    every purchase appears exactly once.
+
+    Scale: identical one-exchange union+last() shape as join_asof —
+    the tolerance is a post-window filter ON THE MATCHED VALUE, so it
+    adds zero shuffles; the naive per-row range join it replaces is
+    quadratic in the per-user event count.
+    """
+    e = t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # in_tol must reference the MATERIALIZED window column: re-using
+    # the window expression inside the post-filter select would plan a
+    # SECOND WindowExec over the already-filtered (purchases-only)
+    # relation, where every click_ts is NULL
+    in_tol = F.col("last_click") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_MIN} MINUTES"
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click", F.last("click_ts", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            F.col("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.when(in_tol, F.col("last_click")).alias("click_ts"),
+        )
+    )

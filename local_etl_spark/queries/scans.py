@@ -1396,3 +1396,121 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("multiLine", "true")
         .csv(path)
     )
+
+
+# deterministic multi-file/multi-rowgroup parquet corpus for the footer
+# audit — static path + fixed bytes (pyarrow writes, independent of
+# Spark partitioning), the scan_binaryfile precedent: the oracle's
+# static parquet_metadata() glob must see identical footers on every
+# machine and scale factor.
+_FOOTER_DIR = os.path.join(tempfile.gettempdir(), "local_etl_spark_footer")
+_FOOTER_FILES = 4
+_FOOTER_ROWS = 1000  # per file, 2 row groups of 500
+
+
+def _write_footer_corpus() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_FOOTER_DIR, exist_ok=True)
+    for f in range(_FOOTER_FILES):
+        path = os.path.join(_FOOTER_DIR, f"shard{f:02d}.parquet")
+        if os.path.exists(path):
+            continue
+        base = f * _FOOTER_ROWS
+        tbl = pa.table(
+            {
+                "k": pa.array(
+                    [base + i for i in range(_FOOTER_ROWS)], pa.int64()
+                ),
+                "bucket": pa.array(
+                    [(base + i) % 7 for i in range(_FOOTER_ROWS)], pa.int64()
+                ),
+            }
+        )
+        pq.write_table(tbl, path, row_group_size=_FOOTER_ROWS // 2)
+    return _FOOTER_DIR
+
+
+@query(
+    "scan_parquet_footer",
+    family="scans",
+    oracle=f"""
+    SELECT parse_filename(file_name) AS fname,
+           CAST(row_group_id AS BIGINT) AS rg,
+           path_in_schema AS column_name,
+           CAST(num_values AS BIGINT) AS n_values,
+           CAST(stats_min_value AS BIGINT) AS min_value,
+           CAST(stats_max_value AS BIGINT) AS max_value
+    FROM parquet_metadata('{_FOOTER_DIR}/*.parquet')
+    """,
+)
+def scan_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed parquet-footer audit: one row per (file, row group,
+    column) with value counts and min/max statistics — the raw
+    material of manifest building (scan_skipping reads a manifest like
+    this), row-group-skipping validation, and lake health checks (a
+    column whose stats are absent cannot be pruned on).
+
+    Scale shape: the FILE LIST is driver-sized (a listing, not data),
+    but the footer READS are distributed — paths parallelize across
+    the cluster and each task opens only its files' footers
+    (Arrow-batched mapInPandas; ~KBs per footer, never row data).
+    Auditing a 100 TB lake this way touches megabytes. The corpus is
+    a deterministic static multi-file/multi-rowgroup fileset (the
+    scan_binaryfile pattern) so the oracle's parquet_metadata() glob
+    sees identical footers; BIGINT columns keep min/max text forms
+    engine-independent.
+    """
+    import pandas as pd  # noqa: F401 (executor-side frames)
+
+    d = _write_footer_corpus()
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    paths = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(min(len(files), spark.sparkContext.defaultParallelism))
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                fname = p.rsplit("/", 1)[-1]
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for ci in range(rg.num_columns):
+                        c = rg.column(ci)
+                        st = c.statistics
+                        out.append(
+                            (
+                                fname,
+                                rg_i,
+                                c.path_in_schema,
+                                c.num_values,
+                                int(st.min),
+                                int(st.max),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "fname", "rg", "column_name", "n_values",
+                    "min_value", "max_value",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("fname", T.StringType()),
+            T.StructField("rg", T.LongType()),
+            T.StructField("column_name", T.StringType()),
+            T.StructField("n_values", T.LongType()),
+            T.StructField("min_value", T.LongType()),
+            T.StructField("max_value", T.LongType()),
+        ]
+    )
+    return paths.mapInPandas(read_footers, schema)

@@ -113,3 +113,51 @@ def test_dynamic_overwrite_touches_only_target_partition(spark):
     _dynamic_overwrite_f_even(spark, src, base)
     for f, mt in untouched.items():
         assert os.path.getmtime(f) == mt, f"non-target partition rewritten: {f}"
+
+
+def test_count_min_sketch_bounds(spark):
+    """CMS guarantees: estimate >= exact always, and estimate <=
+    exact + eps*N with probability delta — at eps=0.001 over this
+    stream the slack bound is tight enough to pin deterministically
+    (fixed seed)."""
+    from local_etl_spark.registry import get
+
+    rows = get("agg_count_min_sketch").fn(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    total = rows[0]["stream_total"]
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"], r
+        assert r["cms_estimate"] <= r["exact_n"] + 0.001 * total, r
+
+
+def test_parquet_footer_matches_pyarrow_walk(spark):
+    """The distributed footer audit must agree with a driver-side
+    pyarrow walk of the same static corpus (16 rows: 4 files x 2 row
+    groups x 2 columns), including the min/max stats scan_skipping
+    style pruning would consume."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from local_etl_spark.queries.scans import _write_footer_corpus
+    from local_etl_spark.registry import get
+
+    got = {
+        (r["fname"], r["rg"], r["column_name"]): (
+            r["n_values"], r["min_value"], r["max_value"]
+        )
+        for r in get("scan_parquet_footer").fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert len(got) == 16
+    d = _write_footer_corpus()
+    want = {}
+    for f in sorted(os.listdir(d)):
+        md = pq.ParquetFile(os.path.join(d, f)).metadata
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for ci in range(rg.num_columns):
+                c = rg.column(ci)
+                want[(f, rg_i, c.path_in_schema)] = (
+                    c.num_values, int(c.statistics.min), int(c.statistics.max)
+                )
+    assert got == want

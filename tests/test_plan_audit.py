@@ -75,6 +75,10 @@ ALLOW_PYTHON = {
     # SRP hashing is one numpy matmul per Arrow batch by design — the
     # JVM per-row alternative is ~192 interpreted HOF folds/row
     "llm_dedup_lsh_cosine",
+    # distributed footer reads: pyarrow opens each file's FOOTER only
+    # (KBs) inside mapInPandas — there is no JVM surface for parquet
+    # metadata, and the row data is never touched
+    "scan_parquet_footer",
 }
 
 
