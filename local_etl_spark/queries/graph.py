@@ -420,3 +420,54 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt
     pair.unpersist()
     return visited
+
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 12
+
+
+@query("graph_kcore", family="graph", oracle=None)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition membership (k=3) of the trade graph: the
+    maximal subgraph where every node keeps degree ≥ k — the standard
+    dense-region extractor (spam rings, collusion clusters) and the
+    graph family's iterative PEELING algorithm next to propagation
+    (pagerank/cluster) and expansion (bfs).
+
+    Level-synchronous peel: each round computes degrees over the
+    SURVIVING edge set (one node-keyed aggregate), drops nodes under
+    k, and semi-joins the edge set down on BOTH endpoints (the same
+    node-keyed partitioning all rounds — no new shuffle key ever
+    appears). Rounds are bounded by KCORE_MAX_ROUNDS with early exit
+    when no node was dropped; localCheckpoint truncates per-round
+    lineage exactly like graph_pagerank/graph_bfs. The surviving edge
+    relation only SHRINKS, so per-round cost is monotonically
+    decreasing — the peel converges in a handful of rounds on
+    power-law graphs at any scale.
+
+    Rows-only (iterative fixpoint); tests/test_graph.py checks exact
+    membership equality against a driver-side reference peel.
+    """
+    edges = (
+        trade_edges(spark, sf_dir)
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("a").localCheckpoint()
+        n_before = edges.count()
+        edges = (
+            edges.join(keep, "a", "semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "semi")
+            .localCheckpoint()
+        )
+        if edges.count() == n_before:
+            break
+    return (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("core_k", F.lit(KCORE_K))
+        .orderBy("node")
+    )

@@ -592,3 +592,74 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
     )
+
+
+@query(
+    "llm_hard_negatives",
+    family="llm",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+               FROM embeddings WHERE vec_id % 200 = 0),
+    scored AS (
+        SELECT q.qid, q.qlabel, e.vec_id, e.label,
+               round({_duck_cosine('e.embedding', 'q.qv')}, 6) AS score,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY round({_duck_cosine('e.embedding', 'q.qv')}, 6) DESC,
+                            e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.qlabel
+    )
+    SELECT qid, qlabel, vec_id AS neg_id, label AS neg_label, score
+    FROM scored WHERE rn <= 3
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each anchor vector, the 3 most-similar vectors carrying a
+    DIFFERENT label — the highest-loss negatives a dual-encoder
+    trains against (random negatives are too easy; same-label
+    near-neighbors would be false negatives and are excluded by the
+    label filter, the standard in-batch-negatives correction).
+
+    Scale shape = llm_knn_join's: anchors broadcast, corpus never
+    shuffles for the scoring, per-pair cost is ONE dot fold with both
+    norms precomputed per row, and only |anchors|×|corpus| scored
+    pairs enter the per-anchor top-k window. At real scale the IVF
+    cell-probe prefilter (llm_simsearch_ivf) bounds the candidate
+    set; mined pairs are what the training-data assembler
+    (llm_dpo_format-style) consumes downstream.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot("embedding", "embedding"))
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") % 200 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+            nrm.alias("qn"),
+        )
+    )
+    corpus = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("vec_id", "label", "embedding", nrm.alias("en"))
+    from pyspark.sql import Window
+
+    score = dot("embedding", "qv") / (F.col("en") * F.col("qn"))
+    scored = (
+        corpus.crossJoin(q)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(score, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "qlabel", "neg_id", "neg_label", "score")
+    )

@@ -1225,3 +1225,174 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FROM cu_base", "FROM pre"
         )
     )
+
+
+SESSION_GAP_PURCHASE = 30  # minutes — purchases keep sessions alive longer
+SESSION_GAP_OTHER = 10
+
+
+@query(
+    "win_session_dynamic",
+    family="windows",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL {SESSION_GAP_PURCHASE} MINUTE
+                         ELSE INTERVAL {SESSION_GAP_OTHER} MINUTE END AS expiry
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, expiry,
+               CASE WHEN ts >= max(expiry) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR max(expiry) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, expiry,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(expiry) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def win_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization via Spark's NATIVE session_window
+    with a PER-EVENT gap expression — purchases hold a session open 30
+    minutes, everything else 10 (the engagement-weighted timeout
+    pattern). Complements win_sessionize: that operator builds
+    fixed-gap sessions from window primitives; this one exercises the
+    built-in session aggregation (which also runs unchanged under
+    Structured Streaming with merging state) and its dynamic-gap
+    form, which the manual lag/cumsum construction cannot express as
+    one flag.
+
+    The DuckDB oracle emulates interval-union islanding: an event
+    opens a new session exactly when its start reaches the running max
+    EXPIRY of all prior events (half-open [ts, ts+gap) windows —
+    boundary-touching events split, matching session_window's strict
+    semantics); µs-exact interval arithmetic both sides. Scale: one
+    user-keyed exchange with partial session merging map-side.
+    """
+    e = t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.lit(f"{SESSION_GAP_PURCHASE} minutes"),
+    ).otherwise(F.lit(f"{SESSION_GAP_OTHER} minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "win_seasonal_decompose",
+    family="windows",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT day, c,
+               CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT)
+                   AS dow,
+               CAST(sum(c) OVER w AS BIGINT) AS t_c,
+               CAST(count(*) OVER w AS BIGINT) AS n_t
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    ),
+    det AS (
+        SELECT day, c, dow,
+               CASE WHEN n_t = 3 THEN 3 * c - t_c END AS d3,
+               CASE WHEN n_t = 3 THEN t_c END AS t_c
+        FROM tr
+    ),
+    seas AS (
+        SELECT dow, CAST(sum(d3) AS BIGINT) AS s_num,
+               CAST(count(d3) AS BIGINT) AS s_den
+        FROM det GROUP BY dow
+    )
+    SELECT det.day,
+           round(det.c / 100.0, 6) AS revenue,
+           round(det.t_c / 300.0, 6) AS trend,
+           round(CAST(s_num AS DOUBLE) / s_den / 300.0, 6) AS seasonal,
+           round(det.d3 / 300.0
+                 - CAST(s_num AS DOUBLE) / s_den / 300.0, 6) AS residual
+    FROM det JOIN seas ON det.dow = seas.dow
+    """,
+)
+def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    centered 3-day moving-average trend, day-of-week seasonal means of
+    the detrended series, residual = value − trend − seasonal — the
+    series a drift monitor alarms on (residual spikes) instead of the
+    raw values (which alias weekly rhythm as anomalies). Edge days
+    without a full trend window surface NULL trend/residual rather
+    than a biased partial mean.
+
+    Determinism across engines is ALL-INTEGER until the final
+    divisions: daily revenue in exact cents, the trend frame as an
+    exact BIGINT frame SUM (sliding-frame DOUBLE accumulators differ
+    between engines — the win_rolling_corr lesson), the detrended
+    series as 3·c − Σframe (exact, no division), seasonal means as
+    one int/int division, and day-of-week as epoch-days mod 7 (Spark
+    and DuckDB disagree on dayofweek() numbering). Scale: one
+    day-grain aggregate; the unpartitioned windows run over the
+    CALENDAR-BOUNDED day grid (ALLOW_GLOBAL_WINDOW class), and the
+    7-row seasonal table broadcasts back.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.orderBy("day").rowsBetween(-1, 1)
+    tr = daily.select(
+        "day",
+        "c",
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.sum("c").over(w).cast("bigint").alias("t_c"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_t"),
+    )
+    det = tr.select(
+        "day",
+        "c",
+        "dow",
+        F.when(F.col("n_t") == 3, 3 * F.col("c") - F.col("t_c")).alias("d3"),
+        F.when(F.col("n_t") == 3, F.col("t_c")).alias("t_c"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.sum("d3").cast("bigint").alias("s_num"),
+        F.count("d3").cast("bigint").alias("s_den"),
+    )
+    s_mean = F.col("s_num").cast("double") / F.col("s_den") / F.lit(300.0)
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        F.round(F.col("c") / 100.0, 6).alias("revenue"),
+        F.round(F.col("t_c") / 300.0, 6).alias("trend"),
+        F.round(s_mean, 6).alias("seasonal"),
+        F.round(F.col("d3") / 300.0 - s_mean, 6).alias("residual"),
+    )

@@ -30,3 +30,30 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert diff < 1e-9, diff
     # sanity: ranking is non-degenerate
     assert len({round(v, 12) for v in got.values()}) > n // 2
+
+
+def test_kcore_matches_reference_peel(spark):
+    """graph_kcore must equal a driver-side iterative peel of the same
+    edge set: repeatedly delete nodes with degree < k until stable."""
+    from local_etl_spark.queries.graph import KCORE_K, trade_edges
+    from local_etl_spark.registry import get
+
+    sf = "/root/testdata/sf0.01"
+    edges = {
+        (r["a"], r["b"])
+        for r in trade_edges(spark, sf).select("a", "b").distinct().collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    while True:
+        drop = {n for n, nb in adj.items() if len(nb) < KCORE_K}
+        if not drop:
+            break
+        for n in drop:
+            adj.pop(n)
+        for nb in adj.values():
+            nb.difference_update(drop)
+    got = {r["node"] for r in get("graph_kcore").fn(spark, sf).collect()}
+    assert got == set(adj)
+    assert got, "k-core unexpectedly empty at k=3"

@@ -34,6 +34,8 @@ ALLOW_NESTED_LOOP = {
     "join_theta",  # non-equi inequality join (BNLJ w/ broadcast)
     "join_asof",  # union trick keeps it equi, but guard the alternative
     "llm_knn_join",  # bounded query-side broadcast enumeration
+    "llm_hard_negatives",  # same shape: anchor-side broadcast enumeration
+    # (IVF cell-probe prefilter is the scale path, as with knn)
     "llm_dedup_embed",  # all-pairs cosine at oracle scale (IVF is the scale path)
     "llm_simsearch",  # scalar query-vector broadcast
     "llm_simsearch_ivf",
@@ -93,6 +95,8 @@ ALLOW_GLOBAL_WINDOW = {
     "sql_window_rollup",  # running total over the MONTH grid (12/yr)
     "win_drawdown",  # cum P&L over the per-day net (calendar-bounded)
     "win_interpolate",  # gap-fill over the per-day series (calendar-bounded)
+    "win_seasonal_decompose",  # trend frame over the per-day series
+    # (calendar-bounded day grid, same class as win_interpolate)
 }
 
 
