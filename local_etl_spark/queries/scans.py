@@ -1514,3 +1514,48 @@ def scan_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return paths.mapInPandas(read_footers, schema)
+
+
+@query(
+    "scan_file_lineage",
+    family="scans",
+    oracle=f"""
+    SELECT parse_filename(filename) AS fname,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(bucket) AS BIGINT) AS bucket_sum
+    FROM read_parquet('{_FOOTER_DIR}/*.parquet', filename = true)
+    GROUP BY 1
+    """,
+)
+def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file lineage: every row tagged with its source file
+    via input_file_name(), rolled up to a per-file profile — the
+    provenance primitive behind selective reprocessing ('which shard
+    produced these bad rows?'), incremental backfills, and blast-
+    radius analysis after a bad writer deploy. DuckDB's
+    filename=true read option is the oracle twin.
+
+    Scale: input_file_name() is metadata the scan already carries —
+    zero extra IO, no shuffle beyond the per-file rollup (group count
+    = file count). Runs over the deterministic static multi-file
+    corpus (shared with scan_parquet_footer) so both engines glob
+    identical files.
+    """
+    d = _write_footer_corpus()
+    return (
+        spark.read.parquet(d)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("fname"),
+            "k",
+            "bucket",
+        )
+        .groupBy("fname")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum("bucket").cast("bigint").alias("bucket_sum"),
+        )
+    )

@@ -497,3 +497,49 @@ def stream_trigger_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)  # AvailableNow stops ITSELF after the drain
     return spark.table(name)
+
+
+@query(
+    "stream_session_dynamic",
+    family="streaming",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL 30 MINUTE
+                         ELSE INTERVAL 10 MINUTE END AS expiry
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, expiry,
+               CASE WHEN ts >= max(expiry) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR max(expiry) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, expiry,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(expiry) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions (core.session_aggregate_dynamic): the
+    streaming-capable twin of win_session_dynamic — same session_window
+    aggregation, written once, run here in batch for the oracle check
+    and replayed as a real file-source stream in
+    tests/test_streaming.py, which asserts the drained stream equals
+    this batch answer exactly (session-merging state across
+    micro-batches)."""
+    return core.session_aggregate_dynamic(t(spark, sf_dir, "events"))

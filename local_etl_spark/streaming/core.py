@@ -94,6 +94,32 @@ def session_aggregate(events: DataFrame, watermark: str | None = None) -> DataFr
     )
 
 
+def session_aggregate_dynamic(
+    events: DataFrame, watermark: str | None = None
+) -> DataFrame:
+    """Per-user sessions with a PER-EVENT dynamic inactivity gap:
+    purchases hold the session open 30 minutes, everything else 10 —
+    the engagement-weighted timeout session_window supports natively
+    (and the manual lag/cumsum construction cannot express as one
+    flag). Runs unchanged in batch and streaming; the streaming form
+    merges session state across micro-batches and the replay test
+    asserts exact convergence to the batch answer."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str | None = None) -> DataFrame:
     """Keep one event per (user_id, event_type).
 

@@ -106,6 +106,7 @@ def src(spark, tmp_path_factory):
         (core.tumbling_counts, "complete"),
         (core.sliding_counts, "complete"),
         (core.session_aggregate, "complete"),
+        (core.session_aggregate_dynamic, "complete"),
         (core.dedup_events, "append"),
         # stream-stream interval join: watermark (2h) >= lookback (1h),
         # so no match is evicted before pairing — append output equals
@@ -115,7 +116,7 @@ def src(spark, tmp_path_factory):
         # first qualifying click; same watermark >= lookback contract
         (core.attributed_purchases, "append"),
     ],
-    ids=["tumbling", "sliding", "session", "dedup", "ss_join", "ss_semi"],
+    ids=["tumbling", "sliding", "session", "session_dyn", "dedup", "ss_join", "ss_semi"],
 )
 def test_stream_equals_batch(spark, src, tmp_path, fn, mode):
     name = f"mem_{fn.__name__}"
