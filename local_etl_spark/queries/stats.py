@@ -1065,3 +1065,106 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median"
         ),
     )
+
+
+# Poisson(1) inverse-CDF thresholds as 6-hex-char strings (floor(CDF ·
+# 16⁶), generated once and embedded in BOTH engines' expression text —
+# lexicographic compare on fixed-width lowercase hex IS numeric
+# compare, the llm_fim_transform portability trick). A row's replicate
+# weight is the count of thresholds ≤ its md5 draw, i.e. the inverse
+# CDF of a uniform in [0,1) at 16⁻⁶ resolution.
+BOOT_B = 16  # bootstrap replicates
+_BOOT_CDF_HEX = ("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025", "ffd90f")
+
+
+def _boot_weight_sql(b: int) -> str:
+    h = f"substr(md5(CAST(event_id AS STRING) || ':b{b}'), 1, 6)"
+    return (
+        "(CASE "
+        + " ".join(
+            f"WHEN {h} < '{t}' THEN {k}"
+            for k, t in enumerate(_BOOT_CDF_HEX)
+        )
+        + " ELSE 6 END)"
+    )
+
+
+@query(
+    "agg_bootstrap_ci",
+    family="stats",
+    oracle=f"""
+    WITH w AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS c,
+               {", ".join(f"{_boot_weight_sql(b).replace('AS STRING', 'AS VARCHAR')} AS w{b}" for b in range(BOOT_B))}
+        FROM events
+    ),
+    reps AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               {", ".join(f"CAST(sum(w{b} * c) AS BIGINT) AS sc{b}, CAST(sum(w{b}) AS BIGINT) AS sw{b}" for b in range(BOOT_B))}
+        FROM w
+    ),
+    m AS (
+        SELECT n, s, unnest([{", ".join(f"CAST(sc{b} AS DOUBLE) / sw{b}" for b in range(BOOT_B))}]) AS mb
+        FROM reps
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(CAST(max(s) AS DOUBLE) / max(n) / 100, 6) AS mean_value,
+           round(quantile_cont(mb, 0.025) / 100, 6) AS ci_lo,
+           round(quantile_cont(mb, 0.975) / 100, 6) AS ci_hi,
+           {BOOT_B} AS n_replicates
+    FROM m
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean event
+    value — THE resampling pattern that actually works distributed:
+    classical bootstrap resamples n rows WITH replacement (a shuffle
+    per replicate); Poisson bootstrap gives each row an independent
+    Poisson(1) weight per replicate, so all B replicates come out of
+    ONE streaming pass with map-side partial aggregation and nothing
+    but 2·B counters crossing the shuffle.
+
+    Determinism: weights derive from md5 hex draws against
+    precomputed inverse-CDF thresholds (seedless, partitioning-
+    independent, identical text both engines); replicate sums are
+    exact BIGINTs over integer cents; each replicate mean is one
+    division; the percentile over the B=16 replicate means
+    interpolates identically on identical doubles. At 100 TB this is
+    a single scan; the alternative (B shuffled resamples) is B full
+    repartitions.
+    """
+    e = t(spark, sf_dir, "events")
+    w = e.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        *[F.expr(_boot_weight_sql(b)).alias(f"w{b}") for b in range(BOOT_B)],
+    )
+    reps = w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        *[
+            col
+            for b in range(BOOT_B)
+            for col in (
+                F.sum(F.col(f"w{b}") * F.col("c")).cast("bigint").alias(f"sc{b}"),
+                F.sum(f"w{b}").cast("bigint").alias(f"sw{b}"),
+            )
+        ],
+    )
+    stacked = reps.selectExpr(
+        "n",
+        "s",
+        "stack({}, {}) AS mb".format(
+            BOOT_B,
+            ", ".join(f"CAST(sc{b} AS DOUBLE) / sw{b}" for b in range(BOOT_B)),
+        ),
+    )
+    return stacked.groupBy().agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.max("s").cast("double") / F.max("n") / 100, 6).alias(
+            "mean_value"
+        ),
+        F.round(F.percentile("mb", F.lit(0.025)) / 100, 6).alias("ci_lo"),
+        F.round(F.percentile("mb", F.lit(0.975)) / 100, 6).alias("ci_hi"),
+        F.lit(BOOT_B).alias("n_replicates"),
+    )
