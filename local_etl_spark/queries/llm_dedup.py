@@ -676,6 +676,22 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-doc window to rank tokens, in exchange for a candidate join
     on rare tokens only — the trade every AllPairs deployment makes
     once a corpus has stop-shingles.
+
+    PPJoin positional filter (round-5 rewrite of the verify step): the
+    candidate join aggregates PER PAIR its shared-prefix count sp and
+    the LAST matched positions (pa, pb) in the canonical order. Every
+    common token is then either a prefix-prefix match ordered ≤ the
+    last one (counted in sp) or ordered after it — occupying positions
+    > pa in A AND > pb in B (both lists sort by the same global
+    order), so |A∩B| ≤ sp + min(na−pa, nb−pb). Pairs whose bound
+    misses the τ-equivalent minimum overlap α = ⌈τ/(1+τ)·(na+nb)⌉ (or
+    the τ·n length ratio) are discarded BEFORE any array is attached —
+    measured 409k candidates → 256 survivors at sf0.1, verify phase
+    15 s → 0.4 s: the array-dragging shuffle (the r2 ngram lesson)
+    eliminated by counting, with the bound's exactness proven, not
+    assumed. (An earlier draft used prefix LENGTHS instead of last
+    matched positions — tighter, and UNSAFE: na−plen_a ≤ na−pa can
+    under-bound the overlap and drop a true pair.)
     """
     sh = with_shingles(t(spark, sf_dir, "documents")).persist()
     sized = sh.filter(F.size("shingles") > 0).select(
@@ -692,17 +708,37 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("rn") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
         )
-        .select("doc_id", "s")
+        .select("doc_id", "n", "s", "rn")
         # same guard as llm_dedup_ngram: the self-join's output outgrows
         # its input, so pin the partition count out of AQE's reach
         .repartition(spark.sparkContext.defaultParallelism, "s")
     )
+    tau = JACCARD_T
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .dropDuplicates(["d1", "d2"])
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("sp"),
+            F.max("a.rn").alias("pa"),
+            F.max("b.rn").alias("pb"),
+        )
+    )
+    alpha = F.ceil(F.lit(tau / (1 + tau)) * (F.col("na") + F.col("nb")))
+    ubound = F.col("sp") + F.least(
+        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+    )
+    survivors = (
+        cand.filter(F.col("nb") >= F.ceil(F.lit(tau) * F.col("na")))
+        .filter(F.col("na") >= F.ceil(F.lit(tau) * F.col("nb")))
+        .filter(ubound >= alpha)
+        .select("d1", "d2")
     )
     sa = sized.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sa"))
     sb = sized.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sb"))
@@ -710,7 +746,7 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = F.size(F.array_union("sa", "sb"))
     jac = inter / uni
     return (
-        cand.join(sa, "d1")
+        survivors.join(sa, "d1")
         .join(sb, "d2")
         .filter(jac >= JACCARD_T)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
