@@ -26,6 +26,10 @@ from local_etl_spark.registry import query
 
 DAMPING = 0.85
 N_ITER = 12
+# broadcast the per-iteration rank vector while it plausibly fits an
+# executor (~16 B/node → ~32 MB at the cap); past this the shuffle
+# join takes over (see graph_pagerank body)
+PR_BROADCAST_MAX_NODES = 2_000_000
 
 
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,9 +95,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = norm.select(F.col("a").alias("node")).distinct().persist()
     n_nodes = nodes.count()  # model-sized scalar (drives the teleport term)
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint()
+    # rank-vector join strategy is SIZE-GATED (the llm_tfidf pattern):
+    # below the threshold the per-iteration rank vector broadcasts
+    # (~16 B/node), so the EDGE LIST — the big side — never shuffles
+    # for the join at all and each iteration is one map-side join +
+    # one node-keyed aggregate (A/B at sf0.1: 16.0 → 10.7 s).
+    # Past the threshold (a rank vector too big to ship) the plain
+    # shuffle join remains, which is the 1000-executor shape anyway.
+    broadcast_ranks = n_nodes <= PR_BROADCAST_MAX_NODES
     for _ in range(N_ITER):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            norm.join(ranks, norm.a == ranks.node)
+            norm.join(r, norm.a == r.node)
             .groupBy(F.col("b").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
         )
