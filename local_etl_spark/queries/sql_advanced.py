@@ -617,3 +617,49 @@ def sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "gcol": "o_orderpriority", "kcol": "o_orderkey"},
     )
+
+
+@query(
+    "sql_window_clause",
+    family="sql",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,6))
+                 - CAST(first_value(o_totalprice) OVER w AS DECIMAL(18,6)),
+                 2) AS DOUBLE) AS delta_vs_best
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+                 o_orderkey)
+    """,
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (SQL:2003): one window definition shared by
+    three window functions — the deduplication feature that keeps
+    real analytics SQL maintainable (and guarantees all three
+    functions see the IDENTICAL frame, where copy-pasted OVER(...)
+    clauses drift apart). Spark and DuckDB share the syntax verbatim.
+
+    Plan: all three functions evaluate in ONE WindowExec over one
+    exchange — the named clause is resolved at analysis time, not a
+    per-function window. delta stays in exact DECIMAL (2dp inputs).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(count(*) OVER w AS BIGINT) AS n_orders,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,6))
+                     - CAST(first_value(o_totalprice) OVER w AS DECIMAL(18,6)),
+                     2) AS DOUBLE) AS delta_vs_best
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+                     o_orderkey)
+        """
+    )
