@@ -1068,3 +1068,66 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_p", 6).alias("score"),
         F.when(F.col("_p") >= 0.5, 1).otherwise(0).alias("predicted"),
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_ngram_novelty",
+    family="llm",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        FROM w WHERE len(ws) >= 3
+    ),
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS novelty
+    FROM sh JOIN dfreq ON sh.s = dfreq.s
+    GROUP BY sh.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word-3-grams that occur in NO other document — the curation signal
+    that separates generic/boilerplate-heavy documents (low novelty)
+    from unique content worth upweighting (the inverse of what the
+    dedup family removes; curriculum/mixing consumes it as a score,
+    not a drop decision).
+
+    Scale: the same df-capped-index machinery class as llm_dedup_ngram
+    but with NO pair join at all — one shingle exchange builds
+    document frequencies, one co-keyed join + doc-keyed aggregate
+    scores every document. A df of 1 is exact by definition
+    (count-distinct-free). Determinism: counts and one int division.
+    """
+    from local_etl_spark.queries.llm_dedup import with_shingles
+
+    sh = with_shingles(t(spark, sf_dir, "documents")).persist()
+    posting = sh.filter(F.size("shingles") > 0).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    dfreq = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        posting.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") * F.lit(1.0) / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -1396,3 +1396,90 @@ def win_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s_mean, 6).alias("seasonal"),
         F.round(F.col("d3") / 300.0 - s_mean, 6).alias("residual"),
     )
+
+
+@query(
+    "win_mann_kendall",
+    family="windows",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s
+        FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    ties AS (
+        SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+               CAST(sum(t) AS BIGINT) AS n
+        FROM (SELECT count(*) AS t FROM daily GROUP BY c)
+    )
+    SELECT n, s,
+           round((CASE WHEN s > 0 THEN s - 1.0
+                       WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
+                 / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                         - tie_term) / 18), 6) AS z
+    FROM pairs CROSS JOIN ties
+    """,
+)
+def win_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on daily revenue — the nonparametric
+    'is this series drifting' detector next to win_cusum's changepoint
+    and win_seasonal_decompose's rhythm split: S = Σ over ordered day
+    pairs of sign(later − earlier), z with the standard tie-corrected
+    variance and continuity correction.
+
+    Determinism: daily values are exact integer cents; S and the tie
+    term are exact BIGINT aggregates (sign() over integer compares);
+    the z chain is one fixed double expression. Scale: the day-pair
+    self-join is over the CALENDAR-BOUNDED day grid (30 days → 435
+    pairs; even a decade is ~6.7M pairs — grid-sized, never
+    data-sized), the one place a quadratic join is genuinely safe;
+    the corpus-sized work is the single day-grain aggregate.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    ).persist()
+    a = daily.select(F.col("day").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("bigint").alias("tie_term"),
+            F.sum("t").cast("bigint").alias("n"),
+        )
+    )
+    return pairs.crossJoin(ties).select(
+        "n",
+        "s",
+        F.expr(
+            "round((CASE WHEN s > 0 THEN s - 1.0"
+            "             WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)"
+            " / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)"
+            "         - tie_term) / 18), 6)"
+        ).alias("z"),
+    )

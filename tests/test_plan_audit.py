@@ -32,6 +32,8 @@ SPECS = sorted(registry.REGISTRY.values(), key=lambda s: s.name)
 ALLOW_NESTED_LOOP = {
     "join_cross",  # cartesian by definition
     "join_theta",  # non-equi inequality join (BNLJ w/ broadcast)
+    "win_mann_kendall",  # day-pair sign join over the CALENDAR-BOUNDED
+    # day grid (~n_days² pairs, grid-sized, never data-sized)
     "join_asof",  # union trick keeps it equi, but guard the alternative
     "llm_knn_join",  # bounded query-side broadcast enumeration
     "llm_hard_negatives",  # same shape: anchor-side broadcast enumeration
