@@ -236,7 +236,7 @@ def _nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangles",
     family="graph",
     oracle=f"""
-    WITH e AS ({_NATION_EDGES_SQL}
+    WITH e AS MATERIALIZED ({_NATION_EDGES_SQL}
     ),
     tri AS (
         SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -295,7 +295,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_jaccard",
     family="graph",
     oracle=f"""
-    WITH e AS ({_NATION_EDGES_SQL}
+    WITH e AS MATERIALIZED ({_NATION_EDGES_SQL}
     ),
     adj AS (
         SELECT a AS u, b AS n FROM e
@@ -483,4 +483,90 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("core_k", F.lit(KCORE_K))
         .orderBy("node")
+    )
+
+
+@query(
+    "graph_link_predict",
+    family="graph",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_NATION_EDGES_SQL}
+    ),
+    adj AS (
+        SELECT a AS u, b AS n FROM e
+        UNION ALL
+        SELECT b AS u, a AS n FROM e
+    ),
+    deg AS (
+        SELECT u, count(*) AS d FROM adj GROUP BY u
+    ),
+    wedge AS (
+        SELECT x.u AS u, y.u AS v, x.n AS n, dn.d AS dn
+        FROM adj x
+        JOIN adj y ON x.n = y.n AND x.u < y.u
+        JOIN deg dn ON dn.u = x.n
+    )
+    SELECT u AS node_a, v AS node_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           round(list_sum(list(1.0 / ln(CAST(dn AS DOUBLE)) ORDER BY n)), 6)
+               AS adamic_adar,
+           round(list_sum(list(1.0 / CAST(dn AS DOUBLE) ORDER BY n)), 6)
+               AS resource_alloc
+    FROM wedge GROUP BY u, v
+    """,
+)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores for every wedge-connected nation pair:
+    Adamic–Adar (Σ 1/ln deg(n) over common neighbors — rare shared
+    partners count more) and Resource Allocation (Σ 1/deg(n), the
+    stronger empirical predictor) — the classic 'who trades next'
+    features next to graph_jaccard's structural overlap.
+
+    Determinism: both scores are multi-term double sums, so each pair
+    folds its common-neighbor terms in EXPLICIT neighbor order — the
+    established list_sum(list(x ORDER BY n)) ≡
+    aggregate(array_sort(collect_list(struct(n, x)))) identity; ln is
+    engine-agreeing on this corpus exactly as agg_entropy's oracle
+    already proves. A common neighbor always has degree ≥ 2, so
+    1/ln(d) is never 1/0. Scale: the same wedge enumeration as
+    graph_jaccard (Σ deg² — cap hubs on power-law graphs, the
+    documented df-cap analogue), plus one broadcast degree join.
+    """
+    e = _nation_edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("n"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("n")))
+        .persist()
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    wedge = (
+        x.join(y, (F.col("x.n") == F.col("y.n")) & (F.col("x.u") < F.col("y.u")))
+        .join(
+            F.broadcast(deg.select(F.col("u").alias("_n"), F.col("d").alias("dn"))),
+            F.col("x.n") == F.col("_n"),
+        )
+        .select(
+            F.col("x.u").alias("u"),
+            F.col("y.u").alias("v"),
+            F.col("x.n").alias("n"),
+            "dn",
+        )
+    )
+    aa_fold = (
+        "aggregate(transform(array_sort(collect_list(struct(n, dn))),"
+        " s -> 1.0 / ln(CAST(s.dn AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    ra_fold = (
+        "aggregate(transform(array_sort(collect_list(struct(n, dn))),"
+        " s -> 1.0 / CAST(s.dn AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    return wedge.groupBy(
+        F.col("u").alias("node_a"), F.col("v").alias("node_b")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.round(F.expr(aa_fold), 6).alias("adamic_adar"),
+        F.round(F.expr(ra_fold), 6).alias("resource_alloc"),
     )
