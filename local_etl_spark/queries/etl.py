@@ -863,3 +863,50 @@ def etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("bigint").alias("min_key"),
         F.max("k").cast("bigint").alias("max_key"),
     )
+
+
+GDPR_MOD = 97  # synthetic deletion-request set: user_id % 97 == 0
+
+
+@query(
+    "etl_gdpr_purge",
+    family="etl",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS rows_before,
+           CAST(sum(CASE WHEN user_id % {GDPR_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_purged,
+           CAST(sum(CASE WHEN user_id % {GDPR_MOD} = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS rows_after,
+           CAST(count(DISTINCT CASE WHEN user_id % {GDPR_MOD} = 0
+                                    THEN user_id END) AS BIGINT)
+               AS subjects_erased
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def etl_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure purge audit: given a deletion-request set (a
+    deterministic synthetic slice of users), report per event type how
+    many rows the purge removes and how many data subjects it erases —
+    the audit record a GDPR/CCPA deletion job must emit alongside the
+    rewritten data.
+
+    Scale shape: the request set arrives as a broadcast semi/anti key
+    set (here an arithmetic predicate standing in for it); the purge
+    itself is ONE partition-preserving anti-join rewrite of the fact
+    table (cf. sink_dynamic_overwrite for the partition-surgical
+    write), and this audit is one grouped scan with conditional
+    aggregates — before/after counts from the same pass, never two
+    scans. Exact integers throughout.
+    """
+    e = t(spark, sf_dir, "events")
+    is_req = F.col("user_id") % GDPR_MOD == 0
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_before"),
+        F.sum(F.when(is_req, 1).otherwise(0)).cast("bigint").alias("rows_purged"),
+        F.sum(F.when(is_req, 0).otherwise(1)).cast("bigint").alias("rows_after"),
+        F.countDistinct(F.when(is_req, F.col("user_id")))
+        .cast("bigint")
+        .alias("subjects_erased"),
+    )

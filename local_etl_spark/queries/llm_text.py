@@ -1131,3 +1131,61 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# safety-scan marker lists: deterministic corpus-vocabulary stand-ins —
+# the operator contract is the scanning mechanics (multi-pattern regex
+# flags + corpus rates), not a production blocklist, mirroring
+# LANG_MARKERS' approach to language ID
+INJECTION_RE = "(ignore (all|previous)|system prompt|disregard)"
+CONTACT_RE = "[a-z0-9._]+@[a-z0-9.]+|\\\\+?[0-9][0-9 -]{7,}[0-9]"
+SHOUT_RE = "[A-Z]{6,}"
+
+
+@query(
+    "llm_safety_scan",
+    family="llm",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN regexp_matches(text, '{INJECTION_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_injection,
+           CAST(sum(CASE WHEN regexp_matches(text, '{CONTACT_RE.replace(chr(92)*2, chr(92))}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contact,
+           CAST(sum(CASE WHEN regexp_matches(text, '{SHOUT_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shouting,
+           round(sum(CASE WHEN regexp_matches(text, '{INJECTION_RE}')
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS injection_rate
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_safety_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus safety scan: per language, how many documents trip the
+    prompt-injection, contact-info (email/phone), and shouting
+    heuristics — the cheap regex screening pass that runs BEFORE
+    expensive model-based safety classifiers and decides what fraction
+    of a crawl needs them at all (the llm_pii_scrub operator REDACTS;
+    this one MEASURES, which is what a curation dashboard needs).
+
+    Scale: three compiled regexes per row inside codegen on top of the
+    scan, one lang-keyed aggregate — rates are exact counts and one
+    division. Pattern lists are deterministic corpus-shaped stand-ins
+    (the LANG_MARKERS approach): mechanics are the contract, real
+    blocklists are configuration.
+    """
+    d = t(spark, sf_dir, "documents")
+    inj = F.col("text").rlike(INJECTION_RE)
+    contact = F.col("text").rlike(CONTACT_RE.replace("\\\\", "\\"))
+    shout = F.col("text").rlike(SHOUT_RE)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(inj, 1).otherwise(0)).cast("bigint").alias("n_injection"),
+        F.sum(F.when(contact, 1).otherwise(0)).cast("bigint").alias("n_contact"),
+        F.sum(F.when(shout, 1).otherwise(0)).cast("bigint").alias("n_shouting"),
+        F.round(
+            F.sum(F.when(inj, 1).otherwise(0)) * F.lit(1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("injection_rate"),
+    )
