@@ -467,17 +467,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    n_prev = edges.count()
     for _ in range(KCORE_MAX_ROUNDS):
         deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= KCORE_K).select("a").localCheckpoint()
-        n_before = edges.count()
         edges = (
             edges.join(keep, "a", "semi")
             .join(keep.select(F.col("a").alias("b")), "b", "semi")
             .localCheckpoint()
         )
-        if edges.count() == n_before:
+        # one count job per round: localCheckpoint already materialized
+        # the surviving edges, so this reads cached partition sizes
+        n_now = edges.count()
+        if n_now == n_prev:
             break
+        n_prev = n_now
     return (
         edges.select(F.col("a").alias("node"))
         .distinct()
