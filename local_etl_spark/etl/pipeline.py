@@ -407,25 +407,34 @@ def write_sinks(
     kept = classified.where(keep)
     invalid = classified.where(~F.col("is_valid"))
 
+    # Spark's CSV WRITER defaults ignoreLeading/TrailingWhiteSpace to
+    # TRUE (the reader defaults them false) and silently trims values
+    # like the ' ' a whitespace-only 4-token name produces — Python's
+    # csv.DictWriter writes the bytes verbatim (fuzz round 5b find)
+    _verbatim = {
+        "header": True,
+        "ignoreLeadingWhiteSpace": False,
+        "ignoreTrailingWhiteSpace": False,
+    }
     writes: list = []
     # output sink(s)
     if version == 1:
         out1 = v1_rows(kept, schema)
         writes.append(
             lambda: out1.write.mode("append")
-            .option("header", True)
+            .options(**_verbatim)
             .csv(cfg.path(table.output_file or f"{table.name}.csv"))
         )
     else:
         payload, metadata = v2_rows(kept, schema)
         writes.append(
             lambda: payload.write.mode("append")
-            .option("header", True)
+            .options(**_verbatim)
             .csv(cfg.path(table.payload_file or f"{table.name}.csv"))
         )
         writes.append(
             lambda: metadata.write.mode("append")
-            .option("header", True)
+            .options(**_verbatim)
             .csv(cfg.path(table.metadata_file or "metadata.csv"))
         )
 

@@ -158,6 +158,9 @@ def _invalid_user_docs() -> dict[str, dict]:
         # integral (is_integer() → True) so NOT seeded invalid; but a
         # just-past-2^53 float on a string field renders via repr
         "bad_name_2p53_float.json": u(name=float(2**53) + 2.0),
+        # r5b: empty containers as leaf values — repr prints [] / {}
+        "bad_job_empty_list.json": u(job=[]),
+        "bad_score_empty_obj.json": u(score={}),
     }
 
 
@@ -227,6 +230,16 @@ def _edge_valid_user_docs() -> dict[str, dict]:
         # float extremes (valid "number"): CSV must print Python repr
         "edge_score_1e308.json": u("e9016", score=1e308),
         "edge_score_sci_small.json": u("e9017", score=1.5e-5),
+        # r5b: EMPTY STRING leaves through the name-split and job paths
+        # (''.split(' ') → [''] in Python: 1 token, no prefix/suffix)
+        "edge_name_empty.json": u("e9018", name=""),
+        "edge_job_empty.json": u("e9019", job=""),
+        # whitespace-only name: token splitting on multi-space
+        "edge_name_spaces.json": u("e9020", name="   "),
+        # astral-plane text through the job capitalize path (escaped
+        # surrogate pair decodes to 𝕊, a Mathematical double-struck S
+        # with NO titlecase mapping — must pass through unchanged)
+        "edge_job_astral.json": u("e9021", job="𝕊pecial, effects wizard"),
     }
 
 
@@ -346,6 +359,12 @@ def _raw_valid_user_docs() -> dict[str, str]:
         # positional form, not '9.007199254740992e+15'
         "raw_score_2p53_float.json": u(
             "r9116", '{"id": 9116, %s, "score": 9007199254740992.0}' % base
+        ),
+        # r5b: duplicate key where the FIRST occurrence is the invalid
+        # one — last-wins must resurrect the doc in both parsers
+        "raw_dup_first_invalid.json": u(
+            "r9117", '{"id": "bad", "id": 9117, "id": 9117, %s,'
+            ' "score": 5.0}' % base
         ),
     }
 
