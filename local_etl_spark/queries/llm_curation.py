@@ -1136,3 +1136,67 @@ def llm_tokenizer_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         model, "rank int, piece string, count bigint, logprob double"
     )
+
+
+@query("llm_unigram_apply", family="llm", oracle=None)
+def llm_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize with the learned Unigram-LM model — the apply half of
+    llm_tokenizer_unigram (mirroring llm_bpe_apply): Viterbi-segment
+    every distinct (lang, word) under the trained piece log-probs and
+    report what the vocabulary actually buys per language: distinct
+    words, total pieces, pieces per word, and the fraction of piece
+    mass that is multi-character (the compression the trainer exists
+    to create; 1.0-fertility single-char fallback is the floor).
+
+    Scale: the memoized model (vocab-sized) rides the Arrow closure;
+    segmentation runs once per DISTINCT (lang, word) — the corpus
+    collapses before any Python is involved — and one lang-keyed
+    aggregate finishes. Rows-only; pytest checks exact equality with
+    a driver-side reference walk using the SAME shared _viterbi_segment.
+    """
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    model = _learn_unigram(spark, sf_dir)
+    total = sum(c for _r, _p, c, _l in model)
+    logp = {p: math.log(c / total) for _r, p, c, _l in model}
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select("lang", F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+    @pandas_udf("array<string>")
+    def seg(ws: pd.Series) -> pd.Series:
+        return ws.map(lambda w: _viterbi_segment(w, logp, UNI_MAX_PIECE))
+
+    pieces = words.select(
+        "lang", "freq", F.explode(seg("w")).alias("piece")
+    )
+    return (
+        pieces.groupBy("lang")
+        .agg(
+            F.sum("freq").cast("bigint").alias("total_pieces"),
+            F.sum(F.when(F.length("piece") >= 2, F.col("freq")).otherwise(0))
+            .cast("bigint")
+            .alias("multi_char_pieces"),
+            F.sum(F.length("piece") * F.col("freq")).cast("bigint").alias(
+                "total_chars"
+            ),
+        )
+        .select(
+            "lang",
+            "total_pieces",
+            "multi_char_pieces",
+            F.round(
+                F.col("multi_char_pieces") * F.lit(1.0) / F.col("total_pieces"), 6
+            ).alias("multi_frac"),
+            F.round(
+                F.col("total_chars") * F.lit(1.0) / F.col("total_pieces"), 6
+            ).alias("chars_per_piece"),
+        )
+    )

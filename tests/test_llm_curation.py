@@ -411,3 +411,50 @@ def test_unigram_tokenizer_matches_python_reference(spark):
     # the trainer actually compressed: multi-char pieces carry real mass
     multi_mass = sum(c for _r, p, c, _l in got if len(p) >= 2)
     assert multi_mass > 0 and len(got) <= UNI_VOCAB + len(chars)
+
+
+def test_unigram_apply_matches_reference_walk(spark):
+    """llm_unigram_apply's per-lang stats must equal a driver-side walk
+    segmenting the same (lang, word, freq) table with the SAME shared
+    _viterbi_segment under the same memoized model."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries._util import t
+    from local_etl_spark.queries.llm_curation import (
+        UNI_MAX_PIECE,
+        _learn_unigram,
+        _viterbi_segment,
+    )
+    from local_etl_spark.registry import get
+
+    sf = "/root/testdata/sf0.01"
+    model = _learn_unigram(spark, sf)
+    total = sum(c for _r, _p, c, _l in model)
+    logp = {p: math.log(c / total) for _r, p, c, _l in model}
+    words = (
+        t(spark, sf, "documents")
+        .select("lang", F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .count()
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, 0, 0])  # pieces, multi, chars
+    for r in words:
+        seg = _viterbi_segment(r["w"], logp, UNI_MAX_PIECE)
+        a = agg[r["lang"]]
+        a[0] += len(seg) * r["count"]
+        a[1] += sum(1 for p in seg if len(p) >= 2) * r["count"]
+        a[2] += sum(len(p) for p in seg) * r["count"]
+    got = {r["lang"]: r for r in get("llm_unigram_apply").fn(spark, sf).collect()}
+    assert set(got) == set(agg)
+    for lang, (tp, mc, ch) in agg.items():
+        g = got[lang]
+        assert (g["total_pieces"], g["multi_char_pieces"]) == (tp, mc), lang
+        assert g["multi_frac"] == round(mc * 1.0 / tp, 6)
+        assert g["chars_per_piece"] == round(ch * 1.0 / tp, 6)
+    # compression exists: multi-char pieces carry real mass somewhere
+    assert any(r["multi_frac"] > 0 for r in got.values())

@@ -83,6 +83,10 @@ ALLOW_PYTHON = {
     # (KBs) inside mapInPandas — there is no JVM surface for parquet
     # metadata, and the row data is never touched
     "scan_parquet_footer",
+    # per-word Viterbi DP with the vocab-sized model in the Arrow
+    # closure — inherently sequential per word, runs once per DISTINCT
+    # (lang, word), the same contract as the unigram trainer's E-step
+    "llm_unigram_apply",
 }
 
 
