@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from local_etl_spark.queries._util import dec, dsum, t
+from local_etl_spark.queries._util import dec, dsum, ordered_prefix, t
 from local_etl_spark.registry import query
 
 
@@ -1482,4 +1482,72 @@ def win_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)"
             "         - tie_term) / 18), 6)"
         ).alias("z"),
+    )
+
+
+@query(
+    "win_skyline",
+    family="windows",
+    oracle="""
+    WITH lv AS (
+        SELECT o_totalprice AS p, max(o_orderdate) AS dmax
+        FROM orders GROUP BY 1
+    ),
+    pr AS (
+        SELECT p, dmax,
+               max(dmax) OVER (ORDER BY p DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS hi
+        FROM lv
+    )
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN pr ON o.o_totalprice = pr.p
+    WHERE (pr.hi IS NULL OR o.o_orderdate > pr.hi)
+      AND o.o_orderdate = pr.dmax
+    """,
+)
+def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of orders on (price, recency): keep
+    every order no other order beats on BOTH dimensions — B dominates
+    A iff B.price ≥ A.price, B.date ≥ A.date, and at least one is
+    strict. The multi-criteria shortlist primitive (best
+    price-vs-freshness trade-offs) that a naive formulation writes as
+    an O(n²) NOT EXISTS self-join.
+
+    Sort-based linear form: collapse to DISTINCT price levels with
+    each level's max date, take the EXCLUSIVE running max date over
+    strictly-higher prices (ordered_prefix in descending price order —
+    range-partitioned, never a one-task window; the exclusive shift is
+    a rank self-join on the level table), then one co-keyed join back:
+    a row survives iff its date beats every higher price's best date
+    AND is its own price level's best. Equal (price, date) twins
+    don't dominate each other and all survive. Levels are
+    price-cardinality-sized (grid, not data); the only corpus-sized
+    ops are one groupBy and one join.
+    tests/test_llm_pipeline.py::test_skyline_matches_dominance_scan
+    checks the output against a brute-force dominance scan.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    lv = o.groupBy(F.col("o_totalprice").alias("p")).agg(
+        F.max("o_orderdate").alias("dmax")
+    )
+    pref, _n = ordered_prefix(
+        lv,
+        [F.col("p").desc()],
+        rank_col="rk",
+        prefix=(("dmax", "max", "run_incl"),),
+    )
+    prev = pref.select(
+        (F.col("rk") + 1).alias("rk"), F.col("run_incl").alias("hi")
+    )
+    levels = pref.select("p", "dmax", "rk").join(prev, "rk", "left")
+    return (
+        o.join(levels, o.o_totalprice == levels.p)
+        .filter(
+            (F.col("hi").isNull() | (F.col("o_orderdate") > F.col("hi")))
+            & (F.col("o_orderdate") == F.col("dmax"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
     )

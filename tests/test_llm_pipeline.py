@@ -148,3 +148,32 @@ def test_quality_classifier_matches_numpy(spark):
     p = 1.0 / (1.0 + np.exp(-(X @ w)))
     loss = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
     assert loss < np.log(2)
+
+
+def test_skyline_matches_dominance_scan(spark):
+    """win_skyline must equal a brute-force dominance scan: an order
+    survives iff no other order is >= on both (price, date) with at
+    least one strict inequality."""
+    from local_etl_spark.queries._util import t
+    from local_etl_spark.registry import get
+
+    sf = "/root/testdata/sf0.001"
+    rows = [
+        (r["o_orderkey"], r["o_totalprice"], r["o_orderdate"])
+        for r in t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .collect()
+    ]
+    want = set()
+    for k, p, d in rows:
+        dominated = any(
+            (p2 >= p and d2 >= d and (p2 > p or d2 > d))
+            for _k2, p2, d2 in rows
+        )
+        if not dominated:
+            want.add(k)
+    got = {
+        r["o_orderkey"] for r in get("win_skyline").fn(spark, sf).collect()
+    }
+    assert got == want
+    assert got, "skyline unexpectedly empty"
