@@ -1168,3 +1168,87 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("mb", F.lit(0.975)) / 100, 6).alias("ci_hi"),
         F.lit(BOOT_B).alias("n_replicates"),
     )
+
+
+RFM_K = 4  # quartile scores per dimension
+
+
+@query(
+    "agg_rfm_segments",
+    family="stats",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_date,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                    AS DECIMAL(28,6)) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, monetary,
+               ntile({RFM_K}) OVER (ORDER BY last_date, o_custkey) AS r,
+               ntile({RFM_K}) OVER (ORDER BY n_orders, o_custkey) AS f,
+               ntile({RFM_K}) OVER (ORDER BY monetary, o_custkey) AS m
+        FROM cust
+    )
+    SELECT CAST(r AS INT) AS r_score, CAST(f AS INT) AS f_score,
+           CAST(m AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(CAST(monetary AS DECIMAL(18,6))) / count(*), 6)
+                AS DOUBLE) AS avg_monetary
+    FROM scored
+    GROUP BY r, f, m
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores on Recency (last
+    order date), Frequency (order count) and Monetary (exact-decimal
+    revenue), rolled up to the 4×4×4 segment grid with sizes and
+    average spend — the canonical marketing-analytics cube
+    ('champions' = 444, 'at risk' = 1x4).
+
+    Scale shape: global quartiles WITHOUT a one-task window — each
+    dimension takes one ``ordered_prefix`` pass (range-partitioned
+    exact global ranks over the CUSTOMER-level table) and
+    ``_ntile_from_rank`` turns ranks into SQL-standard ntile buckets
+    map-side; total-order tiebreak (measure, custkey) makes both
+    engines' tile assignment identical. Three customer-sized range
+    shuffles + one 64-cell rollup; the fact table is scanned once.
+    """
+    cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_date"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum(dec("o_totalprice")).alias("monetary"),
+        )
+        .persist()
+    )
+    scored = cust.select("o_custkey", "monetary")
+    for dim, order in (
+        ("r", ["last_date", "o_custkey"]),
+        ("f", ["n_orders", "o_custkey"]),
+        ("m", ["monetary", "o_custkey"]),
+    ):
+        rk, n = ordered_prefix(
+            cust.select("o_custkey", *order[:1]), order, rank_col="_rk"
+        )
+        tile = rk.select(
+            "o_custkey", _ntile_from_rank("_rk", n, RFM_K).alias(dim)
+        )
+        scored = scored.join(tile, "o_custkey")
+    return (
+        scored.groupBy(
+            F.col("r").alias("r_score"),
+            F.col("f").alias("f_score"),
+            F.col("m").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum(dec("monetary")) / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("avg_monetary"),
+        )
+    )
