@@ -1559,3 +1559,39 @@ def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bucket").cast("bigint").alias("bucket_sum"),
         )
     )
+
+
+@query(
+    "scan_json_variant",
+    family="scans",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less JSON ingestion as ONE VARIANT column (Spark 4's
+    ``singleVariantColumn`` reader mode): every document lands as a
+    semi-structured value with NO inference pass and NO declared
+    schema, and fields are projected out lazily with variant_get —
+    the open-schema landing-zone pattern (ingest first, type later)
+    that schema-on-read lakes run on. Compare scan_json: same bytes,
+    but there the schema is fixed at read time; here adding a field
+    upstream changes nothing about ingestion.
+
+    The typed projection casts recover the exact original values
+    (oracle = the source nation view), proving the round trip through
+    variant encoding is lossless. Scale: variant decode is columnar
+    and pushdown-friendly (variant_get shredding); the scan stays
+    splittable JSONL.
+    """
+    path = _materialize(
+        t(spark, sf_dir, "nation"), _cache_dir(sf_dir, "nation_json"), "json"
+    )
+    raw = (
+        spark.read.option("singleVariantColumn", "v").json(path)
+    )
+    return raw.select(
+        F.variant_get(F.col("v"), "$.n_nationkey", "int").alias("n_nationkey"),
+        F.variant_get(F.col("v"), "$.n_name", "string").alias("n_name"),
+        F.variant_get(F.col("v"), "$.n_regionkey", "int").alias("n_regionkey"),
+    )
