@@ -39,6 +39,7 @@ from local_etl_spark.etl.validate import (
     CLASS_VALID,
     compiled_validity_leaves,
     _pythonize_message,
+    float_head_token,
     leaf_exprs,
     render_typed,
 )
@@ -193,23 +194,35 @@ def classify(docs: DataFrame, schema: EnvelopeSchema) -> DataFrame:
          every branch — bigger codegen, slower janino compile, more
          per-row work);
       2. the compiled ~40-branch error_msg CASE over those leaves;
-      3. class/validity derived from error_msg (one copy of the CASE
+      3. the leading float token of the message, bound as its own
+         attribute — _py_float_text references its input ~40× across
+         CASE branches (branches defeat codegen subexpr elimination),
+         so an inlined regexp_extract token re-embeds the extract per
+         reference and blows janino's 64 KB method limit (the round-5
+         regression: silent interpreted fallback of this projection);
+      4. class/validity derived from error_msg (one copy of the CASE
          instead of four), DROPPING the leaf columns so the persisted
          classification stays slim (caching ~26 variant leaves per row
          measurably slows materialization). The Python float-repr
          rewrite of the message's leading token also happens here —
-         over the plain error_msg COLUMN, so the big CASE is never
-         re-referenced (validate._pythonize_message docstring).
+         over the plain error_msg/token COLUMNS, so the big CASE is
+         never re-referenced (validate._pythonize_message docstring).
     """
     leaves = leaf_exprs(schema)
     val = compiled_validity_leaves(schema)
-    staged = docs.select("*", *[c.alias(n) for n, c in leaves]).select(
-        "*", val.error_msg.alias("error_msg")
-    )
     msg = F.col("error_msg")
+    staged = (
+        docs.select("*", *[c.alias(n) for n, c in leaves])
+        .select("*", val.error_msg.alias("error_msg"))
+        .select(
+            *docs.columns,
+            "error_msg",
+            float_head_token(msg).alias("_msg_token"),
+        )
+    )
     return staged.select(
         *docs.columns,
-        _pythonize_message(msg).alias("error_msg"),
+        _pythonize_message(msg, F.col("_msg_token")).alias("error_msg"),
         F.when(F.col("v").isNull(), CLASS_CORRUPT)
         .when(msg.isNull(), CLASS_VALID)
         .when(msg.contains("is a required property"), CLASS_MISSING)

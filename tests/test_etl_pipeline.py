@@ -367,3 +367,55 @@ def test_negative_zero_sign_divergence(spark):
     ).first()
     assert row["csv_form"] == "0.0"  # engine-defined; Python says -0.0
     assert row["msg_form"] == "0.0"
+
+
+def test_classify_and_renders_stay_codegen_compiled(etl_run, spark):
+    """Regression guard for the janino 64 KB blowup (VERDICT r5 #1).
+
+    Round 5 grew _py_float_text past the point where _pythonize_message
+    — which inlined its regexp_extract token into ~40 CASE branches —
+    compiled: janino raised `Code grows beyond 64 KB` and the WHOLE
+    classify projection silently fell back to interpreted eval on the
+    flagship ingest path (semantically identical, so every green test
+    stayed green; the only witness was an ERROR line in the bench
+    stderr). With spark.sql.codegen.fallback=false a compile failure in
+    any whole-stage subtree rethrows instead, so the next blowup fails
+    THIS test loudly. Exercises classify + both sink row projections +
+    the error-log render for both reference envelope schemas.
+    """
+    from local_etl_spark.etl.pipeline import (
+        classify,
+        error_log_lines,
+        read_event_docs,
+        v1_rows,
+        v2_rows,
+    )
+    from local_etl_spark.etl.schema_translate import load_schema
+
+    base, cfg, _, _ = etl_run
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for table in cfg.tables:
+            schema = load_schema(cfg.path(table.schema_file))
+            docs = read_event_docs(spark, cfg.path(table.data_dir))
+            # persist like run_table does: the sink reads are filtered
+            # scans of the InMemoryRelation. WITHOUT the barrier, filter
+            # pushdown substitutes the full is_valid CASE into the sink
+            # predicates (the known pushdown-undoes-barriers gotcha) and
+            # the collapsed plan legitimately exceeds 64 KB — that shape
+            # never executes in the product.
+            classified = classify(docs, schema).persist()
+            try:
+                classified.collect()
+                v1_rows(classified, schema).collect()
+                payload, metadata = v2_rows(classified, schema)
+                payload.collect()
+                metadata.collect()
+                error_log_lines(
+                    classified.where(~classified.is_valid)
+                ).collect()
+            finally:
+                classified.unpersist()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)

@@ -20,7 +20,7 @@ except ImportError:  # pragma: no cover
 from pyspark.sql import functions as F
 
 from local_etl_spark.etl.schema_translate import load_schema
-from local_etl_spark.etl.validate import compile_validity
+from local_etl_spark.etl.validate import _pythonize_message, compile_validity
 
 USERS_SCHEMA = "/root/reference/user-events-schema.json"
 CARDS_SCHEMA = "/root/reference/card-events-schema.json"
@@ -96,8 +96,12 @@ def test_validity_matches_jsonschema(spark, schema_path, md, pl):
         "raw", F.try_parse_json("raw").alias("v")
     )
     val = compile_validity(schema, F.col("v"))
+    # Validity.error_msg is pre-finish text (Java float heads, raw JSON
+    # container heads); _pythonize_message is the documented finisher
+    # classify() applies before the message reaches any sink
     got = df.select(
-        val.is_valid.alias("ok"), val.error_msg.alias("msg")
+        val.is_valid.alias("ok"),
+        _pythonize_message(val.error_msg).alias("msg"),
     ).collect()
 
     for raw, (exp_ok, exp_msg), row in zip(raws, expected, got):
