@@ -121,32 +121,66 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
     "stream_full_outer_join", "stream_static_join",
     "stream_trigger_availablenow", "win_attribution", "win_drawdown",
     "win_ewma", "win_retention_cohort", "win_streaks",
+    # round 5 (CORRECTNESS_r05.json — all 50 green, all first-evers)
+    "agg_anova", "agg_autocorr", "agg_bootstrap_ci", "agg_corr_matrix",
+    "agg_entropy", "agg_histogram_equidepth", "agg_ks_test",
+    "agg_mann_whitney", "agg_outlier_mad", "agg_skew_kurtosis",
+    "agg_theil", "agg_weighted_median", "etl_gdpr_purge",
+    "etl_outlier_iqr", "fn_regexp", "graph_link_predict",
+    "join_asof_nearest", "join_asof_tolerance", "join_bucketed",
+    "join_null_safe", "join_range_banded", "join_scd2_pit",
+    "join_skew_salted", "llm_dedup_exact", "llm_dedup_ngram",
+    "llm_embed_quantize", "llm_fim_transform", "llm_hard_negatives",
+    "llm_knn_join", "llm_simsearch", "scan_observe",
+    "scan_parquet_bloomfilter", "scan_recursive_glob", "scan_xml",
+    "sink_codec", "sink_dynamic_overwrite", "sink_rebalance",
+    "sql_q17", "sql_q18", "sql_q19", "sql_q20", "sql_q21", "sql_q22",
+    "stream_session_dynamic", "win_gap_fill", "win_interpolate",
+    "win_period_over_period", "win_sessionize", "win_topn_ties",
+    "win_zscore",
 })
 
 # Queries whose LAST driver-recorded status is a failure that has since
 # been fixed — banked first so the corrections land in the next
-# CORRECTNESS ledger regardless of prefix depth. Empty for round 5:
-# round 4 produced zero driver crashes (agg_collect/fn_map re-presented
-# green in r4 and now live in DRIVER_CHECKED).
+# CORRECTNESS ledger regardless of prefix depth. Empty for round 6:
+# round 5 produced zero driver failures (50/50 green).
 FIXED_THIS_ROUND: tuple[str, ...] = ()
 
-# Rows-only queries re-presented once so the ledger records a clean
-# rows-only check. Empty for round 5: the four r1 `no_oracle` entries
-# were re-presented in r4 and recorded with row counts.
-ROWS_ONLY_REPRESENT: tuple[str, ...] = ()
+# Rows-only queries re-presented so the ledger records a clean
+# rows-only (spark_rows) check — 24 rows-only ops have never produced a
+# driver record (VERDICT r5 #3). Round-6 slice: the judge's named set
+# (trainers, sketch, kcore, media trio); rotate the remaining 17 in r7+.
+ROWS_ONLY_REPRESENT: tuple[str, ...] = (
+    "llm_tokenizer_unigram",
+    "llm_quality_classifier",
+    "agg_count_min_sketch",
+    "graph_kcore",
+    "llm_media_decode",
+    "llm_media_resize",
+    "llm_media_framesample",
+)
+
+# The driver verifies this many registry-prefix entries per round.
+DRIVER_PREFIX = 50
+
+# Families the current verdict asks to front-load inside the fresh
+# block (VERDICT r5 #2: the `sql` family is the largest never-checked
+# cluster — close it out entirely this round).
+_PRIORITY_FAMILIES: tuple[str, ...] = ("sql",)
 
 
 def _presentation_order() -> list[str]:
     """Registry order as presented to the driver.
 
-    The driver verifies a bounded prefix of the registration order (~50
-    entries per round), so the prefix should (a) bank this round's fixes
-    first, (b) re-present the few rows-only entries whose ledger rows
-    still carry `no_oracle` error strings (one-time, VERDICT r3 #7),
-    (c) then cover SQL-oracled queries the driver has NEVER checked,
-    family-round-robin so the prefix samples the whole surface, before
-    (d) re-verifying already-green ones. Remaining rows-only queries go
-    last — they can never produce a hash-green correctness row.
+    The driver verifies a bounded prefix of the registration order
+    (DRIVER_PREFIX entries per round), so the prefix should (a) bank
+    this round's fixes first, (b) cover SQL-oracled queries the driver
+    has NEVER checked — priority families whole, the rest family-round-
+    robin so the prefix samples the surface, (c) spend the prefix TAIL
+    on rows-only re-presents so each gets a driver `spark_rows` record
+    (VERDICT r5 #3), then (d) re-verify already-green ones. Remaining
+    rows-only queries go last — they can never produce a hash-green
+    correctness row.
     """
     fixed = [n for n in FIXED_THIS_ROUND if n in REGISTRY]
     represent = [n for n in ROWS_ONLY_REPRESENT if n in REGISTRY]
@@ -178,10 +212,18 @@ def _presentation_order() -> list[str]:
             queues = next_queues
         return out
 
+    priority = [
+        n
+        for fam in _PRIORITY_FAMILIES
+        for n in sorted(fresh.pop(fam, []))
+    ]
+    ordered_fresh = priority + round_robin(fresh)
+    head_len = max(0, DRIVER_PREFIX - len(fixed) - len(represent))
     return (
         fixed
+        + ordered_fresh[:head_len]
         + represent
-        + round_robin(fresh)
+        + ordered_fresh[head_len:]
         + round_robin(rechecks)
         + round_robin(rows_only)
     )

@@ -22,26 +22,41 @@ def test_format_duration_full_units():
 
 
 def test_presentation_prefix_prioritizes_unverified():
-    """The driver verifies ~the first 50 presentation entries. The
-    prefix must (a) lead with this round's fixes, (b) re-present the
-    rows-only entries whose ledger still shows `no_oracle` errors, and
-    (c) fill the rest with SQL-oracled queries the driver has never
-    checked — re-verifying known greens wastes the bounded correctness
-    window (VERDICT r3 item 1)."""
+    """The driver verifies the first DRIVER_PREFIX presentation entries.
+    The prefix must (a) lead with this round's fixes, (b) fill with
+    SQL-oracled queries the driver has never checked (priority families
+    whole — VERDICT r5 #2 wants the sql family closed out), and (c)
+    spend the TAIL on rows-only re-presents so each gets a driver
+    spark_rows record (VERDICT r5 #3) — re-verifying known greens
+    wastes the bounded correctness window (VERDICT r3 item 1)."""
     from local_etl_spark import registry
 
     registry._load_all_modules()
     order = registry._presentation_order()
     assert len(order) == len(registry.REGISTRY)
     assert len(set(order)) == len(order)
-    prefix = order[:50]
-    head = list(registry.FIXED_THIS_ROUND) + list(registry.ROWS_ONLY_REPRESENT)
-    assert list(prefix[: len(head)]) == [n for n in head if n in registry.REGISTRY]
-    # everything after the explicit head is SQL-oracled, never-checked
-    tail = prefix[len(head):]
-    assert all(registry.REGISTRY[n].oracle for n in tail)
-    fresh = [n for n in tail if n not in registry.DRIVER_CHECKED]
+    prefix = order[: registry.DRIVER_PREFIX]
+    fixed = [n for n in registry.FIXED_THIS_ROUND if n in registry.REGISTRY]
+    represent = [
+        n for n in registry.ROWS_ONLY_REPRESENT if n in registry.REGISTRY
+    ]
+    assert prefix[: len(fixed)] == fixed
+    # rows-only re-presents sit at the prefix TAIL
+    if represent:
+        assert prefix[-len(represent):] == represent
+    # everything between is SQL-oracled and NEVER driver-checked
+    mid = prefix[len(fixed): len(prefix) - len(represent)]
+    assert all(registry.REGISTRY[n].oracle for n in mid)
+    fresh = [n for n in mid if n not in registry.DRIVER_CHECKED]
+    assert len(fresh) == len(mid), "recheck leaked into the fresh block"
     assert len(fresh) >= 40, f"only {len(fresh)} never-checked in prefix"
+    # priority families are exhausted before any other fresh entry
+    for fam in registry._PRIORITY_FAMILIES:
+        fam_fresh_all = [
+            n for n, s in registry.REGISTRY.items()
+            if s.oracle and s.family == fam and n not in registry.DRIVER_CHECKED
+        ]
+        assert set(fam_fresh_all) <= set(mid), f"{fam} not closed out"
     # remaining rows-only entries must come last
     rows_only_tail = [
         n for n in order
