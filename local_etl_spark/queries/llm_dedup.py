@@ -44,6 +44,13 @@ from local_etl_spark.registry import query
 JACCARD_T = 0.5
 DF_CAP = 256  # drop postings for shingles appearing in more docs than this
 COSINE_T = 0.4
+
+# llm_dedup_embed's exact all-pairs path is O(n²) by construction —
+# above this vector count it routes through multi-probe IVF cell
+# blocking instead (VERDICT r5 #4; mirrors graph.PR_BROADCAST_MAX_NODES).
+# Every sf test corpus (≤2k vectors) sits far below the gate.
+EMBED_ALLPAIRS_MAX_VECTORS = 20_000
+EMBED_CELL_PROBES = 4
 N_PERM = 64
 N_BANDS = 16  # 4 rows per band
 HAMMING_T = 5  # true near-dups in this corpus sit at ≤5; random mass ≥9
@@ -531,19 +538,41 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, all-pairs).
+    """Embedding-cosine near-dup pairs (exact below the size gate,
+    IVF-cell-blocked above it).
 
-    All-pairs is O(n²) by definition; the per-pair work is cut to ONE
-    dot-product fold by precomputing each vector's norm once (persisted
-    side tables). The division dot/(norm_a·norm_b) is arithmetically
-    identical to the oracle's per-pair recomputation — same doubles,
-    same ops — so 6-dp parity is preserved. Beyond ~10^4 vectors the
-    IVF cell assignment (llm_sim.py) prefilters pairs to same-cell
-    candidates.
+    EXACT PATH (n ≤ EMBED_ALLPAIRS_MAX_VECTORS): all-pairs is O(n²) by
+    definition; the per-pair work is cut to ONE dot-product fold by
+    precomputing each vector's norm once (persisted side table). The
+    division dot/(norm_a·norm_b) is arithmetically identical to the
+    oracle's per-pair recomputation — same doubles, same ops — so 6-dp
+    parity is preserved. Every sf corpus (≤2k vectors) takes this path,
+    so the oracle and the pair set are byte-unchanged by the gate.
+
+    GATED SCALE PATH (n above the gate — VERDICT r5 #4, mirroring
+    graph_pagerank's PR_BROADCAST_MAX_NODES): an O(n²) broadcast
+    nested-loop over 100 TB of vectors is a non-starter, so large
+    corpora route through trained spherical-kmeans cell blocking with
+    EMBED_CELL_PROBES-way multi-probe (each vector lands in its top-P
+    most-similar cells; a pair is compared iff the two vectors share a
+    cell — the standard IVF trade). The quadratic term collapses from
+    N² to P²·Σ_cells |cell|², cells are independent so parallelism = k,
+    and the plan has NO nested-loop join (plan-pinned). Recall is the
+    documented IVF trade: measured 0.95 at sf0.1 / τ=0.4 with P=4 over
+    k=16 cells (single-probe is 0.27 — τ=0.4 is a low bar and pairs
+    cross cell boundaries; at production scale k grows with the corpus
+    and P tunes the recall/cost point). Exact parity at any size needs
+    the all-pairs form — that is what the gate PROTECTS, not what it
+    replaces.
     """
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     nrm = F.sqrt(dot("embedding", "embedding"))
     side = emb.select("vec_id", "embedding", nrm.alias("nrm")).persist()
+    # the gate count doubles as the cache materializer (the exact path
+    # previously materialized lazily on first use — same total work)
+    n_vectors = side.count()
+    if n_vectors > EMBED_ALLPAIRS_MAX_VECTORS:
+        return _embed_pairs_cell_blocked(spark, sf_dir, side)
     # The nested-loop join's parallelism IS the stream side's partition
     # count, and file-split packing gives few, uneven partitions for a
     # small parquet file — one straggler task was carrying almost the
@@ -566,6 +595,56 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # repartitioned a is the STREAM side (left alone, Spark may pick
         # the un-repartitioned side to stream and undo the fix above)
         a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+        .filter(cos >= COSINE_T)
+        .select("v1", "v2", F.round(cos, 6).alias("score"))
+    )
+
+
+def _embed_pairs_cell_blocked(
+    spark: SparkSession, sf_dir: str, side: DataFrame
+) -> DataFrame:
+    """The above-gate pair generator: multi-probe IVF cell blocking.
+
+    (vec_id, cid) postings explode each vector into its top-P cells;
+    candidate pairs are an equi-join on cid (never a nested loop),
+    deduped on (v1, v2) BEFORE the cosine verify so a pair sharing
+    several cells pays one fold. Same output schema and per-pair
+    arithmetic as the exact path.
+    """
+    from local_etl_spark.queries.llm_sim import (
+        _UNIT_EMBEDDING,
+        IVF_CELLS,
+        KM_ITERS,
+        _km_topp_expr,
+        _lloyd,
+    )
+
+    centroids = _lloyd(spark, sf_dir, k=IVF_CELLS, iters=KM_ITERS, spherical=True)
+    probes = side.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            _km_topp_expr(centroids, EMBED_CELL_PROBES, vector=_UNIT_EMBEDDING)
+        ).alias("cid"),
+    )
+    a = probes.select(
+        "cid",
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = probes.select(
+        "cid",
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("v1") < F.col("v2"))
+        .dropDuplicates(["v1", "v2"])
         .filter(cos >= COSINE_T)
         .select("v1", "v2", F.round(cos, 6).alias("score"))
     )

@@ -339,11 +339,18 @@ def _km_assign_expr(
     array_min over (d2, cell) structs picks the winner — assignment
     costs ZERO shuffles and no join at any corpus size. ``vector`` is
     the SQL expression for the vector column (e.g. a normalized view)."""
-    # unrolled per-centroid fold bodies: a generic loop over a 2-D
-    # literal matrix (element_at(array(array(...)), j)) was tried and is
-    # ~10× SLOWER at runtime — the matrix literal re-materializes per
-    # row per lambda element. The unrolled form keeps each centroid's
-    # constants in straight-line codegen.
+    return F.expr(f"array_min(array({_km_cell_structs(centroids, vector)})).cell")
+
+
+def _km_cell_structs(centroids: list[list[float]], vector: str) -> str:
+    """SQL text of the per-centroid (d2, cell) struct array entries.
+
+    Unrolled per-centroid fold bodies: a generic loop over a 2-D
+    literal matrix (element_at(array(array(...)), j)) was tried and is
+    ~10× SLOWER at runtime — the matrix literal re-materializes per
+    row per lambda element. The unrolled form keeps each centroid's
+    constants in straight-line codegen.
+    """
     entries = []
     for j, c in enumerate(centroids):
         arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + ")"
@@ -353,7 +360,23 @@ def _km_assign_expr(
             "CAST(0 AS DOUBLE), (a, v) -> a + v)"
         )
         entries.append(f"struct({d2} AS d2, {j} AS cell)")
-    return F.expr(f"array_min(array({', '.join(entries)})).cell")
+    return ", ".join(entries)
+
+
+def _km_topp_expr(
+    centroids: list[list[float]], p: int, vector: str = "embedding"
+) -> "F.Column":
+    """Top-``p`` nearest cells per vector (IVF multi-probe assignment):
+    same in-row unrolled fold as ``_km_assign_expr``, but the (d2, cell)
+    structs are array_sort'ed ascending by d2 and the first ``p`` cells
+    projected out. On unit vectors min-L2 ≡ max-cosine, so this is the
+    p most cosine-similar cells. Zero shuffles, no join — used by
+    llm_dedup_embed's gated scale path (a pair is compared iff the two
+    vectors share one of their p cells)."""
+    structs = _km_cell_structs(centroids, vector)
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {p}), s -> s.cell)"
+    )
 
 
 @query("llm_kmeans_train", family="llm", oracle=None)

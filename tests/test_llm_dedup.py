@@ -302,3 +302,27 @@ def test_lsh_cosine_massdup_collapse(spark, tmp_path):
     assert planted.count() == 1
     assert planted.first()["score"] >= 0.9
     out.unpersist()
+
+
+def test_embed_gate_blocked_path_subset_and_recall(spark, monkeypatch):
+    """The above-gate IVF cell-blocked path of llm_dedup_embed
+    (VERDICT r5 #4): every returned pair is exact-verified (subset of
+    the all-pairs result with identical 6-dp scores — the per-pair
+    arithmetic is the same fold), and P=4 multi-probe over k=16 cells
+    recalls >=0.9 of the exact pairs (measured 1.0 at sf0.01, 0.985 at
+    sf0.001, 0.954 at sf0.1 — single-probe is 0.27 at this loose 0.4
+    threshold, which is why the probes exist)."""
+    from local_etl_spark.queries import llm_dedup
+
+    exact = {
+        (r["v1"], r["v2"]): r["score"]
+        for r in llm_dedup.llm_dedup_embed(spark, SF).collect()
+    }
+    monkeypatch.setattr(llm_dedup, "EMBED_ALLPAIRS_MAX_VECTORS", 0)
+    blocked = {
+        (r["v1"], r["v2"]): r["score"]
+        for r in llm_dedup.llm_dedup_embed(spark, SF).collect()
+    }
+    assert set(blocked) <= set(exact)
+    assert all(blocked[k] == exact[k] for k in blocked)
+    assert len(blocked) / len(exact) >= 0.9

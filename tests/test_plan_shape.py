@@ -521,3 +521,34 @@ def test_bfs_round_is_node_keyed_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Join") >= 2, "expected inner + anti node joins"
+
+
+def test_dedup_embed_gate_branches_on_corpus_size(spark, monkeypatch):
+    """llm_dedup_embed routes through multi-probe IVF cell blocking
+    above EMBED_ALLPAIRS_MAX_VECTORS (VERDICT r5 #4): below the gate
+    the exact all-pairs broadcast nested-loop is the declared
+    semantics (plan-audit allowlisted); above it the plan must contain
+    NO nested-loop join — candidate pairs come from an equi-join on
+    the shared cell id. Both shapes pinned, llm_tfidf-style."""
+    from local_etl_spark.queries import llm_dedup
+
+    # default gate (sf corpora are far below it): exact path, BNLJ
+    plan_small = _plan(spark, "llm_dedup_embed")
+    assert "BroadcastNestedLoopJoin" in plan_small
+
+    monkeypatch.setattr(llm_dedup, "EMBED_ALLPAIRS_MAX_VECTORS", 0)
+    df = llm_dedup.llm_dedup_embed(spark, SF)
+    plan_big = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan_big, (
+        "gated scale path still plans a nested-loop join"
+    )
+    assert "CartesianProduct" not in plan_big
+    assert (
+        "SortMergeJoin" in plan_big
+        or "ShuffledHashJoin" in plan_big
+        or "BroadcastHashJoin" in plan_big
+    ), "cell-blocked candidate join missing"
