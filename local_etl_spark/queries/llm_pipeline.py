@@ -820,16 +820,6 @@ def llm_dpo_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GRPO_GROUP = 8  # responses per prompt group
 
-# deterministic lang → index (alphabetical) for tie-free argmax keys
-_CARD_LANGS = ("de", "en", "es", "fr", "zh")
-_CARD_IDX_SQL = (
-    "CASE "
-    + " ".join(
-        f"WHEN lang = '{l}' THEN {i}" for i, l in enumerate(_CARD_LANGS)
-    )
-    + " ELSE 7 END"
-)
-
 
 @query(
     "llm_grpo_advantage",
@@ -903,15 +893,18 @@ def llm_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dataset_card",
     family="llm",
-    oracle=f"""
+    oracle="""
     WITH lc AS (
-        SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt,
-               {_CARD_IDX_SQL} AS idx
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
         FROM documents GROUP BY source, lang
     ),
+    mx AS (
+        SELECT source, max(cnt) AS mc FROM lc GROUP BY source
+    ),
     top AS (
-        SELECT source, arg_max(lang, cnt * 8 + (7 - idx)) AS top_lang
-        FROM lc GROUP BY source
+        SELECT lc.source, min(lang) AS top_lang
+        FROM lc JOIN mx ON lc.source = mx.source AND lc.cnt = mx.mc
+        GROUP BY lc.source
     ),
     base AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -934,22 +927,26 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: counts/totals are exact integers; avg is one
     division; the length median interpolates identically
-    (h = (n−1)·q on integer-valued doubles); the dominant language
-    uses the composite exact-BIGINT argmax key (count·8 + (7−idx))
-    so count ties break alphabetically in BOTH engines — max_by on a
-    bare count would be engine-arbitrary. Scale: two source-keyed
-    aggregates sharing one exchange + a broadcast-sized join
+    (h = (n−1)·q on integer-valued doubles); the dominant language is
+    a two-level exact argmax — max count per source, then min(lang)
+    among the tied languages — so count ties break alphabetically in
+    BOTH engines with no index table (ADVICE r5: the old composite
+    BIGINT key mapped every lang outside a fixed list to one index, so
+    two tied UNLISTED langs collided back into engine-arbitrary
+    max_by). Scale: two source-keyed aggregates sharing one exchange,
+    a (source×lang)-sized tie join, + a broadcast-sized final join
     (sources are enumerable).
     """
     d = t(spark, sf_dir, "documents")
-    idx = F.expr(_CARD_IDX_SQL)
     lc = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    ).withColumn("idx", idx)
-    top = lc.groupBy("source").agg(
-        F.max_by("lang", F.col("cnt") * 8 + (F.lit(7) - F.col("idx"))).alias(
-            "top_lang"
-        )
+    )
+    mx = lc.groupBy("source").agg(F.max("cnt").alias("mc"))
+    top = (
+        lc.join(mx, ["source"])
+        .filter(F.col("cnt") == F.col("mc"))
+        .groupBy("source")
+        .agg(F.min("lang").alias("top_lang"))
     )
     base = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from local_etl_spark.queries._util import t
+from local_etl_spark.queries.windows import SESSION_DYNAMIC_ORACLE
 from local_etl_spark.registry import query
 from local_etl_spark.streaming import core
 
@@ -502,37 +503,9 @@ def stream_trigger_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_session_dynamic",
     family="streaming",
-    oracle=f"""
-    WITH e AS (
-        SELECT user_id, event_id, ts,
-               ts + CASE WHEN event_type = 'purchase'
-                         THEN INTERVAL 30 MINUTE
-                         ELSE INTERVAL 10 MINUTE END AS expiry
-        FROM events
-    ),
-    flagged AS (
-        SELECT user_id, event_id, ts, expiry,
-               CASE WHEN ts >= max(expiry) OVER (
-                        PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    OR max(expiry) OVER (
-                        PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                       IS NULL
-                    THEN 1 ELSE 0 END AS new_sess
-        FROM e
-    ),
-    sess AS (
-        SELECT user_id, event_id, ts, expiry,
-               sum(new_sess) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS sid
-        FROM flagged
-    )
-    SELECT user_id, min(ts) AS session_start, max(expiry) AS session_end,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM sess GROUP BY user_id, sid
-    """,
+    # shared verbatim with win_session_dynamic (ADVICE r5 — one
+    # definition, one pair of gap constants in streaming.core)
+    oracle=SESSION_DYNAMIC_ORACLE,
 )
 def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-gap sessions (core.session_aggregate_dynamic): the

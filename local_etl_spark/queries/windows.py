@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from local_etl_spark.queries._util import dec, dsum, ordered_prefix, t
 from local_etl_spark.registry import query
+from local_etl_spark.streaming import core as stream_core
 
 
 @query(
@@ -1227,19 +1228,21 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSION_GAP_PURCHASE = 30  # minutes — purchases keep sessions alive longer
-SESSION_GAP_OTHER = 10
-
-
-@query(
-    "win_session_dynamic",
-    family="windows",
-    oracle=f"""
+# The dynamic-gap session ORACLE, shared verbatim by win_session_dynamic
+# and stream_session_dynamic (ADVICE r5: two drifting copies before).
+# Emulates interval-union islanding: an event opens a new session
+# exactly when its start reaches the running max EXPIRY of all prior
+# events (half-open [ts, ts+gap) windows — boundary-touching events
+# split, matching session_window's strict semantics); µs-exact interval
+# arithmetic both sides. Gap constants live with the engine function
+# (streaming.core) so the oracle can never drift from the computation.
+SESSION_DYNAMIC_ORACLE = f"""
     WITH e AS (
         SELECT user_id, event_id, ts,
                ts + CASE WHEN event_type = 'purchase'
-                         THEN INTERVAL {SESSION_GAP_PURCHASE} MINUTE
-                         ELSE INTERVAL {SESSION_GAP_OTHER} MINUTE END AS expiry
+                         THEN INTERVAL {stream_core.SESSION_GAP_PURCHASE} MINUTE
+                         ELSE INTERVAL {stream_core.SESSION_GAP_OTHER} MINUTE
+                    END AS expiry
         FROM events
     ),
     flagged AS (
@@ -1264,41 +1267,30 @@ SESSION_GAP_OTHER = 10
     SELECT user_id, min(ts) AS session_start, max(expiry) AS session_end,
            CAST(count(*) AS BIGINT) AS n_events
     FROM sess GROUP BY user_id, sid
-    """,
+    """
+
+
+@query(
+    "win_session_dynamic",
+    family="windows",
+    oracle=SESSION_DYNAMIC_ORACLE,
 )
 def win_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-gap sessionization via Spark's NATIVE session_window
-    with a PER-EVENT gap expression — purchases hold a session open 30
-    minutes, everything else 10 (the engagement-weighted timeout
+    with a PER-EVENT gap expression — purchases hold a session open
+    longer than other events (the engagement-weighted timeout
     pattern). Complements win_sessionize: that operator builds
     fixed-gap sessions from window primitives; this one exercises the
-    built-in session aggregation (which also runs unchanged under
-    Structured Streaming with merging state) and its dynamic-gap
-    form, which the manual lag/cumsum construction cannot express as
-    one flag.
+    built-in session aggregation and its dynamic-gap form, which the
+    manual lag/cumsum construction cannot express as one flag.
 
-    The DuckDB oracle emulates interval-union islanding: an event
-    opens a new session exactly when its start reaches the running max
-    EXPIRY of all prior events (half-open [ts, ts+gap) windows —
-    boundary-touching events split, matching session_window's strict
-    semantics); µs-exact interval arithmetic both sides. Scale: one
-    user-keyed exchange with partial session merging map-side.
+    ONE implementation for batch and streaming (ADVICE r5): this is
+    core.session_aggregate_dynamic — the same call
+    stream_session_dynamic replays as a real file-source stream — and
+    both queries share SESSION_DYNAMIC_ORACLE. Scale: one user-keyed
+    exchange with partial session merging map-side.
     """
-    e = t(spark, sf_dir, "events")
-    gap = F.when(
-        F.col("event_type") == "purchase",
-        F.lit(f"{SESSION_GAP_PURCHASE} minutes"),
-    ).otherwise(F.lit(f"{SESSION_GAP_OTHER} minutes"))
-    return (
-        e.groupBy(F.session_window("ts", gap), "user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events",
-        )
-    )
+    return stream_core.session_aggregate_dynamic(t(spark, sf_dir, "events"))
 
 
 @query(

@@ -94,19 +94,29 @@ def session_aggregate(events: DataFrame, watermark: str | None = None) -> DataFr
     )
 
 
+# dynamic-gap sessionization timeouts (minutes): purchases keep
+# sessions alive longer. ONE definition for the batch query, the
+# streaming query, and both their oracle texts (ADVICE r5: the two
+# query-side copies had hardcoded literals that could silently drift).
+SESSION_GAP_PURCHASE = 30
+SESSION_GAP_OTHER = 10
+
+
 def session_aggregate_dynamic(
     events: DataFrame, watermark: str | None = None
 ) -> DataFrame:
     """Per-user sessions with a PER-EVENT dynamic inactivity gap:
-    purchases hold the session open 30 minutes, everything else 10 —
-    the engagement-weighted timeout session_window supports natively
-    (and the manual lag/cumsum construction cannot express as one
-    flag). Runs unchanged in batch and streaming; the streaming form
-    merges session state across micro-batches and the replay test
-    asserts exact convergence to the batch answer."""
+    purchases hold the session open SESSION_GAP_PURCHASE minutes,
+    everything else SESSION_GAP_OTHER — the engagement-weighted
+    timeout session_window supports natively (and the manual
+    lag/cumsum construction cannot express as one flag). Runs
+    unchanged in batch and streaming; the streaming form merges
+    session state across micro-batches and the replay test asserts
+    exact convergence to the batch answer."""
     gap = F.when(
-        F.col("event_type") == "purchase", F.lit("30 minutes")
-    ).otherwise(F.lit("10 minutes"))
+        F.col("event_type") == "purchase",
+        F.lit(f"{SESSION_GAP_PURCHASE} minutes"),
+    ).otherwise(F.lit(f"{SESSION_GAP_OTHER} minutes"))
     return (
         _maybe_watermark(events, watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

@@ -57,3 +57,40 @@ def test_kcore_matches_reference_peel(spark):
     got = {r["node"] for r in get("graph_kcore").fn(spark, sf).collect()}
     assert got == set(adj)
     assert got, "k-core unexpectedly empty at k=3"
+
+
+def test_kcore_long_chain_peels_to_fixpoint(spark):
+    """ADVICE r5: the pre-r6 fixed KCORE_MAX_ROUNDS=12 cap could return
+    an unconverged superset (nodes with degree < k) on a graph whose
+    peel needs more rounds. Adversarial topology: a 40-node path plus a
+    separate 4-clique, k=2. Only the path's two current ENDPOINTS have
+    degree < 2 each round, so the chain dissolves two nodes per round —
+    ~19 rounds, past the old cap, which would have returned mid-chain
+    nodes whose within-survivor degree is 1. The true 2-core is exactly
+    the clique; the fixpoint peel must find it."""
+    from local_etl_spark.queries.graph import kcore_membership
+
+    n = 40
+    path = [(f"p{i}", f"p{i+1}") for i in range(n - 1)]
+    clique_nodes = [f"q{i}" for i in range(4)]
+    clique = [
+        (clique_nodes[i], clique_nodes[j])
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ]
+    sym = [(a, b) for a, b in path + clique] + [
+        (b, a) for a, b in path + clique
+    ]
+    edges = spark.createDataFrame(sym, "a string, b string")
+    got = {r["node"] for r in kcore_membership(edges, 2).collect()}
+    assert got == set(clique_nodes), got
+    # every survivor keeps degree >= k within the survivors — the
+    # contract the old cap could violate
+    import collections
+
+    deg = collections.Counter()
+    for a, b in path + clique:
+        if a in got and b in got:
+            deg[a] += 1
+            deg[b] += 1
+    assert all(deg[v] >= 2 for v in got)
