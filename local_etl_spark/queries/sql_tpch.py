@@ -373,6 +373,68 @@ ORDER BY part_value DESC, partkey
 """
 
 
+# Deterministic partsupp generator (VERDICT r5 #8): the testdata star
+# has no partsupp table, so Q2/Q11's ORIGINAL correlated-subquery
+# shapes run over this part×supplier-derived relation, embedded as one
+# CTE in BOTH engines' query text. Sparsification is the equi-join
+# residue rule (s_suppkey ≡ 3 − p_partkey (mod 25)) — the TPC-H
+# "suppliers per part" idea without a cross join (a modular CROSS JOIN
+# predicate would plan a BroadcastNestedLoopJoin; the residue form is
+# a plain equi join on two tiny derived keys). ps_cents keeps the
+# supply cost as an exact integer so Q11's value sums and its
+# fraction-of-total HAVING never touch double/decimal rounding;
+# ps_supplycost = cents/100 is the same IEEE division in both engines
+# (exact equality in Q2's correlated min is therefore sound).
+_PARTSUPP = """partsupp AS (
+  SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+         (p_partkey * 13 + s_suppkey * 7) % 9999 + 1 AS ps_availqty,
+         (p_partkey * 31 + s_suppkey * 17) % 90000 + 1000 AS ps_cents,
+         CAST((p_partkey * 31 + s_suppkey * 17) % 90000 + 1000 AS DOUBLE)
+           / CAST(100 AS DOUBLE) AS ps_supplycost
+  FROM part JOIN supplier
+    ON (s_suppkey % 25) = ((3 + 25 - (p_partkey % 25)) % 25)
+)"""
+
+_Q2 = f"""
+WITH {_PARTSUPP}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size BETWEEN 10 AND 20 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+_Q11 = f"""
+WITH {_PARTSUPP},
+v AS (
+  SELECT ps_partkey,
+         CAST(sum(ps_cents * ps_availqty) AS BIGINT) AS part_cents
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY ps_partkey
+)
+SELECT ps_partkey AS partkey,
+       CAST(part_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS part_value
+FROM v
+WHERE part_cents * 10000 > (SELECT CAST(sum(part_cents) AS BIGINT) FROM v)
+ORDER BY part_value DESC, partkey
+"""
+
+
 def _sql_query(name: str, sql: str, doc: str):
     def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
         register_views(spark, sf_dir)
@@ -385,6 +447,32 @@ def _sql_query(name: str, sql: str, doc: str):
     return query(name, family="sql", oracle=sql)(run)
 
 
+sql_q2 = _sql_query(
+    "sql_q2",
+    _Q2,
+    "TPC-H Q2 (minimum-cost supplier) in its ORIGINAL correlated-"
+    "subquery shape over the generated deterministic partsupp "
+    "(VERDICT r5 #8; see _PARTSUPP): the scalar min-supply-cost "
+    "subquery is correlated on the outer p_partkey and decorrelates "
+    "to an aggregate + join; 4-dim star (partsupp/supplier/nation/"
+    "region twice), top-100 by acctbal. Adaptations for the slimmer "
+    "corpus: p_size point filter widened to a band, p_type = "
+    "'ECONOMY' for LIKE '%BRASS', p_brand output for absent p_mfgr. "
+    "ps_supplycost derives from integer cents, so the equality "
+    "correlation compares identically-constructed doubles.",
+)
+sql_q11 = _sql_query(
+    "sql_q11",
+    _Q11,
+    "TPC-H Q11 (important stock) in its ORIGINAL shape over the "
+    "generated deterministic partsupp (VERDICT r5 #8): per-part stock "
+    "value = sum(supplycost × availqty) for one nation's suppliers, "
+    "kept when above a fraction of the nation's total — the "
+    "fraction-of-global-sum subquery TPC-H made famous. All value "
+    "arithmetic stays in exact BIGINT cents (part_cents · 10000 > "
+    "total_cents replaces the 0.0001 double multiply), so the "
+    "threshold comparison is rounding-free in both engines.",
+)
 sql_q2a = _sql_query(
     "sql_q2a",
     _Q2A,
