@@ -423,11 +423,17 @@ def write_sinks(
     # Spark's CSV WRITER defaults ignoreLeading/TrailingWhiteSpace to
     # TRUE (the reader defaults them false) and silently trims values
     # like the ' ' a whitespace-only 4-token name produces — Python's
-    # csv.DictWriter writes the bytes verbatim (fuzz round 5b find)
+    # csv.DictWriter writes the bytes verbatim (fuzz round 5b find).
+    # escape='"' doubles embedded quotes RFC-4180-style the way
+    # Python's csv module does; Spark's default escape is a BACKSLASH
+    # ("a \"b\"") which csv.DictReader does not treat as an escape, so
+    # a value containing a double quote round-tripped corrupt (fuzz
+    # round 6 find).
     _verbatim = {
         "header": True,
         "ignoreLeadingWhiteSpace": False,
         "ignoreTrailingWhiteSpace": False,
+        "escape": '"',
     }
     writes: list = []
     # output sink(s)

@@ -332,6 +332,26 @@ def test_parse_event_rewrite_collision(spark):
         ('{"note": "cost: Infinity", "score": 1}', "cost: Infinity"),
         # bare token alone: rewrite hits only the value position
         ('{"note": "plain", "score": Infinity}', "plain"),
+        # --- round-6 both-shapes-at-once corpus (VERDICT r5 #7) ---
+        # negative variant: quoted '-Infinity' + bare -Infinity
+        (
+            '{"note": "delta: -Infinity", "score": -Infinity}',
+            "delta: -1e999",
+        ),
+        # NaN-shaped QUOTED text + a bare token elsewhere: the NaN
+        # rewrite's replacement carries its own quotes, so applying it
+        # INSIDE an existing string nests quotes and the retry parse
+        # fails too — the whole doc classifies CORRUPT (quarantined),
+        # the harshest point of the documented collision class
+        ('{"note": "val: NaN", "score": Infinity}', None),
+        # array value position: the bare token sits after '[' — the
+        # guard class includes it, quoted text still collides
+        (
+            '{"note": "arr: Infinity", "score": 1, "xs": [Infinity]}',
+            "arr:  1e999",
+        ),
+        # comma value position inside an array tail
+        ('{"note": "k", "xs": [1, NaN], "score": 2}', "k"),
     ]
     df = spark.createDataFrame([(d,) for d, _ in docs], "raw string")
     rows = df.select(
@@ -342,6 +362,10 @@ def test_parse_event_rewrite_collision(spark):
     # the rewrites land IEEE-identically where json.load agrees
     assert rows[1]["score"] == 1.0
     assert rows[2]["score"] == float("inf")
+    assert rows[3]["score"] == float("-inf")
+    assert rows[4]["score"] is None  # corrupt doc: no fields at all
+    assert rows[5]["score"] == 1.0
+    assert rows[6]["score"] == 2.0
 
 
 def test_negative_zero_sign_divergence(spark):

@@ -366,6 +366,42 @@ def _raw_valid_user_docs() -> dict[str, str]:
             "r9117", '{"id": "bad", "id": 9117, "id": 9117, %s,'
             ' "score": 5.0}' % base
         ),
+        # --- round-6 corpus: the CSV QUOTING layer (the r5b verbatim-
+        # write fix touched framing; these target the quote-escape
+        # path). Python's csv.DictWriter doubles embedded quotes
+        # (RFC 4180); Spark's writer default BACKSLASH-escapes them —
+        # a form csv.DictReader does not unescape, so the value
+        # round-tripped corrupt until the sink pinned escape='"'
+        # (fuzz round 6 find).
+        "raw_addr_embedded_quote.json": u(
+            "r9118",
+            '{"id": 9118, "name": "Ada Lovelace",'
+            ' "address": "1 \\"Main\\" St",'
+            ' "job": "Engineer", "score": 5.0}',
+        ),
+        # quote AND the separator comma in one value (ONE comma — the
+        # reference's fix_job_field crashes on more, the documented
+        # >1-comma class): quoting must win over splitting, and the
+        # doubled quote must sit inside the quoted frame
+        "raw_job_quote_comma.json": u(
+            "r9119",
+            '{"id": 9119, "name": "Ada Lovelace", "address": "A\\nB",'
+            ' "job": "Engineer, \\"data\\" misc", "score": 5.0}',
+        ),
+        # quote + CRLF in ONE field: both special classes in a single
+        # frame (quote doubling inside a multi-line quoted field)
+        "raw_addr_quote_crlf.json": u(
+            "r9120",
+            '{"id": 9120, "name": "Ada Lovelace",'
+            ' "address": "say \\"hi\\"\\r\\nRoom 2, Floor 3",'
+            ' "job": "Engineer", "score": 5.0}',
+        ),
+        # leading/trailing quote chars (the frame-adjacent positions)
+        "raw_name_edge_quotes.json": u(
+            "r9121",
+            '{"id": 9121, "name": "\\"Ada\\" \\"Lovelace\\"",'
+            ' "address": "A\\nB", "job": "Engineer", "score": 5.0}',
+        ),
     }
 
 
