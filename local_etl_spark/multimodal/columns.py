@@ -133,9 +133,9 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def decode_ppm(raw: bytes) -> dict:
-    """Parse a binary PPM (P6): netpbm header grammar (ASCII tokens,
-    '#' comments, single whitespace after maxval) + RGB pixel plane."""
+def _ppm_header(raw: bytes) -> tuple[int, int, int]:
+    """P6 header walk (ASCII tokens, '#' comments, single whitespace
+    after maxval) → (width, height, pixel-plane offset)."""
     if raw[:2] != b"P6":
         raise ValueError("not a P6 PPM")
     tokens, pos = [], 2
@@ -154,6 +154,12 @@ def decode_ppm(raw: bytes) -> dict:
     w, h, maxval = tokens
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
+    return w, h, pos
+
+
+def decode_ppm(raw: bytes) -> dict:
+    """Parse a binary PPM (P6): netpbm header grammar + RGB plane."""
+    w, h, pos = _ppm_header(raw)
     pixels = raw[pos : pos + w * h * 3]
     if len(pixels) != w * h * 3:
         raise ValueError("truncated pixel plane")
@@ -165,6 +171,49 @@ def decode_ppm(raw: bytes) -> dict:
         "n_units": w * h,
         "mean_val": sum(pixels) / len(pixels) if pixels else 0.0,
     }
+
+
+def ppm_gray_grid(raw: bytes, gw: int, gh: int) -> list[list[int]]:
+    """Grayscale gw×gh grid from a P6 PPM via nearest-neighbor
+    sampling: grid cell (x, y) reads the source pixel at
+    (x·w//gw, y·h//gh); gray = (r+g+b)//3 (integer — every step is
+    exact, so the hashes are bit-reproducible anywhere)."""
+    w, h, pos = _ppm_header(raw)
+    grid = []
+    for y in range(gh):
+        sy = y * h // gh
+        row = []
+        for x in range(gw):
+            sx = x * w // gw
+            o = pos + (sy * w + sx) * 3
+            row.append((raw[o] + raw[o + 1] + raw[o + 2]) // 3)
+        grid.append(row)
+    return grid
+
+
+def ahash64(raw: bytes) -> int:
+    """Average hash: 8×8 grayscale grid, bit i set iff cell i is
+    STRICTLY above the integer mean of the 64 cells (row-major,
+    MSB-first). Integer mean keeps the threshold exact."""
+    g = ppm_gray_grid(raw, 8, 8)
+    cells = [v for row in g for v in row]
+    mean = sum(cells) // 64
+    bits = 0
+    for v in cells:
+        bits = (bits << 1) | (1 if v > mean else 0)
+    return bits
+
+
+def dhash64(raw: bytes) -> int:
+    """Difference hash: 9×8 grayscale grid, bit set iff the left cell
+    is strictly brighter than its right neighbor (horizontal gradient
+    signs — robust to global brightness shifts aHash is blind to)."""
+    g = ppm_gray_grid(raw, 9, 8)
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if g[y][x] > g[y][x + 1] else 0)
+    return bits
 
 
 def decode_wav(raw: bytes) -> dict:
@@ -521,3 +570,54 @@ def scene_cuts(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(scene_batches, schema=SCENE_SCHEMA)
+
+
+IMAGE_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("ahash_hex", T.StringType()),
+        T.StructField("dhash_hex", T.StringType()),
+    ]
+)
+
+
+def image_hashes(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing over the media table's image
+    rows: aHash (8×8 mean threshold) + dHash (9×8 horizontal gradient)
+    from the REAL P6 pixel plane — the content-defined image signature
+    in front of any vision dedup (exact byte hashes miss re-encodes;
+    these survive them). All-integer arithmetic, so the 64-bit values
+    are bit-reproducible on any platform; the LongType columns carry
+    the two's-complement form for JVM-side bit ops (xor/bit_count),
+    the hex columns the unsigned spelling."""
+
+    def hash_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        def signed(u: int) -> int:
+            return u - (1 << 64) if u >= (1 << 63) else u
+
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_HASH_SCHEMA.fields}
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "image":
+                    continue
+                raw = bytes(payload)
+                w, h, _ = _ppm_header(raw)
+                a, d = ahash64(raw), dhash64(raw)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(signed(a))
+                out["dhash"].append(signed(d))
+                out["ahash_hex"].append(f"{a:016x}")
+                out["dhash_hex"].append(f"{d:016x}")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(hash_batches, schema=IMAGE_HASH_SCHEMA)

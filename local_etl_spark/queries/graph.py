@@ -613,3 +613,99 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(aa_fold), 6).alias("adamic_adar"),
         F.round(F.expr(ra_fold), 6).alias("resource_alloc"),
     )
+
+
+LPA_ROUNDS = 6
+
+
+@query("graph_label_prop", family="graph", oracle=None)
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by label propagation (Raghavan et al. 2007)
+    over the trade graph — the soft-clustering sibling of
+    llm_dedup_cluster's connected components (CC finds REACHABILITY;
+    LPA finds densely-traded communities inside one giant component).
+
+    Determinism, the two classic LPA failure modes closed:
+      • synchronous updates OSCILLATE on bipartite graphs — and the
+        supplier↔customer graph is exactly bipartite — so rounds
+        alternate sides (suppliers adopt on even rounds, customers on
+        odd): a two-coloring schedule is oscillation-free and fully
+        deterministic, no random sweep order;
+      • ties: edge weights are EXACT integer cents (a double revenue
+        sum has order-dependent low bits → engine-arbitrary argmax),
+        and the adopted label is min(struct(-weight, label)) — max
+        weight, then lexicographically least label.
+
+    Scale: per round, one join of the (side-filtered) edge list with
+    the label vector on the neighbor key + one node-keyed aggregate —
+    the graph_pagerank shape; labels localCheckpoint per round. Rows-
+    only (iterative fixpoint); tests/test_graph.py replays the exact
+    schedule in pure Python and asserts label-for-label equality.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("w")
+        )
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("b"),
+            "w",
+        )
+    )
+    edges = (
+        pair.unionAll(
+            pair.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for r in range(LPA_ROUNDS):
+        side = "s" if r % 2 == 0 else "c"
+        nbr = labels.select(
+            F.col("node").alias("b"), F.col("label").alias("nl")
+        )
+        adopted = (
+            edges.filter(F.substring("a", 1, 1) == side)
+            .join(nbr, "b")
+            .groupBy("a", "nl")
+            .agg(F.sum("w").cast("bigint").alias("wt"))
+            .groupBy("a")
+            .agg(
+                F.min(F.struct((-F.col("wt")).alias("nw"), F.col("nl")))
+                .getField("nl")
+                .alias("new_label")
+            )
+            .select(F.col("a").alias("node"), "new_label")
+        )
+        labels = (
+            labels.join(adopted, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.substring("node", 1, 1) == side,
+                    F.coalesce("new_label", "label"),
+                )
+                .otherwise(F.col("label"))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return labels.select(
+        "node",
+        F.col("label").alias("community"),
+        F.substring("node", 1, 1).alias("kind"),
+    )

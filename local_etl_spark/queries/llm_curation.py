@@ -1200,3 +1200,122 @@ def llm_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_piece"),
         )
     )
+
+
+WORDPIECE_ROUNDS = 8
+
+
+@query("llm_wordpiece_train", family="llm", oracle=None)
+def llm_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT
+    tokenizer), 8 merge rounds — the LIKELIHOOD-scored sibling of
+    llm_bpe_train: where BPE merges the most FREQUENT adjacent pair,
+    WordPiece merges the pair maximizing count(ab)/(count(a)·count(b))
+    (the language-model likelihood gain of fusing the two symbols), so
+    a rare-but-strongly-associated pair beats a frequent-but-
+    independent one. Symbols carry the '##' continuation convention
+    (word-initial bare, non-initial prefixed) and merges concatenate
+    dropping the right side's '##'.
+
+    Scale shape identical to _learn_bpe: the corpus collapses ONCE to
+    the (word, freq) vocab table; each round is one vocab-sized
+    pair-count shuffle + one symbol-count aggregate + a map-only merge
+    application; only the single best row is collected per round.
+    Determinism: pair and symbol counts are exact BIGINTs, the score
+    is one IEEE division of exact ints (identical everywhere), and
+    ties break (left, right) in binary order — the pytest reference
+    reproduces the same arithmetic in pure Python and the merge
+    tables match exactly. Rows-only: an 8-round trainer is not
+    SQL-expressible.
+    """
+    merges = _learn_wordpiece(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string,"
+        " pair_weight bigint, score double",
+    )
+
+
+_WP_MERGE_CACHE: dict[str, list[tuple]] = {}
+
+
+def _learn_wordpiece(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    if sf_dir in _WP_MERGE_CACHE:
+        return _WP_MERGE_CACHE[sf_dir]
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    # '##' continuation convention: first char bare, rest prefixed
+    sym = words.select(
+        F.expr(
+            "transform(split(w, ''), (c, i) ->"
+            " CASE WHEN i = 0 THEN c ELSE concat('##', c) END)"
+        ).alias("a"),
+        "freq",
+    ).localCheckpoint()
+    merges: list[tuple] = []
+    for step in range(1, WORDPIECE_ROUNDS + 1):
+        pairs = (
+            sym.filter(F.size("a") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(a, 1, size(a) - 1),"
+                        " slice(a, 2, size(a) - 1),"
+                        " (x, y) -> struct(x AS l, y AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        symc = (
+            sym.select(F.explode("a").alias("s"), "freq")
+            .groupBy("s")
+            .agg(F.sum("freq").cast("bigint").alias("sc"))
+        )
+        sl = symc.select(F.col("s").alias("l"), F.col("sc").alias("cl"))
+        sr = symc.select(F.col("s").alias("r"), F.col("sc").alias("cr"))
+        best = (
+            pairs.join(sl, "l")
+            .join(sr, "r")
+            .select(
+                "l",
+                "r",
+                "cnt",
+                (
+                    F.col("cnt").cast("double")
+                    / (F.col("cl") * F.col("cr")).cast("double")
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt, score = (
+            best[0]["l"],
+            best[0]["r"],
+            best[0]["cnt"],
+            best[0]["score"],
+        )
+        merged = l + (r[2:] if r.startswith("##") else r)
+        merges.append((step, l, r, merged, cnt, score))
+        pat = r"(?<!\S)" + _bpe_quote(l + " " + r) + r"(?!\S)"
+        repl = merged.replace("\\", "\\\\").replace("$", "\\$")
+        sym = sym.select(
+            F.split(
+                F.regexp_replace(F.array_join("a", " "), pat, repl), " "
+            ).alias("a"),
+            "freq",
+        ).localCheckpoint()
+    while len(_WP_MERGE_CACHE) >= _BPE_MERGE_CACHE_MAX:
+        _WP_MERGE_CACHE.pop(next(iter(_WP_MERGE_CACHE)))
+    _WP_MERGE_CACHE[sf_dir] = merges
+    return merges

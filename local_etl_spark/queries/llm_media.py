@@ -101,3 +101,63 @@ def llm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media(t(spark, sf_dir, "documents"))
     return scene_cuts(media)
+
+
+PHASH_HAMMING_T = 6  # near-dup bar; 8 one-byte bands guarantee ham<=7
+PHASH_BANDS = 8
+
+
+@query("llm_image_phash", family="llm", oracle=None)
+def llm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over the media table: aHash/dHash
+    from the REAL P6 pixel planes (multimodal/columns.py image_hashes,
+    all-integer — bit-reproducible), then SimHash-style banding turns
+    the all-pairs hamming search into PHASH_BANDS equi-joins: a pair
+    with hamming ≤ 7 must agree on at least one of 8 one-byte bands
+    (pigeonhole), so the candidate join is EXACT for the ≤6 bar — no
+    recall loss, no nested loop. Verification is one xor+bit_count per
+    candidate. The content-defined signature in front of vision dedup:
+    byte-exact hashes miss re-encodes; these survive them.
+
+    Scale: hashing is one Arrow-batched map pass; the 8 band joins key
+    on (band, byte) — at 100 TB the postings stay hash-partitioned and
+    only same-byte buckets pair. Rows-only (binary kernel + iterative
+    banding isn't SQL-expressible); tests/test_llm_media_text.py
+    recomputes every hash with an independent NumPy reference and the
+    exact pair set by brute force.
+    """
+    media = synthesize_media(t(spark, sf_dir, "documents"))
+    from local_etl_spark.multimodal.columns import image_hashes
+
+    hashes = image_hashes(media).persist()
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("ahash"), i * 8)
+                    .bitwiseAND(F.lit(255))
+                    .alias("bv"),
+                )
+                for i in range(PHASH_BANDS)
+            ])
+        ).alias("k"),
+    ).select("doc_id", "ahash", "dhash", "k.band", "k.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham_a = F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+    ham_d = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            ham_a.alias("ham_ahash"),
+            ham_d.alias("ham_dhash"),
+        )
+        .filter(F.col("ham_ahash") <= PHASH_HAMMING_T)
+        .dropDuplicates(["d1", "d2"])
+    )

@@ -1543,3 +1543,106 @@ def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+@query(
+    "win_theil_sen",
+    family="windows",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS d,
+               c
+        FROM daily
+    ),
+    sl AS (
+        SELECT quantile_cont(
+                   CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE),
+                   0.5) AS slope,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM idx a JOIN idx b ON b.d > a.d
+    ),
+    ic AS (
+        SELECT quantile_cont(
+                   CAST(c AS DOUBLE) - slope * CAST(d AS DOUBLE), 0.5)
+                   AS intercept
+        FROM idx CROSS JOIN sl
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_days,
+           n_pairs,
+           round(slope, 6) + 0.0 AS slope,
+           round(intercept, 6) + 0.0 AS intercept
+    FROM sl CROSS JOIN ic
+    """,
+)
+def win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator on daily revenue — the
+    median-of-pairwise-slopes line fit (breakdown point 29%), the
+    robust companion to win_mann_kendall's trend TEST: MK says whether
+    the series drifts, Theil–Sen says how fast, immune to the outlier
+    days that wreck an OLS fit. Intercept = median(c_i − slope·d_i)
+    (the standard Theil–Sen intercept).
+
+    Determinism: daily values are exact integer cents and day indices
+    exact ints, so every pairwise slope is one identical IEEE division;
+    the medians sort doubles and interpolate midpoints the same way in
+    both engines (percentile ≡ quantile_cont, h = (n−1)·q); `+ 0.0`
+    normalizes −0.0. Scale: like win_mann_kendall, the pair join is
+    over the CALENDAR-BOUNDED day grid (grid-sized, never data-sized);
+    the corpus-sized work is one day-grain aggregate.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("c")
+        )
+        .select(
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("d"),
+            "c",
+        )
+        .persist()
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    sl = (
+        a.join(b, F.col("db") > F.col("da"))
+        .select(
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("m")
+        )
+        .agg(
+            F.percentile(F.col("m"), F.lit(0.5)).alias("slope"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ic = (
+        daily.crossJoin(sl)
+        .select(
+            (
+                F.col("c").cast("double")
+                - F.col("slope") * F.col("d").cast("double")
+            ).alias("r"),
+            "slope",
+            "n_pairs",
+        )
+        .groupBy("slope", "n_pairs")
+        .agg(F.percentile(F.col("r"), F.lit(0.5)).alias("intercept"))
+    )
+    return n_days.crossJoin(ic).select(
+        "n_days",
+        "n_pairs",
+        (F.round("slope", 6) + 0.0).alias("slope"),
+        (F.round("intercept", 6) + 0.0).alias("intercept"),
+    )

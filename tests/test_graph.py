@@ -94,3 +94,54 @@ def test_kcore_long_chain_peels_to_fixpoint(spark):
             deg[a] += 1
             deg[b] += 1
     assert all(deg[v] >= 2 for v in got)
+
+
+def test_label_prop_matches_python_replay(spark):
+    """graph_label_prop must equal a pure-Python replay of the exact
+    schedule: alternating-side adoption (suppliers even rounds,
+    customers odd), exact integer-cent weights, (max weight, then min
+    label) tie-break."""
+    from collections import defaultdict
+
+    from local_etl_spark.catalog import table
+    from local_etl_spark.queries.graph import LPA_ROUNDS
+    from local_etl_spark.registry import get
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("w")
+        )
+        .collect()
+    )
+    adj = defaultdict(list)
+    for r in pairs:
+        s, c, w = f"s{r['l_suppkey']}", f"c{r['o_custkey']}", r["w"]
+        adj[s].append((c, w))
+        adj[c].append((s, w))
+    labels = {n: n for n in adj}
+    for rnd in range(LPA_ROUNDS):
+        side = "s" if rnd % 2 == 0 else "c"
+        new = dict(labels)
+        for n in adj:
+            if not n.startswith(side):
+                continue
+            wt = defaultdict(int)
+            for m, w in adj[n]:
+                wt[labels[m]] += w
+            new[n] = min(wt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    got = {
+        r["node"]: r["community"]
+        for r in get("graph_label_prop").fn(spark, sf).collect()
+    }
+    assert got == labels

@@ -458,3 +458,65 @@ def test_unigram_apply_matches_reference_walk(spark):
         assert g["chars_per_piece"] == round(ch * 1.0 / tp, 6)
     # compression exists: multi-char pieces carry real mass somewhere
     assert any(r["multi_frac"] > 0 for r in got.values())
+
+
+def test_wordpiece_train_matches_python_reference(spark):
+    """The 8 learned WordPiece merges must equal a pure-Python
+    likelihood-scored trainer on the same corpus: '##' continuation
+    symbols, score = count(ab) / (count(a)·count(b)) as one IEEE
+    division of exact ints, (score DESC, left ASC, right ASC)
+    tie-break, lookaround left-to-right merge application."""
+    import re
+
+    texts = [
+        r["text"]
+        for r in table(spark, SF, "documents").select("text").collect()
+    ]
+    freqs = Counter()
+    for t in texts:
+        for w in re.split("[ \t\n\x0b\f\r]+", t):
+            if w:
+                freqs[w] += 1
+    vocab = {
+        tuple([w[0]] + ["##" + c for c in w[1:]]): n
+        for w, n in freqs.items()
+    }
+    want = []
+    for step in range(1, 9):
+        pairs = Counter()
+        syms = Counter()
+        for ss, n in vocab.items():
+            for s in ss:
+                syms[s] += n
+            for a, b in zip(ss, ss[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        scored = {
+            (a, b): cnt / (syms[a] * syms[b])
+            for (a, b), cnt in pairs.items()
+        }
+        (l, r), score = min(
+            scored.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        cnt = pairs[(l, r)]
+        merged = l + (r[2:] if r.startswith("##") else r)
+        want.append((step, l, r, merged, cnt, score))
+        pat = re.compile(r"(?<!\S)" + re.escape(l + " " + r) + r"(?!\S)")
+        repl = merged.replace("\\", "\\\\")
+        vocab = {
+            tuple(pat.sub(repl, " ".join(s)).split(" ")): n
+            for s, n in vocab.items()
+        }
+    got = [
+        tuple(r)
+        for r in get("llm_wordpiece_train").fn(spark, SF).orderBy("step").collect()
+    ]
+    assert got == want
+    # the likelihood scoring must actually DIVERGE from BPE's count
+    # scoring on this corpus (otherwise the operator adds nothing)
+    bpe = [
+        (r["left"], r["right"])
+        for r in get("llm_bpe_train").fn(spark, SF).orderBy("step").collect()
+    ]
+    assert [(l, r) for _, l, r, _, _, _ in want] != bpe

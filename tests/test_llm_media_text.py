@@ -379,3 +379,75 @@ def test_video_scenes_match_reference_walk(spark):
             assert r["mad"] == pytest.approx(d["mad"], abs=0)
             assert r["is_cut"] == d["is_cut"]
     assert n_video > 0 and len(got) == n_video
+
+
+def test_image_phash_matches_numpy_reference_and_exact_pairs(spark):
+    """llm_image_phash invariants, against an INDEPENDENT NumPy
+    reference: (1) every (ahash, dhash) equals a vectorized
+    re-derivation from the same payload bytes (different code path:
+    np.frombuffer + fancy indexing vs the kernel's per-cell byte walk);
+    (2) the banded pair set equals the brute-force hamming-<=T pair set
+    EXACTLY — 8 one-byte bands pigeonhole-guarantee every pair with
+    hamming <= 7, so banding loses nothing at the <=6 bar."""
+    import itertools
+
+    import numpy as np
+
+    from local_etl_spark.multimodal.columns import _ppm_header, image_hashes
+    from local_etl_spark.queries.llm_media import PHASH_HAMMING_T
+
+    media = synthesize_media(table(spark, SF, "documents"))
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in media.filter(F.col("modality") == "image").collect()
+    }
+
+    def np_gray_grid(raw, gw, gh):
+        w, h, pos = _ppm_header(raw)
+        px = np.frombuffer(raw[pos : pos + w * h * 3], dtype=np.uint8)
+        px = px.reshape(h, w, 3).astype(np.int64)
+        gray = px.sum(axis=2) // 3
+        ys = (np.arange(gh) * h) // gh
+        xs = (np.arange(gw) * w) // gw
+        return gray[np.ix_(ys, xs)]
+
+    def np_ahash(raw):
+        g = np_gray_grid(raw, 8, 8).ravel()
+        mean = int(g.sum()) // 64
+        return int("".join("1" if v > mean else "0" for v in g), 2)
+
+    def np_dhash(raw):
+        g = np_gray_grid(raw, 9, 8)
+        bits = "".join(
+            "1" if g[y][x] > g[y][x + 1] else "0"
+            for y in range(8)
+            for x in range(8)
+        )
+        return int(bits, 2)
+
+    got = {
+        r["doc_id"]: r
+        for r in image_hashes(media).collect()
+    }
+    assert set(got) == set(payloads)
+    ref_a = {}
+    for doc_id, raw in payloads.items():
+        ra, rd = np_ahash(raw), np_dhash(raw)
+        ref_a[doc_id] = ra
+        def signed(u):
+            return u - (1 << 64) if u >= (1 << 63) else u
+        assert got[doc_id]["ahash"] == signed(ra), doc_id
+        assert got[doc_id]["dhash"] == signed(rd), doc_id
+        assert got[doc_id]["ahash_hex"] == f"{ra:016x}"
+
+    expected_pairs = {
+        (d1, d2)
+        for d1, d2 in itertools.combinations(sorted(payloads), 2)
+        if bin(ref_a[d1] ^ ref_a[d2]).count("1") <= PHASH_HAMMING_T
+    }
+    pairs = {
+        (r["d1"], r["d2"])
+        for r in get("llm_image_phash").fn(spark, SF).collect()
+    }
+    assert pairs == expected_pairs
+    assert pairs, "corpus should contain at least one near-dup image"

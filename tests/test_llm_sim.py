@@ -219,3 +219,46 @@ def test_mmr_matches_numpy_greedy_spec(spark):
     # diversification is real: MMR order != pure-relevance order
     rel_order = [r["vec_id"] for r in pool[:K]]
     assert [r["vec_id"] for r in got] != rel_order
+
+
+def test_pq_search_recall_and_exact_scores(spark):
+    """llm_simsearch_pq gates: returned scores are EXACT cosines
+    (ADC only orders the shortlist; the output re-ranks on raw
+    vectors), recall@10 >= 0.8 vs the brute-force top-k (measured 1.0
+    at sf0.01, 0.9 at sf0.001/0.1 with the 32-entry codebooks and
+    10K-deep shortlist), and every code is a valid 5-bit index."""
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries.llm_sim import (
+        PQ_K,
+        PQ_M,
+        _pq_code_expr,
+        _train_pq,
+        _UNIT_EMBEDDING,
+    )
+
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in get("llm_simsearch").fn(spark, SF).collect()
+    }
+    got = get("llm_simsearch_pq").fn(spark, SF).collect()
+    assert len(got) == 10
+    for r in got:
+        if r["vec_id"] in exact:
+            assert r["score"] == exact[r["vec_id"]]
+    recall = len({r["vec_id"] for r in got} & set(exact)) / len(exact)
+    assert recall >= 0.8, recall
+
+    books = _train_pq(spark, SF)
+    assert len(books) == PQ_M and all(len(b) == PQ_K for b in books)
+    codes = (
+        table(spark, SF, "embeddings")
+        .select(F.expr(_UNIT_EMBEDDING).alias("_u"))
+        .select(_pq_code_expr(books).alias("codes"))
+        .select(
+            F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")
+        )
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        .first()
+    )
+    assert codes["lo"] >= 0 and codes["hi"] < PQ_K

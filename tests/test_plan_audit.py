@@ -60,6 +60,11 @@ ALLOW_NESTED_LOOP = {
     "llm_mix_capped",  # 1-row broadcast totals + capped-mass scalars
     "sql_table_fn",  # 5-row broadcast TVF bucket spine, range-banded
     # by definition (the spine IS the dimension)
+    "llm_simsearch_pq",  # 1-row broadcast query vector for the exact
+    # re-rank of the model-sized ADC shortlist (the llm_simsearch shape)
+    "win_theil_sen",  # day-pair slope join over the CALENDAR-BOUNDED
+    # day grid (grid-sized, never data-sized — the win_mann_kendall
+    # class)
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
@@ -75,6 +80,9 @@ ALLOW_PYTHON = {
     "llm_media_resize",
     "llm_audio_features",
     "llm_video_scenes",
+    "llm_image_phash",  # perceptual-hash kernel over the real pixel
+    # planes (Arrow-batched mapInPandas, the media-codec contract);
+    # banding/verify stay JVM-side
     "udf_cogrouped",  # two-sided Arrow surface (FlatMapCoGroupsInPandas)
     # SRP hashing is one numpy matmul per Arrow batch by design — the
     # JVM per-row alternative is ~192 interpreted HOF folds/row
