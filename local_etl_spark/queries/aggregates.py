@@ -1372,3 +1372,87 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_col.cast("bigint").alias("cms_estimate"),
         F.lit(int(row["n"])).cast("bigint").alias("stream_total"),
     ).orderBy("event_type")
+
+
+MG_COUNTERS = 50  # Misra–Gries counters per partition
+
+
+@query("agg_heavy_hitters", family="aggregations", oracle=None)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters over document words — the
+    bounded-memory frequent-items sketch next to agg_count_min_sketch
+    (CMS answers point queries; MG surfaces the candidates WITHOUT
+    knowing them up front). Each partition maintains MG_COUNTERS
+    counters across its Arrow batches inside ONE mapInPandas pass
+    (state lives in the generator — partition-local, never
+    driver-side); the model-sized per-partition summaries then merge
+    relationally: per-word counter sums are the LOWER bound, adding
+    every partition's decrement total gives the UPPER bound (the
+    classic mergeability argument: each partition's estimate
+    undercounts by at most its own decrements).
+
+    Guarantees (pytest-verified against exact counts): any word with
+    true frequency > N/MG_COUNTERS survives; for every emitted word
+    est_min ≤ true ≤ est_max. At 100 TB the corpus is touched once,
+    per-executor memory is O(MG_COUNTERS), and the merge input is
+    (#partitions × MG_COUNTERS) rows — model-sized. Rows-only
+    (partition-order-dependent estimates are deterministic for a
+    fixed layout but not SQL-expressible).
+    """
+    import pandas as pd  # noqa: F401 (executors re-import the module)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # k binds as a DEFAULT ARG: executors re-import this module, so a
+    # bare global reference would ignore a test's monkeypatched value
+    # (the queries/udfs.py module-level-UDF gotcha, same mechanism)
+    def mg_partition(batches, k=MG_COUNTERS):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        decrements = 0
+        for pdf in batches:
+            for text in pdf["text"]:
+                for w in str(text).split():
+                    if w in counters:
+                        counters[w] += 1
+                    elif len(counters) < k:
+                        counters[w] = 1
+                    else:
+                        decrements += 1
+                        for key in list(counters):
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                del counters[key]
+        yield pd.DataFrame(
+            {
+                "word": list(counters) + ["\x00dec\x00"],
+                "est": list(counters.values()) + [decrements],
+            }
+        )
+
+    import pyspark.sql.types as T
+
+    summaries = docs.mapInPandas(
+        mg_partition, schema=T.StructType(
+            [
+                T.StructField("word", T.StringType()),
+                T.StructField("est", T.LongType()),
+            ]
+        )
+    ).persist()
+    dec_total = summaries.filter(F.col("word") == "\x00dec\x00").agg(
+        F.sum("est").cast("bigint").alias("dec_total")
+    )
+    return (
+        summaries.filter(F.col("word") != "\x00dec\x00")
+        .groupBy("word")
+        .agg(F.sum("est").cast("bigint").alias("est_min"))
+        .crossJoin(F.broadcast(dec_total))
+        .select(
+            "word",
+            "est_min",
+            (F.col("est_min") + F.col("dec_total")).alias("est_max"),
+        )
+        .orderBy(F.desc("est_min"), "word")
+    )

@@ -1646,3 +1646,88 @@ def win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("slope", 6) + 0.0).alias("slope"),
         (F.round("intercept", 6) + 0.0).alias("intercept"),
     )
+
+
+@query(
+    "win_pettitt",
+    family="windows",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    u AS (
+        SELECT a.day AS day,
+               CAST(sum(CASE WHEN i.c > j.c THEN 1
+                             WHEN i.c < j.c THEN -1 ELSE 0 END) AS BIGINT)
+                   AS u_t
+        FROM daily a
+        JOIN daily i ON i.day <= a.day
+        JOIN daily j ON j.day > a.day
+        GROUP BY a.day
+    ),
+    k AS (
+        SELECT day AS cp_day, abs(u_t) AS k_stat
+        FROM u
+        ORDER BY abs(u_t) DESC, day
+        LIMIT 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           k_stat, cp_day
+    FROM k
+    """,
+)
+def win_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test on daily revenue — the nonparametric
+    single-changepoint locator that completes the drift toolkit:
+    win_mann_kendall says WHETHER the series drifts, win_theil_sen how
+    fast, win_cusum tracks level shifts online, Pettitt finds WHERE
+    the split maximizes the rank disparity. U_t = Σ_{i≤t, j>t}
+    sign(x_i − x_j); the statistic is K = max|U_t| and the changepoint
+    the day attaining it (earliest on ties).
+
+    Determinism: daily values are exact cents, U_t is an exact BIGINT
+    double sum over sign compares, and the arg-max orders on (|U_t|
+    DESC, day) — no floats anywhere (the usual 2·exp(−6K²/(T³+T²))
+    p-value is deliberately NOT emitted: exp() is libm-dependent, the
+    one divergence class the determinism policy bans; K and T carry
+    the same information exactly). Scale: the triple day join is over
+    the CALENDAR-BOUNDED grid (T² pairs aggregated per split point —
+    30 days → 13.5k terms; even a decade is grid-sized); the
+    corpus-sized work is one day-grain aggregate.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("c")
+        )
+        .persist()
+    )
+    split = daily.select(F.col("day").alias("day"))
+    i = daily.select(F.col("day").alias("di"), F.col("c").alias("ci"))
+    j = daily.select(F.col("day").alias("dj"), F.col("c").alias("cj"))
+    u = (
+        split.join(i, F.col("di") <= F.col("day"))
+        .join(j, F.col("dj") > F.col("day"))
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("ci") > F.col("cj"), 1)
+                .when(F.col("ci") < F.col("cj"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("u_t")
+        )
+    )
+    k = (
+        u.select(F.col("day").alias("cp_day"), F.abs("u_t").alias("k_stat"))
+        .orderBy(F.desc("k_stat"), "cp_day")
+        .limit(1)
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return n_days.crossJoin(k).select("n_days", "k_stat", "cp_day")

@@ -161,3 +161,46 @@ def test_parquet_footer_matches_pyarrow_walk(spark):
                     c.num_values, int(c.statistics.min), int(c.statistics.max)
                 )
     assert got == want
+
+
+def test_heavy_hitters_misra_gries_guarantees(spark, monkeypatch):
+    """agg_heavy_hitters invariants vs exact counts: every word with
+    true frequency > N/k survives, and est_min <= true <= est_max for
+    every emitted word. k is monkeypatched small (5) to FORCE
+    decrements — at the default 50 the synthetic vocab fits the
+    counters and MG degenerates to exact counting, which would not
+    exercise the bounds."""
+    from collections import Counter
+
+    from local_etl_spark.catalog import table
+    from local_etl_spark.queries import aggregates
+
+    sf = "/root/testdata/sf0.01"
+    texts = [
+        r["text"] for r in table(spark, sf, "documents").select("text").collect()
+    ]
+    exact = Counter(w for t in texts for w in t.split())
+    n_total = sum(exact.values())
+
+    monkeypatch.setattr(aggregates, "MG_COUNTERS", 5)
+    rows = aggregates.agg_heavy_hitters(spark, sf).collect()
+    got = {r["word"]: (r["est_min"], r["est_max"]) for r in rows}
+    assert rows[0]["est_max"] > rows[0]["est_min"], (
+        "k=5 must force decrements"
+    )
+    # MG guarantee: anything above N/k must survive the sketch
+    for w, c in exact.items():
+        if c > n_total / 5:
+            assert w in got, (w, c)
+    # bound containment for every emitted candidate
+    for w, (lo, hi) in got.items():
+        assert lo <= exact[w] <= hi, (w, lo, exact[w], hi)
+
+    # default k: the corpus vocabulary fits → exact counts, zero slack
+    monkeypatch.undo()
+    full = {
+        r["word"]: (r["est_min"], r["est_max"])
+        for r in aggregates.agg_heavy_hitters(spark, sf).collect()
+    }
+    for w, (lo, hi) in full.items():
+        assert lo <= exact[w] <= hi

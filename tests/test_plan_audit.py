@@ -65,6 +65,10 @@ ALLOW_NESTED_LOOP = {
     "win_theil_sen",  # day-pair slope join over the CALENDAR-BOUNDED
     # day grid (grid-sized, never data-sized — the win_mann_kendall
     # class)
+    "win_pettitt",  # split-point × day-pair join over the same
+    # calendar-bounded grid; plus a 1-row n_days broadcast
+    "agg_heavy_hitters",  # 1-row broadcast decrement total joined to
+    # the model-sized merged summary
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
@@ -83,6 +87,9 @@ ALLOW_PYTHON = {
     "llm_image_phash",  # perceptual-hash kernel over the real pixel
     # planes (Arrow-batched mapInPandas, the media-codec contract);
     # banding/verify stay JVM-side
+    "agg_heavy_hitters",  # Misra–Gries counters are partition-local
+    # sequential state by definition — one Arrow pass, O(k) memory;
+    # the summary merge is relational
     "udf_cogrouped",  # two-sided Arrow surface (FlatMapCoGroupsInPandas)
     # SRP hashing is one numpy matmul per Arrow batch by design — the
     # JVM per-row alternative is ~192 interpreted HOF folds/row
