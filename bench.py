@@ -93,6 +93,13 @@ HEADLINE = [
     "llm_dedup_prefix",
     "etl_upsert",
     "llm_dedup_minhash",
+    # round-6 additions: new-operator representatives (PQ encode+ADC
+    # scan, the Arrow perceptual-hash pass + band joins, the LPA
+    # iteration loop, the original-shape partsupp Q2)
+    "llm_simsearch_pq",
+    "llm_image_phash",
+    "graph_label_prop",
+    "sql_q2",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →

@@ -969,3 +969,52 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("p_name", "[^a-z]+")).cast("bigint").alias("n_fields"),
         F.regexp_replace("p_name", "(^| )([a-z])", "$1<$2>").alias("marked"),
     )
+
+
+@query(
+    "fn_variant_explode",
+    family="functions",
+    oracle="""
+    SELECT doc_id, CAST(0 AS INT) AS pos, 'lang' AS key,
+           '"' || lang || '"' AS value_json
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT), 'n_chars', CAST(n_chars AS VARCHAR)
+    FROM documents
+    """,
+)
+def fn_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``variant_explode`` lateral TVF: fan a semi-structured
+    VARIANT object out to (pos, key, value) rows — the generic
+    schema-on-read walk for payloads whose keys aren't known at write
+    time (the complement of scan_json_variant's whole-document
+    ingestion). Each document's (lang, n_chars) pair is packed into a
+    variant object and exploded back; ``pos`` is the field's rank in
+    the variant's SORTED key order (probed: insertion order is NOT
+    preserved — variant objects canonicalize keys), so the oracle
+    assigns pos by key rank. ``value`` is VARIANT-typed and not
+    canon-safe; ``to_json`` gives its exact JSON spelling as a scalar
+    witness.
+
+    Scale: parse + lateral explode are map-only (a Generate over each
+    row's bounded field list — no shuffle at any corpus size).
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.select(
+        "doc_id",
+        F.parse_json(
+            F.concat(
+                F.lit('{"n_chars": '),
+                F.col("n_chars").cast("string"),
+                F.lit(', "lang": "'),
+                F.col("lang"),
+                F.lit('"}'),
+            )
+        ).alias("pj"),
+    ).createOrReplaceTempView("_fn_vexp_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, v.pos, v.key, to_json(v.value) AS value_json
+        FROM _fn_vexp_docs, LATERAL variant_explode(pj) v
+        """
+    )

@@ -1252,3 +1252,231 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_monetary"),
         )
     )
+
+
+JK_BUCKETS = 50
+
+
+@query(
+    "agg_jackknife_ratio",
+    family="stats",
+    oracle=f"""
+    WITH b AS (
+        SELECT user_id % {JK_BUCKETS} AS bucket,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS num,
+               CAST(count(*) AS BIGINT) AS den
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(num) AS BIGINT) AS sn,
+               CAST(sum(den) AS BIGINT) AS sd
+        FROM b
+    ),
+    th AS (
+        SELECT bucket, n, sn, sd,
+               CAST(sn - num AS DOUBLE) / CAST(sd - den AS DOUBLE)
+                   AS theta_i
+        FROM b CROSS JOIN tot
+    ),
+    m AS (
+        SELECT max(n) AS n, max(sn) AS sn, max(sd) AS sd,
+               list_sum(list(theta_i ORDER BY bucket))
+                   / CAST(max(n) AS DOUBLE) AS jk_mean
+        FROM th
+    ),
+    v AS (
+        SELECT max(m.n) AS n, max(m.sn) AS sn, max(m.sd) AS sd,
+               max(m.jk_mean) AS jk_mean,
+               list_sum(list((th.theta_i - m.jk_mean)
+                             * (th.theta_i - m.jk_mean)
+                             ORDER BY th.bucket)) AS ssq
+        FROM th CROSS JOIN m
+    )
+    SELECT n AS n_buckets,
+           round(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE), 6) AS ratio,
+           round(jk_mean, 6) AS jk_mean,
+           round(sqrt((CAST(n AS DOUBLE) - 1) / CAST(n AS DOUBLE) * ssq),
+                 6) AS jk_se
+    FROM v
+    """,
+)
+def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error of a RATIO metric
+    (purchase cents per event) — the experimentation-platform
+    confidence machinery for metrics that are quotients of sums (a
+    plain per-row variance is WRONG for ratios: the denominator varies
+    too). θ₍ᵢ₎ = (Sₙ−numᵢ)/(S_d−denᵢ) leave-one-out replicas over
+    JK_BUCKETS user buckets; SE = √((n−1)/n · Σ(θ₍ᵢ₎−θ̄)²). Completes
+    the resampling pair with agg_bootstrap_ci (bootstrap resamples;
+    jackknife is closed-form from exact sums — no randomness at all).
+
+    Determinism: bucket numerators/denominators and their totals are
+    exact BIGINTs; each replica is one IEEE division of exact ints;
+    the replica mean and squared-deviation sums fold in explicit
+    bucket order on both engines (plain double sums diverge in low
+    bits); sqrt is correctly rounded. Scale: one bucket-keyed
+    aggregate over the corpus, then everything is JK_BUCKETS-sized —
+    the ordered folds buffer 50 rows.
+    """
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy((F.col("user_id") % JK_BUCKETS).alias("bucket")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("num"),
+        F.count(F.lit(1)).cast("bigint").alias("den"),
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("num").cast("bigint").alias("sn"),
+        F.sum("den").cast("bigint").alias("sd"),
+    )
+    th = b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n",
+        "sn",
+        "sd",
+        (
+            (F.col("sn") - F.col("num")).cast("double")
+            / (F.col("sd") - F.col("den")).cast("double")
+        ).alias("theta_i"),
+    )
+    fold_theta = (
+        "aggregate(transform(array_sort(collect_list(struct(bucket, theta_i))),"
+        " s -> s.theta_i), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    m = th.agg(
+        F.max("n").alias("n"),
+        F.max("sn").alias("sn"),
+        F.max("sd").alias("sd"),
+        (F.expr(fold_theta) / F.max("n").cast("double")).alias("jk_mean"),
+    )
+    dev = th.crossJoin(F.broadcast(m.select("jk_mean"))).select(
+        "bucket",
+        (
+            (F.col("theta_i") - F.col("jk_mean"))
+            * (F.col("theta_i") - F.col("jk_mean"))
+        ).alias("sq"),
+    )
+    fold_sq = (
+        "aggregate(transform(array_sort(collect_list(struct(bucket, sq))),"
+        " s -> s.sq), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    ssq = dev.agg(F.expr(fold_sq).alias("ssq"))
+    return m.crossJoin(ssq).select(
+        F.col("n").alias("n_buckets"),
+        F.round(F.col("sn").cast("double") / F.col("sd").cast("double"), 6)
+        .alias("ratio"),
+        F.round("jk_mean", 6).alias("jk_mean"),
+        F.round(
+            F.sqrt(
+                (F.col("n").cast("double") - 1)
+                / F.col("n").cast("double")
+                * F.col("ssq")
+            ),
+            6,
+        ).alias("jk_se"),
+    )
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@query(
+    "agg_winsorized_mean",
+    family="stats",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+               ) AS rk,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type, max(n) AS n,
+               max(CASE WHEN rk = greatest(
+                       1, CAST(ceil({WINSOR_LO} * n) AS BIGINT))
+                   THEN cents END) AS lo,
+               max(CASE WHEN rk = greatest(
+                       1, CAST(floor({WINSOR_HI} * n) AS BIGINT))
+                   THEN cents END) AS hi
+        FROM v GROUP BY event_type
+    )
+    SELECT v.event_type,
+           max(bounds.n) AS n_events,
+           round(CAST(max(bounds.lo) AS DOUBLE) / 100, 6) AS lo_cut,
+           round(CAST(max(bounds.hi) AS DOUBLE) / 100, 6) AS hi_cut,
+           round(CAST(CAST(sum(least(greatest(v.cents, bounds.lo),
+                                     bounds.hi)) AS BIGINT) AS DOUBLE)
+                 / CAST(max(bounds.n) AS DOUBLE) / 100, 6)
+               AS winsorized_mean
+    FROM v JOIN bounds USING (event_type)
+    GROUP BY v.event_type
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event value per type — clamp everything
+    outside the [p05, p95] RANK cuts to the cut values, then average:
+    the robust-location estimator that (unlike trimming or
+    agg_outlier_mad's exclusion) keeps N constant, the standard guard
+    for revenue metrics a few whale rows would otherwise own.
+
+    Determinism: everything is exact integers — cents, rank-based
+    (nearest-rank, not interpolated) percentile cuts with an event_id
+    tiebreak so the rank permutation is total, a clamped BIGINT sum,
+    and one final division. No interpolation, no double sums. Scale:
+    one window pass + one group aggregate on the same event_type key
+    (single exchange); the per-type rank window is the one sort, the
+    same shape as win_topn_ties.
+    """
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    v = (
+        e.select("event_type", "event_id", cents.alias("cents"))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .cast("bigint"),
+        )
+    )
+    k_lo = F.greatest(F.lit(1), F.ceil(WINSOR_LO * F.col("n")).cast("bigint"))
+    k_hi = F.greatest(F.lit(1), F.floor(WINSOR_HI * F.col("n")).cast("bigint"))
+    bounds = v.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rk") == k_lo, F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rk") == k_hi, F.col("cents"))).alias("hi"),
+    )
+    joined = v.select("event_type", "cents").join(bounds, "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.round(F.max("lo").cast("double") / 100, 6).alias("lo_cut"),
+            F.round(F.max("hi").cast("double") / 100, 6).alias("hi_cut"),
+            F.round(
+                F.sum(
+                    F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+                )
+                .cast("bigint")
+                .cast("double")
+                / F.max("n").cast("double")
+                / 100,
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )

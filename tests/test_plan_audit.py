@@ -69,6 +69,8 @@ ALLOW_NESTED_LOOP = {
     # calendar-bounded grid; plus a 1-row n_days broadcast
     "agg_heavy_hitters",  # 1-row broadcast decrement total joined to
     # the model-sized merged summary
+    "agg_jackknife_ratio",  # 1-row broadcast totals / jk_mean joined
+    # to the JK_BUCKETS-sized replica table
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
