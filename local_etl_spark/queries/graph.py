@@ -693,17 +693,40 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # same size-aware edge-cache packing as graph_pagerank (§14.5):
+    # 6 rounds × tiny stages × 32 tasks is scheduler-bound locally;
+    # the clamp no-ops once edges outgrow the cores
+    n_edges = edges.count()
+    k_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            n_edges // PR_EDGE_ROWS_PER_PART + 1,
+        ),
+    )
+    if k_parts < edges.rdd.getNumPartitions():
+        packed = edges.coalesce(k_parts).persist()
+        packed.count()
+        edges.unpersist()
+        edges = packed
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    # label vector broadcast below the pagerank gate: the EDGE list —
+    # the big side — never shuffles for the per-round label join
+    broadcast_labels = (
+        labels.count() <= PR_BROADCAST_MAX_NODES
+    )
     for r in range(LPA_ROUNDS):
         side = "s" if r % 2 == 0 else "c"
         nbr = labels.select(
             F.col("node").alias("b"), F.col("label").alias("nl")
         )
+        if broadcast_labels:
+            nbr = F.broadcast(nbr)
         adopted = (
             edges.filter(F.substring("a", 1, 1) == side)
             .join(nbr, "b")
