@@ -1480,3 +1480,119 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+CUPED_SPLIT = "2024-01-16"  # pre-period before, experiment period after
+
+
+@query(
+    "agg_cuped",
+    family="stats",
+    oracle=f"""
+    WITH per AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM per
+    ),
+    cent AS (
+        SELECT per.user_id,
+               CAST(per.x AS DOUBLE) - CAST(tot.sx AS DOUBLE) / tot.n AS dx,
+               CAST(per.y AS DOUBLE) - CAST(tot.sy AS DOUBLE) / tot.n AS dy,
+               tot.n AS n
+        FROM per CROSS JOIN tot
+    ),
+    s AS (
+        SELECT max(n) AS n,
+               list_sum(list(dx * dy ORDER BY user_id)) AS sxy,
+               list_sum(list(dx * dx ORDER BY user_id)) AS sxx,
+               list_sum(list(dy * dy ORDER BY user_id)) AS syy
+        FROM cent
+    )
+    SELECT n AS n_users,
+           round(sxy / sxx, 6) AS theta,
+           round((sxy / sxx) * (sxy / syy), 6) + 0.0 AS var_reduction
+    FROM s
+    """,
+)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the third leg of
+    the experimentation stool next to agg_jackknife_ratio (CI) and
+    agg_bootstrap_ci: θ = cov(x, y)/var(x) regresses each user's
+    experiment-period metric y on their PRE-period covariate x, and
+    var_reduction = ρ² = θ·cov/var(y) is the fraction of metric
+    variance the adjustment deletes (smaller experiments, same power).
+    Periods split at CUPED_SPLIT over the event month.
+
+    Determinism: per-user x/y are exact BIGINT cents; means are single
+    divisions; the centered cross/self products fold in explicit
+    user_id order on both engines (the agg_theil pattern — plain
+    double sums diverge in low bits); `+ 0.0` normalizes −0.0. The
+    n·Sxy integer-moment form was rejected: at corpus scale it needs
+    DECIMAL staging whose widths legally differ per engine (the r5
+    decimal-width-split gotcha). Scale: one user-keyed aggregate, one
+    1-row broadcast, ordered folds buffer |users| — the conscious
+    determinism trade documented in agg_theil.
+    """
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("y"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    cent = per.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n",
+        (
+            F.col("x").cast("double")
+            - F.col("sx").cast("double") / F.col("n")
+        ).alias("dx"),
+        (
+            F.col("y").cast("double")
+            - F.col("sy").cast("double") / F.col("n")
+        ).alias("dy"),
+    )
+
+    def fold(expr: str) -> F.Column:
+        return F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(user_id,"
+            f" {expr} AS v))), s -> s.v), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        )
+
+    s = cent.agg(
+        F.max("n").alias("n"),
+        fold("dx * dy").alias("sxy"),
+        fold("dx * dx").alias("sxx"),
+        fold("dy * dy").alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("sxy") / F.col("sxx"), 6).alias("theta"),
+        (
+            F.round(
+                (F.col("sxy") / F.col("sxx")) * (F.col("sxy") / F.col("syy")),
+                6,
+            )
+            + 0.0
+        ).alias("var_reduction"),
+    )

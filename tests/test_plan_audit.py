@@ -71,6 +71,8 @@ ALLOW_NESTED_LOOP = {
     # the model-sized merged summary
     "agg_jackknife_ratio",  # 1-row broadcast totals / jk_mean joined
     # to the JK_BUCKETS-sized replica table
+    "agg_cuped",  # 1-row broadcast (n, Σx, Σy) joined back for the
+    # centered folds
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
