@@ -1189,3 +1189,84 @@ def llm_safety_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("injection_rate"),
     )
+
+
+@query(
+    "llm_kl_shift",
+    family="llm",
+    oracle="""
+    WITH wc AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        )
+        WHERE w <> ''
+        GROUP BY source, w
+    ),
+    st AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY source
+    ),
+    gt AS (
+        SELECT w, CAST(sum(c) AS BIGINT) AS gc FROM wc GROUP BY w
+    ),
+    g AS (SELECT CAST(sum(c) AS BIGINT) AS gn FROM wc),
+    terms AS (
+        SELECT wc.source, wc.w,
+               (CAST(wc.c AS DOUBLE) / st.n)
+                   * ln((CAST(wc.c AS DOUBLE) / st.n)
+                        / (CAST(gt.gc AS DOUBLE) / g.gn)) AS term
+        FROM wc
+        JOIN st USING (source)
+        JOIN gt USING (w)
+        CROSS JOIN g
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+           round(list_sum(list(term ORDER BY w)), 6) + 0.0 AS kl_vs_global
+    FROM terms GROUP BY source
+    """,
+)
+def llm_kl_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution shift: KL(P_source ‖ P_corpus) over the
+    unigram word distributions — the drift monitor a mixture pipeline
+    runs per ingest source (a source whose KL jumps changed register/
+    topic/spam profile; pairs with etl_drift_psi, which watches a
+    NUMERIC column, and agg_entropy, which watches one categorical
+    mix). The global distribution is the word-marginal of all sources,
+    so every source word has global support — no smoothing needed.
+
+    Determinism: counts are exact BIGINTs; each term is a fixed
+    expression over two exact-int divisions (ln matched cross-engine
+    everywhere it's used — agg_theil); per-source term sums fold in
+    explicit word order; `+ 0.0` normalizes −0.0. Scale: one
+    (source, word)-keyed aggregate over the corpus (the shuffle),
+    then everything is vocab-sized; the ordered fold buffers
+    |vocab_source| terms.
+    """
+    d = t(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    st = wc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    gt = wc.groupBy("w").agg(F.sum("c").cast("bigint").alias("gc"))
+    g = wc.agg(F.sum("c").cast("bigint").alias("gn"))
+    ps = F.col("c").cast("double") / F.col("n")
+    pg = F.col("gc").cast("double") / F.col("gn")
+    terms = (
+        wc.join(st, "source")
+        .join(gt, "w")
+        .crossJoin(F.broadcast(g))
+        .select("source", "w", (ps * F.log(ps / pg)).alias("term"))
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(w, term))),"
+        " s -> s.term), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        (F.round(F.expr(fold), 6) + 0.0).alias("kl_vs_global"),
+    )

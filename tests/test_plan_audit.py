@@ -73,6 +73,8 @@ ALLOW_NESTED_LOOP = {
     # to the JK_BUCKETS-sized replica table
     "agg_cuped",  # 1-row broadcast (n, Σx, Σy) joined back for the
     # centered folds
+    "llm_kl_shift",  # 1-row broadcast global token total for the
+    # p_global denominator
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
