@@ -199,6 +199,14 @@ def bench_etl(spark, sf: float, tmp_root: str) -> dict[str, float]:
 
 
 def main() -> None:
+    # ambient load BEFORE the bench's own work starts — the end-of-run
+    # reading mostly measures the bench itself (local[32] queries keep
+    # 1m-loadavg elevated), so adjudicating "was the machine busy"
+    # needs the start value (VERDICT r5 item 6)
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from local_etl_spark.registry import all_queries
     from local_etl_spark.session import get_spark
@@ -255,6 +263,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_num,
                 "loadavg_1m": load1,
+                "loadavg_start_1m": load_start,
                 "ncpu": os.cpu_count(),
             }
         )
