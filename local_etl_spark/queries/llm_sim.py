@@ -832,3 +832,69 @@ def llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(K)
     )
+
+
+@query("llm_ivf_partitioned", family="llm", oracle=None)
+def llm_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF claim REALIZED as storage layout: the corpus is written
+    to parquet PARTITIONED BY its trained cell id, and a probe becomes
+    a directory prune — llm_simsearch_ivf's docstring promises "at
+    100 TB, write the corpus partitioned BY cell so a probe is a
+    partition prune, not a filter"; this operator is that write + the
+    pruned read-back. The probe filter shows up as PartitionFilters on
+    the scan (plan-pinned in tests/test_plan_shape.py) and untouched
+    cells contribute ZERO input files, at any corpus size.
+
+    Result is identical to llm_simsearch_ivf by construction (same
+    model, same probes, same exact re-scoring on original vectors) —
+    the pytest asserts row-for-row equality, so the layout is proven
+    to change the ACCESS PATH and nothing else. Rows-only (trained
+    model in the path); the write is marker-gated like the other
+    sink-backed scans.
+    """
+    import os
+
+    from local_etl_spark.queries.scans import _cache_dir
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = _lloyd(spark, sf_dir, k=IVF_CELLS, iters=KM_ITERS, spherical=True)
+    path = _cache_dir(sf_dir, "embeddings_by_cell")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        emb.select(
+            "vec_id", "label", "embedding", F.expr(_UNIT_EMBEDDING).alias("_u")
+        ).select(
+            "vec_id",
+            "label",
+            "embedding",
+            _km_assign_expr(centroids, vector="_u").alias("cid"),
+        ).write.mode("overwrite").partitionBy("cid").parquet(path)
+
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qn = sum(float(x) * float(x) for x in q) ** 0.5
+    qunit = [float(x) / qn for x in q]
+
+    def cell_sim(c: list[float]) -> float:
+        cn = sum(v * v for v in c) ** 0.5
+        return sum(u * v for u, v in zip(qunit, c)) / cn
+
+    probe = sorted(
+        range(len(centroids)), key=lambda j: (-cell_sim(centroids[j]), j)
+    )[:IVF_NPROBE]
+
+    back = spark.read.parquet(path)
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        back.filter(F.col("cid").isin(probe))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine("embedding", "qv"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(K)
+    )

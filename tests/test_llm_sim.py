@@ -262,3 +262,12 @@ def test_pq_search_recall_and_exact_scores(spark):
         .first()
     )
     assert codes["lo"] >= 0 and codes["hi"] < PQ_K
+
+
+def test_ivf_partitioned_equals_ivf(spark):
+    """The partitioned-layout probe must change ONLY the access path:
+    row-for-row equality with llm_simsearch_ivf (same model, same
+    probes, same exact rescoring)."""
+    a = [tuple(r) for r in get("llm_ivf_partitioned").fn(spark, SF).collect()]
+    b = [tuple(r) for r in get("llm_simsearch_ivf").fn(spark, SF).collect()]
+    assert a == b and len(a) == 10

@@ -552,3 +552,15 @@ def test_dedup_embed_gate_branches_on_corpus_size(spark, monkeypatch):
         or "ShuffledHashJoin" in plan_big
         or "BroadcastHashJoin" in plan_big
     ), "cell-blocked candidate join missing"
+
+
+def test_ivf_partitioned_probe_is_partition_prune(spark):
+    """llm_ivf_partitioned realizes the IVF storage-layout claim: the
+    probe must reach the parquet scan as PartitionFilters on the cell
+    id (a directory prune — unprobed cells contribute zero input
+    files), not a post-scan Filter."""
+    import re
+
+    plan = _plan(spark, "llm_ivf_partitioned")
+    m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*IN[^\]]*\]", plan)
+    assert m, "probe not pushed as a partition filter"
