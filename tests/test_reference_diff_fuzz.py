@@ -402,6 +402,22 @@ def _raw_valid_user_docs() -> dict[str, str]:
             '{"id": 9121, "name": "\\"Ada\\" \\"Lovelace\\"",'
             ' "address": "A\\nB", "job": "Engineer", "score": 5.0}',
         ),
+        # duplicate key where one spelling is \u-ESCAPED: both parsers
+        # decode escapes BEFORE duplicate resolution (probed), so
+        # 'id' collides with 'id' and the last value wins
+        "raw_dup_escaped_spelling.json": u(
+            "r9122",
+            '{"id": "bad", "\\u0069d": 9122, "name": "Ada Lovelace",'
+            ' "address": "A\\nB", "job": "Engineer", "score": 5.0}',
+        ),
+        # embedded NUL inside a string value: json decodes the u0000 escape to a
+        # raw NUL and both CSV writers emit the byte verbatim (probed —
+        # NUL is not str.split() whitespace, so name_norm is unfazed)
+        "raw_name_nul.json": u(
+            "r9123",
+            '{"id": 9123, "name": "Ada\\u0000X Lovelace",'
+            ' "address": "A\\nB", "job": "Engineer", "score": 5.0}',
+        ),
     }
 
 
