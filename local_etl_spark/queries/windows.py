@@ -1731,3 +1731,112 @@ def win_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     return n_days.crossJoin(k).select("n_days", "k_stat", "cp_day")
+
+
+KM_CENSOR_DAYS = 3  # users active in the final window are censored
+
+
+@query(
+    "win_kaplan_meier",
+    family="windows",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS maxd FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(date_diff('day',
+                    min(CAST(date_trunc('day', ts) AS DATE)),
+                    max(CAST(date_trunc('day', ts) AS DATE))) AS BIGINT)
+                   AS lt,
+               CASE WHEN max(CAST(date_trunc('day', ts) AS DATE))
+                         <= (SELECT maxd FROM bounds) - {KM_CENSOR_DAYS}
+                    THEN 1 ELSE 0 END AS died
+        FROM events GROUP BY user_id
+    ),
+    km AS (
+        SELECT k.lt AS t, CAST(sum(k.died) AS BIGINT) AS d,
+               (SELECT CAST(count(*) AS BIGINT) FROM u u2
+                WHERE u2.lt >= k.lt) AS n_risk
+        FROM u k GROUP BY k.lt HAVING sum(k.died) > 0
+    )
+    SELECT a.t, max(a.n_risk) AS n_risk, max(a.d) AS d,
+           round(CAST(list_reduce(
+               list(CAST(1 - CAST(b.d AS DOUBLE) / b.n_risk AS DOUBLE)
+                    ORDER BY b.t),
+               (x, y) -> x * y) AS DOUBLE), 6) AS survival
+    FROM km a JOIN km b ON b.t <= a.t
+    GROUP BY a.t
+    """,
+)
+def win_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user LIFETIME (days between a
+    user's first and last event), with right-censoring: users still
+    active in the corpus' final KM_CENSOR_DAYS are censored, not
+    churned — the product-limit estimator retention analysis runs on
+    exactly this shape (win_retention_cohort counts who returns;
+    Kaplan–Meier says how long users LAST while honestly handling the
+    ones still alive). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over death times.
+
+    Determinism: lifetimes and at-risk/death counts are exact ints;
+    each hazard factor is one IEEE division; the survival product
+    folds in explicit death-time order on BOTH engines (Spark
+    init-1.0 left fold ≡ DuckDB list_reduce — multiplying by exact
+    1.0 is identity). Scale: one user-keyed aggregate over the corpus,
+    then everything is death-time-grid-sized (≤ corpus days); the
+    running product joins the grid to itself — the calendar-bounded
+    quadratic class of win_mann_kendall.
+    """
+    e = t(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    u = (
+        e.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+        .crossJoin(
+            F.broadcast(
+                e.select(day.alias("d")).agg(F.max("d").alias("maxd"))
+            )
+        )
+        .select(
+            F.datediff("last_day", "first_day").cast("bigint").alias("lt"),
+            F.when(
+                F.col("last_day") <= F.date_sub("maxd", KM_CENSOR_DAYS), 1
+            )
+            .otherwise(0)
+            .alias("died"),
+        )
+        .persist()
+    )
+    deaths = (
+        u.groupBy(F.col("lt").alias("t"))
+        .agg(F.sum("died").cast("bigint").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    risk = u.select(F.col("lt").alias("rlt"))
+    km = (
+        deaths.join(risk, F.col("rlt") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_risk"))
+        .persist()
+    )
+    a = km.select(F.col("t"), F.col("n_risk"), F.col("d"))
+    b = km.select(
+        F.col("t").alias("bt"),
+        (
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+        ).alias("f"),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(bt, f))),"
+        " s -> s.f), CAST(1 AS DOUBLE), (x, v) -> x * v)"
+    )
+    return (
+        a.join(b, F.col("bt") <= F.col("t"))
+        .groupBy("t")
+        .agg(
+            F.max("n_risk").alias("n_risk"),
+            F.max("d").alias("d"),
+            F.round(F.expr(fold), 6).alias("survival"),
+        )
+    )

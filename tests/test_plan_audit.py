@@ -68,6 +68,9 @@ ALLOW_NESTED_LOOP = {
     # class)
     "win_pettitt",  # split-point × day-pair join over the same
     # calendar-bounded grid; plus a 1-row n_days broadcast
+    "win_kaplan_meier",  # death-time-grid ≤-joins (at-risk counts +
+    # running product) — the same calendar-bounded quadratic class;
+    # plus a 1-row max-day broadcast
     "agg_heavy_hitters",  # 1-row broadcast decrement total joined to
     # the model-sized merged summary
     "agg_jackknife_ratio",  # 1-row broadcast totals / jk_mean joined
