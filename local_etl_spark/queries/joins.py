@@ -722,3 +722,99 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(in_tol, F.col("last_click")).alias("click_ts"),
         )
     )
+
+
+@query(
+    "join_allen_relations",
+    family="joins",
+    oracle="""
+    WITH iv AS (
+        SELECT s_suppkey, n_name,
+               min(l_shipdate) AS lo, max(l_shipdate) AS hi
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY s_suppkey, n_name
+    ),
+    pairs AS (
+        SELECT a.n_name,
+               CASE WHEN a.hi < b.lo THEN 'before'
+                    WHEN a.hi = b.lo THEN 'meets'
+                    WHEN a.lo = b.lo AND a.hi = b.hi THEN 'equal'
+                    WHEN a.lo = b.lo THEN 'starts'
+                    WHEN a.hi = b.hi THEN 'finishes'
+                    WHEN a.hi > b.hi THEN 'contains'
+                    ELSE 'overlaps' END AS rel
+        FROM iv a JOIN iv b
+          ON a.n_name = b.n_name
+         AND (a.lo, a.hi, a.s_suppkey) < (b.lo, b.hi, b.s_suppkey)
+    )
+    SELECT n_name, rel, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY n_name, rel
+    """,
+)
+def join_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra over supplier shipping spans: classify
+    every same-nation supplier pair's [first, last]-shipment intervals
+    into the canonical temporal relations (before/meets/overlaps/
+    starts/finishes/contains/equal) and count per nation — the
+    exhaustive-and-exclusive temporal-join taxonomy underlying
+    join_interval_overlap (which keeps ONE relation class) and
+    join_asof (which keeps one DIRECTION).
+
+    Canonicalization makes the 13 Allen relations collapse to 7 with
+    no ambiguity: pairs order by (lo, hi, suppkey) tuple comparison —
+    identical lexicographic row-constructor semantics in both engines
+    — so interval a never starts after b, which eliminates the 6
+    inverses, and the CASE fires exactly one branch per pair (total:
+    every pair lands somewhere; the suppkey tiebreak keeps identical
+    intervals in the join exactly once). All compares are exact
+    timestamps. Scale: intervals are a dimension-sized aggregate; the
+    pair join blocks on the nation key, so the quadratic term is
+    bounded by the largest nation's supplier count — the
+    join_fuzzy-style blocked-pairs class, never corpus-quadratic.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_shipdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    iv = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "n_name")
+        .agg(
+            F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+        )
+        .persist()
+    )
+    a = iv.select(
+        F.col("n_name"),
+        F.col("lo").alias("alo"),
+        F.col("hi").alias("ahi"),
+        F.col("s_suppkey").alias("ak"),
+    )
+    b = iv.select(
+        F.col("n_name"),
+        F.col("lo").alias("blo"),
+        F.col("hi").alias("bhi"),
+        F.col("s_suppkey").alias("bk"),
+    )
+    canon = F.struct("alo", "ahi", "ak") < F.struct("blo", "bhi", "bk")
+    rel = (
+        F.when(F.col("ahi") < F.col("blo"), "before")
+        .when(F.col("ahi") == F.col("blo"), "meets")
+        .when(
+            (F.col("alo") == F.col("blo")) & (F.col("ahi") == F.col("bhi")),
+            "equal",
+        )
+        .when(F.col("alo") == F.col("blo"), "starts")
+        .when(F.col("ahi") == F.col("bhi"), "finishes")
+        .when(F.col("ahi") > F.col("bhi"), "contains")
+        .otherwise("overlaps")
+    )
+    return (
+        a.join(b, "n_name")
+        .filter(canon)
+        .select("n_name", rel.alias("rel"))
+        .groupBy("n_name", "rel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

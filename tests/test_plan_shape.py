@@ -564,3 +564,12 @@ def test_ivf_partitioned_probe_is_partition_prune(spark):
     plan = _plan(spark, "llm_ivf_partitioned")
     m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*IN[^\]]*\]", plan)
     assert m, "probe not pushed as a partition filter"
+
+
+def test_pq_scan_is_take_ordered(spark):
+    """llm_simsearch_pq's ADC shortlist must compile to
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge)
+    — a global sort of the scored corpus would defeat the point of
+    scanning codes instead of vectors."""
+    plan = _plan(spark, "llm_simsearch_pq")
+    assert "TakeOrderedAndProject" in plan
