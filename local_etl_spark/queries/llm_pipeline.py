@@ -966,3 +966,84 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_chars",
         "top_lang",
     )
+
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+@query(
+    "llm_dataset_split",
+    family="llm",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    ),
+    c AS (
+        SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM s GROUP BY split, lang
+    ),
+    tot AS (
+        SELECT split, CAST(sum(n_docs) AS BIGINT) AS split_total
+        FROM c GROUP BY split
+    )
+    SELECT c.split, c.lang, c.n_docs, tot.split_total,
+           round(CAST(c.n_docs AS DOUBLE) / tot.split_total, 6)
+               AS lang_share
+    FROM c JOIN tot ON c.split = tot.split
+    """,
+)
+def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by CONTENT-STABLE hash
+    (md5 of the document id → bucket 0–99 → 80/10/10), with the
+    per-split language composition as the stratification witness —
+    the split step every training pipeline runs, done the only way
+    that survives re-runs, re-shards and backfills: no randomness, no
+    order dependence, a document's split is a pure function of its id
+    (rows added later NEVER reshuffle existing assignments, unlike
+    randomSplit). Cross-engine determinism: md5 hex is identical
+    everywhere; the first 6 hex digits parse with conv()/'0x'-cast to
+    the same integer. Scale: one map pass + a (split, lang) aggregate;
+    the split column at 100 TB is exactly this expression written at
+    ingest (or a partition column).
+    """
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    c = (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = c.groupBy("split").agg(
+        F.sum("n_docs").cast("bigint").alias("split_total")
+    )
+    return c.join(tot, "split").select(
+        "split",
+        "lang",
+        "n_docs",
+        "split_total",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("split_total"), 6
+        ).alias("lang_share"),
+    )
