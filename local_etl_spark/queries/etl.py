@@ -910,3 +910,108 @@ def etl_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("subjects_erased"),
     )
+
+
+# _USERS_LIKE_SCHEMA with payload.name made OPTIONAL — the typical
+# schema-evolution relaxation after a quarantine review ("the upstream
+# team stopped sending name; accept it")
+_RELAXED_SCHEMA = {
+    "properties": {
+        "metadata": _USERS_LIKE_SCHEMA["properties"]["metadata"],
+        "payload": {
+            "properties": _USERS_LIKE_SCHEMA["properties"]["payload"][
+                "properties"
+            ],
+            "required": ["id", "score"],
+        },
+    },
+    "required": ["metadata", "payload"],
+}
+
+
+@query(
+    "etl_quarantine_replay",
+    family="etl",
+    oracle="""
+    WITH cls AS (
+        SELECT CASE WHEN event_id % 13 = 0 THEN 'corrupt'
+                    WHEN event_id % 7 = 0 THEN 'missing_required'
+                    WHEN event_id % 5 = 0 THEN 'other'
+                    ELSE 'valid' END AS first_class
+        FROM events
+    )
+    SELECT first_class,
+           CASE WHEN first_class = 'corrupt' THEN 'corrupt'
+                WHEN first_class = 'missing_required' THEN 'valid'
+                ELSE 'other' END AS replay_class,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM cls
+    WHERE first_class <> 'valid'
+    GROUP BY 1, 2
+    """,
+)
+def etl_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine REPLAY after schema evolution: the docs a strict
+    schema rejected are re-classified against the relaxed schema that
+    made the offending field optional — the recovery loop every
+    quarantine exists to enable (quarantine isn't a graveyard; it's a
+    retry queue keyed by schema version). First pass: the
+    etl_validate_route corpus under the strict users-like schema;
+    replay: its INVALID docs under _RELAXED_SCHEMA (payload.name
+    optional). Missing-name docs recover to valid; type errors and
+    corrupt JSON stay dead — exactly the triage the oracle derives
+    independently from the defect-injection arithmetic.
+
+    Scale: both passes are the zero-shuffle classify projection over
+    the quarantined subset; the output is one class-pair aggregate.
+    The quarantined RAW text is the replay input (the quarantine
+    sink's whole point is preserving bytes, not parses).
+    """
+    strict = parse_schema(_USERS_LIKE_SCHEMA)
+    relaxed = parse_schema(_RELAXED_SCHEMA)
+    e = t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    meta = F.concat(
+        F.lit('{"type": "ev", "event_at": "t", "event_id": "'),
+        k.cast("string"),
+        F.lit('"}'),
+    )
+    payload_ok = F.concat(
+        F.lit('{"id": '), k.cast("string"),
+        F.lit(', "name": "'), F.col("event_type"),
+        F.lit('", "score": 1}'),
+    )
+    payload_missing = F.concat(
+        F.lit('{"id": '), k.cast("string"), F.lit(', "score": 1}')
+    )
+    payload_badtype = F.concat(
+        F.lit('{"id": "x'), k.cast("string"),
+        F.lit('", "name": "n", "score": 1}'),
+    )
+    raw = (
+        F.when(k % 13 == 0, F.lit("{broken json"))
+        .when(k % 7 == 0, F.concat(F.lit('{"metadata": '), meta, F.lit(', "payload": '), payload_missing, F.lit("}")))
+        .when(k % 5 == 0, F.concat(F.lit('{"metadata": '), meta, F.lit(', "payload": '), payload_badtype, F.lit("}")))
+        .otherwise(F.concat(F.lit('{"metadata": '), meta, F.lit(', "payload": '), payload_ok, F.lit("}")))
+    )
+    docs = e.select(raw.alias("raw"), F.try_parse_json(raw).alias("v"))
+    first = classify(docs, strict)
+    # the quarantine: every non-valid row, RAW bytes preserved.
+    # persist: the replay classify's filter would otherwise substitute
+    # the strict validity CASE into its predicate (pushdown undoes
+    # projection barriers — the janino class)
+    quarantined = (
+        first.filter(~F.col("is_valid"))
+        .select("raw", F.col("error_class").alias("first_class"))
+        .persist()
+    )
+    replay = classify(
+        quarantined.select(
+            "first_class", F.col("raw"), F.try_parse_json("raw").alias("v")
+        ),
+        relaxed,
+    )
+    return (
+        replay.groupBy("first_class", F.col("error_class").alias("replay_class"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
