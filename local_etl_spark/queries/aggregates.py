@@ -13,7 +13,15 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from local_etl_spark.queries._util import DEC6, davg, dec, dsum, ordered_prefix, t
+from local_etl_spark.queries._util import (
+    DEC6,
+    _ntile_from_rank,
+    davg,
+    dec,
+    dsum,
+    ordered_prefix,
+    t,
+)
 from local_etl_spark.registry import query
 
 # Exact decimal mirror of the arithmetic used in the oracle SQL below.
@@ -1455,4 +1463,93 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_min") + F.col("dec_total")).alias("est_max"),
         )
         .orderBy(F.desc("est_min"), "word")
+    )
+
+
+@query(
+    "agg_lorenz",
+    family="aggregations",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+        FROM per
+    ),
+    dec AS (
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(sum(cents) AS BIGINT) AS dec_cents,
+               CAST(count(*) AS BIGINT) AS n_custs
+        FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_custs,
+           round(CAST(dec_cents AS DOUBLE) / 100, 6) AS decile_revenue,
+           round(CAST(sum(dec_cents) OVER (ORDER BY decile
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / (SELECT CAST(sum(dec_cents) AS DOUBLE) FROM dec), 6)
+               AS cum_share
+    FROM dec
+    """,
+)
+def agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve deciles of per-customer revenue: customers rank
+    ascending by spend, split into 10 rank deciles, and each decile
+    reports its revenue plus the CUMULATIVE share — the curve whose
+    area defect agg_gini summarizes to one number and whose top-heavy
+    tail agg_pareto reads off ("the bottom 50% hold 21% of revenue" is
+    a Lorenz point). Completes the concentration toolkit with the
+    inspectable-by-decile form.
+
+    Determinism: per-customer revenue in exact integer cents; a TOTAL
+    rank order (cents, custkey); exact ntile decile assignment from
+    the rank; BIGINT decile sums; the cumulative share is one division
+    of exact ints per decile. Scale: one customer-keyed aggregate +
+    _util.ordered_prefix for the global rank AND the inclusive running
+    revenue sum — range-partitioned, NEVER a single-task window (the
+    oracle's global windows are fine in DuckDB; the Spark side must
+    survive a billion customers). The decile's cumulative revenue is
+    the running sum at its LAST row (max of the inclusive prefix), so
+    no second pass is needed.
+    """
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked, n = ordered_prefix(
+        per,
+        [F.col("cents"), F.col("o_custkey")],
+        rank_col="rn",
+        prefix=(("cents", "sum", "cum_cents"),),
+    )
+    dec_t = (
+        ranked.groupBy(
+            _ntile_from_rank("rn", n, 10).cast("bigint").alias("decile")
+        )
+        .agg(
+            F.sum("cents").cast("bigint").alias("dec_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.max("cum_cents").cast("bigint").alias("cum_at_end"),
+        )
+        .persist()
+    )
+    total = dec_t.agg(F.max("cum_at_end").cast("double").alias("tot"))
+    return (
+        dec_t.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_custs",
+            F.round(F.col("dec_cents").cast("double") / 100, 6).alias(
+                "decile_revenue"
+            ),
+            F.round(
+                F.col("cum_at_end").cast("double") / F.col("tot"), 6
+            ).alias("cum_share"),
+        )
     )

@@ -79,6 +79,8 @@ ALLOW_NESTED_LOOP = {
     # centered folds
     "llm_kl_shift",  # 1-row broadcast global token total for the
     # p_global denominator
+    "agg_lorenz",  # 1-row broadcast revenue total for the cumulative
+    # share denominator
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
