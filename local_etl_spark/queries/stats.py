@@ -1596,3 +1596,151 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("var_reduction"),
     )
+
+
+@query(
+    "agg_mutual_information",
+    family="stats",
+    oracle="""
+    WITH j AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    ml AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM j GROUP BY lang),
+    ms AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM j GROUP BY source),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+    terms AS (
+        SELECT j.lang, j.source,
+               (CAST(j.c AS DOUBLE) / n.n)
+                   * ln((CAST(j.c AS DOUBLE) * n.n)
+                        / (CAST(ml.cl AS DOUBLE) * ms.cs)) AS term
+        FROM j JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN n
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM j) AS n_cells,
+           round(list_sum(list(term ORDER BY lang, source)), 6) + 0.0
+               AS mutual_info
+    FROM terms
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source —
+    I(lang; source) = Σ p(l,s)·ln(p(l,s)/(p(l)p(s))): the dependence
+    detector for corpus composition (MI ≈ 0 means sources draw from
+    the same language mix; high MI means language is source-determined
+    and a per-source sampler will skew the language balance).
+    Completes the info-theoretic trio: agg_entropy (one marginal),
+    llm_kl_shift (one conditional vs the marginal), MI (the joint).
+
+    Determinism: all counts exact BIGINTs; each term is a fixed
+    expression over exact-int products (c·n ≤ 5e8·5e8 at sf1 —
+    computed in DOUBLE, exact below 2^53) and one ln (cross-engine
+    precedent: agg_theil); the term sum folds in explicit (lang,
+    source) order; `+ 0.0` normalizes −0.0. Scale: one (lang,
+    source)-keyed aggregate over the corpus, then everything is
+    contingency-table-sized.
+    """
+    d = t(spark, sf_dir, "documents")
+    j = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    ml = j.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cl"))
+    ms = j.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs"))
+    n = j.agg(F.sum("c").cast("bigint").alias("n"))
+    term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        (F.col("c").cast("double") * F.col("n"))
+        / (F.col("cl").cast("double") * F.col("cs"))
+    )
+    terms = (
+        j.join(ml, "lang")
+        .join(ms, "source")
+        .crossJoin(F.broadcast(n))
+        .select("lang", "source", term.alias("term"))
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(lang, source,"
+        " term))), s -> s.term), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (F.round(F.expr(fold), 6) + 0.0).alias("mutual_info"),
+    )
+
+
+@query(
+    "agg_hhi",
+    family="stats",
+    oracle="""
+    WITH per AS (
+        SELECT n_name,
+               s_suppkey,
+               -- DECIMAL(19): DuckDB multiplies width<=18 decimals in
+               -- int64 and OVERFLOWS on cents-squared; >=19 takes the
+               -- hugeint path (the engines legally stage differently —
+               -- the Spark side uses DECIMAL(18) products, see fn)
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS DECIMAL(19,0)) AS cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, s_suppkey
+    ),
+    agg AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(cents) AS DECIMAL(38,0)) AS tot,
+               CAST(sum(cents * cents) AS DECIMAL(38,0)) AS sumsq
+        FROM per GROUP BY n_name
+    )
+    SELECT n_name, n_suppliers,
+           round(CAST(sumsq AS DOUBLE)
+                 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
+    FROM agg
+    """,
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    within each nation: HHI = Σ shareᵢ² = Σ centsᵢ² / (Σ centsᵢ)² —
+    the antitrust-grade market-concentration number next to agg_gini
+    (inequality of a distribution) and agg_lorenz (the whole curve);
+    HHI is the one regulators threshold (0.15/0.25).
+
+    Determinism: per-supplier revenue is exact integer cents; squares
+    and sums stay in exact DECIMAL; the final expression is two
+    divisions of exactly-represented values. The decimal STAGING
+    differs per engine BY NECESSITY (the r5 width-split gotcha):
+    DuckDB squares DECIMAL(19,0) so the multiply takes the hugeint
+    path (width ≤ 18 overflows int64), while Spark squares
+    DECIMAL(18,0) because its product rule p1+p2+1 must stay ≤ 38 —
+    same exact values, different legal routes. Scale: one
+    supplier-keyed aggregate + one nation-keyed aggregate, single
+    exchange each.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("decimal(18,0)")
+            .alias("cents")
+        )
+    )
+    agg = per.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("decimal(38,0)").alias("tot"),
+        F.sum(F.col("cents") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sumsq"),
+    )
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        F.round(
+            F.col("sumsq").cast("double")
+            / (F.col("tot").cast("double") * F.col("tot").cast("double")),
+            6,
+        ).alias("hhi"),
+    )

@@ -81,6 +81,8 @@ ALLOW_NESTED_LOOP = {
     # p_global denominator
     "agg_lorenz",  # 1-row broadcast revenue total for the cumulative
     # share denominator
+    "agg_mutual_information",  # 1-row broadcast joint total for the
+    # p(l,s) denominator
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
