@@ -1744,3 +1744,103 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "win_acf",
+    family="windows",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(ts AS DATE)) AS BIGINT) AS di,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sx,
+               CAST(sum(c * c) AS BIGINT) AS sxx
+        FROM d
+    ),
+    lags AS (
+        SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag
+    ),
+    cross_terms AS (
+        SELECT lags.lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+        FROM lags
+        JOIN d a ON TRUE
+        JOIN d b ON b.di = a.di + lags.lag
+        GROUP BY lags.lag
+    )
+    SELECT ct.lag, ct.n_pairs,
+           round((CAST(ct.sxy AS DOUBLE) - CAST(ct.n_pairs AS DOUBLE)
+                      * (CAST(m.sx AS DOUBLE) / m.n)
+                      * (CAST(m.sx AS DOUBLE) / m.n))
+                 / (CAST(m.sxx AS DOUBLE)
+                    - CAST(m.n AS DOUBLE)
+                      * (CAST(m.sx AS DOUBLE) / m.n)
+                      * (CAST(m.sx AS DOUBLE) / m.n)), 6) + 0.0 AS acf
+    FROM cross_terms ct CROSS JOIN m
+    ORDER BY ct.lag
+    """,
+)
+def win_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event counts at lags 1–7 —
+    the full weekly-rhythm profile agg_autocorr's single lag-1 point
+    cannot see (a lag-7 spike IS weekly seasonality; the ACF table is
+    what win_seasonal_decompose's period choice should be read
+    against). Standard stationary estimator: ρ(k) = (Σ cᵢcᵢ₊ₖ −
+    nₖ·x̄²) / Σ(cᵢ − x̄)², global mean/variance in the denominator.
+
+    Determinism: counts and all moments are exact BIGINTs (c·c well
+    inside int64); x̄ is one division; each lag's estimate is a fixed
+    double expression — no double sums anywhere. Scale: the stream
+    collapses to one row per day FIRST; the lag joins are day-grid ×
+    7 (the calendar-bounded class); the moment row broadcasts.
+    """
+    e = t(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("di")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = d.select(F.col("di").alias("ai"), F.col("c").alias("ac"))
+    b = d.select(F.col("di").alias("bi"), F.col("c").alias("bc"))
+    ct = (
+        lags.crossJoin(a)
+        .join(b, F.col("bi") == F.col("ai") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("ac") * F.col("bc")).cast("bigint").alias("sxy"),
+        )
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    acf = (
+        F.col("sxy").cast("double")
+        - F.col("n_pairs").cast("double") * mean * mean
+    ) / (
+        F.col("sxx").cast("double") - F.col("n").cast("double") * mean * mean
+    )
+    return (
+        ct.crossJoin(F.broadcast(m))
+        .select("lag", "n_pairs", (F.round(acf, 6) + 0.0).alias("acf"))
+    )

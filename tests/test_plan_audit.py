@@ -71,6 +71,8 @@ ALLOW_NESTED_LOOP = {
     "win_kaplan_meier",  # death-time-grid ≤-joins (at-risk counts +
     # running product) — the same calendar-bounded quadratic class;
     # plus a 1-row max-day broadcast
+    "win_acf",  # 7-row lag spine × day grid (calendar-bounded) + a
+    # 1-row moments broadcast
     "agg_heavy_hitters",  # 1-row broadcast decrement total joined to
     # the model-sized merged summary
     "agg_jackknife_ratio",  # 1-row broadcast totals / jk_mean joined
