@@ -318,3 +318,52 @@ def win_topn_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.rank().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+TOP_PCT = 1  # top 1% of orders by value
+
+
+@query(
+    "sort_top_percent",
+    family="sortset",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               row_number() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM ranked
+    WHERE rn <= ceil({TOP_PCT} * n / 100.0)
+    """,
+)
+def sort_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 1% of orders by value — the PERCENT variant of top-k, which
+    TakeOrderedAndProject cannot plan (k is data-dependent: ceil(p·n)
+    isn't known until the count is). The exact rank comes from
+    _util.ordered_prefix (range-partitioned global row_number — never
+    a single-task window), whose total-count side product sets the
+    cutoff without a second pass; the oracle's global window is fine
+    in DuckDB, but the Spark side must survive a corpus where 1% is
+    still billions of rows.
+
+    Determinism: (o_totalprice DESC, o_orderkey) is a total order and
+    the cutoff is exact integer arithmetic on the rank. Scale: one
+    range shuffle + per-partition sort; driver state is O(#partitions).
+    """
+    from local_etl_spark.queries._util import ordered_prefix
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ranked, n = ordered_prefix(
+        o,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        rank_col="rn",
+    )
+    cutoff = -(-TOP_PCT * n // 100)  # ceil in exact int arithmetic
+    return ranked.filter(F.col("rn") <= cutoff).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
