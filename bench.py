@@ -109,7 +109,7 @@ ETL_EVENTS_JSONL = 50_000
 ETL_EVENTS_FILES = 2_000
 
 
-def bench_etl(spark, sf: float, tmp_root: str) -> dict[str, float]:
+def bench_etl(spark, sf: float, tmp_root: str, runs: int = 2) -> dict[str, float]:
     import shutil
 
     from local_etl_spark.etl.corpus import (
@@ -146,7 +146,7 @@ def bench_etl(spark, sf: float, tmp_root: str) -> dict[str, float]:
     # compilation of the validate/render expression trees; run 2 is the
     # steady-state number (what a long-running cluster actually sees).
     best = float("inf")
-    for attempt in range(2):
+    for attempt in range(runs):
         out1 = os.path.join(tmp_root, f"etl_out_files_{attempt}")
         shutil.rmtree(out1, ignore_errors=True)
         cfg = PipelineConfig(
@@ -170,7 +170,7 @@ def bench_etl(spark, sf: float, tmp_root: str) -> dict[str, float]:
     # JSONL layout: same classify + sinks over splittable shards
     schema = load_schema(schema_path)
     best = float("inf")
-    for attempt in range(2):
+    for attempt in range(runs):
         out2 = os.path.join(tmp_root, f"etl_out_jsonl_{attempt}")
         shutil.rmtree(out2, ignore_errors=True)
         cfg2 = PipelineConfig(
@@ -198,15 +198,38 @@ def bench_etl(spark, sf: float, tmp_root: str) -> dict[str, float]:
     return timings
 
 
+# Idle-window discipline (VERDICT r6 item 3): timed passes start only
+# once 1-minute loadavg drops below LOAD_MAX, polling up to LOAD_WAIT_S
+# seconds. If the window never opens (ambient co-tenant load), the
+# bench proceeds with MORE repetitions per query (best-of-3 instead of
+# best-of-2) so the min absorbs load spikes, and the JSON records both
+# the wait and the repetition count so regressions stay adjudicable.
+LOAD_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
+LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "240"))
+
+
+def _wait_for_idle() -> tuple[float | None, float]:
+    """Poll loadavg until below LOAD_MAX or the wait budget runs out.
+    Returns (loadavg at start of timed work, seconds waited)."""
+    waited = 0.0
+    try:
+        load = os.getloadavg()[0]
+    except OSError:
+        return None, 0.0
+    while load >= LOAD_MAX and waited < LOAD_WAIT_S:
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    return round(load, 2), round(waited, 1)
+
+
 def main() -> None:
     # ambient load BEFORE the bench's own work starts — the end-of-run
     # reading mostly measures the bench itself (local[32] queries keep
     # 1m-loadavg elevated), so adjudicating "was the machine busy"
     # needs the start value (VERDICT r5 item 6)
-    try:
-        load_start = round(os.getloadavg()[0], 2)
-    except OSError:
-        load_start = None
+    load_start, load_waited = _wait_for_idle()
+    runs = 2 if (load_start is None or load_start < LOAD_MAX) else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from local_etl_spark.registry import all_queries
     from local_etl_spark.session import get_spark
@@ -224,10 +247,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        # best-of-2: the second run amortizes codegen compilation and
-        # OS-cache warmup, giving a stable steady-state number
+        # best-of-N: later runs amortize codegen compilation and
+        # OS-cache warmup, giving a stable steady-state number; N goes
+        # 2→3 when the idle window never opened (min absorbs spikes)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.count()
@@ -243,6 +267,7 @@ def main() -> None:
             spark,
             sf_num,
             os.path.join(tempfile.gettempdir(), "local_etl_spark_bench"),
+            runs=runs,
         )
     )
 
@@ -264,6 +289,8 @@ def main() -> None:
                 "sf": sf_num,
                 "loadavg_1m": load1,
                 "loadavg_start_1m": load_start,
+                "load_waited_sec": load_waited,
+                "runs_per_query": runs,
                 "ncpu": os.cpu_count(),
             }
         )

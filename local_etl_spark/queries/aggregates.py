@@ -1385,31 +1385,50 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 MG_COUNTERS = 50  # Misra–Gries counters per partition
 
 
-@query("agg_heavy_hitters", family="aggregations", oracle=None)
+@query(
+    "agg_heavy_hitters",
+    family="aggregations",
+    oracle=f"""
+    WITH tok AS (
+        SELECT t.word
+        FROM documents, unnest(string_split(text, ' ')) AS t(word)
+        WHERE t.word <> ''
+    ),
+    tot AS (SELECT count(*) AS n FROM tok),
+    cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM tok GROUP BY word)
+    SELECT word, freq
+    FROM cnt, tot
+    WHERE freq * {MG_COUNTERS} > n
+    ORDER BY freq DESC, word
+    """,
+)
 def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra–Gries heavy hitters over document words — the
-    bounded-memory frequent-items sketch next to agg_count_min_sketch
-    (CMS answers point queries; MG surfaces the candidates WITHOUT
-    knowing them up front). Each partition maintains MG_COUNTERS
-    counters across its Arrow batches inside ONE mapInPandas pass
-    (state lives in the generator — partition-local, never
-    driver-side); the model-sized per-partition summaries then merge
-    relationally: per-word counter sums are the LOWER bound, adding
-    every partition's decrement total gives the UPPER bound (the
-    classic mergeability argument: each partition's estimate
-    undercounts by at most its own decrements).
+    """Misra–Gries heavy hitters over document words, production
+    two-pass shape: pass 1 is the bounded-memory MG sketch (each
+    partition maintains MG_COUNTERS counters across its Arrow batches
+    inside ONE mapInPandas pass — state lives in the generator,
+    partition-local, never driver-side); pass 2 exactly recounts ONLY
+    the surviving candidates (broadcast semi-join) and keeps words
+    whose exact frequency exceeds N/MG_COUNTERS.
 
-    Guarantees (pytest-verified against exact counts): any word with
-    true frequency > N/MG_COUNTERS survives; for every emitted word
-    est_min ≤ true ≤ est_max. At 100 TB the corpus is touched once,
-    per-executor memory is O(MG_COUNTERS), and the merge input is
-    (#partitions × MG_COUNTERS) rows — model-sized. Rows-only
-    (partition-order-dependent estimates are deterministic for a
-    fixed layout but not SQL-expressible).
+    Completeness is the classic MG merge argument: if a word's global
+    frequency exceeds N/k, then on at least one partition its local
+    frequency exceeds n_p/k (averaging), so it survives that
+    partition's counters and enters the candidate set — the recount
+    therefore misses nothing. The output is EXACT counts, independent
+    of partition layout ⇒ SQL-oracled (a plain filtered word count),
+    unlike the one-pass variant whose bounds are layout-dependent.
+
+    At 100 TB: two corpus scans, but the shuffle carries only
+    candidate words (≤ #partitions × MG_COUNTERS distinct keys,
+    model-sized broadcast) instead of the full vocabulary — the
+    standard sketch-then-verify trade. Per-executor memory is
+    O(MG_COUNTERS).
     """
     import pandas as pd  # noqa: F401 (executors re-import the module)
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = t(spark, sf_dir, "documents").select("text")
 
     # k binds as a DEFAULT ARG: executors re-import this module, so a
     # bare global reference would ignore a test's monkeypatched value
@@ -1418,29 +1437,34 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         counters: dict[str, int] = {}
-        decrements = 0
+        n_tokens = 0
         for pdf in batches:
             for text in pdf["text"]:
-                for w in str(text).split():
+                for w in str(text).split(" "):
+                    if not w:
+                        continue
+                    n_tokens += 1
                     if w in counters:
                         counters[w] += 1
                     elif len(counters) < k:
                         counters[w] = 1
                     else:
-                        decrements += 1
                         for key in list(counters):
                             counters[key] -= 1
                             if counters[key] == 0:
                                 del counters[key]
+        # survivors + ONE word=NULL row carrying the partition's token
+        # total (separate nullable key, no in-band sentinel word)
         yield pd.DataFrame(
             {
-                "word": list(counters) + ["\x00dec\x00"],
-                "est": list(counters.values()) + [decrements],
+                "word": list(counters) + [None],
+                "est": list(counters.values()) + [n_tokens],
             }
         )
 
     import pyspark.sql.types as T
 
+    # persist: candidates and the token total both read the summaries
     summaries = docs.mapInPandas(
         mg_partition, schema=T.StructType(
             [
@@ -1449,20 +1473,22 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).persist()
-    dec_total = summaries.filter(F.col("word") == "\x00dec\x00").agg(
-        F.sum("est").cast("bigint").alias("dec_total")
+    candidates = summaries.filter(F.col("word").isNotNull()).select("word").distinct()
+    n_total = summaries.filter(F.col("word").isNull()).agg(
+        F.sum("est").cast("bigint").alias("n")
     )
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    k = MG_COUNTERS
     return (
-        summaries.filter(F.col("word") != "\x00dec\x00")
+        tok.join(F.broadcast(candidates), "word", "left_semi")
         .groupBy("word")
-        .agg(F.sum("est").cast("bigint").alias("est_min"))
-        .crossJoin(F.broadcast(dec_total))
-        .select(
-            "word",
-            "est_min",
-            (F.col("est_min") + F.col("dec_total")).alias("est_max"),
-        )
-        .orderBy(F.desc("est_min"), "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("freq") * k > F.col("n"))
+        .select("word", "freq")
+        .orderBy(F.desc("freq"), "word")
     )
 
 

@@ -456,18 +456,30 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc from token-count-weighted bit votes."""
+    """64-bit SimHash per doc from token-count-weighted bit votes.
+
+    The 64 hash bits come from two 32-bit md5 prefixes (hi = hex chars
+    1-8, lo = 9-16) instead of xxhash64: DuckDB reproduces md5 +
+    '0x'-hex-parse bit-for-bit (the llm_dataset_split pattern), which
+    is what lets llm_dedup_simhash carry a SQL oracle. Bit j of the
+    token hash = bit (j mod 32) of lo (j < 32) / hi (j ≥ 32).
+    """
     tok = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64("w"))
+        .withColumn("hx", F.md5("w"))
+        .withColumn("hi", F.conv(F.substring("hx", 1, 8), 16, 10).cast("long"))
+        .withColumn("lo", F.conv(F.substring("hx", 9, 8), 16, 10).cast("long"))
     )
     votes = [
         F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt"))
+            F.when(
+                F.shiftright("lo" if j < 32 else "hi", j % 32)
+                .bitwiseAND(F.lit(1)) == 1,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
         ).alias(f"v{j}")
         for j in range(64)
     ]
@@ -482,15 +494,67 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", sim.alias("simhash"))
 
 
-@query("llm_dedup_simhash", family="llm", oracle=None)
+@query(
+    "llm_dedup_simhash",
+    family="llm",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, t.w AS w, count(*) AS cnt
+    FROM documents, unnest(string_split(text, ' ')) AS t(w)
+    WHERE t.w <> ''
+    GROUP BY doc_id, t.w
+),
+h AS (
+    SELECT doc_id, cnt,
+           CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS hi,
+           CAST(('0x' || substring(md5(w), 9, 8)) AS BIGINT) AS lo
+    FROM tok
+),
+bits AS (
+    SELECT doc_id, j,
+           sum(CASE WHEN ((CASE WHEN j < 32 THEN lo ELSE hi END)
+                          >> (j % 32)) & 1 = 1
+                    THEN cnt ELSE -cnt END) AS v
+    FROM h, unnest(range(0, 64)) AS t(j)
+    GROUP BY doc_id, j
+),
+sig AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 AND j < 63
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                         ELSE 0 END) AS BIGINT)
+           + CAST(CASE WHEN max(CASE WHEN j = 63 AND v > 0
+                                     THEN 1 ELSE 0 END) = 1
+                       THEN -9223372036854775808 ELSE 0 END AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+),
+keyed AS (
+    SELECT doc_id, simhash, k AS blk, (simhash >> CAST(8 * k AS INT)) & 255 AS bv
+    FROM sig, unnest(range(0, 8)) AS t(k)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           a.simhash AS h1, b.simhash AS h2
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {HAMMING_T}
+""",
+)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming(sig) ≤ 5 via 8-bit block LSH.
 
     Pigeonhole: hamming ≤ 7 over 8 disjoint 8-bit blocks ⇒ at least
     one block identical, so 8 equi-joins (one exploded self-join)
     replace the all-pairs scan — complete for the ≤5 threshold.
-    Verification = popcount of XOR (integer-exact). Rows-only check;
-    pytest asserts every planted near-dup lands under the threshold.
+    Verification = popcount of XOR (integer-exact). SQL-oracled since
+    round 7: the md5-based token hash (simhash_signatures) makes the
+    votes, the assembled two's-complement signature (sign bit via a
+    −2^63 addend), the block keys (arithmetic >> then & 255 — verified
+    identical cross-engine), and the popcount all bit-exact in DuckDB.
     """
     # persist: the keyed self-join would otherwise run the whole
     # tokenize→vote→assemble pipeline once per join side
@@ -523,7 +587,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return cand.filter(ham <= HAMMING_T).select(
-        "d1", "d2", ham.alias("hamming")
+        "d1", "d2", ham.cast("bigint").alias("hamming")
     )
 
 

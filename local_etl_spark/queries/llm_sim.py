@@ -748,7 +748,7 @@ def _train_pq(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
 
 def _pq_code_expr(books: list[list[list[float]]], unit: str = "_u") -> "F.Column":
     """In-row PQ encoding: per subspace, argmin squared-L2 of the unit
-    vector's slice against the 16 codebook entries (unrolled literal
+    vector's slice against the PQ_K codebook entries (unrolled literal
     folds, the _km_assign_expr pattern) — returns the M-element code
     array. Zero shuffles at any corpus size."""
     sub_codes = []

@@ -306,27 +306,57 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_fingerprint", family="llm", oracle=None)
+# 60-bit 3-gram hash, cross-engine exact: Spark conv(md5-prefix, 16, 10)
+# ≡ DuckDB CAST('0x' || md5-prefix AS BIGINT) — 15 hex chars < 2^60 so
+# the BIGINT parse never overflows in either engine (the
+# llm_dataset_split hex-parse pattern). Shared with the pytest twin.
+GRAM_HASH_EXPR = (
+    "CASE WHEN size(_w) >= 3 THEN transform(sequence(1, size(_w)-2),"
+    " i -> CAST(conv(substring(md5(concat_ws(' ', _w[i-1], _w[i], _w[i+1])),"
+    " 1, 15), 16, 10) AS BIGINT))"
+    " ELSE array() END"
+)
+
+
+@query(
+    "llm_fingerprint",
+    family="llm",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+    SELECT doc_id, i,
+           CAST(('0x' || substring(
+               md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))
+             AS BIGINT) AS h
+    FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+    WHERE len(ws) >= 3
+),
+fp AS (
+    SELECT DISTINCT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, bit_xor(fp) AS fp_xor
+FROM fp GROUP BY doc_id
+""",
+)
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints: min 3-gram hash per sliding window of 4.
 
     The standard document-fingerprint scheme (local minima of k-gram
     hashes) — guarantees any shared run of ≥ 6 words yields a shared
     fingerprint. One explode + window-min + distinct; per-doc output is
-    O(words/window). xxhash64-based ⇒ rows-only for the driver;
-    pytest asserts near-dup pairs share most fingerprints.
+    O(words/window). The gram hash is md5-derived (GRAM_HASH_EXPR) so
+    DuckDB reproduces it bit-for-bit ⇒ SQL-oracled (was xxhash64 /
+    rows-only before round 7); pytest still asserts near-dup pairs
+    share most fingerprints.
     """
     sh = t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("_w")
     ).select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                "CASE WHEN size(_w) >= 3 THEN transform(sequence(1, size(_w)-2),"
-                " i -> xxhash64(concat_ws(' ', _w[i-1], _w[i], _w[i+1])))"
-                " ELSE array() END"
-            )
-        ).alias("pos", "h"),
+        F.posexplode(F.expr(GRAM_HASH_EXPR)).alias("pos", "h"),
     )
     win = (
         Window.partitionBy("doc_id")
@@ -337,7 +367,7 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.min("h").over(win).alias("fp")
     ).distinct()
     return fp.groupBy("doc_id").agg(
-        F.count("*").alias("n_fp"),
+        F.count("*").cast("bigint").alias("n_fp"),
         F.expr("bit_xor(fp)").alias("fp_xor"),  # order-free, overflow-free digest
     )
 

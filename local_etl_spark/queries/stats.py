@@ -1322,6 +1322,11 @@ def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ordered folds buffer 50 rows.
     """
     e = t(spark, sf_dir, "events")
+    # persist: b feeds tot AND th, th feeds m AND dev — without it the
+    # events-corpus bucket aggregate recomputes per consumer (the
+    # documented intermediates-consumed-2-3x gotcha); unpersist is
+    # deliberately left to context teardown (registry contract: query
+    # fns return lazy DataFrames)
     b = e.groupBy((F.col("user_id") % JK_BUCKETS).alias("bucket")).agg(
         F.sum(
             F.when(
@@ -1332,7 +1337,7 @@ def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("num"),
         F.count(F.lit(1)).cast("bigint").alias("den"),
-    )
+    ).persist()
     tot = b.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("num").cast("bigint").alias("sn"),
@@ -1347,7 +1352,7 @@ def agg_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sn") - F.col("num")).cast("double")
             / (F.col("sd") - F.col("den")).cast("double")
         ).alias("theta_i"),
-    )
+    ).persist()
     fold_theta = (
         "aggregate(transform(array_sort(collect_list(struct(bucket, theta_i))),"
         " s -> s.theta_i), CAST(0 AS DOUBLE), (a, v) -> a + v)"
@@ -1547,6 +1552,11 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")
     split = F.lit(CUPED_SPLIT).cast("timestamp")
+    # persist: per feeds tot AND cent, cent feeds 3 fold aggregates —
+    # without it the events-corpus user aggregate recomputes per
+    # consumer (the documented intermediates-consumed-2-3x gotcha);
+    # unpersist is deliberately left to context teardown (registry
+    # contract: query fns return lazy DataFrames)
     per = e.groupBy("user_id").agg(
         F.sum(F.when(F.col("ts") < split, cents).otherwise(F.lit(0)))
         .cast("bigint")
@@ -1554,7 +1564,7 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") >= split, cents).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("y"),
-    )
+    ).persist()
     tot = per.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
@@ -1571,7 +1581,7 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").cast("double")
             - F.col("sy").cast("double") / F.col("n")
         ).alias("dy"),
-    )
+    ).persist()
 
     def fold(expr: str) -> F.Column:
         return F.expr(

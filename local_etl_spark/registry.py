@@ -138,6 +138,21 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
     "stream_session_dynamic", "win_gap_fill", "win_interpolate",
     "win_period_over_period", "win_sessionize", "win_topn_ties",
     "win_zscore",
+    # round 6 (CORRECTNESS_r06.json — 43/43 SQL checks green, all
+    # first-evers; the 7 rows-only re-presents of that round are
+    # recorded but stay out of this set — it gates SQL hash checks)
+    "agg_jackknife_ratio", "agg_lorenz", "agg_rfm_segments",
+    "agg_winsorized_mean", "etl_quarantine_replay", "fn_variant_explode",
+    "join_allen_relations", "join_bloom", "join_dpp", "join_fuzzy",
+    "llm_dedup_containment", "llm_dedup_embed", "llm_dedup_prefix",
+    "llm_dedup_substring", "scan_csv_multiline", "scan_file_lineage",
+    "scan_parquet_footer", "sort_top_percent", "sql_distinct_on",
+    "sql_exec_immediate", "sql_filter_clause", "sql_group_by_all",
+    "sql_identifier", "sql_lateral", "sql_order_by_all", "sql_params",
+    "sql_pipe", "sql_q1", "sql_q11", "sql_q12a", "sql_q2", "sql_q3",
+    "sql_recursive", "sql_scripting", "sql_star_except", "sql_table_fn",
+    "sql_udf", "sql_unpivot", "sql_window_clause", "sql_window_rollup",
+    "win_acf", "win_cusum", "win_rolling_corr",
 })
 
 # Queries whose LAST driver-recorded status is a failure that has since
@@ -147,26 +162,32 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
 FIXED_THIS_ROUND: tuple[str, ...] = ()
 
 # Rows-only queries re-presented so the ledger records a clean
-# rows-only (spark_rows) check — 24 rows-only ops have never produced a
-# driver record (VERDICT r5 #3). Round-6 slice: the judge's named set
-# (trainers, sketch, kcore, media trio); rotate the remaining 17 in r7+.
+# rows-only (spark_rows) check. Round-7 slice (VERDICT r6 #1): 5 of the
+# judge's suggested never-recorded set — exactly filling the 50-slot
+# prefix next to the 45 never-checked SQL-oracled queries (42 carried
+# over + the 3 rows-only→oracle conversions of this round). The 15
+# rows-only ops still unrecorded after r7 rotate into the r8 tail.
 ROWS_ONLY_REPRESENT: tuple[str, ...] = (
-    "llm_tokenizer_unigram",
-    "llm_quality_classifier",
-    "agg_count_min_sketch",
-    "graph_kcore",
-    "llm_media_decode",
-    "llm_media_resize",
-    "llm_media_framesample",
+    "graph_pagerank",
+    "graph_label_prop",
+    "llm_dedup_minhash",
+    "llm_simsearch_ivf",
+    "llm_bpe_train",
 )
 
 # The driver verifies this many registry-prefix entries per round.
 DRIVER_PREFIX = 50
 
 # Families the current verdict asks to front-load inside the fresh
-# block (VERDICT r5 #2: the `sql` family is the largest never-checked
-# cluster — close it out entirely this round).
-_PRIORITY_FAMILIES: tuple[str, ...] = ("sql",)
+# block (r6: the `sql` family — fully driver-checked since; kept empty
+# until a verdict names another cluster).
+_PRIORITY_FAMILIES: tuple[str, ...] = ()
+
+# SQL-oracled queries ADDED in the current round: ordered after every
+# other fresh (never-checked) query so brand-new surface cannot
+# displace carried-over never-checked names out of the bounded prefix.
+# They get their first external check in the next round's rotation.
+DEFER_FRESH: tuple[str, ...] = ()
 
 
 def _presentation_order() -> list[str]:
@@ -217,7 +238,17 @@ def _presentation_order() -> list[str]:
         for fam in _PRIORITY_FAMILIES
         for n in sorted(fresh.pop(fam, []))
     ]
-    ordered_fresh = priority + round_robin(fresh)
+    deferred = [
+        n
+        for fam, names in list(fresh.items())
+        for n in names
+        if n in DEFER_FRESH
+    ]
+    for fam in list(fresh):
+        fresh[fam] = [n for n in fresh[fam] if n not in DEFER_FRESH]
+        if not fresh[fam]:
+            del fresh[fam]
+    ordered_fresh = priority + round_robin(fresh) + sorted(deferred)
     head_len = max(0, DRIVER_PREFIX - len(fixed) - len(represent))
     return (
         fixed

@@ -120,3 +120,32 @@ def test_corrupt_json_classifies(spark):
     val = compile_validity(schema, F.col("v"))
     row = df.select(val.error_class.alias("c"), val.is_valid.alias("ok")).collect()[0]
     assert row["c"] == "corrupt" and not row["ok"]
+
+
+def test_raw_container_message_tails_are_pythonize_fixed_points(spark):
+    """The raw-container render path (render_value raw_containers=True)
+    leaves the container head as compact JSON and relies on ONE gated
+    whole-message _pythonize_container_text post-pass. That rewrite is
+    only safe because every fixed message tail concatenated after a raw
+    container contains none of the rewritable characters (':', ',',
+    '"', bare true/false/null at value positions). Enforce the
+    invariant for every tail either schema can produce, so a future
+    validator message can't silently corrupt (ADVICE r6)."""
+    from local_etl_spark.etl.validate import _pythonize_container_text
+
+    tails = {" is not of type 'object'"}
+    for path in (USERS_SCHEMA, CARDS_SCHEMA):
+        schema = load_schema(path)
+        for obj in schema.objects:
+            for fspec in obj.fields:
+                tails.add(f" is not of type '{fspec.json_type}'")
+
+    df = spark.createDataFrame([(tl,) for tl in sorted(tails)], ["tail"])
+    rows = df.select(
+        "tail", _pythonize_container_text(F.col("tail")).alias("out")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["out"] == r["tail"], (
+            f"tail {r['tail']!r} is not a fixed point: {r['out']!r}"
+        )

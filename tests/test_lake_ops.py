@@ -164,12 +164,12 @@ def test_parquet_footer_matches_pyarrow_walk(spark):
 
 
 def test_heavy_hitters_misra_gries_guarantees(spark, monkeypatch):
-    """agg_heavy_hitters invariants vs exact counts: every word with
-    true frequency > N/k survives, and est_min <= true <= est_max for
-    every emitted word. k is monkeypatched small (5) to FORCE
-    decrements — at the default 50 the synthetic vocab fits the
-    counters and MG degenerates to exact counting, which would not
-    exercise the bounds."""
+    """agg_heavy_hitters (two-pass MG candidates → exact recount) must
+    emit EXACTLY the words whose true frequency exceeds N/k, with exact
+    counts — independent of partition layout. k is monkeypatched small
+    (5) to FORCE decrements in the sketch pass; the recount must still
+    produce the exact answer (MG completeness: a global heavy hitter
+    survives at least one partition's counters)."""
     from collections import Counter
 
     from local_etl_spark.catalog import table
@@ -179,28 +179,15 @@ def test_heavy_hitters_misra_gries_guarantees(spark, monkeypatch):
     texts = [
         r["text"] for r in table(spark, sf, "documents").select("text").collect()
     ]
-    exact = Counter(w for t in texts for w in t.split())
+    exact = Counter(w for t in texts for w in t.split(" ") if w)
     n_total = sum(exact.values())
 
-    monkeypatch.setattr(aggregates, "MG_COUNTERS", 5)
-    rows = aggregates.agg_heavy_hitters(spark, sf).collect()
-    got = {r["word"]: (r["est_min"], r["est_max"]) for r in rows}
-    assert rows[0]["est_max"] > rows[0]["est_min"], (
-        "k=5 must force decrements"
-    )
-    # MG guarantee: anything above N/k must survive the sketch
-    for w, c in exact.items():
-        if c > n_total / 5:
-            assert w in got, (w, c)
-    # bound containment for every emitted candidate
-    for w, (lo, hi) in got.items():
-        assert lo <= exact[w] <= hi, (w, lo, exact[w], hi)
-
-    # default k: the corpus vocabulary fits → exact counts, zero slack
-    monkeypatch.undo()
-    full = {
-        r["word"]: (r["est_min"], r["est_max"])
-        for r in aggregates.agg_heavy_hitters(spark, sf).collect()
-    }
-    for w, (lo, hi) in full.items():
-        assert lo <= exact[w] <= hi
+    for k in (5, aggregates.MG_COUNTERS):
+        monkeypatch.setattr(aggregates, "MG_COUNTERS", k)
+        rows = aggregates.agg_heavy_hitters(spark, sf).collect()
+        got = {r["word"]: r["freq"] for r in rows}
+        want = {w: c for w, c in exact.items() if c * k > n_total}
+        assert got == want, (k, len(got), len(want))
+        # ordering contract: freq DESC, word ASC
+        keys = [(-r["freq"], r["word"]) for r in rows]
+        assert keys == sorted(keys)

@@ -30,14 +30,40 @@ def test_minhash_agrees_with_exact(spark):
 
 def test_simhash_finds_planted_dups(spark):
     """SimHash measures token-distribution similarity, not 3-gram
-    Jaccard, so exact set equality is not the contract. The contract:
-    every planted near-dup (J ≥ 0.9) is recalled at hamming ≤ 5, and
-    false positives stay rare (the small vocab makes a few
-    distribution-similar non-dups unavoidable)."""
+    Jaccard, so exact set equality with the ngram ground truth is not
+    the contract. Two contracts instead: (1) BLOCK-LSH COMPLETENESS —
+    the query output must equal the brute-force all-pairs hamming ≤ 5
+    set computed driver-side from the same signatures (pigeonhole: 8
+    disjoint 8-bit blocks recall everything at hamming ≤ 7, so nothing
+    under the threshold may be missed); (2) SEMANTICS — most planted
+    near-dups (J ≥ 0.9) land under the threshold, and every miss is
+    genuinely distribution-distant (hamming ≥ 8), i.e. a measure
+    divergence, never a blocking failure."""
+    import itertools
+
+    from local_etl_spark.catalog import table
+    from local_etl_spark.queries.llm_dedup import simhash_signatures
+
     exact = set(_pairs(spark, "llm_dedup_ngram"))
     sh = _pairs(spark, "llm_dedup_simhash")
-    assert set(sh) >= exact, f"missed true dups: {exact - set(sh)}"
     assert all(r["hamming"] <= 5 for r in sh.values())
+
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(table(spark, SF, "documents")).collect()
+    }
+    ham = {
+        (a, b): bin((sig[a] ^ sig[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        for a, b in itertools.combinations(sorted(sig), 2)
+    }
+    brute = {p for p, h in ham.items() if h <= 5}
+    assert set(sh) == brute, (
+        f"block LSH incomplete: {brute ^ set(sh)}"
+    )
+    recalled = exact & set(sh)
+    assert len(recalled) >= 0.85 * len(exact), (exact - set(sh))
+    for p in exact - set(sh):
+        assert ham[p] >= 8, f"missed pair {p} at hamming {ham[p]}"
     # selectivity: candidates must be a vanishing fraction of the
     # ~125k possible pairs (the tiny synthetic vocab guarantees some
     # distribution-similar false positives; 3-gram structure is what

@@ -105,21 +105,16 @@ def test_fingerprint_near_dups_share(spark):
     pairs = get("llm_dedup_ngram").fn(spark, SF).collect()
     assert pairs
     d1, d2 = pairs[0]["d1"], pairs[0]["d2"]
-    # recompute actual fingerprint sets for the pair
-    from local_etl_spark.queries.llm_text import llm_fingerprint  # noqa: F401
+    # recompute actual fingerprint sets for the pair with the SAME
+    # shared gram-hash expression the query uses
+    from local_etl_spark.queries.llm_text import GRAM_HASH_EXPR
 
     docs = table(spark, SF, "documents").filter(F.col("doc_id").isin(d1, d2))
     sh = docs.select(
         "doc_id", F.split("text", " ").alias("_w")
     ).select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                "CASE WHEN size(_w) >= 3 THEN transform(sequence(1, size(_w)-2),"
-                " i -> xxhash64(concat_ws(' ', _w[i-1], _w[i], _w[i+1])))"
-                " ELSE array() END"
-            )
-        ).alias("pos", "h"),
+        F.posexplode(F.expr(GRAM_HASH_EXPR)).alias("pos", "h"),
     )
     from pyspark.sql import Window
 

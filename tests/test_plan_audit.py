@@ -73,8 +73,8 @@ ALLOW_NESTED_LOOP = {
     # plus a 1-row max-day broadcast
     "win_acf",  # 7-row lag spine × day grid (calendar-bounded) + a
     # 1-row moments broadcast
-    "agg_heavy_hitters",  # 1-row broadcast decrement total joined to
-    # the model-sized merged summary
+    "agg_heavy_hitters",  # 1-row broadcast token total joined to the
+    # candidate-only exact recount
     "agg_jackknife_ratio",  # 1-row broadcast totals / jk_mean joined
     # to the JK_BUCKETS-sized replica table
     "agg_cuped",  # 1-row broadcast (n, Σx, Σy) joined back for the
