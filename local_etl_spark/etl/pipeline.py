@@ -139,15 +139,28 @@ def read_event_docs(spark: SparkSession, data_dir: str) -> DataFrame:
     (main.py:163-167); non-recursive like ``next(os.walk(...))``.
     Corrupt documents become SQL-null variants via try_parse_json
     instead of crashing.
+
+    Byte-invalid UTF-8 (fuzz round 7): the reference CRASHES on any
+    undecodable file (uncaught UnicodeDecodeError at main.py:171's
+    json.load) and a strict ``decode`` would crash the whole engine
+    job the same way — unacceptable at fleet scale, so this is
+    defined+documented divergence instead: files failing
+    ``is_valid_utf8`` get a NULL variant (→ the corrupt class, same
+    quarantine+errors.log route as unparseable JSON, even if the
+    U+FFFD-substituted text would parse), and ``raw`` carries the
+    replacement-decoded text (a byte-verbatim quarantine copy is
+    impossible for undecodable input in a string-typed pipeline).
     """
+    content = F.col("content")
+    raw = content.cast("string")  # UTF-8 with U+FFFD replacement, never throws
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.json")
         .load(data_dir)
         .select(
             F.regexp_replace(F.col("path"), "^file:", "").alias("file_path"),
-            F.decode(F.col("content"), "UTF-8").alias("raw"),
-            _parse_event(F.decode(F.col("content"), "UTF-8")).alias("v"),
+            raw.alias("raw"),
+            F.when(F.expr("is_valid_utf8(content)"), _parse_event(raw)).alias("v"),
         )
     )
 

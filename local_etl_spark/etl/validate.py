@@ -208,6 +208,94 @@ def _pythonize_container_text(txt: Column) -> Column:
     return out
 
 
+_NONPRINTABLE_CLASS: str | None = None
+
+
+def _nonprintable_regex_class() -> str:
+    """Java regex character class matching EXACTLY the code points
+    Python's ``str.isprintable()`` rejects — generated from the
+    runtime's own unicodedata at first use (~0.3 s, cached for the
+    process), so the engine's notion of "needs a hex escape in repr()"
+    can never drift from the Python the reference runs on. Surrogates
+    are included for completeness (unreachable through valid UTF-8).
+    ~700 ranges ≈ 10 KB of pattern; it lives inside an interpreted
+    higher-order lambda (never in generated Java source), evaluated on
+    error rows only."""
+    global _NONPRINTABLE_CLASS
+    if _NONPRINTABLE_CLASS is None:
+        parts: list[str] = []
+        start = None
+        prev = -2
+        for cp in range(0x110000):
+            np = True if 0xD800 <= cp <= 0xDFFF else not chr(cp).isprintable()
+            if np:
+                if start is None:
+                    start = cp
+                prev = cp
+            elif start is not None:
+                parts.append(
+                    f"\\x{{{start:X}}}"
+                    if start == prev
+                    else f"\\x{{{start:X}}}-\\x{{{prev:X}}}"
+                )
+                start = None
+        if start is not None:
+            parts.append(f"\\x{{{start:X}}}-\\x{{{prev:X}}}")
+        _NONPRINTABLE_CLASS = "[" + "".join(parts) + "]"
+    return _NONPRINTABLE_CLASS
+
+
+def _py_repr_escape_chars(s: Column) -> Column:
+    """Per-code-point body escapes of Python ``repr()`` for a string:
+    backslash, the \\n/\\r/\\t short forms, and \\xXX/\\uXXXX/\\UXXXXXXXX
+    hex escapes for every non-printable code point (ground-truth class
+    from _nonprintable_regex_class). Quote escaping is NOT done here —
+    the caller picks the quote style and escapes it in one pass.
+    One interpreted HOF per render site; evaluated on error rows only."""
+    cls = _nonprintable_regex_class()
+
+    def esc(c: Column) -> Column:
+        cp = F.ascii(c)
+        hexs = F.lower(F.hex(cp))
+        return (
+            F.when(c == "\\", F.lit("\\\\"))
+            .when(c == "\n", F.lit("\\n"))
+            .when(c == "\r", F.lit("\\r"))
+            .when(c == "\t", F.lit("\\t"))
+            .when(
+                c.rlike(cls),
+                F.when(cp < 256, F.concat(F.lit("\\x"), F.lpad(hexs, 2, "0")))
+                .when(cp < 65536, F.concat(F.lit("\\u"), F.lpad(hexs, 4, "0")))
+                .otherwise(F.concat(F.lit("\\U"), F.lpad(hexs, 8, "0"))),
+            )
+            .otherwise(c)
+        )
+
+    return F.array_join(F.transform(F.split(s, ""), esc), "")
+
+
+def py_repr_str(s: Column) -> Column:
+    """Python ``repr()`` of a string value as Column logic (fuzz round
+    7 find: the old plain single-quote wrap diverged from jsonschema's
+    repr-based messages on any failing string value containing a
+    quote, a control character, or a non-printable code point —
+    reference renders ``'5\\n0' is not of type 'number'`` where the
+    engine emitted a literal newline). Quote choice mirrors CPython:
+    double quotes iff the string contains ``'`` and not ``\"``;
+    otherwise single quotes with embedded ``'`` backslash-escaped."""
+    body = _py_repr_escape_chars(s)
+    use_dq = s.contains("'") & ~s.contains('"')
+    return F.when(
+        use_dq, F.concat(F.lit('"'), body, F.lit('"'))
+    ).otherwise(
+        F.concat(
+            F.lit("'"),
+            F.regexp_replace(body, "'", "\\\\'"),
+            F.lit("'"),
+        )
+    )
+
+
 def render_value(
     fv: Column, sv: Column, quote_strings: bool, raw_containers: bool = False
 ) -> Column:
@@ -237,9 +325,7 @@ def render_value(
     gated on a '['/'{' head char is output-identical.
     """
     as_str = F.try_variant_get(fv, "$", "string")
-    string_form = (
-        F.concat(F.lit("'"), as_str, F.lit("'")) if quote_strings else as_str
-    )
+    string_form = py_repr_str(as_str) if quote_strings else as_str
     container = (
         F.to_json(fv)
         if raw_containers

@@ -8,6 +8,8 @@ from __future__ import annotations
 import json
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 try:
     from jsonschema import validate as js_validate
@@ -149,3 +151,30 @@ def test_raw_container_message_tails_are_pythonize_fixed_points(spark):
         assert r["out"] == r["tail"], (
             f"tail {r['tail']!r} is not a fixed point: {r['out']!r}"
         )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            # everything but surrogates (unreachable through UTF-8);
+            # includes NUL, C0/C1 controls, Cf/Zs/Co/Cn non-printables,
+            # quotes, backslashes, astral planes
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_py_repr_str_matches_python_repr(spark, values):
+    """py_repr_str must equal CPython repr() on ARBITRARY strings (fuzz
+    round 7 find: quote choice, \\n/\\r/\\t short escapes, \\x/\\u/\\U hex
+    escapes for exactly the isprintable()-false set). The non-printable
+    regex class is generated from the runtime's own unicodedata, so
+    this property is what keeps it honest."""
+    from local_etl_spark.etl.validate import py_repr_str
+
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    for row in df.select("s", py_repr_str(F.col("s")).alias("r")).collect():
+        assert row["r"] == repr(row["s"]), (row["s"], row["r"])

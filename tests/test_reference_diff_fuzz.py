@@ -161,6 +161,26 @@ def _invalid_user_docs() -> dict[str, dict]:
         # r5b: empty containers as leaf values — repr prints [] / {}
         "bad_job_empty_list.json": u(job=[]),
         "bad_score_empty_obj.json": u(score={}),
+        # --- round-7 corpus: Python-repr STRING escaping in messages
+        # (fuzz r7 find: the engine wrapped failing string values in
+        # plain quotes; jsonschema uses repr(), which escapes control
+        # chars with \n/\xXX/\uXXXX short/hex forms and switches to
+        # DOUBLE quotes when the value contains ' but not ")
+        "bad_score_newline_str.json": u(score="5\n0"),
+        "bad_score_tab_str.json": u(score="x\ty"),
+        "bad_score_apostrophe.json": u(score="it's"),
+        "bad_score_both_quotes.json": u(score="both'\"q"),
+        "bad_score_c1_control.json": u(score="a\x85b"),
+        "bad_score_nul_str.json": u(score="nul\x00z"),
+        "bad_score_nbsp.json": u(score="a\xa0b"),
+        "bad_score_zwsp.json": u(score="​z"),
+        "bad_score_backslash.json": u(score="back\\slash"),
+        # printable non-ASCII stays LITERAL in repr (and must land in
+        # errors.log as UTF-8 bytes)
+        "bad_score_accented.json": u(score="café"),
+        # non-ASCII in a DIFFERENT field of an invalid doc: the
+        # quarantine copy must stay byte-identical around it
+        "bad_id_with_accent_name.json": u(id="x", name="Renée Descartes"),
     }
 
 
@@ -418,6 +438,20 @@ def _raw_valid_user_docs() -> dict[str, str]:
             '{"id": 9123, "name": "Ada\\u0000X Lovelace",'
             ' "address": "A\\nB", "job": "Engineer", "score": 5.0}',
         ),
+        # --- round-7: raw multi-byte UTF-8 in VALID docs — the CSV
+        # output path must carry the exact bytes (no \\u escaping, no
+        # NFC/NFD drift); name_norm's capitalize must handle é
+        "raw_name_utf8.json": u(
+            "r9124",
+            '{"id": 9124, "name": "rené descartes-lefèvre",'
+            ' "address": "1 Rué St\\nVille", "job": "Ingénieur",'
+            ' "score": 5.0}',
+        ),
+        "raw_name_emoji.json": u(
+            "r9125",
+            '{"id": 9125, "name": "Ada \U0001F600 Lovelace",'
+            ' "address": "A\\nB", "job": "Engineer", "score": 5.0}',
+        ),
     }
 
 
@@ -446,6 +480,25 @@ def _raw_invalid_user_docs() -> dict[str, str]:
         # False → dropped, message must render Python's 'nan'
         "raw_id_nan.json": u(
             "r9203", '{"id": NaN, %s, "score": 5.0}' % base
+        ),
+        # --- round-7: duplicate payload keys where BOTH occurrences
+        # are invalid with DIFFERENT type-error messages — last-wins
+        # resolution happens BEFORE validation in both parsers, so the
+        # message must be the LAST value's ("True is not of type
+        # 'integer'", never "'bad' ...")
+        "raw_dup_both_invalid.json": u(
+            "r9204", '{"id": "bad", "id": true, %s, "score": 5.0}' % base
+        ),
+        "raw_dup_score_both_invalid.json": u(
+            "r9205", '{"id": 9205, %s, "score": [], "score": "x"}' % base
+        ),
+        # raw multi-byte UTF-8 in an INVALID doc: quarantine must copy
+        # the bytes verbatim and the message must carry them literally
+        # (é is printable — repr does not escape it)
+        "raw_invalid_utf8_name.json": u(
+            "r9206",
+            '{"id": "bad", "name": "Renée \U0001F600 Descartes",'
+            ' "address": "A\\nB", "job": "Engineer", "score": 5.0}',
         ),
     }
 
@@ -734,6 +787,16 @@ _MUT_VALUES = [
     # pinned in test_etl_pipeline.py.
     2**53 + 1,
     float(2**53),
+    # round-7: repr-escape bait — failing STRING values whose message
+    # rendering exercises the py_repr_str quote choice and hex escapes
+    # (these land on number/integer fields via the path sampler)
+    "5\n0",
+    "it's",
+    "a\x85b",
+    "nul\x00z",
+    "back\\slash",
+    "both'\"q",
+    "café ​",
 ]
 
 
