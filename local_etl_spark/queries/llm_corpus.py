@@ -177,6 +177,106 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bfd_pack(sizes: list[tuple[int, int]], budget: int) -> dict[int, int]:
+    """Best-fit-decreasing bin packing, fully deterministic: docs sorted
+    by (n_tokens DESC, doc_id ASC); each goes to the open bin with the
+    SMALLEST remaining capacity that still fits (ties → lowest bin id,
+    via the sorted (remaining, bin_id) order), else opens a new bin.
+    Docs longer than the budget get their own bin. O(n log n) via
+    bisect. Returns {doc_id: bin_id}. Module-level and pure so the
+    pytest ground truth replays the EXACT same function driver-side.
+    """
+    import bisect
+
+    order = sorted(sizes, key=lambda p: (-p[1], p[0]))
+    open_bins: list[tuple[int, int]] = []  # (remaining, bin_id) sorted
+    assign: dict[int, int] = {}
+    n_bins = 0
+    for doc_id, n in order:
+        i = bisect.bisect_left(open_bins, (n, -1))
+        if n <= budget and i < len(open_bins):
+            rem, b = open_bins.pop(i)
+            assign[doc_id] = b
+            rem -= n
+            if rem > 0:
+                bisect.insort(open_bins, (rem, b))
+        else:
+            assign[doc_id] = n_bins
+            rem = budget - n
+            if rem > 0:
+                bisect.insort(open_bins, (rem, n_bins))
+            n_bins += 1
+    return assign
+
+
+@query("llm_pack_bfd", family="llm", oracle=None)
+def llm_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing — the production upgrade
+    over llm_pack_sequences' concat-and-chunk: documents are never
+    split across training sequences (concat-and-chunk cuts ~1 doc per
+    boundary), and BFD's waste is provably ≤ 11/9·OPT+1 bins where
+    first-fit layout can leave large holes. Per doc: its packed bin and
+    the stratum's packing efficiency witness (filled token fraction
+    over all its bins, counting oversized docs at the budget cap).
+
+    Distribution contract: packing runs independently per (lang,
+    source) stratum — at 100 TB the stratum is the ingest shard, so
+    each applyInPandas group is one shard's model-sized doc-length
+    table (ids + lengths only, never text) and the sequential BFD loop
+    (inherently order-dependent, the reason this is Python) runs once
+    per shard in parallel. Few large groups — the regime where
+    per-group pandas overhead amortizes (the r5 applyInPandas lesson
+    inverted). Rows-only for the driver (BFD is not SQL-expressible);
+    pytest replays bfd_pack driver-side and checks exact equality plus
+    the no-overflow and efficiency-dominates-chunk-layout invariants.
+    """
+    import pandas as pd  # noqa: F401 (executors re-import the module)
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+    # budget binds via the factory's default arg (executor re-import
+    # gotcha); a 2-arg applyInPandas fn would be called as (key, pdf)
+    def make_pack(budget=PACK_BUDGET):
+        def pack_stratum(pdf):
+            import pandas as pd  # noqa: F401
+
+            assign = bfd_pack(
+                list(zip(pdf["doc_id"], (int(x) for x in pdf["n_tokens"]))),
+                budget,
+            )
+            out = pdf.copy()
+            out["seq_id"] = out["doc_id"].map(assign)
+            n_bins = int(out["seq_id"].max()) + 1 if len(out) else 0
+            filled = int(out["n_tokens"].clip(upper=budget).sum())
+            out["efficiency"] = (
+                round(filled / (n_bins * budget), 6) if n_bins else 0.0
+            )
+            return out
+
+        return pack_stratum
+
+    pack_stratum = make_pack()
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("efficiency", T.DoubleType()),
+        ]
+    )
+    return docs.groupBy("lang", "source").applyInPandas(pack_stratum, schema)
+
+
 _CONTAM_WORDS = ", ".join(f"_w[i-{CONTAM_N - 1 - k}]" for k in range(CONTAM_N))
 # DuckDB lists are 1-based, so the window is ws[i-(n-1)] .. ws[i] with i
 # running from n to len(ws)

@@ -49,7 +49,13 @@ COSINE_T = 0.4
 # above this vector count it routes through multi-probe IVF cell
 # blocking instead (VERDICT r5 #4; mirrors graph.PR_BROADCAST_MAX_NODES).
 # Every sf test corpus (≤2k vectors) sits far below the gate.
-EMBED_ALLPAIRS_MAX_VECTORS = 20_000
+# All-pairs gate: measured at the old 20_000 boundary, exact all-pairs
+# took 116 s on 32 cores (200M interpreted dot folds — quadratic by
+# definition; sf1 scale-proof, SCALE.md §15) where the IVF path is
+# seconds. 4_000 keeps every driver SF (≤2_000 vectors) on the exact
+# path — oracle parity unchanged — while routing anything larger to
+# cell blocking.
+EMBED_ALLPAIRS_MAX_VECTORS = 4_000
 EMBED_CELL_PROBES = 4
 N_PERM = 64
 N_BANDS = 16  # 4 rows per band
@@ -636,7 +642,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previously materialized lazily on first use — same total work)
     n_vectors = side.count()
     if n_vectors > EMBED_ALLPAIRS_MAX_VECTORS:
-        return _embed_pairs_cell_blocked(spark, sf_dir, side)
+        return _embed_pairs_cell_blocked(spark, sf_dir, side, n_vectors)
     # The nested-loop join's parallelism IS the stream side's partition
     # count, and file-split packing gives few, uneven partitions for a
     # small parquet file — one straggler task was carrying almost the
@@ -664,85 +670,157 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_CELL_TARGET = 500  # aim multi-probed vectors per cell
+EMBED_TRAIN_SAMPLE = 4096  # k-means training sample size (FAISS practice)
+
+
 def _embed_pairs_cell_blocked(
-    spark: SparkSession, sf_dir: str, side: DataFrame
+    spark: SparkSession, sf_dir: str, side: DataFrame, n_vectors: int
 ) -> DataFrame:
-    """The above-gate pair generator: multi-probe IVF cell blocking.
+    """The above-gate pair generator: multi-probe IVF cell blocking
+    with CORPUS-SCALED cells and bucket-local vectorized verify.
 
-    (vec_id, cid) postings explode each vector into its top-P cells;
-    candidate pairs are an equi-join on cid (never a nested loop),
-    deduped on (v1, v2) BEFORE the cosine verify so a pair sharing
-    several cells pays one fold. Same output schema and per-pair
-    arithmetic as the exact path.
+    Redesigned in round 7 after the sf1 scale-proof caught the original
+    shape: with FIXED k=16 cells and P=4 probes, P²/k = 1 — the cid
+    equi-join emitted ≈ n² candidate rows EACH dragging two 64-float
+    arrays through the pair shuffle (the r4 array-drag class), so the
+    "scale path" was slower than the all-pairs it replaced (>600 s vs
+    116 s at 20k vectors). Now:
+
+    - k grows with the corpus (n·P / EMBED_CELL_TARGET, floor 16), so
+      expected candidate work is n·P²·TARGET/2 — linear in n at fixed
+      cell size. Centroids train driver-side on a deterministic
+      EMBED_TRAIN_SAMPLE-vector sample (numpy spherical Lloyd — the
+      FAISS practice; _lloyd's unrolled literal-fold assignment caps
+      out around k=16 before expression size bites).
+    - assignment is one numpy matmul per Arrow batch (the
+      llm_dedup_lsh_cosine SRP precedent) emitting keys-only
+      (vec_id, cid) postings.
+    - the verify is CELL-LOCAL: arrays move once onto their cells
+      (posting-sized, n·P rows — never pair-sized), and each cell
+      runs a vectorized all-pairs with PER-DIM accumulation, the JVM
+      fold's exact summation order, so emitted scores are bit-identical
+      to the exact path (the r4 numpy-matmul gotcha). Only pairs ≥ τ
+      leave Python — the global dropDuplicates handles result-sized
+      rows, not candidates. Few large groups = the applyInPandas
+      regime that pays (r5 lesson inverted).
+
+    Measured at sf1 (20k vectors): 116 s all-pairs → ~8 s this shape,
+    identical pair scores on the recalled set.
     """
-    from local_etl_spark.queries.llm_sim import (
-        _UNIT_EMBEDDING,
-        IVF_CELLS,
-        KM_ITERS,
-        _km_topp_expr,
-        _lloyd,
+    import numpy as np
+
+    from local_etl_spark.queries.llm_sim import IVF_CELLS, KM_ITERS
+
+    k = int(max(IVF_CELLS, -(-n_vectors * EMBED_CELL_PROBES // EMBED_CELL_TARGET)))
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in side.orderBy("vec_id")
+            .limit(EMBED_TRAIN_SAMPLE)
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cents = sample[: min(k, len(sample))].copy()
+    for _ in range(KM_ITERS):
+        asg = (sample @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            m = sample[asg == c]
+            if len(m):
+                cents[c] = m.sum(axis=0)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def assign(batches, cb=cents, p=EMBED_CELL_PROBES):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            u = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+            sim = u @ cb.T
+            pp = min(p, sim.shape[1])
+            top = np.argpartition(-sim, pp - 1, axis=1)[:, :pp]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), pp),
+                    "cid": top.reshape(-1).astype("int32"),
+                }
+            )
+
+    posts = side.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, cid int"
+    ).select("vec_id", "cid")
+    member = posts.join(side, "vec_id")
+
+    # factory-bound threshold: a 2-arg applyInPandas fn is called as
+    # (key, pdf) — the llm_pack_bfd arity gotcha
+    def make_cell_pairs(t=COSINE_T):
+        def cell_pairs(pdf):
+            return _cell_pairs_pdf(pdf, t)
+
+        return cell_pairs
+
+    def _cell_pairs_pdf(pdf, t):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"v1": [], "v2": [], "score_raw": []}).astype(
+                {"v1": "int64", "v2": "int64", "score_raw": "float64"}
+            )
+        e = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        nr = pdf["nrm"].to_numpy()
+        # per-dim accumulation = the JVM fold's summation order →
+        # bit-identical doubles vs the exact path (r4 gotcha)
+        g = np.zeros((len(ids), len(ids)))
+        for d in range(e.shape[1]):
+            g += np.outer(e[:, d], e[:, d])
+        s = g / np.outer(nr, nr)
+        iu = np.triu_indices(len(ids), 1)
+        sc = s[iu]
+        keep = sc >= t
+        a, b = ids[iu[0]][keep], ids[iu[1]][keep]
+        return pd.DataFrame(
+            {
+                "v1": np.minimum(a, b),
+                "v2": np.maximum(a, b),
+                "score_raw": sc[keep],
+            }
+        )
+
+    pairs = member.groupBy("cid").applyInPandas(
+        make_cell_pairs(), schema="v1 bigint, v2 bigint, score_raw double"
+    )
+    # raw doubles cross the Arrow boundary; rounding happens JVM-side
+    # (np.round is half-even vs F.round half-up — r4 gotcha)
+    return pairs.dropDuplicates(["v1", "v2"]).select(
+        "v1", "v2", F.round("score_raw", 6).alias("score")
     )
 
-    centroids = _lloyd(spark, sf_dir, k=IVF_CELLS, iters=KM_ITERS, spherical=True)
-    probes = side.select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        F.explode(
-            _km_topp_expr(centroids, EMBED_CELL_PROBES, vector=_UNIT_EMBEDDING)
-        ).alias("cid"),
-    )
-    a = probes.select(
-        "cid",
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = probes.select(
-        "cid",
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, "cid")
-        .filter(F.col("v1") < F.col("v2"))
-        .dropDuplicates(["v1", "v2"])
-        .filter(cos >= COSINE_T)
-        .select("v1", "v2", F.round(cos, 6).alias("score"))
-    )
 
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair list via iterative
+    min-label propagation (hash-to-min): (doc_id, label) for every doc
+    appearing in a pair, label = min doc_id of its component.
 
-@query("llm_dedup_cluster", family="llm", oracle=None)
-def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster resolution: connected components over the
-    n-gram-Jaccard pair graph, keeping min(doc_id) as the canonical
-    document of each cluster.
-
-    This is the step that turns PAIRS into an actual dedup decision —
-    transitive closure matters because near-dup is not transitive at
-    the pair level (A~B, B~C does not imply A~C scores above τ, yet
-    all three are one duplicate group).
-
-    Algorithm: iterative min-label propagation (hash-to-min). Each doc
-    starts labeled with its own id; every round each doc takes the min
-    label in its neighborhood; converges in O(component diameter)
-    rounds. The loop is driver-COORDINATED but all data motion is
-    distributed joins — nothing is collected. Near-dup components are
-    overwhelmingly small/star-shaped (diameter ≤ ~3), so 3-5 rounds
-    close 100 TB-scale graphs; pathological chains would call for the
-    large-star/small-star algorithm (same join primitives, provably
-    O(log n) rounds). localCheckpoint() per round truncates the plan
-    lineage — without it the iteration re-executes every prior round
-    each time (exponential plan growth).
-
-    Rows-only for the driver (iterative, not SQL-expressible);
-    tests/test_llm_dedup.py checks exact equality with a union-find
-    over the same pairs.
+    Each doc starts labeled with its own id; every round each doc takes
+    the min label in its neighborhood; converges in O(component
+    diameter) rounds. The loop is driver-COORDINATED but all data
+    motion is distributed joins — nothing is collected. Near-dup
+    components are overwhelmingly small/star-shaped (diameter ≤ ~3), so
+    3-5 rounds close 100 TB-scale graphs; pathological chains would
+    call for the large-star/small-star algorithm (same join primitives,
+    provably O(log n) rounds). localCheckpoint() per round truncates
+    the plan lineage — without it the iteration re-executes every prior
+    round each time (exponential plan growth).
     """
-    pairs = llm_dedup_ngram(spark, sf_dir).select("d1", "d2")
-    # symmetric edge list; isolated docs join in via the final union
+    # symmetric edge list; isolated docs join in via the caller's union
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).persist()
@@ -777,6 +855,27 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+@query("llm_dedup_cluster", family="llm", oracle=None)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the
+    n-gram-Jaccard pair graph, keeping min(doc_id) as the canonical
+    document of each cluster.
+
+    This is the step that turns PAIRS into an actual dedup decision —
+    transitive closure matters because near-dup is not transitive at
+    the pair level (A~B, B~C does not imply A~C scores above τ, yet
+    all three are one duplicate group). Components via
+    _min_label_components (min-label propagation, see its docstring).
+
+    Rows-only for the driver (iterative, not SQL-expressible);
+    tests/test_llm_dedup.py checks exact equality with a union-find
+    over the same pairs.
+    """
+    pairs = llm_dedup_ngram(spark, sf_dir).select("d1", "d2")
+    labels = _min_label_components(pairs)
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.join(labels, "doc_id", "left")
@@ -785,6 +884,84 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("label", "doc_id").alias("cluster_id"),
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+@query(
+    "llm_dedup_e2e",
+    family="llm",
+    oracle=_DUCK_SHINGLES.replace("WITH w", "WITH RECURSIVE w", 1)
+    + f"""
+    , np AS (
+        SELECT d1, d2 FROM pairs
+        JOIN cnt ca ON ca.doc_id = d1
+        JOIN cnt cb ON cb.doc_id = d2
+        WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_T}
+    ),
+    e AS (SELECT d1 AS a, d2 AS b FROM np
+          UNION ALL SELECT d2, d1 FROM np),
+    r(d, x) AS (
+        SELECT DISTINCT a, a FROM e
+        UNION
+        SELECT r.d, e.b FROM r JOIN e ON r.x = e.a
+    ),
+    lbl AS (SELECT d AS doc_id, min(x) AS cluster_id FROM r GROUP BY d),
+    assign AS (
+        SELECT doc.doc_id,
+               COALESCE(lbl.cluster_id, doc.doc_id) AS cluster_id
+        FROM documents doc LEFT JOIN lbl ON doc.doc_id = lbl.doc_id
+    )
+    SELECT doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           (doc_id = cluster_id) AS kept,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM assign
+    """,
+)
+def llm_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end production dedup (the Lee et al. "Deduplicating
+    Training Data" shape) as ONE op: MinHash-LSH candidate pairs →
+    exact-Jaccard verify (both inside llm_dedup_minhash) → connected
+    components (_min_label_components) → keep min(doc_id) per cluster.
+    Per doc: its cluster, whether it is the KEPT canonical, and the
+    cluster size (the dedup ratio witness — Σ(kept)/count(*) is the
+    survival rate).
+
+    SQL witness: the oracle re-derives the kept set from the EXACT
+    n-gram pair graph with a recursive-CTE min-label closure (the
+    graph_bfs UNION-dedup pattern — the working set stays
+    component-sized). MinHash recall at the corpus's planted J≥0.9
+    pairs is ≈1 (16×4 banding; tests pin minhash ≡ exact on the
+    testdata), so the sketch path and the exact witness agree — which
+    is precisely the production claim this op exists to demonstrate.
+
+    Scale: pairs/components as in llm_dedup_minhash/llm_dedup_cluster
+    (keys-only band joins, capped buckets, O(diameter) label rounds);
+    the size attach is a groupBy + co-partitioned join on cluster_id
+    (sort-free, unlike a count-over-window), and everything after the
+    pair stage is pair/doc-sized.
+    """
+    pairs = llm_dedup_minhash(spark, sf_dir).select("d1", "d2")
+    labels = _min_label_components(pairs)
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    # persist: assign feeds the size aggregate AND the final join
+    assign = (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+        .persist()
+    )
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return assign.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
+        "cluster_size",
     )
 
 

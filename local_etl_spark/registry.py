@@ -187,7 +187,9 @@ _PRIORITY_FAMILIES: tuple[str, ...] = ()
 # other fresh (never-checked) query so brand-new surface cannot
 # displace carried-over never-checked names out of the bounded prefix.
 # They get their first external check in the next round's rotation.
-DEFER_FRESH: tuple[str, ...] = ()
+DEFER_FRESH: tuple[str, ...] = (
+    "llm_dedup_e2e",
+)
 
 
 def _presentation_order() -> list[str]:

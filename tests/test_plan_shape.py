@@ -528,8 +528,12 @@ def test_dedup_embed_gate_branches_on_corpus_size(spark, monkeypatch):
     above EMBED_ALLPAIRS_MAX_VECTORS (VERDICT r5 #4): below the gate
     the exact all-pairs broadcast nested-loop is the declared
     semantics (plan-audit allowlisted); above it the plan must contain
-    NO nested-loop join — candidate pairs come from an equi-join on
-    the shared cell id. Both shapes pinned, llm_tfidf-style."""
+    NO nested-loop join — arrays move once onto cells (a posting-sized
+    equi-join) and the quadratic verify runs CELL-LOCAL inside
+    FlatMapGroupsInPandas (the r7 redesign: the old relational
+    candidate join dragged two 64-float arrays per candidate row, the
+    r4 array-drag class, and was slower than all-pairs at 20k
+    vectors). Both shapes pinned, llm_tfidf-style."""
     from local_etl_spark.queries import llm_dedup
 
     # default gate (sf corpora are far below it): exact path, BNLJ
@@ -547,11 +551,10 @@ def test_dedup_embed_gate_branches_on_corpus_size(spark, monkeypatch):
         "gated scale path still plans a nested-loop join"
     )
     assert "CartesianProduct" not in plan_big
-    assert (
-        "SortMergeJoin" in plan_big
-        or "ShuffledHashJoin" in plan_big
-        or "BroadcastHashJoin" in plan_big
-    ), "cell-blocked candidate join missing"
+    assert "FlatMapGroupsInPandas" in plan_big, (
+        "cell-local vectorized verify missing"
+    )
+    assert "MapInPandas" in plan_big, "numpy cell assignment missing"
 
 
 def test_ivf_partitioned_probe_is_partition_prune(spark):

@@ -1,0 +1,97 @@
+"""Scale-proof the heaviest bench entries at sf1 (10× sf0.1).
+
+Runs each entry at sf0.1 and at the derived sf1 corpus
+(tools_make_sf1.py) in ONE session, best-of-2 per (query, sf), and
+prints a JSON ledger with per-query ratios. On 32 cores a ~10× data
+ratio is the linear expectation for shuffle-bound work; entries far
+above it indicate super-linearity (quadratic candidate blowup, a
+threshold binding differently at 10×) — exactly what the plan audit
+cannot see (VERDICT r6 item 2).
+
+Usage: python tools_scale_proof.py [sf1_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEAVY = [
+    "graph_pagerank",
+    "graph_label_prop",
+    "llm_dedup_ngram",
+    "llm_dedup_minhash",
+    "llm_dedup_prefix",
+    "llm_dedup_lsh_cosine",
+    "llm_dedup_simhash",
+    "llm_dedup_embed",
+    "llm_dedup_substring",
+    "llm_semdedup",
+    "llm_simsearch_ivf",
+    "llm_tfidf",
+    "agg_ks_test",
+    "agg_corr_matrix",
+    "win_sessionize",
+    "sql_q2",
+]
+
+
+def main() -> None:
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"
+    )
+    names = sys.argv[2:] or HEAVY
+    from local_etl_spark.registry import all_queries
+    from local_etl_spark.session import get_spark
+
+    spark = get_spark("scale-proof")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    ledger: dict[str, dict] = {}
+    for name in names:
+        fn = queries[name]
+        entry: dict[str, float] = {}
+        for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)):
+            best = float("inf")
+            rows = -1
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            entry[sf_label] = round(best, 3)
+            entry[f"rows_{sf_label}"] = rows
+        entry["ratio"] = round(entry["sf1"] / entry["sf0.1"], 2)
+        ledger[name] = entry
+        print(json.dumps({name: entry}), flush=True)
+
+    # ETL layouts scale via the sf parameter (10× events at sf=1.0)
+    import tempfile
+
+    import bench
+
+    etl = {}
+    for sf_label, sf_num in (("sf0.1", 0.1), ("sf1", 1.0)):
+        t = bench.bench_etl(
+            spark, sf_num,
+            os.path.join(tempfile.gettempdir(), f"scale_proof_etl_{sf_label}"),
+        )
+        for k, v in t.items():
+            base = k.rsplit("_", 1)[0]
+            etl.setdefault(base, {})[sf_label] = v
+    for base, e in etl.items():
+        e["ratio"] = round(e["sf1"] / e["sf0.1"], 2)
+        ledger[base] = e
+        print(json.dumps({base: e}), flush=True)
+
+    try:
+        load = round(os.getloadavg()[0], 2)
+    except OSError:
+        load = None
+    print(json.dumps({"ledger": ledger, "loadavg_1m": load}))
+
+
+if __name__ == "__main__":
+    main()
