@@ -100,6 +100,12 @@ HEADLINE = [
     "llm_image_phash",
     "graph_label_prop",
     "sql_q2",
+    # round-7 additions: the end-to-end dedup pipeline (minhash → CC →
+    # canonical) and the BFD packer; llm_dedup_simhash joins now that
+    # its md5 hashing is oracle-grade (conversion cost visibility)
+    "llm_dedup_e2e",
+    "llm_pack_bfd",
+    "llm_dedup_simhash",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →

@@ -858,7 +858,31 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     return labels
 
 
-@query("llm_dedup_cluster", family="llm", oracle=None)
+@query(
+    "llm_dedup_cluster",
+    family="llm",
+    oracle=_DUCK_SHINGLES.replace("WITH w", "WITH RECURSIVE w", 1)
+    + f"""
+    , np AS (
+        SELECT d1, d2 FROM pairs
+        JOIN cnt ca ON ca.doc_id = d1
+        JOIN cnt cb ON cb.doc_id = d2
+        WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_T}
+    ),
+    e AS (SELECT d1 AS a, d2 AS b FROM np
+          UNION ALL SELECT d2, d1 FROM np),
+    r(d, x) AS (
+        SELECT DISTINCT a, a FROM e
+        UNION
+        SELECT r.d, e.b FROM r JOIN e ON r.x = e.a
+    ),
+    lbl AS (SELECT d AS doc_id, min(x) AS cluster_id FROM r GROUP BY d)
+    SELECT doc.doc_id,
+           CAST(COALESCE(lbl.cluster_id, doc.doc_id) AS BIGINT) AS cluster_id,
+           (doc.doc_id = COALESCE(lbl.cluster_id, doc.doc_id)) AS is_canonical
+    FROM documents doc LEFT JOIN lbl ON doc.doc_id = lbl.doc_id
+    """,
+)
 def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: connected components over the
     n-gram-Jaccard pair graph, keeping min(doc_id) as the canonical
@@ -870,9 +894,12 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three are one duplicate group). Components via
     _min_label_components (min-label propagation, see its docstring).
 
-    Rows-only for the driver (iterative, not SQL-expressible);
-    tests/test_llm_dedup.py checks exact equality with a union-find
-    over the same pairs.
+    SQL-oracled since round 7 (was rows-only): the iterative Spark loop
+    is matched by a DuckDB recursive-CTE reachability closure over the
+    same exact n-gram pair graph (the graph_bfs UNION-dedup pattern —
+    the recursion's working set stays component-sized), min(reachable)
+    per doc ≡ the converged min-label. tests/test_llm_dedup.py
+    additionally checks exact equality with a driver-side union-find.
     """
     pairs = llm_dedup_ngram(spark, sf_dir).select("d1", "d2")
     labels = _min_label_components(pairs)

@@ -189,6 +189,9 @@ _PRIORITY_FAMILIES: tuple[str, ...] = ()
 # They get their first external check in the next round's rotation.
 DEFER_FRESH: tuple[str, ...] = (
     "llm_dedup_e2e",
+    "llm_dedup_cluster",  # rows-only → SQL-oracled in r7 (recursive-
+    # CTE closure witness); deferred like new surface so the
+    # carried-over prefix stays intact
 )
 
 

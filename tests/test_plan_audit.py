@@ -118,6 +118,11 @@ ALLOW_PYTHON = {
     # closure — inherently sequential per word, runs once per DISTINCT
     # (lang, word), the same contract as the unigram trainer's E-step
     "llm_unigram_apply",
+    # best-fit-decreasing is inherently order-sequential; one
+    # applyInPandas group per (lang, source) stratum over ids+lengths
+    # only (few large groups — the regime where per-group pandas
+    # overhead amortizes)
+    "llm_pack_bfd",
 }
 
 
