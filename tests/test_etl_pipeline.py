@@ -520,3 +520,38 @@ def test_error_log_timestamp_format_matches_python_strftime(spark):
             "%d/%m/%Y %I:%M:%S %p"
         )
         assert r["j"] == want, (r["s"], r["j"], want)
+
+
+def test_deep_nesting_crash_class(spark, tmp_path):
+    """Documented divergence (fuzz round 7): a JSON document nested
+    deeper than CPython's recursion limit CRASHES the reference —
+    json.load raises an uncaught RecursionError (pinned below with the
+    json.loads twin). The engine's variant parser rejects the document
+    without recursing (try_parse_json → NULL), so the file takes the
+    corrupt class: quarantined byte-verbatim + errors.log, like
+    malformed JSON. At depth ≤ ~1000 BOTH parsers survive and the
+    shapes are live-diffed (test_reference_diff_fuzz
+    bad_name_deep_nest.json)."""
+    deep = "[" * 2000 + "]" * 2000
+    doc = (
+        '{"metadata": {"type": "user", "event_at": "t", "event_id": "dn"},'
+        ' "payload": {"id": 1, "name": ' + deep + ","
+        ' "address": "a", "job": "x", "score": 1.0}}'
+    )
+    with pytest.raises(RecursionError):
+        json.loads(doc)  # the reference's json.load twin
+
+    from local_etl_spark.etl.pipeline import classify, read_event_docs
+    from local_etl_spark.etl.schema_translate import load_schema
+
+    d = tmp_path / "users"
+    d.mkdir()
+    (d / "deep.json").write_text(doc, encoding="utf-8")
+    schema = load_schema("/root/reference/user-events-schema.json")
+    row = (
+        classify(read_event_docs(spark, str(d)), schema)
+        .select("error_class", "is_valid", "raw")
+        .collect()[0]
+    )
+    assert row["error_class"] == "corrupt" and not row["is_valid"]
+    assert row["raw"] == doc  # quarantine path keeps the exact text

@@ -181,6 +181,15 @@ def _invalid_user_docs() -> dict[str, dict]:
         # non-ASCII in a DIFFERENT field of an invalid doc: the
         # quarantine copy must stay byte-identical around it
         "bad_id_with_accent_name.json": u(id="x", name="Renée Descartes"),
+        # deeply nested container as a leaf value (round 7): both
+        # parsers survive depth 300 (the reference's json.load
+        # RecursionError class starts past ~1000 — pinned as a crash
+        # divergence in test_etl_pipeline.py) and the message embeds
+        # the 600-char container repr through the raw-container +
+        # whole-message-pythonize path
+        "bad_name_deep_nest.json": u(
+            name=__import__("functools").reduce(lambda a, _: [a], range(299), [])
+        ),
     }
 
 
