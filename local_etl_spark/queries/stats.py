@@ -1854,3 +1854,162 @@ def win_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ct.crossJoin(F.broadcast(m))
         .select("lag", "n_pairs", (F.round(acf, 6) + 0.0).alias("acf"))
     )
+
+
+FDR_Q10 = 10  # BH level q = 1/FDR_Q10 = 0.10, kept as an exact integer
+
+
+@query(
+    "agg_fdr_bh",
+    family="stats",
+    oracle=f"""
+    WITH mon AS (
+        SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    steps AS (
+        SELECT event_type, cents,
+               lag(cents) OVER (PARTITION BY event_type ORDER BY m) AS prev
+        FROM mon
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(count(prev) AS BIGINT) AS n_cmp,
+               CAST(sum(CASE WHEN cents > prev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k_up
+        FROM steps GROUP BY event_type
+    ),
+    pv AS (
+        SELECT event_type, n_cmp, k_up,
+               list_reduce(
+                   list_prepend(
+                       [CAST(1 AS DOUBLE),
+                        CAST(CASE WHEN n_cmp >= abs(2 * k_up - n_cmp)
+                                  THEN 1 ELSE 0 END AS DOUBLE)],
+                       list_transform(range(1, CAST(n_cmp AS INT) + 1),
+                                      j -> [CAST(j AS DOUBLE),
+                                            CAST(0 AS DOUBLE)])),
+                   (a, e) -> [
+                       a[1] * (CAST(n_cmp AS DOUBLE) - e[1] + 1) / e[1],
+                       a[2] + CASE WHEN abs(2 * e[1] - n_cmp)
+                                        >= abs(2 * k_up - n_cmp)
+                                   THEN a[1] * (CAST(n_cmp AS DOUBLE)
+                                                - e[1] + 1) / e[1]
+                                   ELSE 0 END
+                   ])[2]
+               / CAST((CAST(1 AS BIGINT) << CAST(n_cmp AS INT)) AS DOUBLE)
+                   AS p
+        FROM per
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY p, event_type) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS m_tests
+        FROM pv
+    ),
+    cut AS (
+        SELECT max(CASE WHEN p * m_tests * {FDR_Q10} <= rk
+                        THEN rk ELSE 0 END) AS r
+        FROM ranked
+    )
+    SELECT event_type, n_cmp, k_up,
+           round(p, 6) + 0.0 AS p_value,
+           CAST(rk AS BIGINT) AS bh_rank,
+           (rk <= (SELECT r FROM cut)) AS rejected
+    FROM ranked
+    """,
+)
+def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over per-event_type sign tests —
+    the multiple-testing guard every experimentation platform runs on
+    top of its per-metric tests (agg_welch_t/agg_cuped report ONE
+    hypothesis; ship m of them and 5% of nulls reject by chance).
+    Hypothesis family: per event_type, a two-sided SIGN TEST on
+    month-over-month revenue direction (k_up of n_cmp steps up; under
+    H₀ each step is a fair coin). BH at q=0.10: rank p ascending,
+    reject ranks ≤ the largest r with p_(r) ≤ r·q/m.
+
+    Determinism (libm-free by construction — the win_pettitt policy):
+    the binomial tail is an ORDERED fold, c_j = c_{j-1}·(n−j+1)/j —
+    every intermediate is an exact small integer in doubles (n ≤ 11 ⇒
+    C(n,j) ≤ 462) — summing exactly the terms with |2j−n| ≥ |2k−n|;
+    p is a dyadic rational with denominator 2^n ≤ 2048, exact in
+    binary, so the BH compare p·m·10 ≤ r is integer-exact. DuckDB's
+    list_reduce takes init from the first element, so the fold state
+    rides a 3-list [j, C(n,j), tail_sum] (the win_holt_winters
+    encoding); Spark's aggregate uses a struct accumulator with the
+    identical op order. Ties in the BH rank break on event_type.
+
+    Scale: one (event_type, month)-keyed exact-cents aggregate, then
+    everything is m-sized (one row per hypothesis); the BH rank/cut is
+    a 1-row broadcast over the m-row table.
+    """
+    e = t(spark, sf_dir, "events")
+    mon = e.groupBy(
+        "event_type", F.date_trunc("month", "ts").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("m")
+    steps = mon.select(
+        "event_type", "cents", F.lag("cents").over(w).alias("prev")
+    )
+    per = steps.groupBy("event_type").agg(
+        F.count("prev").cast("bigint").alias("n_cmp"),
+        F.sum(
+            F.when(F.col("cents") > F.col("prev"), 1).otherwise(0)
+        ).cast("bigint").alias("k_up"),
+    )
+    # ordered binomial fold: (c = C(n, j), tail = Σ qualifying C(n, j));
+    # n_cmp = 0 (single-month series) guards OUT of the fold entirely —
+    # Spark sequence(1, 0) is DESCENDING (the documented gotcha) and
+    # its j = 0 element would divide by zero
+    fold = (
+        "IF(n_cmp = 0, CAST(1 AS DOUBLE), "
+        "aggregate(sequence(1, CAST(n_cmp AS INT)), "
+        "named_struct('c', CAST(1 AS DOUBLE), "
+        " 'tail', CAST(IF(n_cmp >= abs(2 * k_up - n_cmp), 1, 0) AS DOUBLE)), "
+        "(a, j) -> named_struct("
+        " 'c', a.c * (CAST(n_cmp AS DOUBLE) - j + 1) / j, "
+        " 'tail', a.tail + IF(abs(2 * j - n_cmp) >= abs(2 * k_up - n_cmp), "
+        "   a.c * (CAST(n_cmp AS DOUBLE) - j + 1) / j, CAST(0 AS DOUBLE))), "
+        "s -> s.tail))"
+    )
+    pv = per.select(
+        "event_type",
+        "n_cmp",
+        "k_up",
+        (
+            F.expr(fold)
+            / F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(n_cmp AS INT))"
+                " AS DOUBLE)"
+            )
+        ).alias("p"),
+    )
+    wr = Window.orderBy("p", "event_type")
+    ranked = pv.select(
+        "*", F.row_number().over(wr).alias("rk")
+    ).persist()  # consumed by m-count, the cut aggregate AND the output
+    m1 = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("m_tests"))
+    with_m = ranked.crossJoin(F.broadcast(m1))
+    cut = with_m.agg(
+        F.max(
+            F.when(
+                F.col("p") * F.col("m_tests") * FDR_Q10 <= F.col("rk"),
+                F.col("rk"),
+            ).otherwise(0)
+        ).alias("r")
+    )
+    return with_m.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        "n_cmp",
+        "k_up",
+        (F.round("p", 6) + 0.0).alias("p_value"),
+        F.col("rk").cast("bigint").alias("bh_rank"),
+        (F.col("rk") <= F.col("r")).alias("rejected"),
+    )

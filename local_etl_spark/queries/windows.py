@@ -1840,3 +1840,108 @@ def win_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(fold), 6).alias("survival"),
         )
     )
+
+
+HW_ALPHA = 0.25  # level smoothing — power of two, exact in binary
+HW_BETA = 0.25  # trend smoothing — same
+
+
+@query(
+    "win_holt_winters",
+    family="windows",
+    oracle=f"""
+    WITH day AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS y
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               list_reduce(
+                   list_transform(list(y ORDER BY d),
+                                  v -> [v, CAST(0 AS DOUBLE)]),
+                   (a, p) -> [
+                       CAST({HW_ALPHA} AS DOUBLE) * p[1]
+                         + CAST({1 - HW_ALPHA} AS DOUBLE) * (a[1] + a[2]),
+                       CAST({HW_BETA} AS DOUBLE)
+                         * ((CAST({HW_ALPHA} AS DOUBLE) * p[1]
+                             + CAST({1 - HW_ALPHA} AS DOUBLE)
+                               * (a[1] + a[2])) - a[1])
+                         + CAST({1 - HW_BETA} AS DOUBLE) * a[2]
+                   ]) AS lb
+        FROM day GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           round(lb[1], 6) + 0.0 AS level,
+           round(lb[2], 6) + 0.0 AS trend,
+           round(lb[1] + lb[2], 6) + 0.0 AS forecast_1,
+           round(lb[1] + 7 * lb[2], 6) + 0.0 AS forecast_7
+    FROM series
+    """,
+)
+def win_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per event_type
+    daily-revenue series — the trend-aware step up from win_ewma
+    (level only) and the parametric sibling of win_seasonal_decompose:
+    l_t = α·y_t + (1-α)(l_{t-1}+b_{t-1}), b_t = β(l_t-l_{t-1}) +
+    (1-β)b_{t-1}, seeded l₀=y₀, b₀=0; h-step forecast = l+h·b.
+
+    Determinism (the win_ewma class, extended to a PAIR state): both
+    engines run the identical multiply-add chain left-to-right over
+    the day-ordered series. The two-component recursion can't ride a
+    scalar fold, and DuckDB's list_reduce takes its init from the
+    FIRST ELEMENT (acc type = element type), so the state is encoded
+    as a 2-element DOUBLE list on both sides — Spark's aggregate folds
+    array(y₀, 0) over plain doubles, DuckDB folds over [y, 0] pairs;
+    the wrapper adds no arithmetic, and l_t appears twice per step as
+    the SAME expression text in both engines. α=β=0.25 are powers of
+    two (exact, 1-α exact). Day revenue is an exact-cents sum cast
+    once to DOUBLE.
+
+    Scale: one shuffle onto (event_type, day) for the exact-cents
+    aggregate, one onto event_type for the fold; per-series state is
+    the calendar-bounded day list (the agg_autocorr class). At 100 TB
+    the fold composes — carry (l, b) forward as the next window's
+    seed, the streaming-checkpoint shape.
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("double")
+            / 100
+        ).alias("y")
+    )
+    a, b1 = HW_ALPHA, 1 - HW_ALPHA
+    bb, b2 = HW_BETA, 1 - HW_BETA
+    lvl = f"CAST({a} AS DOUBLE) * y + CAST({b1} AS DOUBLE) * (acc[0] + acc[1])"
+    fold = (
+        "aggregate(slice(ys, 2, size(ys) - 1), "
+        "array(ys[0], CAST(0 AS DOUBLE)), "
+        f"(acc, y) -> array({lvl}, "
+        f"CAST({bb} AS DOUBLE) * (({lvl}) - acc[0])"
+        f" + CAST({b2} AS DOUBLE) * acc[1]))"
+    )
+    series = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, y))), s -> s.y)"
+        ).alias("ys"),
+    )
+    # bind the fold ONCE in its own projection — six references from
+    # one select would re-embed the interpreted fold per output column
+    # (the multiply-referenced-alias gotcha; trivial here but free to
+    # avoid)
+    lb = F.col("lb")
+    return series.select("event_type", "n_days", F.expr(fold).alias("lb")).select(
+        "event_type",
+        "n_days",
+        (F.round(lb[0], 6) + 0.0).alias("level"),
+        (F.round(lb[1], 6) + 0.0).alias("trend"),
+        (F.round(lb[0] + lb[1], 6) + 0.0).alias("forecast_1"),
+        (F.round(lb[0] + 7 * lb[1], 6) + 0.0).alias("forecast_7"),
+    )

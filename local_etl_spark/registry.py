@@ -192,6 +192,8 @@ DEFER_FRESH: tuple[str, ...] = (
     "llm_dedup_cluster",  # rows-only → SQL-oracled in r7 (recursive-
     # CTE closure witness); deferred like new surface so the
     # carried-over prefix stays intact
+    "win_holt_winters",
+    "agg_fdr_bh",
 )
 
 

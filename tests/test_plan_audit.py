@@ -85,6 +85,8 @@ ALLOW_NESTED_LOOP = {
     # share denominator
     "agg_mutual_information",  # 1-row broadcast joint total for the
     # p(l,s) denominator
+    "agg_fdr_bh",  # two 1-row broadcasts (m_tests count, BH cut rank)
+    # joined to the m-row (one per hypothesis) ranked table
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
@@ -139,6 +141,8 @@ ALLOW_GLOBAL_WINDOW = {
     "win_interpolate",  # gap-fill over the per-day series (calendar-bounded)
     "win_seasonal_decompose",  # trend frame over the per-day series
     # (calendar-bounded day grid, same class as win_interpolate)
+    "agg_fdr_bh",  # BH rank over the m-row hypothesis table (one row
+    # per event_type — hypothesis-family-bounded, never data-sized)
 }
 
 
