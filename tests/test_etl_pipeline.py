@@ -538,8 +538,23 @@ def test_deep_nesting_crash_class(spark, tmp_path):
         ' "payload": {"id": 1, "name": ' + deep + ","
         ' "address": "a", "job": "x", "score": 1.0}}'
     )
-    with pytest.raises(RecursionError):
-        json.loads(doc)  # the reference's json.load twin
+    # the reference's json.load twin, in a FRESH interpreter (the
+    # reference's own runtime: default recursion limit 1000 — an
+    # in-process loads() is unreliable here because run_pipeline's
+    # transitive imports raise this process's limit to 3000)
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "-c", "import json, sys; json.loads(sys.stdin.read())"],
+        input=doc,
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode != 0 and "RecursionError" in proc.stderr, (
+        proc.returncode,
+        proc.stderr[-200:],
+    )
 
     from local_etl_spark.etl.pipeline import classify, read_event_docs
     from local_etl_spark.etl.schema_translate import load_schema
