@@ -208,6 +208,16 @@ def _invalid_card_docs(card: dict) -> dict[str, dict]:
         # round-3: bool-as-integer and int-as-boolean traps
         "bad_userid_bool.json": c("b", user_id=True),
         "bad_active_num.json": c("d", active=1),
+        # round-7: the cards message CASE gets the same repr-escape
+        # bait as users (the r6 codegen blowup was CARDS-ONLY — this
+        # schema's validity chain deserves its own live coverage):
+        # quote-choice, control-char hex escape, container repr
+        "bad_active_quote_str.json": c("e", active="it's on"),
+        "bad_active_ctl_str.json": c("f", active="y\x85e\ts"),
+        "bad_userid_numstr.json": c("g", user_id="9"),
+        "bad_userid_deep_obj.json": c("h", user_id={"a": [1, {"b": None}]}),
+        "bad_created_num.json": c("i", created_by_name=3.5),
+        "bad_updated_bool.json": c("j", updated_at=False),
     }
 
 
@@ -686,7 +696,9 @@ def test_error_log_messages_match_best_match(fuzz_run):
     eng_entries = _engine_error_entries(str(out / "errors.log.d"))
     # engine ran twice (v2 then v1): errors duplicate as a set no-op
     assert len(ref_entries) == (
-        len(_invalid_user_docs()) + len(_raw_invalid_user_docs()) + 4
+        len(_invalid_user_docs())
+        + len(_raw_invalid_user_docs())
+        + len(_invalid_card_docs({"payload": {}, "metadata": {}}))
     )
     assert ref_entries == eng_entries, (
         sorted(ref_entries - eng_entries)[:3],
@@ -846,6 +858,73 @@ def _mutation_corpus(n: int, seed: int) -> dict[str, dict]:
     return out
 
 
+def _card_mutation_corpus(n: int, seed: int) -> dict[str, dict]:
+    """Round 7: the cards schema gets its own mutation draw — its
+    validity chain compiles separately from users' (the r6 codegen
+    blowup was cards-only) and the per-field json types differ
+    (boolean `active`, two date-time strings, two integers)."""
+    import random
+
+    rng = random.Random(seed)
+    meta = {
+        "type": "card",
+        "event_at": "2023-10-05 22:55:01",
+        "event_id": "cm",
+    }
+    payload = {
+        "id": 1,
+        "user_id": 9,
+        "created_by_name": "Grace Hopper",
+        "updated_at": "2023-11-05 10:00:00",
+        "created_at": "2023-10-05 09:00:00",
+        "active": True,
+    }
+    int_fields = {"id", "user_id"}
+    str_fields = {
+        "created_by_name", "updated_at", "created_at",
+        "type", "event_at", "event_id",
+    }
+    paths = (
+        [("payload", k) for k in payload]
+        + [("metadata", k) for k in ("type", "event_at", "event_id")]
+        + [("payload",), ("metadata",)]
+    )
+    out: dict[str, dict] = {}
+    made = 0
+    while made < n:
+        path = rng.choice(paths)
+        val = rng.choice(_MUT_VALUES)
+        doc = {"metadata": dict(meta), "payload": dict(payload)}
+        doc["metadata"]["event_id"] = f"cm{made:03d}"
+        cur = doc
+        for k in path[:-1]:
+            cur = cur[k]
+        if val == cur[path[-1]]:
+            continue
+        leaf = path[-1]
+        # still-valid substitutions the card schema permits
+        if leaf in str_fields and isinstance(val, str):
+            continue  # format is annotation-only in plain validate()
+        if leaf == "active" and isinstance(val, bool):
+            continue
+        if leaf in int_fields and (
+            (isinstance(val, int) and not isinstance(val, bool))
+            or (
+                isinstance(val, float)
+                and val == val  # not NaN
+                and abs(val) != float("inf")
+                and val == int(val)
+            )
+        ):
+            continue  # draft-07 'integer' admits integral floats too
+        if path in (("payload",), ("metadata",)) and isinstance(val, dict):
+            continue  # {} drops required keys → repair/crash class
+        cur[leaf] = val
+        out[f"cmut_{made:03d}.json"] = doc
+        made += 1
+    return out
+
+
 def test_randomized_mutations_match_reference(spark, tmp_path):
     """40 seeded random type mutations: the engine's validation
     when-chain must reproduce jsonschema best_match()'s message for
@@ -867,10 +946,14 @@ def test_randomized_mutations_match_reference(spark, tmp_path):
     muts = _mutation_corpus(40, seed=1234)
     for fn, doc in muts.items():
         (ref / "users" / fn).write_text(json.dumps(doc, indent=2))
+    cmuts = _card_mutation_corpus(30, seed=5678)
+    for fn, doc in cmuts.items():
+        (ref / "cards" / fn).write_text(json.dumps(doc, indent=2))
 
     _run_reference("/root/reference/main2.py", ref)
     ref_entries = _ref_error_entries(str(ref / "errors.log"))
-    assert len(ref_entries) == len(muts)  # every mutation was dropped
+    # every mutation on BOTH schemas was dropped by the reference
+    assert len(ref_entries) == len(muts) + len(cmuts)
 
     out = base / "engine"
     cfg = _engine_cfg(ref, out)
