@@ -2013,3 +2013,124 @@ def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("bigint").alias("bh_rank"),
         (F.col("rk") <= F.col("r")).alias("rejected"),
     )
+
+
+@query(
+    "agg_qte",
+    family="stats",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 'a' ELSE 'b' END AS grp,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                       CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 1) < '8'
+                            THEN 'a' ELSE 'b' END
+                   ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+               ) AS rk,
+               CAST(count(*) OVER (
+                   PARTITION BY event_type,
+                       CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 1) < '8'
+                            THEN 'a' ELSE 'b' END
+               ) AS BIGINT) AS n
+        FROM events
+    ),
+    cut AS (
+        SELECT event_type,
+               max(CASE WHEN grp = 'a' THEN n END) AS n_a,
+               max(CASE WHEN grp = 'b' THEN n END) AS n_b,
+               max(CASE WHEN grp = 'a' AND rk = greatest(
+                   1, CAST(ceil(0.25 * n) AS BIGINT)) THEN cents END) AS a25,
+               max(CASE WHEN grp = 'a' AND rk = greatest(
+                   1, CAST(ceil(0.5 * n) AS BIGINT)) THEN cents END) AS a50,
+               max(CASE WHEN grp = 'a' AND rk = greatest(
+                   1, CAST(ceil(0.75 * n) AS BIGINT)) THEN cents END) AS a75,
+               max(CASE WHEN grp = 'b' AND rk = greatest(
+                   1, CAST(ceil(0.25 * n) AS BIGINT)) THEN cents END) AS b25,
+               max(CASE WHEN grp = 'b' AND rk = greatest(
+                   1, CAST(ceil(0.5 * n) AS BIGINT)) THEN cents END) AS b50,
+               max(CASE WHEN grp = 'b' AND rk = greatest(
+                   1, CAST(ceil(0.75 * n) AS BIGINT)) THEN cents END) AS b75
+        FROM v GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(CAST(b25 - a25 AS DOUBLE) / 100, 6) + 0.0 AS qte_25,
+           round(CAST(b50 - a50 AS DOUBLE) / 100, 6) + 0.0 AS qte_50,
+           round(CAST(b75 - a75 AS DOUBLE) / 100, 6) + 0.0 AS qte_75
+    FROM cut
+    """,
+)
+def agg_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects per event_type — the distributional
+    A/B readout the mean-based tests miss (agg_welch_t/agg_cuped see
+    only the average; a treatment that moves the tails but not the
+    median, or vice versa, shows up HERE): QTE(q) = Q_B(q) − Q_A(q) at
+    q ∈ {25, 50, 75}, with users deterministically split into A/B by
+    md5 hex parity (the llm_dataset_split assignment pattern — both
+    engines hash the same text to the same lowercase hex).
+
+    Determinism: quantiles are exact RANK CUTS over exact integer
+    cents with a total-order tiebreak (cents, event_id) — the
+    agg_winsorized_mean machinery, never an interpolated percentile
+    whose arithmetic could differ per engine; the three fractions are
+    dyadic (0.25/0.5/0.75), so q·n is an exact double and ceil is
+    exact. Effects divide integer cent differences by 100 once.
+
+    Scale: one range shuffle per (event_type, group) partition for the
+    rank (the window's sort IS the quantile computation), then a
+    6-cell conditional aggregate per event_type. Group sizes stay
+    balanced by construction (hash parity), so no skewed partition.
+    """
+    e = t(spark, sf_dir, "events")
+    grp = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type", "grp").orderBy("cents", "event_id")
+    v = (
+        e.select(
+            "event_type", grp.alias("grp"), cents.alias("cents"), "event_id"
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type", "grp"))
+            .cast("bigint"),
+        )
+    )
+
+    def cut(g: str, q: float, name: str) -> F.Column:
+        k = F.greatest(F.lit(1), F.ceil(q * F.col("n")).cast("bigint"))
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("rk") == k), F.col("cents"))
+        ).alias(name)
+
+    agg = v.groupBy("event_type").agg(
+        F.max(F.when(F.col("grp") == "a", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == "b", F.col("n"))).alias("n_b"),
+        cut("a", 0.25, "a25"),
+        cut("a", 0.5, "a50"),
+        cut("a", 0.75, "a75"),
+        cut("b", 0.25, "b25"),
+        cut("b", 0.5, "b50"),
+        cut("b", 0.75, "b75"),
+    )
+
+    def eff(b: str, a: str, name: str) -> F.Column:
+        return (
+            F.round((F.col(b) - F.col(a)).cast("double") / 100, 6) + 0.0
+        ).alias(name)
+
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        eff("b25", "a25", "qte_25"),
+        eff("b50", "a50", "qte_50"),
+        eff("b75", "a75", "qte_75"),
+    )

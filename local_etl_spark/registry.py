@@ -194,6 +194,7 @@ DEFER_FRESH: tuple[str, ...] = (
     # carried-over prefix stays intact
     "win_holt_winters",
     "agg_fdr_bh",
+    "agg_qte",
 )
 
 
