@@ -1945,3 +1945,62 @@ def win_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(lb[0] + lb[1], 6) + 0.0).alias("forecast_1"),
         (F.round(lb[0] + 7 * lb[1], 6) + 0.0).alias("forecast_7"),
     )
+
+
+@query(
+    "win_rolling_median",
+    family="windows",
+    oracle="""
+    WITH day AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d,
+           CAST(count(*) OVER w AS BIGINT) AS n_frame,
+           round(CAST(median(cents) OVER w AS DOUBLE) / 100, 6)
+               AS roll_median
+    FROM day
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling EXACT median of daily revenue per event_type —
+    the robust twin of a rolling mean (one spiky day drags a mean for
+    a week; the median shrugs it off), and the frame-windowed sibling
+    of agg_median (global) and agg_outlier_mad (median-based
+    robustness). Spark evaluates exact ``percentile(…, 0.5)`` as a
+    window aggregate over the 7-row frame ≡ DuckDB's windowed
+    ``median`` (probed: both average the two middle values on even
+    frames). Inputs are exact integer cents, so every median is a
+    whole or half cent — exact in double — and the single /100 + round
+    is engine-identical.
+
+    Scale: the window input is the per-day aggregate (calendar-bounded
+    day grid per event_type — the win_interpolate class), never the
+    raw corpus; one (event_type, day) exact-cents shuffle, then a
+    7-row frame sort per partition.
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    return day.select(
+        "event_type",
+        "d",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_frame"),
+        F.round(
+            F.expr("percentile(cents, 0.5)").over(w).cast("double") / 100, 6
+        ).alias("roll_median"),
+    )

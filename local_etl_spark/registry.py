@@ -195,6 +195,7 @@ DEFER_FRESH: tuple[str, ...] = (
     "win_holt_winters",
     "agg_fdr_bh",
     "agg_qte",
+    "win_rolling_median",
 )
 
 
