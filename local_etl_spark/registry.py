@@ -153,6 +153,23 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
     "sql_recursive", "sql_scripting", "sql_star_except", "sql_table_fn",
     "sql_udf", "sql_unpivot", "sql_window_clause", "sql_window_rollup",
     "win_acf", "win_cusum", "win_rolling_corr",
+    # round 7 (CORRECTNESS_r07.json — 45/45 SQL checks green, all
+    # first-evers incl. the 3 rows-only→SQL conversions; the 5 rows-only
+    # re-presents of that round are recorded but stay out of this set)
+    "agg_cuped", "agg_heavy_hitters", "agg_hhi", "agg_mutual_information",
+    "join_interval_overlap", "llm_bm25", "llm_chunk", "llm_curate_e2e",
+    "llm_curriculum", "llm_dataset_card", "llm_dataset_split",
+    "llm_dedup_simhash", "llm_dpo_format", "llm_dsir_weight",
+    "llm_fingerprint", "llm_grpo_advantage", "llm_kanon_suppress",
+    "llm_kl_shift", "llm_lang_id", "llm_lm_kneser_ney", "llm_lm_score",
+    "llm_mix_capped", "llm_mix_temperature", "llm_multimodal",
+    "llm_ngram_freq", "llm_ngram_novelty", "llm_pii_scrub",
+    "llm_quality_score", "llm_safety_scan", "llm_sample_stratified",
+    "llm_sft_format", "llm_shard_assign", "llm_text_stats", "llm_tfidf",
+    "llm_token_count", "llm_token_entropy", "llm_token_fertility",
+    "scan_json_variant", "win_kaplan_meier", "win_mann_kendall",
+    "win_pettitt", "win_seasonal_decompose", "win_session_dynamic",
+    "win_skyline", "win_theil_sen",
 })
 
 # Queries whose LAST driver-recorded status is a failure that has since
@@ -162,17 +179,27 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
 FIXED_THIS_ROUND: tuple[str, ...] = ()
 
 # Rows-only queries re-presented so the ledger records a clean
-# rows-only (spark_rows) check. Round-7 slice (VERDICT r6 #1): 5 of the
-# judge's suggested never-recorded set — exactly filling the 50-slot
-# prefix next to the 45 never-checked SQL-oracled queries (42 carried
-# over + the 3 rows-only→oracle conversions of this round). The 15
-# rows-only ops still unrecorded after r7 rotate into the r8 tail.
+# rows-only (spark_rows) check. Round-8 slice (VERDICT r7 #1): ALL 15
+# remaining never-recorded rows-only ops — together with the 6 r7
+# DEFER_FRESH SQL queries (now plain fresh) they fit the 50-slot
+# prefix with room for this round's new SQL surface; after r8 the
+# driver has recorded every registry query at least once (344/344).
 ROWS_ONLY_REPRESENT: tuple[str, ...] = (
-    "graph_pagerank",
-    "graph_label_prop",
-    "llm_dedup_minhash",
-    "llm_simsearch_ivf",
-    "llm_bpe_train",
+    "llm_audio_features",
+    "llm_bpe_apply",
+    "llm_dedup_bloom_incremental",
+    "llm_dedup_lsh_cosine",
+    "llm_image_phash",
+    "llm_ivf_partitioned",
+    "llm_kmeans_train",
+    "llm_mmr_diversify",
+    "llm_pack_bfd",
+    "llm_semdedup",
+    "llm_simsearch_pq",
+    "llm_unigram_apply",
+    "llm_video_scenes",
+    "llm_wordpiece_train",
+    "stream_watermark",
 )
 
 # The driver verifies this many registry-prefix entries per round.
@@ -187,16 +214,11 @@ _PRIORITY_FAMILIES: tuple[str, ...] = ()
 # other fresh (never-checked) query so brand-new surface cannot
 # displace carried-over never-checked names out of the bounded prefix.
 # They get their first external check in the next round's rotation.
-DEFER_FRESH: tuple[str, ...] = (
-    "llm_dedup_e2e",
-    "llm_dedup_cluster",  # rows-only → SQL-oracled in r7 (recursive-
-    # CTE closure witness); deferred like new surface so the
-    # carried-over prefix stays intact
-    "win_holt_winters",
-    "agg_fdr_bh",
-    "agg_qte",
-    "win_rolling_median",
-)
+# Round 8: empty — the 6 r7-deferred queries are now plain fresh, and
+# with only 6 carried fresh SQL + 15 rows-only re-presents the 50-slot
+# prefix has ~29 spare slots, so new r8 SQL surface lands directly in
+# the prefix instead of deferring a round.
+DEFER_FRESH: tuple[str, ...] = ()
 
 
 def _presentation_order() -> list[str]:
