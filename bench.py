@@ -115,7 +115,14 @@ ETL_EVENTS_JSONL = 50_000
 ETL_EVENTS_FILES = 2_000
 
 
-def bench_etl(spark, sf: float, tmp_root: str, runs: int = 2) -> dict[str, float]:
+def bench_etl(
+    spark,
+    sf: float,
+    tmp_root: str,
+    runs: int = 2,
+    meter: "_AmbientMeter | None" = None,
+    ambient: dict[str, float] | None = None,
+) -> dict[str, float]:
     import shutil
 
     from local_etl_spark.etl.corpus import (
@@ -152,6 +159,8 @@ def bench_etl(spark, sf: float, tmp_root: str, runs: int = 2) -> dict[str, float
     # compilation of the validate/render expression trees; run 2 is the
     # steady-state number (what a long-running cluster actually sees).
     best = float("inf")
+    if meter is not None:
+        meter.mark()
     for attempt in range(runs):
         out1 = os.path.join(tmp_root, f"etl_out_files_{attempt}")
         shutil.rmtree(out1, ignore_errors=True)
@@ -172,10 +181,16 @@ def bench_etl(spark, sf: float, tmp_root: str, runs: int = 2) -> dict[str, float
         run_table(spark, cfg, cfg.tables[0], version=2)
         best = min(best, time.perf_counter() - start)
     timings[f"etl_files_{n_files}"] = round(best, 4)
+    if meter is not None and ambient is not None:
+        amb = meter.read()
+        if amb is not None:
+            ambient[f"etl_files_{n_files}"] = round(amb, 2)
 
     # JSONL layout: same classify + sinks over splittable shards
     schema = load_schema(schema_path)
     best = float("inf")
+    if meter is not None:
+        meter.mark()
     for attempt in range(runs):
         out2 = os.path.join(tmp_root, f"etl_out_jsonl_{attempt}")
         shutil.rmtree(out2, ignore_errors=True)
@@ -201,6 +216,10 @@ def bench_etl(spark, sf: float, tmp_root: str, runs: int = 2) -> dict[str, float
         classified.unpersist()
         best = min(best, time.perf_counter() - start)
     timings[f"etl_jsonl_{n_jsonl}"] = round(best, 4)
+    if meter is not None and ambient is not None:
+        amb = meter.read()
+        if amb is not None:
+            ambient[f"etl_jsonl_{n_jsonl}"] = round(amb, 2)
     return timings
 
 
@@ -229,6 +248,102 @@ def _wait_for_idle() -> tuple[float | None, float]:
     return round(load, 2), round(waited, 1)
 
 
+# --- Per-entry ambient-load accounting (VERDICT r7 item 2) -----------
+#
+# The 1-minute loadavg cannot gate BETWEEN entries: the bench's own
+# local[32] stages keep it elevated for ~a minute after every query, so
+# a mid-run loadavg re-wait would stall on self-inflicted load (r7's
+# idle artifact "degraded" to loadavg 10.45 mostly by measuring
+# itself). Instead each entry records AMBIENT CPU — total busy jiffies
+# from /proc/stat minus the jiffies consumed by our own process tree
+# (this python + the JVM + pyspark workers) — expressed in cores. That
+# is a co-tenant metric the bench cannot pollute. Entries whose ambient
+# load exceeded LOAD_MAX cores get a bounded re-wait and ONE extra
+# repetition, and the JSON carries the per-entry readings so any
+# residual flip-band delta is adjudicable from the artifact alone.
+
+_HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _proc_stat_busy() -> int | None:
+    """All-CPU busy jiffies (total minus idle+iowait)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+    return sum(vals) - vals[3] - vals[4]
+
+
+def _self_tree_cpu() -> int | None:
+    """utime+stime jiffies summed over this process and every live
+    descendant (the py4j JVM and its pyspark.daemon workers are
+    children, not reaped, so os.times() can't see them)."""
+    try:
+        pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
+    except OSError:
+        return None
+    ppid: dict[int, int] = {}
+    cpu: dict[int, int] = {}
+    for p in pids:
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                s = f.read()
+            rest = s[s.rindex(")") + 2 :].split()
+            ppid[p] = int(rest[1])
+            cpu[p] = int(rest[11]) + int(rest[12])
+        except (OSError, ValueError, IndexError):
+            continue
+    kids: dict[int, list[int]] = {}
+    for p, pp in ppid.items():
+        kids.setdefault(pp, []).append(p)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += cpu.get(p, 0)
+        stack.extend(kids.get(p, []))
+    return total
+
+
+class _AmbientMeter:
+    """Delta-based ambient-cores readings between .mark() calls."""
+
+    def __init__(self) -> None:
+        self.ok = _proc_stat_busy() is not None
+        self.mark()
+
+    def mark(self) -> None:
+        self._busy = _proc_stat_busy()
+        self._self = _self_tree_cpu()
+        self._t = time.perf_counter()
+
+    def read(self) -> float | None:
+        """Ambient (non-self) busy cores since the last mark()."""
+        if not self.ok:
+            return None
+        busy, selfj = _proc_stat_busy(), _self_tree_cpu()
+        dt = time.perf_counter() - self._t
+        if busy is None or selfj is None or self._busy is None or dt <= 0:
+            return None
+        other = (busy - self._busy) - (selfj - (self._self or 0))
+        return max(0.0, other / (dt * _HZ))
+
+    def wait_below(self, limit: float, budget_s: float) -> float:
+        """Sleep in 3 s probe windows until ambient cores < limit or
+        the budget runs out. Returns seconds waited."""
+        waited = 0.0
+        while waited < budget_s:
+            self.mark()
+            time.sleep(3)
+            waited += 3
+            amb = self.read()
+            if amb is None or amb < limit:
+                break
+        self.mark()
+        return round(waited, 1)
+
+
 def main() -> None:
     # ambient load BEFORE the bench's own work starts — the end-of-run
     # reading mostly measures the bench itself (local[32] queries keep
@@ -252,16 +367,39 @@ def main() -> None:
         table(spark, sf_dir, name).count()
 
     timings: dict[str, float] = {}
+    ambient: dict[str, float] = {}
+    meter = _AmbientMeter()
+    # shared mid-run re-wait budget: a few dirty entries may pause for
+    # the co-tenant to finish, but the run as a whole stays bounded
+    rewait_budget = LOAD_WAIT_S
+    rewait_total = 0.0
     for name in names:
         # best-of-N: later runs amortize codegen compilation and
         # OS-cache warmup, giving a stable steady-state number; N goes
         # 2→3 when the idle window never opened (min absorbs spikes)
         best = float("inf")
+        meter.mark()
         for _ in range(runs):
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.count()
             best = min(best, time.perf_counter() - start)
+        amb = meter.read()
+        if amb is not None:
+            ambient[name] = round(amb, 2)
+            if amb >= LOAD_MAX and rewait_budget > 0:
+                # entry ran against a busy co-tenant: wait for the
+                # ambient window to re-open and take one clean rep
+                waited = meter.wait_below(LOAD_MAX, min(60.0, rewait_budget))
+                rewait_budget -= waited
+                rewait_total += waited
+                start = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                df.count()
+                best = min(best, time.perf_counter() - start)
+                amb2 = meter.read()
+                if amb2 is not None:
+                    ambient[name] = round(min(amb, amb2), 2)
         timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -274,6 +412,8 @@ def main() -> None:
             sf_num,
             os.path.join(tempfile.gettempdir(), "local_etl_spark_bench"),
             runs=runs,
+            meter=meter,
+            ambient=ambient,
         )
     )
 
@@ -298,6 +438,15 @@ def main() -> None:
                 "load_waited_sec": load_waited,
                 "runs_per_query": runs,
                 "ncpu": os.cpu_count(),
+                # per-entry co-tenant CPU (cores) during each entry's
+                # timed reps — loadavg can't do this mid-run because
+                # the bench's own stages keep it elevated; this metric
+                # subtracts the bench's process tree (VERDICT r7 #2)
+                "ambient_cores": ambient,
+                "ambient_max_cores": (
+                    round(max(ambient.values()), 2) if ambient else None
+                ),
+                "rewait_sec": round(rewait_total, 1),
             }
         )
     )

@@ -226,7 +226,15 @@ def llm_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inherently order-dependent, the reason this is Python) runs once
     per shard in parallel. Few large groups — the regime where
     per-group pandas overhead amortizes (the r5 applyInPandas lesson
-    inverted). Rows-only for the driver (BFD is not SQL-expressible);
+    inverted). The two failure regimes of that assumption, and the
+    rewires: if strata COUNT explodes (fine-grained keys → millions of
+    tiny groups) the ~2 ms/group pandas overhead dominates — re-key to
+    coarser shards (hash lang‖source into N buckets) before packing;
+    if one stratum's (doc_id, n_tokens) table outgrows a single
+    executor (≳10⁸ docs/stratum) BFD must go hierarchical — pack
+    fixed-size doc blocks, then pack the residual bins — since the
+    loop is sequential per group by construction. Rows-only for the
+    driver (BFD is not SQL-expressible);
     pytest replays bfd_pack driver-side and checks exact equality plus
     the no-overflow and efficiency-dominates-chunk-layout invariants.
     """

@@ -900,6 +900,12 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recursion's working set stays component-sized), min(reachable)
     per doc ≡ the converged min-label. tests/test_llm_dedup.py
     additionally checks exact equality with a driver-side union-find.
+
+    Oracle caveat: the SQL pair graph omits llm_dedup_ngram's df-cap
+    (engine-side, stop-shingle postings dropped). The cap is inert on
+    every shipped corpus (max shingle df ≪ DF_CAP) — pinned by
+    tests/test_llm_dedup.py::test_e2e_oracle_assumptions so a corpus
+    change fails loudly instead of as an oracle mismatch.
     """
     pairs = llm_dedup_ngram(spark, sf_dir).select("d1", "d2")
     labels = _min_label_components(pairs)
@@ -968,11 +974,21 @@ def llm_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the size attach is a groupBy + co-partitioned join on cluster_id
     (sort-free, unlike a count-over-window), and everything after the
     pair stage is pair/doc-sized.
+
+    Corpus-property assumptions the oracle equality rests on (both
+    pinned by tests/test_llm_dedup.py::test_e2e_oracle_assumptions at
+    every shipped SF): (1) no pair's exact Jaccard falls in the
+    16×4-band LSH miss band (0.5–0.8), so sketch recall is exactly 1;
+    (2) max shingle df stays under DF_CAP, so the engine's df-cap —
+    absent from this oracle — is inert.
     """
     pairs = llm_dedup_minhash(spark, sf_dir).select("d1", "d2")
     labels = _min_label_components(pairs)
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    # persist: assign feeds the size aggregate AND the final join
+    # persist: assign feeds the size aggregate AND the final join.
+    # Intentionally NOT unpersisted — the returned DataFrame's plan
+    # references the cached relation and the caller collects after we
+    # return (repo persist-leak convention, r4); doc-count-sized.
     assign = (
         docs.join(labels, "doc_id", "left")
         .select(

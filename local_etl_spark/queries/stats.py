@@ -1899,7 +1899,7 @@ FDR_Q10 = 10  # BH level q = 1/FDR_Q10 = 0.10, kept as an exact integer
                                                 - e[1] + 1) / e[1]
                                    ELSE 0 END
                    ])[2]
-               / CAST((CAST(1 AS BIGINT) << CAST(n_cmp AS INT)) AS DOUBLE)
+               / pow(CAST(2 AS DOUBLE), n_cmp)
                    AS p
         FROM per
     ),
@@ -1984,11 +1984,12 @@ def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cmp",
         "k_up",
         (
+            # power(2, n) instead of shiftleft(1L, n): the shift
+            # overflows to a negative denominator at n_cmp >= 63
+            # (ADVICE r7); 2^n is exactly representable in doubles up
+            # to n = 1023, far past any calendar series length.
             F.expr(fold)
-            / F.expr(
-                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(n_cmp AS INT))"
-                " AS DOUBLE)"
-            )
+            / F.expr("power(CAST(2 AS DOUBLE), CAST(n_cmp AS DOUBLE))")
         ).alias("p"),
     )
     wr = Window.orderBy("p", "event_type")

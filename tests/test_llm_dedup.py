@@ -352,3 +352,44 @@ def test_embed_gate_blocked_path_subset_and_recall(spark, monkeypatch):
     assert set(blocked) <= set(exact)
     assert all(blocked[k] == exact[k] for k in blocked)
     assert len(blocked) / len(exact) >= 0.9
+
+
+def test_e2e_oracle_assumptions(spark):
+    """Pin the two corpus properties the llm_dedup_cluster/e2e oracle
+    equality rests on (ADVICE r7), at every shipped SF, so a future
+    corpus change fails HERE instead of as an external hash mismatch:
+
+    1. LSH miss band empty: llm_dedup_e2e derives clusters from
+       MinHash-LSH pairs while its SQL witness uses the exact n-gram
+       closure; 16x4 banding detects a pair at J=0.5 with only ~64%
+       probability, so equality needs every true pair's exact Jaccard
+       clear of the (0.5, 0.8) band where recall is materially < 1.
+    2. df-cap inert: the oracles rebuild the pair graph WITHOUT
+       llm_dedup_ngram's engine-side DF_CAP stop-shingle drop, so max
+       shingle document frequency must stay under DF_CAP.
+    """
+    import duckdb
+
+    from local_etl_spark.queries.llm_dedup import DF_CAP
+
+    for sf in ("/root/testdata/sf0.001", SF, "/root/testdata/sf0.1"):
+        jmin = (
+            get("llm_dedup_ngram").fn(spark, sf).agg({"jaccard": "min"}).first()[0]
+        )
+        assert jmin is None or jmin >= 0.8, (sf, jmin)
+
+        con = duckdb.connect()
+        max_df = con.execute(
+            f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM read_parquet('{sf}/documents.parquet')),
+            sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(ws) - 2),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+                   FROM w WHERE len(ws) >= 3)
+            SELECT max(df) FROM (
+                SELECT count(*) AS df FROM sh GROUP BY s)
+            """
+        ).fetchone()[0]
+        con.close()
+        assert max_df < DF_CAP, (sf, max_df)

@@ -143,17 +143,17 @@ def main() -> None:
     # perturbed replica vectors: ±0.3% deterministic per-dim noise
     write(
         "embeddings",
-        f"""SELECT vec_id + i * {offs['embeddings']} AS vec_id,
+        f"""SELECT s.vec_id + i * {offs['embeddings']} AS vec_id,
                    CASE WHEN i = 0 THEN embedding
                         ELSE list_transform(
                             list_zip(embedding,
                                      range(1, len(embedding) + 1)),
                             p -> CAST(p[1] * (1.0 + 0.003 *
-                                 sin(CAST(vec_id * 131 + p[2] * 17 + i
+                                 sin(CAST(s.vec_id * 131 + p[2] * 17 + i
                                           AS DOUBLE))) AS FLOAT))
                    END AS embedding,
                    label
-            FROM {src('embeddings')}, {reps}""",
+            FROM {src('embeddings')} AS s, {reps}""",
     )
     print(f"done -> {dest}")
 
