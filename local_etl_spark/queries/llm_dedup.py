@@ -1328,7 +1328,51 @@ BLOOM_BITS_PER_KEY = 10  # m = 10n bits, k = 7 probes → FPP ≈ 0.8%
 BLOOM_K = 7
 
 
-@query("llm_dedup_bloom_incremental", family="llm", oracle=None)
+@query(
+    "llm_dedup_bloom_incremental",
+    family="llm",
+    oracle=f"""
+    WITH params AS (
+        SELECT CAST(floor(count(*) * 0.6) AS BIGINT) AS cutoff,
+               greatest(CAST({BLOOM_BITS_PER_KEY} * floor(count(*) * 0.6)
+                             AS BIGINT), 64) AS m
+        FROM documents
+    ),
+    keyed AS MATERIALIZED (
+        SELECT doc_id, h,
+               CAST(('0x' || substring(h, 1, 15)) AS BIGINT) AS h1,
+               CAST(('0x' || substring(h, 16, 15)) AS BIGINT) AS h2
+        FROM (SELECT doc_id, sha256(lower(trim(text))) AS h
+              FROM documents)
+    ),
+    bits AS MATERIALIZED (
+        SELECT DISTINCT (h1 + g.i * h2) % m AS p
+        FROM keyed, params, generate_series(0, {BLOOM_K - 1}) AS g(i)
+        WHERE doc_id < cutoff
+    ),
+    hits AS (
+        SELECT np.doc_id, count(*) AS n_hit
+        FROM (SELECT k.doc_id, (h1 + g.i * h2) % m AS p
+              FROM keyed k, params,
+                   generate_series(0, {BLOOM_K - 1}) AS g(i)
+              WHERE doc_id >= cutoff) np
+        JOIN bits USING (p)
+        GROUP BY 1
+    ),
+    truth AS (
+        SELECT DISTINCT h FROM keyed, params WHERE doc_id < cutoff
+    )
+    SELECT k.doc_id,
+           COALESCE(n_hit, 0) = {BLOOM_K} AS probably_seen,
+           (t.h IS NOT NULL) AS is_true_dup,
+           CASE WHEN COALESCE(n_hit, 0) = {BLOOM_K}
+                THEN 'verify' ELSE 'admit' END AS route
+    FROM keyed k
+    JOIN params ON k.doc_id >= cutoff
+    LEFT JOIN hits ON k.doc_id = hits.doc_id
+    LEFT JOIN truth t ON k.h = t.h
+    """,
+)
 def llm_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup via a Bloom membership sketch, built
     from first principles and entirely JVM-side: the SEEN corpus
@@ -1344,7 +1388,14 @@ def llm_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for deduping a daily batch against a petabyte archive: history
     never reshuffles, only its fixed-size bit set ships.
 
-    Rows-only (bit patterns are construction-defined). pytest pins the
+    SQL-oracled since round 8 (was rows-only — VERDICT r7 #3): every
+    quantity is deterministic double-hash arithmetic DuckDB replays
+    bit-for-bit — sha256 hex agrees cross-engine, the two 60-bit
+    halves parse identically (Spark ``conv(hex, 16, 10)`` ≡ DuckDB
+    ``CAST('0x' || hex AS BIGINT)``, the llm_fingerprint pattern), and
+    h1 + 6·h2 < 7·2⁶⁰ never overflows BIGINT so ``pmod ≡ %`` on
+    positive operands. The oracle recomputes cutoff = floor(0.6·n) and
+    m in SQL (≡ the driver-side ints). pytest additionally pins the
     semantics: zero false negatives and FP rate within ~5× the ~1%
     design point. Ground truth (is_true_dup) rides along for the FP
     accounting.

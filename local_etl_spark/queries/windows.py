@@ -1953,39 +1953,53 @@ def win_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH day AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE))
+                    AS BIGINT) AS dn,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                    AS cents
-        FROM events GROUP BY 1, 2
+        FROM events GROUP BY 1, 2, 3
     )
     SELECT event_type, d,
            CAST(count(*) OVER w AS BIGINT) AS n_frame,
            round(CAST(median(cents) OVER w AS DOUBLE) / 100, 6)
                AS roll_median
     FROM day
-    WINDOW w AS (PARTITION BY event_type ORDER BY d
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
 def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """7-day rolling EXACT median of daily revenue per event_type —
-    the robust twin of a rolling mean (one spiky day drags a mean for
-    a week; the median shrugs it off), and the frame-windowed sibling
-    of agg_median (global) and agg_outlier_mad (median-based
-    robustness). Spark evaluates exact ``percentile(…, 0.5)`` as a
-    window aggregate over the 7-row frame ≡ DuckDB's windowed
+    """7-CALENDAR-DAY rolling EXACT median of daily revenue per
+    event_type — the robust twin of a rolling mean (one spiky day
+    drags a mean for a week; the median shrugs it off), and the
+    frame-windowed sibling of agg_median (global) and agg_outlier_mad
+    (median-based robustness). Spark evaluates exact
+    ``percentile(…, 0.5)`` as a window aggregate ≡ DuckDB's windowed
     ``median`` (probed: both average the two middle values on even
     frames). Inputs are exact integer cents, so every median is a
     whole or half cent — exact in double — and the single /100 + round
     is engine-identical.
 
+    The frame is a RANGE over epoch-day numbers (``dn``), not ROWS:
+    on a gapped day grid a ``rowsBetween(-6, 0)`` frame silently spans
+    more than 7 calendar days (the VERDICT r7 finding), while
+    ``RANGE BETWEEN 6 PRECEDING AND CURRENT ROW`` on ``dn`` admits
+    exactly the days in [d−6, d] regardless of gaps — pinned by
+    tests/test_corpus_ops.py::test_rolling_median_gapped_grid.
+
     Scale: the window input is the per-day aggregate (calendar-bounded
     day grid per event_type — the win_interpolate class), never the
     raw corpus; one (event_type, day) exact-cents shuffle, then a
-    7-row frame sort per partition.
+    bounded range-frame scan per partition.
     """
     e = t(spark, sf_dir, "events")
     day = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("d")
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dn"),
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint"))
         .cast("bigint")
@@ -1993,8 +2007,8 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(-6, 0)
+        .orderBy("dn")
+        .rangeBetween(-6, 0)
     )
     return day.select(
         "event_type",

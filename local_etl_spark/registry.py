@@ -187,7 +187,8 @@ FIXED_THIS_ROUND: tuple[str, ...] = ()
 ROWS_ONLY_REPRESENT: tuple[str, ...] = (
     "llm_audio_features",
     "llm_bpe_apply",
-    "llm_dedup_bloom_incremental",
+    # llm_dedup_bloom_incremental: converted to SQL-oracled in r8 —
+    # never driver-checked, so it enters the prefix as fresh SQL
     "llm_dedup_lsh_cosine",
     "llm_image_phash",
     "llm_ivf_partitioned",

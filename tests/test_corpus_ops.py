@@ -195,3 +195,52 @@ def test_pack_bfd_matches_reference_and_beats_chunk_layout(spark):
         # split-allowed lower bound (chunk layout = ceil(total/budget))
         lower = -(-sum(r["n_tokens"] for r in docs) // PACK_BUDGET)
         assert n_bins <= (11 * lower) // 9 + 1, (key, n_bins, lower)
+
+
+def test_rolling_median_gapped_grid(spark, tmp_path):
+    """win_rolling_median's frame is CALENDAR days, not rows (VERDICT
+    r7 #4): on a day grid with a gap, the post-gap day's frame must
+    NOT reach back past 6 calendar days to pick up older rows the way
+    a rowsBetween(-6, 0) frame silently does. Grid: Jan 1, Jan 2,
+    Jan 10 — the Jan 10 frame spans [Jan 4, Jan 10] and contains only
+    itself (a ROWS frame would report n_frame=3 and a 3-row median).
+    The oracle SQL is replayed on the same gapped fixture so both
+    sides carry the calendar-exact semantics."""
+    import datetime as dt
+
+    days = [
+        (dt.datetime(2024, 1, 1, 5), 1.00),
+        (dt.datetime(2024, 1, 2, 5), 2.00),
+        (dt.datetime(2024, 1, 10, 5), 9.00),
+    ]
+    df = spark.createDataFrame(
+        [("x", ts, v, 7) for ts, v in days],
+        "event_type string, ts timestamp, value double, user_id bigint",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    out = {
+        r["d"].date().isoformat(): r
+        for r in get("win_rolling_median").fn(spark, sf).collect()
+    }
+    assert out["2024-01-01"]["n_frame"] == 1
+    assert out["2024-01-02"]["n_frame"] == 2
+    assert out["2024-01-02"]["roll_median"] == 1.5
+    # the gapped day: calendar frame contains ONLY itself
+    assert out["2024-01-10"]["n_frame"] == 1
+    assert out["2024-01-10"]["roll_median"] == 9.0
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{sf}/events.parquet/*.parquet'"
+        )
+        res = con.execute(get("win_rolling_median").oracle)
+        drows = {r[1].date().isoformat(): r for r in res.fetchall()}
+    finally:
+        con.close()
+    for k, r in out.items():
+        assert drows[k][2] == r["n_frame"]
+        assert drows[k][3] == r["roll_median"]
