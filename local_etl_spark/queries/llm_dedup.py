@@ -1009,6 +1009,109 @@ def llm_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_softdedup",
+    family="llm",
+    oracle=_DUCK_SHINGLES.replace("WITH w", "WITH RECURSIVE w", 1)
+    + f"""
+    , np AS (
+        SELECT d1, d2 FROM pairs
+        JOIN cnt ca ON ca.doc_id = d1
+        JOIN cnt cb ON cb.doc_id = d2
+        WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_T}
+    ),
+    e AS (SELECT d1 AS a, d2 AS b FROM np
+          UNION ALL SELECT d2, d1 FROM np),
+    r(d, x) AS (
+        SELECT DISTINCT a, a FROM e
+        UNION
+        SELECT r.d, e.b FROM r JOIN e ON r.x = e.a
+    ),
+    lbl AS (SELECT d AS doc_id, min(x) AS cluster_id FROM r GROUP BY d),
+    tok AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    assign AS (
+        SELECT doc.doc_id,
+               CAST(COALESCE(lbl.cluster_id, doc.doc_id) AS BIGINT)
+                   AS cluster_id
+        FROM documents doc LEFT JOIN lbl ON doc.doc_id = lbl.doc_id
+    ),
+    cs AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+               CAST(sum(n_tokens) AS BIGINT) AS cluster_tokens
+        FROM assign JOIN tok USING (doc_id) GROUP BY 1
+    )
+    SELECT a.doc_id, a.cluster_id,
+           (a.doc_id = a.cluster_id) AS kept,
+           cluster_size,
+           round(CAST(1 AS DOUBLE) / cluster_size, 6) + 0.0 AS weight,
+           tok.n_tokens, cluster_tokens,
+           round(CAST(cluster_tokens AS DOUBLE) / cluster_size, 6) + 0.0
+               AS cluster_eff_tokens
+    FROM assign a
+    JOIN tok USING (doc_id)
+    JOIN cs ON a.cluster_id = cs.cluster_id
+    """,
+)
+def llm_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (the SoftDeDup shape — down-WEIGHT instead
+    of drop): every document stays in the corpus but carries sampling
+    weight 1/cluster_size from the near-dup cluster assignment, so a
+    10-copy document contributes one document's worth of expected
+    gradient mass instead of 10 — preserving the tail information that
+    hard dedup throws away with the boilerplate. Per doc: its cluster,
+    the hard-dedup keep flag (for comparison), the weight, and the
+    cluster's token accounting — cluster_tokens (raw) next to
+    cluster_eff_tokens = cluster_tokens/cluster_size (what the
+    weighted corpus effectively trains on; Σ over distinct clusters is
+    the corpus effective-token count).
+
+    Determinism: weights and effective tokens are single IEEE
+    divisions of exact integers (correctly rounded, engine-identical) —
+    never a cross-engine sum of doubles; token/size sums are BIGINT.
+    The SQL witness re-derives clusters with the llm_dedup_cluster
+    recursive-CTE closure; the engine path reuses llm_dedup_e2e's
+    MinHash→CC assignment, so the e2e corpus-property assumptions
+    (LSH miss band empty, df-cap inert — pinned by
+    tests/test_llm_dedup.py::test_e2e_oracle_assumptions) carry over.
+
+    Scale: everything downstream of the pair stage is doc-sized; the
+    token attach is a broadcast-sized dimension join and the cluster
+    rollup reuses the cluster_id partitioning of the size attach.
+    """
+    e2e = llm_dedup_e2e(spark, sf_dir)
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    j = e2e.join(tok, "doc_id")
+    ct = j.groupBy("cluster_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("cluster_tokens")
+    )
+    return j.join(ct, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "kept",
+        "cluster_size",
+        (F.round(F.lit(1.0) / F.col("cluster_size"), 6) + 0.0).alias(
+            "weight"
+        ),
+        "n_tokens",
+        "cluster_tokens",
+        (
+            F.round(
+                F.col("cluster_tokens").cast("double")
+                / F.col("cluster_size"),
+                6,
+            )
+            + 0.0
+        ).alias("cluster_eff_tokens"),
+    )
+
+
+@query(
     "llm_dedup_prefix",
     family="llm",
     oracle=_DUCK_SHINGLES

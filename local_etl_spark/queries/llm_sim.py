@@ -898,3 +898,224 @@ def llm_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(K)
     )
+
+
+# Ideal DCG for a binary-relevance K-list, embedded as ONE double
+# literal in BOTH engines (a model constant, like the centroid
+# matrices): the numerator DCG uses each engine's ln() — proven
+# bit-identical cross-engine by the graph.py ordered folds — while a
+# shared literal denominator removes any fold-order question from the
+# constant side entirely.
+import math as _math
+
+IDCG_AT_K = repr(sum(1.0 / _math.log(i + 1) for i in range(1, K + 1)))
+
+
+def retrieval_metrics(
+    shortlists: DataFrame, gold: DataFrame, k: int = K
+) -> DataFrame:
+    """recall@k / MRR / nDCG@k of ranked shortlists vs a gold id set.
+
+    ``shortlists``: (system, vec_id, score) rows, ranked here by
+    (score desc, vec_id) and truncated to the top k per system;
+    ``gold``: (vec_id), the exact answer set (size k for top-k
+    retrieval; for pair-recall use the exact pair-key set and
+    k = |gold|). This is THE metric implementation: the registry's
+    llm_retrieval_eval query aggregates through it, and the pytest
+    recall gates for the trained ANN paths (IVF / PQ / LSH) call it on
+    their own shortlists — one implementation, externally
+    hash-checked, then reused as the test ruler (VERDICT r7 #6).
+
+    Determinism: relevance is integer; recall and MRR are single
+    divisions of small exact integers; DCG is an ORDERED fold of
+    1/ln(rank+1) terms (rank-ascending, ≡ DuckDB list(... ORDER BY
+    rank)); the IDCG denominator is a python-computed literal (for
+    k = K it is bit-identical to the IDCG_AT_K constant embedded in
+    the SQL witness).
+    """
+    from pyspark.sql import Window
+
+    idcg = sum(1.0 / _math.log(i + 1) for i in range(1, k + 1))
+    w = Window.partitionBy("system").orderBy(F.desc("score"), "vec_id")
+    ranked = shortlists.select(
+        "system", "vec_id", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+    j = ranked.join(
+        F.broadcast(gold.select("vec_id", F.lit(1).alias("rel"))),
+        "vec_id",
+        "left",
+    ).select("system", "rank", F.coalesce("rel", F.lit(0)).alias("rel"))
+    dcg = (
+        "aggregate(array_sort(collect_list(struct(rank, rel))),"
+        " CAST(0 AS DOUBLE),"
+        " (a, s) -> a + IF(s.rel = 1,"
+        " CAST(1 AS DOUBLE) / ln(CAST(s.rank + 1 AS DOUBLE)),"
+        " CAST(0 AS DOUBLE)))"
+    )
+    return (
+        j.groupBy("system")
+        .agg(
+            F.sum("rel").cast("bigint").alias("hits"),
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("_fr"),
+            F.expr(dcg).alias("_dcg"),
+        )
+        .select(
+            "system",
+            F.lit(k).cast("bigint").alias("k"),
+            "hits",
+            (F.round(F.col("hits").cast("double") / k, 6) + 0.0).alias(
+                "recall_at_k"
+            ),
+            (
+                F.round(
+                    F.coalesce(F.lit(1.0) / F.col("_fr"), F.lit(0.0)), 6
+                )
+                + 0.0
+            ).alias("mrr"),
+            (
+                F.round(F.col("_dcg") / F.lit(idcg), 6) + 0.0
+            ).alias("ndcg"),
+        )
+    )
+
+
+_DEQUANT = (
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma"
+    " + 0.5) AS BIGINT) * ma / 127.0)"
+)
+
+
+@query(
+    "llm_retrieval_eval",
+    family="llm",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS ma
+        FROM embeddings
+    ),
+    s AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5)
+                        AS BIGINT) * ma / 127.0) AS dqv,
+               embedding[1:16] AS e16
+        FROM p
+    ),
+    q AS (SELECT embedding AS qv, dqv AS qdq, e16 AS q16
+          FROM s WHERE vec_id = 0),
+    gold AS (
+        SELECT s.vec_id, 1 AS rel
+        FROM s CROSS JOIN q WHERE s.vec_id <> 0
+        ORDER BY round({_duck_cosine('s.embedding', 'q.qv')}, 6) DESC,
+                 s.vec_id
+        LIMIT {K}
+    ),
+    sys1 AS (
+        SELECT 'int8' AS system, s.vec_id,
+               round({_duck_cosine('s.dqv', 'q.qdq')}, 6) AS score
+        FROM s CROSS JOIN q WHERE s.vec_id <> 0
+        ORDER BY score DESC, s.vec_id LIMIT {K}
+    ),
+    sys2 AS (
+        SELECT 'trunc16' AS system, s.vec_id,
+               round({_duck_cosine('s.e16', 'q.q16')}, 6) AS score
+        FROM s CROSS JOIN q WHERE s.vec_id <> 0
+        ORDER BY score DESC, s.vec_id LIMIT {K}
+    ),
+    sl AS (
+        SELECT system, vec_id,
+               row_number() OVER (PARTITION BY system
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM (SELECT * FROM sys1 UNION ALL SELECT * FROM sys2)
+    ),
+    j AS (
+        SELECT system, rank, COALESCE(rel, 0) AS rel
+        FROM sl LEFT JOIN gold USING (vec_id)
+    )
+    SELECT system, CAST({K} AS BIGINT) AS k,
+           CAST(sum(rel) AS BIGINT) AS hits,
+           round(CAST(sum(rel) AS DOUBLE) / {K}, 6) + 0.0 AS recall_at_k,
+           round(COALESCE(CAST(1 AS DOUBLE)
+                 / min(CASE WHEN rel = 1 THEN rank END),
+                 CAST(0 AS DOUBLE)), 6) + 0.0 AS mrr,
+           round(list_sum(list(CASE WHEN rel = 1
+                     THEN CAST(1 AS DOUBLE) / ln(CAST(rank + 1 AS DOUBLE))
+                     ELSE CAST(0 AS DOUBLE) END ORDER BY rank))
+                 / {IDCG_AT_K}, 6) + 0.0 AS ndcg
+    FROM j GROUP BY system
+    """,
+)
+def llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — recall@K, MRR, nDCG@K of an
+    approximate shortlist against the exact cosine top-K gold set: the
+    eval harness every ANN deployment runs before swapping an index
+    in. Two SQL-replayable approximate systems are graded here so the
+    whole pipeline (shortlist → rank → integer relevance → metric
+    folds) is externally hash-checked end to end:
+
+      - 'int8':    search over symmetrically dequantized int8 vectors
+                   (the llm_embed_quantize arithmetic — what serving
+                   on quantized storage actually returns);
+      - 'trunc16': search over the first 16 of 64 dims (Matryoshka-
+                   style truncation — the cheap-first-pass trade).
+
+    The TRAINED paths (IVF / PQ / LSH) can't be replayed in the SQL
+    witness (sample-trained k-means state), so they are graded by the
+    SAME ``retrieval_metrics`` aggregation in
+    tests/test_llm_sim.py::test_retrieval_eval_trained_paths — this
+    query is the externally-verified ruler; the tests reuse it, which
+    retires the ad-hoc set-intersection recall assertions.
+
+    Scale: each shortlist is a TakeOrderedAndProject (per-partition
+    heaps, no global sort) over a map-only scored scan; everything
+    after the K-row shortlists is model-sized. The rank window
+    partitions by system over 2K rows.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    staged = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                "array_max(transform(embedding,"
+                " x -> abs(CAST(x AS DOUBLE))))"
+            ).alias("ma"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_DEQUANT).alias("dqv"),
+            F.expr("slice(embedding, 1, 16)").alias("e16"),
+        )
+    )
+    q = F.broadcast(
+        staged.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"),
+            F.col("dqv").alias("qdq"),
+            F.col("e16").alias("q16"),
+        )
+    )
+    corpus = staged.filter(F.col("vec_id") != 0).crossJoin(q)
+
+    def shortlist(score: F.Column, name: str) -> DataFrame:
+        return (
+            corpus.select("vec_id", F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(K)
+            .select(F.lit(name).alias("system"), "vec_id", "score")
+        )
+
+    gold = (
+        corpus.select(
+            "vec_id", F.round(cosine("embedding", "qv"), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(K)
+        .select("vec_id")
+    )
+    sl = shortlist(cosine("dqv", "qdq"), "int8").unionAll(
+        shortlist(cosine("e16", "q16"), "trunc16")
+    )
+    return retrieval_metrics(sl, gold)

@@ -215,7 +215,23 @@ def test_lsh_cosine_subset_and_recall(spark):
     }
     assert set(lsh) <= set(exact)
     assert all(lsh[k] == exact[k] for k in lsh)
-    assert len(lsh) / len(exact) >= 0.8
+    # pair recall through the SAME retrieval_metrics aggregation the
+    # hash-checked llm_retrieval_eval query uses (pair → scalar key,
+    # gold = exact pair set, k = |gold|; the shortlist is a subset of
+    # gold, so recall@|gold| ≡ |lsh|/|exact|)
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries.llm_sim import retrieval_metrics
+
+    key = (F.col("v1") * 10_000_000 + F.col("v2")).alias("vec_id")
+    sl = (
+        get("llm_dedup_lsh_cosine")
+        .fn(spark, SF)
+        .select(F.lit("lsh_cosine").alias("system"), key, "score")
+    )
+    gold = get("llm_dedup_embed").fn(spark, SF).select(key)
+    m = retrieval_metrics(sl, gold, k=len(exact)).collect()[0]
+    assert m["recall_at_k"] >= 0.8, m.asDict()
 
 
 def _write_massdup_corpus(spark, path: str, m: int = 200, n_sim: int = 100):

@@ -8,11 +8,37 @@ from local_etl_spark.registry import get
 SF = "/root/testdata/sf0.01"
 
 
+def _graded(spark, system_queries: dict[str, str]) -> dict[str, dict]:
+    """Grade ANN shortlists with the SAME retrieval_metrics aggregation
+    the externally hash-checked llm_retrieval_eval query uses (VERDICT
+    r7 #6 — the query is the ruler, tests reuse it)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries.llm_sim import retrieval_metrics
+
+    gold = get("llm_simsearch").fn(spark, SF).select("vec_id")
+    sls = [
+        get(qname)
+        .fn(spark, SF)
+        .select(F.lit(system).alias("system"), "vec_id", "score")
+        for system, qname in system_queries.items()
+    ]
+    sl = reduce(lambda a, b: a.unionAll(b), sls)
+    return {
+        r["system"]: r.asDict()
+        for r in retrieval_metrics(sl, gold).collect()
+    }
+
+
 def test_ivf_recall_and_exactness(spark):
     """IVF probe must (a) return exact scores for what it returns and
-    (b) recall ≥0.8 of the true top-10 with 4/16 trained spherical
+    (b) recall@10 ≥0.8 of the true top-10 with 4/16 trained spherical
     k-means cells probed (measured 0.9 at sf0.001 and sf0.01 — trained
-    cells vs the old seed-vector stand-ins lifted this from ~0.5)."""
+    cells vs the old seed-vector stand-ins lifted this from ~0.5).
+    Recall comes from retrieval_metrics — the single, externally
+    hash-checked metric implementation."""
     exact = {
         r["vec_id"]: r["score"]
         for r in get("llm_simsearch").fn(spark, SF).collect()
@@ -24,8 +50,8 @@ def test_ivf_recall_and_exactness(spark):
     for vid, score in approx.items():
         if vid in exact:
             assert score == exact[vid]
-    recall = len(set(approx) & set(exact)) / len(exact)
-    assert recall >= 0.8, f"IVF recall {recall}"
+    m = _graded(spark, {"ivf": "llm_simsearch_ivf"})["ivf"]
+    assert m["recall_at_k"] >= 0.8, f"IVF recall {m}"
 
 
 def test_knn_join_k_per_query(spark):
@@ -246,8 +272,8 @@ def test_pq_search_recall_and_exact_scores(spark):
     for r in got:
         if r["vec_id"] in exact:
             assert r["score"] == exact[r["vec_id"]]
-    recall = len({r["vec_id"] for r in got} & set(exact)) / len(exact)
-    assert recall >= 0.8, recall
+    m = _graded(spark, {"pq": "llm_simsearch_pq"})["pq"]
+    assert m["recall_at_k"] >= 0.8, m
 
     books = _train_pq(spark, SF)
     assert len(books) == PQ_M and all(len(b) == PQ_K for b in books)

@@ -41,6 +41,8 @@ ALLOW_NESTED_LOOP = {
     "llm_dedup_embed",  # all-pairs cosine at oracle scale (IVF is the scale path)
     "llm_simsearch",  # scalar query-vector broadcast
     "llm_simsearch_ivf",
+    "llm_retrieval_eval",  # same 1-row query-vector broadcast feeding
+    # the per-system TakeOrdered shortlists
     "llm_ivf_partitioned",  # same 1-row query-vector broadcast as ivf
     "llm_tfidf",  # 1-row broadcast scalar parameter (corpus size N) —
     # a BNLJ against one broadcast row, not a pair enumeration
