@@ -1947,6 +1947,197 @@ def win_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HW_GAMMA = 0.25  # seasonal smoothing — power of two, exact in binary
+HW_PERIOD = 7  # day-of-week seasonality
+
+# --- shared fold-text pieces for the seasonal recursion -------------
+# State = 10-double list [t, l, b, s0..s6] (t = absolute day index of
+# the NEXT observation, so slot = t % 7 addresses the seasonal entry
+# laid down exactly one period earlier). Spark arrays are 0-based,
+# DuckDB lists 1-based; the textual skeleton is otherwise identical so
+# both engines run the same multiply-add chain in the same order.
+_HWS_A, _HWS_A1 = HW_ALPHA, 1 - HW_ALPHA
+_HWS_B, _HWS_B1 = HW_BETA, 1 - HW_BETA
+_HWS_G, _HWS_G1 = HW_GAMMA, 1 - HW_GAMMA
+
+# Spark (0-based acc, plain-double fold elements y)
+_SP_SLOT = "CAST(acc[0] AS INT) % 7"
+_SP_SPREV = f"acc[3 + ({_SP_SLOT})]"
+_SP_LP = (
+    f"CAST({_HWS_A} AS DOUBLE) * (y - {_SP_SPREV})"
+    f" + CAST({_HWS_A1} AS DOUBLE) * (acc[1] + acc[2])"
+)
+_SP_BP = (
+    f"CAST({_HWS_B} AS DOUBLE) * (({_SP_LP}) - acc[1])"
+    f" + CAST({_HWS_B1} AS DOUBLE) * acc[2]"
+)
+_SP_SP = (
+    f"CAST({_HWS_G} AS DOUBLE) * (y - acc[1] - acc[2])"
+    f" + CAST({_HWS_G1} AS DOUBLE) * {_SP_SPREV}"
+)
+_SP_L0 = "aggregate(slice(ys, 2, 6), ys[0], (a, v) -> a + v) / CAST(7 AS DOUBLE)"
+_SP_INIT = (
+    f"concat(array(CAST(7 AS DOUBLE), {_SP_L0}, CAST(0 AS DOUBLE)), "
+    f"transform(slice(ys, 1, 7), v -> v - ({_SP_L0})))"
+)
+_SP_HWS_FOLD = (
+    f"aggregate(slice(ys, 8, size(ys) - 7), {_SP_INIT}, (acc, y) -> "
+    "transform(sequence(0, 9), j -> CASE "
+    "WHEN j = 0 THEN acc[0] + CAST(1 AS DOUBLE) "
+    f"WHEN j = 1 THEN {_SP_LP} "
+    f"WHEN j = 2 THEN {_SP_BP} "
+    f"WHEN j = 3 + ({_SP_SLOT}) THEN {_SP_SP} "
+    "ELSE acc[j] END))"
+)
+
+# DuckDB (1-based a; fold elements are 1-lists [y] because list_reduce
+# requires element type == accumulator type — the win_holt_winters
+# wrapper trick, widened to the 10-list state)
+_DK_SLOT = "CAST(a[1] AS BIGINT) % 7"
+_DK_SPREV = f"a[4 + ({_DK_SLOT})]"
+_DK_LP = (
+    f"CAST({_HWS_A} AS DOUBLE) * (p[1] - {_DK_SPREV})"
+    f" + CAST({_HWS_A1} AS DOUBLE) * (a[2] + a[3])"
+)
+_DK_BP = (
+    f"CAST({_HWS_B} AS DOUBLE) * (({_DK_LP}) - a[2])"
+    f" + CAST({_HWS_B1} AS DOUBLE) * a[3]"
+)
+_DK_SP = (
+    f"CAST({_HWS_G} AS DOUBLE) * (p[1] - a[2] - a[3])"
+    f" + CAST({_HWS_G1} AS DOUBLE) * {_DK_SPREV}"
+)
+_DK_L0 = "list_reduce(ys[1:7], (a, v) -> a + v) / CAST(7 AS DOUBLE)"
+_DK_INIT = (
+    f"list_concat([CAST(7 AS DOUBLE), {_DK_L0}, CAST(0 AS DOUBLE)], "
+    f"list_transform(ys[1:7], v -> v - ({_DK_L0})))"
+)
+_DK_HWS_FOLD = (
+    f"list_reduce(list_concat([{_DK_INIT}], "
+    "list_transform(ys[8:], v -> [v])), "
+    "(a, p) -> list_transform([1, 2, 3, 4, 5, 6, 7, 8, 9, 10], j -> CASE "
+    "WHEN j = 1 THEN a[1] + CAST(1 AS DOUBLE) "
+    f"WHEN j = 2 THEN {_DK_LP} "
+    f"WHEN j = 3 THEN {_DK_BP} "
+    f"WHEN j = 4 + ({_DK_SLOT}) THEN {_DK_SP} "
+    "ELSE a[j] END))"
+)
+
+
+@query(
+    "win_holt_winters_seasonal",
+    family="windows",
+    oracle=f"""
+    WITH day AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS y
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               list(y ORDER BY d) AS ys
+        FROM day GROUP BY event_type
+        HAVING count(*) >= 8
+    ),
+    st AS (
+        SELECT event_type, n_days, {_DK_HWS_FOLD} AS lbs
+        FROM series
+    )
+    SELECT event_type, n_days,
+           round(lbs[2], 6) + 0.0 AS level,
+           round(lbs[3], 6) + 0.0 AS trend,
+           round(lbs[4 + (CAST(lbs[1] AS BIGINT) % 7)], 6) + 0.0
+               AS season_next,
+           round(lbs[2] + lbs[3]
+                 + lbs[4 + (CAST(lbs[1] AS BIGINT) % 7)], 6) + 0.0
+               AS forecast_1,
+           round(lbs[2] + 7 * lbs[3]
+                 + lbs[4 + (CAST(lbs[1] + 6 AS BIGINT) % 7)], 6) + 0.0
+               AS forecast_7,
+           round(list_max(lbs[4:10]) - list_min(lbs[4:10]), 6) + 0.0
+               AS season_range
+    FROM st
+    """,
+)
+def win_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters ADDITIVE SEASONAL triple exponential smoothing per
+    event_type daily-revenue series — win_holt_winters (level+trend)
+    completed with the day-of-week component (VERDICT r7 #5):
+
+        l_t = α(y_t − s_{{t−7}}) + (1−α)(l_{{t−1}} + b_{{t−1}})
+        b_t = β(l_t − l_{{t−1}}) + (1−β)b_{{t−1}}
+        s_t = γ(y_t − l_{{t−1}} − b_{{t−1}}) + (1−γ)s_{{t−7}}
+
+    (the l_{{t−1}}-based seasonal update variant), seeded from the
+    first week: l₀ = mean(y₀..y₆) as a sequential fold, b₀ = 0,
+    sᵢ = yᵢ − l₀. Output: final level/trend, tomorrow's seasonal
+    offset, 1- and 7-day-ahead forecasts ŷ_{{t+h}} = l + h·b +
+    s_{{(t+h−1) mod 7}}, and the seasonal amplitude witness
+    (max s − min s). Series shorter than 8 days can't complete the
+    seed week plus one step and are excluded (HAVING, both sides).
+
+    Determinism (the win_holt_winters pair-state fold, widened to a
+    10-double state list [t, l, b, s₀..s₆]): both engines run the
+    identical multiply-add chain left-to-right over the day-ordered
+    series; the slot index t mod 7 is exact integer arithmetic on a
+    small whole number stored in a double; DuckDB's list_reduce takes
+    its init from the first element, so the fold rides
+    list_concat([init₁₀], [[y]…]) with 1-list elements; l'_t appears
+    textually twice per step (inside b'_t) in BOTH engines; α=β=γ=1/4
+    are powers of two (exact, 1−γ exact). Day revenue is an
+    exact-cents sum cast once to DOUBLE.
+
+    Scale: one shuffle onto (event_type, day), one onto event_type for
+    the fold; state is 10 doubles per series regardless of length, so
+    at 100 TB the fold composes — checkpoint (l, b, s₀..s₆) and seed
+    the next window with it, the streaming-stateful shape.
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("double")
+            / 100
+        ).alias("y")
+    )
+    series = (
+        day.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, y))), s -> s.y)"
+            ).alias("ys"),
+        )
+        .filter(F.col("n_days") >= 8)
+    )
+    lbs = F.col("lbs")
+    s_next = lbs[3 + (lbs[0].cast("int") % 7)]
+    s_week = lbs[3 + ((lbs[0].cast("int") + 6) % 7)]
+    return series.select(
+        "event_type", "n_days", F.expr(_SP_HWS_FOLD).alias("lbs")
+    ).select(
+        "event_type",
+        "n_days",
+        (F.round(lbs[1], 6) + 0.0).alias("level"),
+        (F.round(lbs[2], 6) + 0.0).alias("trend"),
+        (F.round(s_next, 6) + 0.0).alias("season_next"),
+        (F.round(lbs[1] + lbs[2] + s_next, 6) + 0.0).alias("forecast_1"),
+        (F.round(lbs[1] + 7 * lbs[2] + s_week, 6) + 0.0).alias("forecast_7"),
+        (
+            F.round(
+                F.expr("array_max(slice(lbs, 4, 7))")
+                - F.expr("array_min(slice(lbs, 4, 7))"),
+                6,
+            )
+            + 0.0
+        ).alias("season_range"),
+    )
+
+
 @query(
     "win_rolling_median",
     family="windows",

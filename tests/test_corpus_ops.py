@@ -244,3 +244,56 @@ def test_rolling_median_gapped_grid(spark, tmp_path):
     for k, r in out.items():
         assert drows[k][2] == r["n_frame"]
         assert drows[k][3] == r["roll_median"]
+
+
+def test_holt_winters_seasonal_python_replay(spark):
+    """Third-implementation check for win_holt_winters_seasonal (the
+    oracle and engine share the fold text, so an independent pure-
+    Python replay of the recursion guards against a shared misreading
+    of the Holt-Winters spec): replay l/b/s chain on the day series
+    pulled via DuckDB and match every output column at 6 dp."""
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"""
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100 AS y
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    series: dict[str, list[float]] = {}
+    for et, _, y in rows:
+        series.setdefault(et, []).append(y)
+
+    out = {
+        r["event_type"]: r
+        for r in get("win_holt_winters_seasonal").fn(spark, sf).collect()
+    }
+    a = b = g = 0.25
+    for et, ys in series.items():
+        if len(ys) < 8:
+            assert et not in out
+            continue
+        l = sum(ys[:7]) / 7.0
+        bb = 0.0
+        s = [ys[i] - l for i in range(7)]
+        for t in range(7, len(ys)):
+            sl = t % 7
+            lp = a * (ys[t] - s[sl]) + (1 - a) * (l + bb)
+            bp = b * (lp - l) + (1 - b) * bb
+            sp = g * (ys[t] - l - bb) + (1 - g) * s[sl]
+            l, bb, s[sl] = lp, bp, sp
+        n = len(ys)
+        r = out[et]
+        assert r["n_days"] == n
+        assert abs(r["level"] - l) < 1e-6
+        assert abs(r["trend"] - bb) < 1e-6
+        assert abs(r["season_next"] - s[n % 7]) < 1e-6
+        assert abs(r["forecast_1"] - (l + bb + s[n % 7])) < 1e-6
+        assert abs(r["forecast_7"] - (l + 7 * bb + s[(n + 6) % 7])) < 1e-6
+        assert abs(r["season_range"] - (max(s) - min(s))) < 1e-6
