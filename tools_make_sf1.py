@@ -26,6 +26,23 @@ Scaling rules (replica i ∈ 0..9, i=0 is the original):
   cluster geometry and IVF cell populations scale ~10×.
 
 Usage: python tools_make_sf1.py [dest_dir]  (default .scale/sf1)
+       python tools_make_sf1.py --skew [dest_dir]  (default .scale/sf0.1skew)
+
+--skew (VERDICT r7 #8): the replica scaling above preserves per-key
+densities, so salted joins and hot-bucket caps never face real skew at
+10×. Skew mode emits a SAME-SIZE variant of sf0.1 where one key owns
+~20% of its fact table (every 5th row reassigned — deterministic, no
+rand()), so skew-vs-uniform timing ratios isolate the skew handling:
+- customer.c_nationkey → nation 0 (join_skew_salted's build side:
+  one nation goes from ~4% to ~23% of customers);
+- lineitem.l_suppkey → supplier 1 (graph node 's1' owns ~20% of all
+  trade edges — the hot-vertex regime for pagerank/label-prop);
+- documents.text → every 5th doc gets a shared 40-word hot core
+  prepended (its ~38 shingles reach df ≈ 20%·n_docs ≫ DF_CAP, so the
+  ngram df-cap must engage; cores add J ≈ 0.1 pairwise — far below
+  the 0.5 threshold, so no true-pair blowup, only candidate pressure);
+- events.user_id → user 0 (one user owns ~20% of events — the
+  per-user window straggler regime for sessionize).
 """
 
 from __future__ import annotations
@@ -39,7 +56,81 @@ SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 
 
+def make_skew(dest: str) -> None:
+    """Same-size sf0.1 variant with one ~20%-hot key per fact table."""
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {max(4, (os.cpu_count() or 8) // 2)}")
+
+    def src(t: str) -> str:
+        return f"read_parquet('{SRC}/{t}.parquet')"
+
+    def write(t: str, sql: str) -> None:
+        out = os.path.join(dest, f"{t}.parquet")
+        con.execute(
+            f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+
+    for t in ("region", "nation", "orders", "part", "supplier", "embeddings"):
+        write(t, f"SELECT * FROM {src(t)}")
+    write(
+        "customer",
+        f"""SELECT c_custkey,
+                   c_name,
+                   CASE WHEN c_custkey % 5 = 0 THEN 0
+                        ELSE c_nationkey END AS c_nationkey,
+                   c_acctbal, c_mktsegment
+            FROM {src('customer')}""",
+    )
+    write(
+        "lineitem",
+        f"""SELECT l_orderkey, l_partkey,
+                   CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0 THEN 1
+                        ELSE l_suppkey END AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM {src('lineitem')}""",
+    )
+    hot_core = " ".join(f"hotw{j}" for j in range(40))
+    write(
+        "documents",
+        f"""SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN '{hot_core}' || ' ' || text
+                        ELSE text END AS text,
+                   lang, source,
+                   CAST(CASE WHEN doc_id % 5 = 0
+                        THEN n_chars + {len(hot_core) + 1}
+                        ELSE n_chars END AS BIGINT) AS n_chars
+            FROM {src('documents')}""",
+    )
+    write(
+        "events",
+        f"""SELECT event_id, ts,
+                   CASE WHEN event_id % 5 = 0 THEN 0
+                        ELSE user_id END AS user_id,
+                   event_type, value, props
+            FROM {src('events')}""",
+    )
+    print(f"done -> {dest}")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        make_skew(
+            sys.argv[2]
+            if len(sys.argv) > 2
+            else os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".scale",
+                "sf0.1skew",
+            )
+        )
+        return
     dest = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"
     )

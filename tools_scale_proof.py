@@ -9,6 +9,13 @@ threshold binding differently at 10×) — exactly what the plan audit
 cannot see (VERDICT r6 item 2).
 
 Usage: python tools_scale_proof.py [sf1_dir] [query ...]
+       python tools_scale_proof.py --skew [skew_dir] [query ...]
+
+--skew (VERDICT r7 #8): compares each query on uniform sf0.1 vs the
+SAME-SIZE skewed corpus from `tools_make_sf1.py --skew` (one key owns
+~20% of its fact table). Because the corpora are equal-sized, the
+skew/uniform time ratio isolates the skew handling — a robust path
+stays near 1×; a straggler-bound one degrades toward the hot share.
 """
 
 from __future__ import annotations
@@ -17,6 +24,15 @@ import json
 import os
 import sys
 import time
+
+SKEW_QUERIES = [
+    "join_skew_salted",  # salted build side: hot nation split N_SALTS ways
+    "llm_dedup_ngram",  # df-cap must absorb the hot shingle core
+    "llm_dedup_minhash",  # banded path over the same hot-core corpus
+    "graph_pagerank",  # hot vertex s1 with ~20% of all edges
+    "graph_label_prop",
+    "win_sessionize",  # hot user: per-user window straggler regime
+]
 
 HEAVY = [
     "graph_pagerank",
@@ -38,7 +54,49 @@ HEAVY = [
 ]
 
 
+def run_skew() -> None:
+    args = sys.argv[2:]
+    skew_dir = (
+        args[0]
+        if args and os.path.isdir(args[0])
+        else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scale", "sf0.1skew"
+        )
+    )
+    names = (args[1:] if args and os.path.isdir(args[0]) else args) or SKEW_QUERIES
+    from local_etl_spark.registry import all_queries
+    from local_etl_spark.session import get_spark
+
+    spark = get_spark("skew-proof")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    ledger: dict[str, dict] = {}
+    for name in names:
+        fn = queries[name]
+        entry: dict[str, float] = {}
+        for label, sf_dir in (("uniform", "/root/testdata/sf0.1"), ("skew", skew_dir)):
+            best = float("inf")
+            rows = -1
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            entry[label] = round(best, 3)
+            entry[f"rows_{label}"] = rows
+        entry["ratio"] = round(entry["skew"] / entry["uniform"], 2)
+        ledger[name] = entry
+        print(json.dumps({name: entry}), flush=True)
+    try:
+        load = round(os.getloadavg()[0], 2)
+    except OSError:
+        load = None
+    print(json.dumps({"skew_ledger": ledger, "loadavg_1m": load}))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        run_skew()
+        return
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"
     )
