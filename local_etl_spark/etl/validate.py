@@ -440,7 +440,15 @@ def _pythonize_message(msg: Column, token: Column | None = None) -> Column:
     4× `Code grows beyond 64 KB` in the bench tail, silent interpreted
     fallback of the whole classify projection). With an attribute each
     reference is a slot read and the method splits cleanly. The
-    token-less form remains for driver-side/test rendering only.
+    token-less form remains for driver-side/test rendering only — and
+    even there it must sit behind a PROJECTION of msg: applied
+    directly to a compiled validity's error_msg Column it embeds the
+    whole when-chain ~45× at construction time (head gate + container
+    rewrite + the ~40 token references), measured round 8 at ~24 s of
+    catalyst/codegen work per fresh plan on 8 threads and MINUTES at
+    local[32] (per-task stateful-regexp freshCopy over the unshared
+    tree). tests/test_etl_validate._staged_messages is the reference
+    staging.
 
     Also finishes CONTAINER-headed messages: the validity slots render
     containers as raw ``to_json`` text (render_value raw_containers —

@@ -221,6 +221,67 @@ def _invalid_card_docs(card: dict) -> dict[str, dict]:
     }
 
 
+def _multi_error_card_docs(card: dict) -> dict[str, dict]:
+    """Round-8 frontier (VERDICT r7 #10): MULTI-error cards documents.
+    jsonschema's validate() raises the FIRST error of iter_errors(),
+    whose order is the SCHEMA's keyword/property order (envelope
+    `properties` iterates payload before metadata; payload properties
+    iterate id, user_id, created_by_name, updated_at, created_at,
+    active) — so with several simultaneous leaf errors the reported
+    message is a deterministic function of schema order that the
+    engine's when-chain must reproduce, including when the instance's
+    key order DISAGREES with the schema's."""
+
+    def c(fn, payload_over=None, meta_over=None):
+        doc = json.loads(json.dumps(card))
+        doc["payload"].update(payload_over or {})
+        doc["metadata"].update(meta_over or {})
+        doc["metadata"]["event_id"] = f"cmulti_{fn}"
+        return doc
+
+    out = {
+        # two payload leaves: schema order says user_id wins over active
+        "multi_uid_active.json": c("a", {"user_id": "x", "active": 3}),
+        # schema order id < user_id even when the instance lists
+        # user_id first — rebuild payload with reversed key order
+        "multi_id_uid_reorder.json": None,  # filled below
+        # payload leaf vs metadata leaf: envelope order payload-first
+        "multi_payload_meta.json": c(
+            "b", {"active": 1.5}, {"type": 7}
+        ),
+        # two metadata leaves: type precedes event_at in the schema
+        "multi_meta_two.json": c(
+            "d", None, {"type": [], "event_at": 9}
+        ),
+        # envelope-level payload error + metadata leaf error: the
+        # payload type check fires before metadata's properties walk
+        "multi_env_meta.json": None,  # filled below
+        # three simultaneous leaf errors spanning both envelopes
+        "multi_three.json": c(
+            "e",
+            {"created_by_name": False, "active": "no"},
+            {"event_at": None},
+        ),
+    }
+    reorder = json.loads(json.dumps(card))
+    reorder["payload"] = {
+        "user_id": "second-in-schema",
+        "active": True,
+        "id": "first-in-schema",
+        "created_by_name": "G H",
+        "updated_at": "2023-11-05 10:00:00",
+        "created_at": "2023-10-05 09:00:00",
+    }
+    reorder["metadata"]["event_id"] = "cmulti_r"
+    out["multi_id_uid_reorder.json"] = reorder
+    env = json.loads(json.dumps(card))
+    env["payload"] = ["not", "an", "object"]
+    env["metadata"]["type"] = 0
+    env["metadata"]["event_id"] = "cmulti_env"
+    out["multi_env_meta.json"] = env
+    return out
+
+
 def _edge_valid_user_docs() -> dict[str, dict]:
     """VALID documents exercising the reference's string-semantics edge
     paths live: Python str.lstrip()'s Unicode whitespace set (NBSP,
@@ -564,6 +625,8 @@ def _build_corpus(dest) -> None:
         (dest / "cards" / f"cd{i:05d}.json").write_text(json.dumps(doc, indent=2))
     for fn, doc in _invalid_card_docs(card).items():
         (dest / "cards" / fn).write_text(json.dumps(doc, indent=2))
+    for fn, doc in _multi_error_card_docs(card).items():
+        (dest / "cards" / fn).write_text(json.dumps(doc, indent=2))
 
 
 def _run_reference(script: str, cwd) -> str:
@@ -699,6 +762,7 @@ def test_error_log_messages_match_best_match(fuzz_run):
         len(_invalid_user_docs())
         + len(_raw_invalid_user_docs())
         + len(_invalid_card_docs({"payload": {}, "metadata": {}}))
+        + len(_multi_error_card_docs({"payload": {}, "metadata": {}}))
     )
     assert ref_entries == eng_entries, (
         sorted(ref_entries - eng_entries)[:3],
