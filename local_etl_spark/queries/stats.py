@@ -2135,3 +2135,217 @@ def agg_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff("b50", "a50", "qte_50"),
         eff("b75", "a75", "qte_75"),
     )
+
+
+N_PERMS = 200  # permutation draws; p-value resolution 1/(N+1)
+
+# 60-bit md5 hash parity — the llm_fingerprint cross-engine pattern:
+# Spark conv(hex, 16, 10) ≡ DuckDB CAST('0x' || hex AS BIGINT)
+_PERM_SIDE_SPARK = (
+    "pmod(CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':',"
+    " CAST(k AS STRING))), 1, 15), 16, 10) AS BIGINT), 2)"
+)
+_PERM_SIDE_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+    " CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 2"
+)
+
+
+@query(
+    "agg_permutation_test",
+    family="stats",
+    oracle=f"""
+    WITH u AS (
+        SELECT o_orderkey,
+               CAST(o_orderpriority = '1-URGENT' AS INT) AS in_a,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    obs AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(count(*) - sum(in_a) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN in_a = 1 THEN cents END) AS DOUBLE)
+                   / sum(in_a)
+                 - CAST(sum(CASE WHEN in_a = 0 THEN cents END) AS DOUBLE)
+                   / (count(*) - sum(in_a)) AS d
+        FROM u
+    ),
+    perm AS (
+        SELECT g.k,
+               CAST(sum(CASE WHEN {_PERM_SIDE_DUCK} = 0 THEN cents END)
+                    AS DOUBLE)
+                 / sum(CASE WHEN {_PERM_SIDE_DUCK} = 0 THEN 1 ELSE 0 END)
+               - CAST(sum(CASE WHEN {_PERM_SIDE_DUCK} = 1 THEN cents END)
+                      AS DOUBLE)
+                 / sum(CASE WHEN {_PERM_SIDE_DUCK} = 1 THEN 1 ELSE 0 END)
+                 AS d
+        FROM u, generate_series(1, {N_PERMS}) AS g(k)
+        GROUP BY g.k
+    )
+    SELECT obs.n_a, obs.n_b,
+           round(abs(obs.d) / 100, 6) + 0.0 AS obs_diff,
+           CAST({N_PERMS} AS BIGINT) AS k_perms,
+           round(CAST(1 + (SELECT count(*) FROM perm
+                           WHERE abs(perm.d) >= abs(obs.d)) AS DOUBLE)
+                 / CAST({N_PERMS} + 1 AS DOUBLE), 6) + 0.0 AS p_value
+    FROM obs
+    """,
+)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample PERMUTATION test on mean order value, URGENT vs LOW
+    priority — the exact nonparametric twin of agg_welch_t: no
+    normality or variance assumption, the null distribution is built
+    by re-splitting the pooled orders. Deterministic permutations (no
+    rand() — retry-idempotent and oracle-replayable): draw k's side
+    for each order from a 60-bit md5 of (o_orderkey, k) mod 2, the
+    llm_fingerprint hash-parity pattern, so both engines generate the
+    IDENTICAL {N_PERMS} pseudo-permutations. p = (1 + #{{|d_k| ≥
+    |d_obs|}}) / (K + 1), the add-one estimator that never reports 0.
+
+    Determinism: sums are exact BIGINT cents; each mean is one IEEE
+    division; d = one subtraction — identical chains both engines, so
+    the ≥ comparison is boundary-exact. (Binomial-split permutations
+    rather than label-shuffles: each unit flips a fair md5 coin, which
+    keeps the draw embarrassingly parallel — a true shuffle needs a
+    global permutation, the documented trade.)
+
+    Scale: the ×K explode amplifies map output, but groupBy(k)
+    partial-aggregates per task BEFORE the shuffle — only K×(sums)
+    rows cross the wire regardless of corpus size; the whole null
+    distribution is K rows.
+    """
+    e = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("in_a"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    obs = e.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("in_a")).cast("bigint").alias("n_b"),
+        (
+            F.sum(F.when(F.col("in_a") == 1, F.col("cents"))).cast("double")
+            / F.sum("in_a")
+            - F.sum(F.when(F.col("in_a") == 0, F.col("cents"))).cast("double")
+            / (F.count(F.lit(1)) - F.sum("in_a"))
+        ).alias("d"),
+    )
+    perm = (
+        e.select(
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(1), F.lit(N_PERMS))).alias("k"),
+        )
+        .select("cents", "k", F.expr(_PERM_SIDE_SPARK).alias("side"))
+        .groupBy("k")
+        .agg(
+            (
+                F.sum(F.when(F.col("side") == 0, F.col("cents"))).cast(
+                    "double"
+                )
+                / F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+                - F.sum(F.when(F.col("side") == 1, F.col("cents"))).cast(
+                    "double"
+                )
+                / F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+            ).alias("d")
+        )
+    )
+    # count of permuted |d| >= observed |d| via a 1-row broadcast of obs
+    cnt = (
+        perm.crossJoin(F.broadcast(obs.select(F.col("d").alias("d_obs"))))
+        .filter(F.abs(F.col("d")) >= F.abs(F.col("d_obs")))
+        .agg(F.count(F.lit(1)).alias("n_ge"))
+    )
+    return obs.crossJoin(F.broadcast(cnt)).select(
+        "n_a",
+        "n_b",
+        (F.round(F.abs(F.col("d")) / 100, 6) + 0.0).alias("obs_diff"),
+        F.lit(N_PERMS).cast("bigint").alias("k_perms"),
+        (
+            F.round(
+                (F.lit(1) + F.col("n_ge")).cast("double") / (N_PERMS + 1), 6
+            )
+            + 0.0
+        ).alias("p_value"),
+    )
+
+
+@query(
+    "agg_hodges_lehmann",
+    family="stats",
+    oracle="""
+    WITH day AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, a.cents + b.cents AS s2
+        FROM day a JOIN day b
+          ON a.event_type = b.event_type AND a.d <= b.d
+    )
+    SELECT event_type,
+           (SELECT CAST(count(*) AS BIGINT) FROM day dd
+            WHERE dd.event_type = pairs.event_type) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(median(s2) AS DOUBLE) / 200, 6) + 0.0 AS hl_estimate
+    FROM pairs GROUP BY event_type
+    """,
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann location estimator of daily revenue per
+    event_type: the median of all pairwise (Walsh) averages
+    (yᵢ+yⱼ)/2, i ≤ j — the estimator behind the Wilcoxon signed-rank
+    test, with 29% efficiency loss at the Gaussian but a 0.29
+    breakdown point: the robust-statistics step between the mean
+    (agg_stats) and the plain median (agg_median), and the natural
+    companion to agg_outlier_mad / agg_winsorized_mean in the robust
+    family.
+
+    Determinism: Walsh sums are exact BIGINT cents (yᵢ+yⱼ kept as
+    cents×2 — never divided before the median); Spark's exact
+    ``percentile(0.5)`` ≡ DuckDB ``median`` on integers (both average
+    the two middle values on even counts — the win_rolling_median
+    probe); the single /200 (cents×2 → dollars) is one IEEE division.
+
+    Scale: the pair join is per-event_type over the CALENDAR-BOUNDED
+    day grid — n_days² pairs per type regardless of corpus size (the
+    win_mann_kendall class), never a row-level self-join; at 100 TB
+    the day aggregate is the only corpus-sized stage.
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a, b = day.alias("a"), day.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") <= F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("a.cents") + F.col("b.cents")).alias("s2"),
+    )
+    nd = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(s2, 0.5)").alias("med"),
+    )
+    return agg.join(nd, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        (F.round(F.col("med").cast("double") / 200, 6) + 0.0).alias(
+            "hl_estimate"
+        ),
+    )

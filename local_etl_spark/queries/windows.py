@@ -2209,3 +2209,108 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(cents, 0.5)").over(w).cast("double") / 100, 6
         ).alias("roll_median"),
     )
+
+
+KF_Q = 0.25  # process noise (random-walk drift variance) — power of two
+KF_R = 4.0  # observation noise variance — power of two
+KF_P0 = 1.0  # initial state variance
+
+# Kalman fold-step text, shared shape across engines (state = [x, p]):
+#   p' = p + q;  g = p'/(p'+r);  x' = x + g(y − x);  p'' = (1−g)p'
+# g appears twice per step as the SAME expression text in both engines
+# (the win_holt_winters l'-inside-b' discipline).
+_KF_PP = f"(acc[1] + CAST({KF_Q} AS DOUBLE))"
+_KF_G = f"({_KF_PP} / ({_KF_PP} + CAST({KF_R} AS DOUBLE)))"
+_KF_FOLD = (
+    "aggregate(slice(ys, 2, size(ys) - 1), "
+    f"array(ys[0], CAST({KF_P0} AS DOUBLE)), "
+    f"(acc, y) -> array(acc[0] + {_KF_G} * (y - acc[0]), "
+    f"(CAST(1 AS DOUBLE) - {_KF_G}) * {_KF_PP}))"
+)
+_DKF_PP = f"(a[2] + CAST({KF_Q} AS DOUBLE))"
+_DKF_G = f"({_DKF_PP} / ({_DKF_PP} + CAST({KF_R} AS DOUBLE)))"
+_DKF_FOLD = (
+    "list_reduce(list_transform(list(y ORDER BY d), "
+    f"v -> [v, CAST({KF_P0} AS DOUBLE)]), "
+    f"(a, p) -> [a[1] + {_DKF_G} * (p[1] - a[1]), "
+    f"(CAST(1 AS DOUBLE) - {_DKF_G}) * {_DKF_PP}])"
+)
+
+
+@query(
+    "win_kalman_1d",
+    family="windows",
+    oracle=f"""
+    WITH day AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS y
+        FROM events GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               {_DKF_FOLD} AS xp
+        FROM day GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           round(xp[1], 6) + 0.0 AS level,
+           round(xp[2], 6) + 0.0 AS variance,
+           round(xp[2] / (xp[2] + CAST({KF_R} AS DOUBLE)), 6) + 0.0
+               AS steady_gain
+    FROM st
+    """,
+)
+def win_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level / random-walk-plus-noise model)
+    over each event_type's daily-revenue series — the optimal-gain
+    sibling of win_ewma: where EWMA smooths with a FIXED α, the Kalman
+    gain g_t = p'_t/(p'_t + r) adapts from the tracked state variance,
+    starting aggressive (p₀ large relative to r) and converging to the
+    steady-state gain — the classic sensor-fusion smoother, and the
+    1-D special case of what every tracking pipeline runs.
+        predict:  p' = p + q
+        update:   g = p'/(p'+r);  x ← x + g(y − x);  p ← (1−g)p'
+    Seeded x₀ = y₀, p₀ = {KF_P0}; q = {KF_Q}, r = {KF_R} (powers of
+    two). Output: final filtered level, posterior variance, and the
+    gain the filter has converged to.
+
+    Determinism (the win_holt_winters pair-state fold): both engines
+    run the identical chain left-to-right over the day-ordered series;
+    g's expression text appears identically in x' and p'' on both
+    sides; every operation is an IEEE add/multiply/divide with no libm
+    calls. DuckDB's list_reduce init-from-first-element rides the
+    [v, p₀] pair encoding.
+
+    Scale: one (event_type, day) exact-cents shuffle, one event_type
+    fold; state is 2 doubles per series — checkpoint (x, p) and
+    resume, the streaming-stateful shape.
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("double")
+            / 100
+        ).alias("y")
+    )
+    series = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, y))), s -> s.y)"
+        ).alias("ys"),
+    )
+    xp = F.col("xp")
+    return series.select(
+        "event_type", "n_days", F.expr(_KF_FOLD).alias("xp")
+    ).select(
+        "event_type",
+        "n_days",
+        (F.round(xp[0], 6) + 0.0).alias("level"),
+        (F.round(xp[1], 6) + 0.0).alias("variance"),
+        (
+            F.round(xp[1] / (xp[1] + F.lit(KF_R)), 6) + 0.0
+        ).alias("steady_gain"),
+    )

@@ -51,6 +51,8 @@ ALLOW_NESTED_LOOP = {
     "llm_shard_assign",  # same shape: 1-row broadcast corpus total for
     # the load-factor denominator
     "llm_dsir_weight",  # same shape: 1-row broadcast LM scalars (Nt, Ns, V)
+    "agg_permutation_test",  # same shape: 1-row broadcast observed
+    # statistic + exceed count (the null distribution itself is K rows)
     "llm_lm_kneser_ney",  # same shape: 1-row broadcast bigram type count
     "agg_welch_t",  # 1-row × 1-row group-pair product (test statistic)
     "agg_chi2",  # 1-row broadcast total + distinct-counts onto the
