@@ -1015,3 +1015,91 @@ def etl_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay.groupBy("first_class", F.col("error_class").alias("replay_class"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+VOL_WINDOW_DAYS = 7  # trailing calendar window for the volume baseline
+VOL_TOL = 0.5  # flag when |count - median| > 50% of the trailing median
+
+
+@query(
+    "etl_volume_anomaly",
+    family="etl",
+    oracle=f"""
+    WITH day AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE))
+                    AS BIGINT) AS dn,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, d, n_events,
+           CAST(count(*) OVER w AS BIGINT) AS n_prior,
+           CAST(median(n_events) OVER w AS DOUBLE) + 0.0
+               AS trailing_median,
+           round(CAST(n_events AS DOUBLE)
+                 / (median(n_events) OVER w), 6) + 0.0 AS vol_ratio,
+           (count(*) OVER w >= 3 AND
+            abs(CAST(n_events AS DOUBLE) - median(n_events) OVER w)
+              > {VOL_TOL} * (median(n_events) OVER w)) AS is_anomaly
+    FROM day
+    WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                 RANGE BETWEEN {VOL_WINDOW_DAYS} PRECEDING
+                           AND 1 PRECEDING)
+    """,
+)
+def etl_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion volume-anomaly check — the data-quality gate every
+    pipeline runs before trusting a partition (the dbt/GX "volume"
+    test, per (event_type, day)): compare each day's event count to
+    the MEDIAN of the trailing {VOL_WINDOW_DAYS} CALENDAR days
+    (excluding today — a corrupted today must not defend itself), and
+    flag when the deviation exceeds {VOL_TOL:.0%} of that baseline.
+    The median (not mean) keeps one bad yesterday from poisoning the
+    baseline; requiring ≥3 prior days suppresses cold-start noise.
+
+    Calendar-exact frame (the win_rolling_median discipline): RANGE
+    over epoch-day numbers, so ingestion gaps can't stretch the
+    baseline window over stale history. Determinism: counts are exact
+    BIGINT; the windowed median of integers is exact (both engines
+    average the two middle values); ratio and tolerance compare are
+    single IEEE operations on identical chains. NULL
+    trailing_median/ratio on the first day (empty frame) matches
+    cross-engine.
+
+    Scale: the check runs on the (event_type, day) aggregate —
+    metadata-sized regardless of corpus size; one exact-count shuffle
+    then a bounded range frame per partition.
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dn"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dn")
+        .rangeBetween(-VOL_WINDOW_DAYS, -1)
+    )
+    med = F.expr("percentile(n_events, 0.5)").over(w)
+    n_prior = F.count(F.lit(1)).over(w)
+    return day.select(
+        "event_type",
+        "d",
+        "n_events",
+        n_prior.cast("bigint").alias("n_prior"),
+        (med.cast("double") + 0.0).alias("trailing_median"),
+        (F.round(F.col("n_events").cast("double") / med, 6) + 0.0).alias(
+            "vol_ratio"
+        ),
+        (
+            (n_prior >= 3)
+            & (
+                F.abs(F.col("n_events").cast("double") - med)
+                > F.lit(VOL_TOL) * med
+            )
+        ).alias("is_anomaly"),
+    )

@@ -1743,3 +1743,88 @@ def llm_dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.union(within).select(
         "v1", "v2", F.round("raw", 6).alias("score")
     )
+
+
+@query(
+    "llm_dedup_incremental_near",
+    family="llm",
+    oracle=_DUCK_SHINGLES
+    + f"""
+    , cut AS (
+        SELECT CAST(floor(count(*) * 0.6) AS BIGINT) AS c FROM documents
+    ),
+    np AS (
+        SELECT n.doc_id AS d_new, o.doc_id AS d_old, count(*) AS shared
+        FROM sh o JOIN sh n ON o.s = n.s CROSS JOIN cut
+        WHERE o.doc_id < c AND n.doc_id >= c
+        GROUP BY 1, 2
+    )
+    SELECT d_new, d_old,
+           round(shared * 1.0 / (cn.n + co.n - shared), 6) AS jaccard
+    FROM np JOIN cnt cn ON cn.doc_id = d_new
+            JOIN cnt co ON co.doc_id = d_old
+    WHERE shared * 1.0 / (cn.n + co.n - shared) >= {JACCARD_T}
+    """,
+)
+def llm_dedup_incremental_near(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental NEAR-dup detection: today's batch (last 40% of
+    doc_ids) against the archive (first 60%) — the n-gram-Jaccard
+    sibling of llm_dedup_bloom_incremental's exact check, and the op a
+    daily crawl actually runs: archive×archive pairs are yesterday's
+    problem and are never recomputed; only (new × old) candidate pairs
+    leave the postings join. Same shingle inverted index, df-cap and
+    count-based exact Jaccard as llm_dedup_ngram (cap inert on shipped
+    corpora — pinned by test_e2e_oracle_assumptions; the oracle has no
+    cap, the documented contract).
+
+    Scale: THE incremental shape — at 100 TB the archive postings
+    (shingle-hash → doc) are a MATERIALIZED table updated by
+    yesterday's run; today explodes only the new batch and joins it
+    against the stored postings co-partitioned on the shingle hash, so
+    per-day cost is batch-sized, not corpus-sized. Here both sides
+    derive from one scan (the archive materialization is a storage
+    decision this local harness can't show), but the join graph is
+    side-restricted exactly as the incremental run would be: no
+    new×new (tomorrow's archive job) and no old×old (already done).
+    """
+    docs = t(spark, sf_dir, "documents")
+    cutoff = int(docs.count() * 0.6)
+    sh = with_shingles(docs).persist()
+    sized = sh.filter(F.size("shingles") > 0).select(
+        "doc_id", F.size("shingles").alias("n")
+    )
+    posting = (
+        sh.select("doc_id", F.explode("shingles").alias("_s"))
+        .select("doc_id", F.xxhash64("_s").alias("s"))
+        .repartition(spark.sparkContext.defaultParallelism, "s")
+        .persist()
+    )
+    hot_shingles = (
+        posting.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("s")
+    )
+    rare = posting.join(hot_shingles, "s", "left_anti")
+    old = rare.filter(F.col("doc_id") < cutoff)
+    new = rare.filter(F.col("doc_id") >= cutoff)
+    pairs = (
+        old.alias("o")
+        .join(new.alias("nw"), "s")
+        .groupBy(
+            F.col("nw.doc_id").alias("d_new"),
+            F.col("o.doc_id").alias("d_old"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") * 1.0 / (
+        F.col("cn.n") + F.col("co.n") - F.col("shared")
+    )
+    return (
+        pairs.join(sized.alias("cn"), F.col("d_new") == F.col("cn.doc_id"))
+        .join(sized.alias("co"), F.col("d_old") == F.col("co.doc_id"))
+        .filter(jac >= JACCARD_T)
+        .select("d_new", "d_old", F.round(jac, 6).alias("jaccard"))
+    )

@@ -2314,3 +2314,131 @@ def win_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(xp[1] / (xp[1] + F.lit(KF_R)), 6) + 0.0
         ).alias("steady_gain"),
     )
+
+
+SPC_RUN = 8  # Western Electric rule 4: this many consecutive same-side days
+
+
+@query(
+    "win_spc_control",
+    family="windows",
+    oracle=f"""
+    WITH day AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s1,
+               CAST(sum(cents * cents) AS BIGINT) AS s2
+        FROM day GROUP BY event_type
+        HAVING count(*) >= 2
+    ),
+    z AS (
+        SELECT day.event_type, d, cents,
+               (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                 / sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS zs,
+               (CAST(cents AS DOUBLE) > CAST(s1 AS DOUBLE) / n) AS hi
+        FROM day JOIN m ON day.event_type = m.event_type
+    ),
+    runs AS (
+        SELECT event_type, d, cents, zs, hi,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+               - row_number() OVER (PARTITION BY event_type, hi ORDER BY d)
+                   AS grp
+        FROM z
+    )
+    SELECT event_type, d,
+           round(CAST(cents AS DOUBLE) / 100, 6) + 0.0 AS revenue,
+           round(zs, 6) + 0.0 AS zscore,
+           (abs(zs) > 3) AS rule1_3sigma,
+           CAST(count(*) OVER (PARTITION BY event_type, hi, grp)
+                AS BIGINT) AS run_len,
+           (count(*) OVER (PARTITION BY event_type, hi, grp)
+              >= {SPC_RUN}) AS rule4_run
+    FROM runs
+    """,
+)
+def win_spc_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control chart (Shewhart + Western Electric
+    rules) over each event_type's daily revenue — the rule-based
+    monitoring twin of the smoothing family (ewma/kalman watch the
+    level; SPC flags the violations a human pages on):
+      rule 1: a day beyond μ ± 3σ (|z| > 3);
+      rule 4: {SPC_RUN}+ consecutive days on the SAME side of μ
+              (a sustained shift too small for rule 1).
+    Runs found with gaps-and-islands (rn − rn-within-side), the
+    win_streaks machinery; every day is emitted with its z-score, run
+    length and both flags — the chart, not just the alarms.
+
+    Determinism: μ and σ come from exact BIGINT cents moments (Σc,
+    Σc² — fits int64 with 10⁶ headroom at sf0.1 day volumes), divided
+    once into doubles; sqrt is correctly rounded IEEE; the μ
+    comparison and |z|>3 are on bit-identical chains. Series with one
+    day carry no variance and are excluded (HAVING, both sides).
+
+    Scale: one (event_type, day) exact-cents shuffle; the moment join
+    is a broadcast-sized dimension (one row per event_type); the run
+    windows partition by (event_type[, side, grp]) over the
+    calendar-bounded day grid.
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    m = (
+        day.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    z = day.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "d",
+        "cents",
+        (
+            (F.col("cents").cast("double") - F.col("s1").cast("double") / F.col("n"))
+            / F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+        ).alias("zs"),
+        (
+            F.col("cents").cast("double")
+            > F.col("s1").cast("double") / F.col("n")
+        ).alias("hi"),
+    )
+    w_all = Window.partitionBy("event_type").orderBy("d")
+    w_side = Window.partitionBy("event_type", "hi").orderBy("d")
+    runs = z.select(
+        "*",
+        (F.row_number().over(w_all) - F.row_number().over(w_side)).alias(
+            "grp"
+        ),
+    )
+    w_run = Window.partitionBy("event_type", "hi", "grp")
+    return runs.select(
+        "event_type",
+        "d",
+        (F.round(F.col("cents").cast("double") / 100, 6) + 0.0).alias(
+            "revenue"
+        ),
+        (F.round(F.col("zs"), 6) + 0.0).alias("zscore"),
+        (F.abs(F.col("zs")) > 3).alias("rule1_3sigma"),
+        F.count(F.lit(1)).over(w_run).cast("bigint").alias("run_len"),
+        (F.count(F.lit(1)).over(w_run) >= SPC_RUN).alias("rule4_run"),
+    )
