@@ -1828,3 +1828,171 @@ def llm_dedup_incremental_near(
         .filter(jac >= JACCARD_T)
         .select("d_new", "d_old", F.round(jac, 6).alias("jaccard"))
     )
+
+
+_DUCK_SHINGLES_MAT = _DUCK_SHINGLES.replace(
+    "sh AS (", "sh AS MATERIALIZED (", 1
+).replace("pairs AS (", "pairs AS MATERIALIZED (", 1)
+
+_DUCK_SIMHASH_CHAIN = """
+    tok AS (
+        SELECT doc_id, t.w AS w, count(*) AS cnt
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        WHERE t.w <> ''
+        GROUP BY doc_id, t.w
+    ),
+    hsh AS (
+        SELECT doc_id, cnt,
+               CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS hi,
+               CAST(('0x' || substring(md5(w), 9, 8)) AS BIGINT) AS lo
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN ((CASE WHEN j < 32 THEN lo ELSE hi END)
+                              >> (j % 32)) & 1 = 1
+                        THEN cnt ELSE -cnt END) AS v
+        FROM hsh, unnest(range(0, 64)) AS t(j)
+        GROUP BY doc_id, j
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 AND j < 63
+                             THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                             ELSE 0 END) AS BIGINT)
+               + CAST(CASE WHEN max(CASE WHEN j = 63 AND v > 0
+                                         THEN 1 ELSE 0 END) = 1
+                           THEN -9223372036854775808 ELSE 0 END AS BIGINT)
+                 AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, simhash, k AS blk,
+               (simhash >> CAST(8 * k AS INT)) & 255 AS bv
+        FROM sig, unnest(range(0, 8)) AS t(k)
+    ),
+    shp AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM keyed a JOIN keyed b
+          ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+    )
+"""
+
+
+@query(
+    "llm_dedup_eval",
+    family="llm",
+    oracle=_DUCK_SHINGLES_MAT
+    + f"""
+    , truth AS MATERIALIZED (
+        SELECT d1, d2 FROM pairs
+        JOIN cnt ca ON ca.doc_id = d1
+        JOIN cnt cb ON cb.doc_id = d2
+        WHERE shared * 1.0 / (ca.n + cb.n - shared) >= {JACCARD_T}
+    ),
+    contain AS (
+        SELECT d1, d2 FROM pairs
+        JOIN cnt ca ON ca.doc_id = d1
+        JOIN cnt cb ON cb.doc_id = d2
+        WHERE shared * 1.0 / least(ca.n, cb.n) >= 0.7
+    ),
+    {_DUCK_SIMHASH_CHAIN},
+    m AS (
+        SELECT 'simhash' AS system,
+               (SELECT count(*) FROM shp) AS n_pred,
+               (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*) FROM shp JOIN truth USING (d1, d2)) AS tp
+        UNION ALL
+        SELECT 'containment',
+               (SELECT count(*) FROM contain),
+               (SELECT count(*) FROM truth),
+               (SELECT count(*) FROM contain JOIN truth USING (d1, d2))
+    )
+    SELECT system, CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_truth AS BIGINT) AS n_truth, CAST(tp AS BIGINT) AS tp,
+           round(CASE WHEN n_pred = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE CAST(tp AS DOUBLE) / n_pred END, 6) + 0.0
+               AS prec,
+           round(CAST(tp AS DOUBLE) / n_truth, 6) + 0.0 AS rec,
+           round(CAST(2 AS DOUBLE) * tp / (n_pred + n_truth), 6) + 0.0
+               AS f1
+    FROM m
+    """,
+)
+def llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method evaluation — precision / recall / F1 of each
+    SQL-replayable sketch detector against the exact n-gram-Jaccard
+    pair set (J ≥ {JACCARD_T}), the dedup twin of llm_retrieval_eval
+    (VERDICT r7 #6's eval-harness principle applied to the dedup
+    family): before swapping a detector into a 100 TB pipeline you
+    measure what it finds and what it invents, on the corpus itself.
+
+      - 'simhash': 8-band pigeonhole pairs at hamming ≤ 5 — a
+        DIFFERENT measure (token-distribution distance), so its
+        precision/recall against 3-gram Jaccard truth quantify the
+        measure gap, not an implementation defect;
+      - 'containment': Broder asymmetric overlap ≥ 0.7 — catches
+        near-superset duplication Jaccard cannot, and its sub-1.0
+        precision against Jaccard truth is exactly that asymmetry.
+
+    (MinHash is graded by pytest equality instead — its verified
+    output PROVABLY equals the truth set on shipped corpora, so its
+    row here would be the constant (1, 1, 1).)
+
+    Determinism: all counts are exact integers; prec/rec are single
+    divisions; F1 uses the identity 2PR/(P+R) = 2·tp/(n_pred+n_truth)
+    — ONE division of exact integers instead of a three-division
+    chain. Truth/pred relations are persisted once and reused by both
+    metric rows (leaked by the repo persist convention).
+
+    Scale: each detector is its own bounded-candidate pipeline
+    (pigeonhole bands / df-capped postings); the metric stage joins
+    pair-key relations — output-sized, never corpus-sized.
+    """
+    truth = llm_dedup_ngram(spark, sf_dir).select("d1", "d2").persist()
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+
+    def row(name: str, pred_df: DataFrame) -> DataFrame:
+        pred = pred_df.select("d1", "d2").persist()
+        n_pred = pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred"))
+        tp = (
+            pred.join(truth, ["d1", "d2"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+        )
+        return (
+            n_pred.crossJoin(F.broadcast(n_truth))
+            .crossJoin(F.broadcast(tp))
+            .select(
+                F.lit(name).alias("system"),
+                "n_pred",
+                "n_truth",
+                "tp",
+                (
+                    F.round(
+                        F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+                            F.col("tp").cast("double") / F.col("n_pred")
+                        ),
+                        6,
+                    )
+                    + 0.0
+                ).alias("prec"),
+                (
+                    F.round(F.col("tp").cast("double") / F.col("n_truth"), 6)
+                    + 0.0
+                ).alias("rec"),
+                (
+                    F.round(
+                        F.lit(2.0)
+                        * F.col("tp")
+                        / (F.col("n_pred") + F.col("n_truth")),
+                        6,
+                    )
+                    + 0.0
+                ).alias("f1"),
+            )
+        )
+
+    return row("simhash", llm_dedup_simhash(spark, sf_dir)).unionAll(
+        row("containment", llm_dedup_containment(spark, sf_dir))
+    )

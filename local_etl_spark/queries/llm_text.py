@@ -1300,3 +1300,63 @@ def llm_kl_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         (F.round(F.expr(fold), 6) + 0.0).alias("kl_vs_global"),
     )
+
+
+@query(
+    "llm_lang_confusion",
+    family="llm",
+    oracle=f"""
+    WITH scores AS (SELECT doc_id, {_LANG_SCORES} FROM documents),
+    pred AS (SELECT doc_id, {_PRED} AS pred_lang FROM scores),
+    cm AS (
+        SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT lang, CAST(sum(n) AS BIGINT) AS n_label FROM cm GROUP BY 1
+    )
+    SELECT cm.lang, cm.pred_lang, cm.n, tot.n_label,
+           round(CAST(cm.n AS DOUBLE) / tot.n_label, 6) + 0.0 AS frac,
+           (cm.lang = cm.pred_lang) AS is_correct
+    FROM cm JOIN tot ON cm.lang = tot.lang
+    """,
+)
+def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the eval harness for
+    llm_lang_id graded against the corpus's LABELED lang column (the
+    llm_retrieval_eval / llm_dedup_eval principle applied to the text
+    classifiers): one row per (label, prediction) cell with its count,
+    the label's row total, the row-normalized fraction, and the
+    diagonal flag — per-language recall is the diagonal frac, and
+    every off-diagonal cell says exactly WHICH languages the
+    marker-word heuristic conflates before anyone trusts its routing
+    decisions at 100 TB.
+
+    Determinism: cell counts are exact integers; frac is one IEEE
+    division; the prediction itself reuses llm_lang_id's exact
+    marker-vote argmax (lexicographic tie-break) on both sides.
+
+    Scale: classification is a map-only pass (word-set containment
+    votes); the matrix is |langs|²-bounded — one tiny shuffle.
+    """
+    pred = llm_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    cm = (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = cm.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_label")
+    )
+    return cm.join(tot, "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        "n_label",
+        (
+            F.round(F.col("n").cast("double") / F.col("n_label"), 6) + 0.0
+        ).alias("frac"),
+        (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+    )

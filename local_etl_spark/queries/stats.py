@@ -2349,3 +2349,191 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hl_estimate"
         ),
     )
+
+
+SRM_CHI2_ALARM = 10.828  # chi-square_1 critical value at alpha = 0.001
+
+# Normal quantiles for the power calculation, embedded as shared
+# literals (erf/ppf are libm territory — the IDCG_AT_K policy):
+Z_ALPHA_975 = 1.959963984540054  # two-sided alpha = 0.05
+Z_POWER_80 = 0.8416212335729143  # power = 0.80
+
+
+@query(
+    "agg_srm_check",
+    family="stats",
+    oracle=f"""
+    WITH g AS (
+        SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS in_a
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(count(*) - sum(in_a) AS BIGINT) AS n_b
+        FROM g
+    )
+    SELECT n_a, n_b,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / (n_a + n_b), 6) + 0.0 AS chi2_stat,
+           (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+              > {SRM_CHI2_ALARM}) AS srm_detected
+    FROM c
+    """,
+)
+def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST check every
+    experimentation platform runs before reading any metric: if the
+    md5-parity 50/50 user split (the agg_qte/llm_dataset_split
+    assignment) lands materially off 50/50, the assignment pipeline is
+    broken and every downstream readout is invalid. One-degree
+    chi-square against the expected equal split:
+    χ² = (n_a − n_b)²/(n_a + n_b), alarmed at the conventional
+    α = 0.001 critical value {SRM_CHI2_ALARM} (a LITERAL — the p-value
+    needs no libm incomplete-gamma, the threshold compare is the
+    production semantics).
+
+    Determinism: unit = distinct user_id; counts are exact BIGINT; the
+    statistic is one integer square divided once into a double; the
+    alarm compare is on that bit-exact value.
+
+    Scale: one distinct-shuffle on user_id, then a 1-row aggregate —
+    the check is free at any corpus size.
+    """
+    g = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            (
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8"
+            )
+            .cast("int")
+            .alias("in_a")
+        )
+    )
+    c = g.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("in_a")).cast("bigint").alias("n_b"),
+    )
+    stat = (
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")))
+        .cast("double")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        (F.round(stat, 6) + 0.0).alias("chi2_stat"),
+        (stat > SRM_CHI2_ALARM).alias("srm_detected"),
+    )
+
+
+@query(
+    "agg_power_mde",
+    family="stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderpriority AS grp,
+             count(*) AS n,
+             CAST(CAST(sum(CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0))
+                                * CAST(0.001 AS DECIMAL(9,3))
+                                AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                  AS DOUBLE) AS sfx_k,
+             CAST(CAST(sum(CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0))
+                                * CAST(0.001 AS DECIMAL(9,3))
+                                AS DECIMAL(18,6))
+                           * CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0))
+                                  * CAST(0.001 AS DECIMAL(9,3))
+                                  AS DECIMAL(18,6)))
+                  AS DECIMAL(28,6)) AS DOUBLE) AS sxx_k
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY o_orderpriority
+    ),
+    s AS (
+      SELECT grp, n,
+             ((sxx_k - sfx_k * sfx_k / n) / (n - 1)) * 1000000.0 AS var
+      FROM m
+    )
+    SELECT a.n AS n_urgent, b.n AS n_low,
+           round(({Z_ALPHA_975} + {Z_POWER_80})
+                 * sqrt(a.var / a.n + b.var / b.n), 6) + 0.0 AS mde,
+           round(CAST(2 AS DOUBLE) * ({Z_ALPHA_975} + {Z_POWER_80})
+                 * ({Z_ALPHA_975} + {Z_POWER_80})
+                 * (a.var + b.var) / (100 * 100), 6) + 0.0
+               AS n_per_arm_at_100
+    FROM (SELECT * FROM s WHERE grp = '1-URGENT') a
+    CROSS JOIN (SELECT * FROM s WHERE grp = '5-LOW') b
+    """,
+)
+def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis for the agg_welch_t comparison — the question
+    asked BEFORE the experiment: at α = 0.05 (two-sided) and 80%
+    power, (a) what mean-difference is detectable at the CURRENT group
+    sizes (MDE = (z_{{α/2}} + z_β)·SE), and (b) how many units per arm
+    would a $100 difference need (n = 2(z_{{α/2}}+z_β)²·(σ²_a+σ²_b)/Δ²
+    with the observed variances)? The z constants are shared double
+    LITERALS on both sides (the IDCG_AT_K policy — normal quantiles
+    are libm/erf territory, and a power calc's constants ARE model
+    constants).
+
+    Determinism: variances come from the agg_welch_t exact-decimal k$
+    moment staging (floored dollars → 3 dp, squares exact at scale 6);
+    sqrt is correctly rounded IEEE; everything else is literal × exact
+    chains.
+
+    Scale: two-group exact-moment aggregate — one shuffle, two rows,
+    then closed form.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    kd = (
+        F.floor("o_totalprice").cast("decimal(18,0)")
+        * F.lit(0.001).cast("decimal(9,3)")
+    ).cast("decimal(18,6)")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(kd).alias("sfx_k"),
+        dsum(kd * kd).alias("sxx_k"),
+    )
+    s = m.select(
+        "o_orderpriority",
+        "n",
+        (
+            (F.col("sxx_k") - F.col("sfx_k") * F.col("sfx_k") / F.col("n"))
+            / (F.col("n") - 1)
+            * 1000000.0
+        ).alias("var"),
+    )
+    a = s.filter(F.col("o_orderpriority") == "1-URGENT").alias("a")
+    b = s.filter(F.col("o_orderpriority") == "5-LOW").alias("b")
+    zsum = Z_ALPHA_975 + Z_POWER_80
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_urgent"),
+        F.col("b.n").alias("n_low"),
+        (
+            F.round(
+                F.lit(zsum)
+                * F.sqrt(
+                    F.col("a.var") / F.col("a.n")
+                    + F.col("b.var") / F.col("b.n")
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("mde"),
+        (
+            F.round(
+                F.lit(2.0)
+                * zsum
+                * zsum
+                * (F.col("a.var") + F.col("b.var"))
+                / (100 * 100),
+                6,
+            )
+            + 0.0
+        ).alias("n_per_arm_at_100"),
+    )
