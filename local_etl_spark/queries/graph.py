@@ -759,3 +759,114 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("community"),
         F.substring("node", 1, 1).alias("kind"),
     )
+
+
+_DUCK_NATION_EDGES = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                        greatest(c.c_nationkey, s.s_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    )
+"""
+
+
+@query(
+    "graph_clustering_coeff",
+    family="graph",
+    oracle=_DUCK_NATION_EDGES
+    + """
+    , und AS (
+        SELECT a AS node, b AS nb FROM e
+        UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM und GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcnt AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY node
+    )
+    SELECT deg.node, deg.degree,
+           CAST(COALESCE(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN deg.degree >= 2
+                      THEN CAST(2 * COALESCE(tcnt.n_triangles, 0) AS DOUBLE)
+                           / (deg.degree * (deg.degree - 1))
+                      ELSE CAST(0 AS DOUBLE) END, 6) + 0.0
+               AS clustering_coeff
+    FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation — the per-node
+    community-density measure built on graph_triangles' machinery:
+    CC(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the fraction of v's
+    neighbor pairs that are themselves connected. Together with
+    graph_degree and graph_triangles this completes the standard
+    'is this graph community-shaped?' triple; deg ≤ 1 nodes carry
+    CC = 0 by convention.
+
+    Determinism: degree and triangle counts are exact integers over
+    the DISTINCT undirected edge set (derivation from the 100 TB fact
+    tables = broadcast dims + one fact shuffle, then a ≤|V|² distinct
+    collapse — the graph_triangles scale story); the coefficient is
+    one IEEE division of exact integers.
+    """
+    e = _nation_edges(spark, sf_dir).persist()
+    und = e.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tcnt = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    t2 = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    return deg.join(tcnt, "node", "left").select(
+        "node",
+        "degree",
+        t2.alias("n_triangles"),
+        (
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    (F.lit(2) * t2).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + 0.0
+        ).alias("clustering_coeff"),
+    )

@@ -1996,3 +1996,95 @@ def llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("simhash", llm_dedup_simhash(spark, sf_dir)).unionAll(
         row("containment", llm_dedup_containment(spark, sf_dir))
     )
+
+
+SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)  # Jaccard percents
+
+
+@query(
+    "llm_dedup_threshold_sweep",
+    family="llm",
+    oracle=_DUCK_SHINGLES_MAT
+    + f"""
+    , scored AS (
+        SELECT d1, d2,
+               shared * 1.0 / (ca.n + cb.n - shared) AS j
+        FROM pairs
+        JOIN cnt ca ON ca.doc_id = d1
+        JOIN cnt cb ON cb.doc_id = d2
+        WHERE shared * 1.0 / (ca.n + cb.n - shared) >= 0.5
+    ),
+    th AS (SELECT unnest({list(SWEEP_THRESHOLDS)}) AS thr),
+    per AS (
+        SELECT thr,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT d2) AS BIGINT) AS n_droppable
+        FROM th LEFT JOIN scored
+          ON scored.j >= thr / CAST(100 AS DOUBLE)
+        GROUP BY thr
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT CAST(thr AS BIGINT) AS threshold_pct,
+           CAST(CASE WHEN n_pairs IS NULL THEN 0 ELSE n_pairs END
+                AS BIGINT) AS n_pairs,
+           n_droppable, n_docs,
+           round(CAST(n_docs - n_droppable AS DOUBLE) / n_docs, 6) + 0.0
+               AS survival_rate
+    FROM per CROSS JOIN n
+    """,
+)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity sweep — the table every dedup
+    deployment builds before picking τ: for each candidate Jaccard
+    threshold (50–90%), the qualifying pair count, an upper bound on
+    removable documents (distinct GREATER doc_id across qualifying
+    pairs — the greedy keep-smallest rule's drop set, exact when the
+    pair graph's transitive closure keeps min ids, conservative
+    otherwise), and the corpus survival rate. One pair computation
+    (the llm_dedup_ngram index at its loosest τ = 0.5) feeds every
+    row — the sweep costs one extra tiny aggregate, not five dedup
+    runs.
+
+    Determinism: thresholds compare as thr/100 doubles against the
+    exact-count Jaccard (both engines compute the identical division);
+    counts are exact integers; survival is one division. The LEFT
+    join keeps thresholds with zero qualifying pairs (count(*) over
+    no rows → 0/NULL handled identically).
+
+    Scale: the sweep input is the PAIR set (output-sized); the
+    threshold explode multiplies pairs ×5 before a partial-aggregating
+    groupBy — trivial next to the postings join that produced them.
+    """
+    pairs = llm_dedup_ngram(spark, sf_dir).persist()
+    th = spark.range(0).sparkSession.createDataFrame(
+        [(t_,) for t_ in SWEEP_THRESHOLDS], "thr int"
+    )
+    per = (
+        th.join(
+            pairs,
+            pairs.jaccard >= F.col("thr") / F.lit(100).cast("double"),
+            "left",
+        )
+        .groupBy("thr")
+        .agg(
+            F.count("d1").cast("bigint").alias("n_pairs"),
+            F.count_distinct("d2").cast("bigint").alias("n_droppable"),
+        )
+    )
+    n = t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return per.crossJoin(F.broadcast(n)).select(
+        F.col("thr").cast("bigint").alias("threshold_pct"),
+        "n_pairs",
+        "n_droppable",
+        "n_docs",
+        (
+            F.round(
+                (F.col("n_docs") - F.col("n_droppable")).cast("double")
+                / F.col("n_docs"),
+                6,
+            )
+            + 0.0
+        ).alias("survival_rate"),
+    )

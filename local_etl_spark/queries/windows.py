@@ -2442,3 +2442,117 @@ def win_spc_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_run).cast("bigint").alias("run_len"),
         (F.count(F.lit(1)).over(w_run) >= SPC_RUN).alias("rule4_run"),
     )
+
+
+SHIP_WINDOW_DAYS = 7  # each lineitem keeps its supplier busy this long
+
+
+@query(
+    "win_interval_merge",
+    family="windows",
+    oracle=f"""
+    WITH iv AS (
+        SELECT DISTINCT l_suppkey,
+               CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                    AS BIGINT) AS s,
+               CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                    + {SHIP_WINDOW_DAYS} AS BIGINT) AS e
+        FROM lineitem
+        WHERE l_suppkey <= 100
+    ),
+    flag AS (
+        SELECT l_suppkey, s, e,
+               CASE WHEN s > max(e) OVER (
+                        PARTITION BY l_suppkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM iv
+    ),
+    blk AS (
+        SELECT l_suppkey, s, e,
+               sum(is_new) OVER (
+                   PARTITION BY l_suppkey ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS block_id
+        FROM flag
+    )
+    SELECT l_suppkey AS suppkey, CAST(block_id AS BIGINT) AS block_id,
+           CAST(min(s) AS BIGINT) AS block_start_dn,
+           CAST(max(e) AS BIGINT) AS block_end_dn,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(max(e) - min(s) AS BIGINT) AS span_days,
+           CAST(sum(e - s) AS BIGINT) AS raw_days
+    FROM blk GROUP BY 1, 2
+    """,
+)
+def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coalescing (merge overlapping intervals) — the
+    interval-algebra primitive behind availability windows, on-call
+    coverage and machine-utilization rollups, here over supplier
+    shipping windows ([l_shipdate, +{SHIP_WINDOW_DAYS}d] per lineitem,
+    first 100 suppliers): overlapping or touching windows merge into
+    maximal busy blocks, each reporting its span, its raw (double-
+    counted) interval days, and how many shipments it absorbed —
+    span vs raw IS the overlap factor.
+
+    The classic sweep: intervals sorted by start; an interval starts a
+    NEW block iff its start exceeds the running max end of everything
+    before it (a prefix-window max — not lag(e), which misses the
+    earlier-long-interval case); block id = prefix sum of the starts.
+    Exact integer epoch-day arithmetic end to end; touching intervals
+    (s = prev_e) merge, per the >-comparison.
+
+    Scale: one shuffle onto l_suppkey; both windows and the final
+    rollup ride the SAME per-supplier partitioning (no second
+    exchange); per-supplier interval counts are bounded by that
+    supplier's fact rows. The supplier filter is pushed to the parquet
+    scan.
+    """
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 100)
+        .select(
+            "l_suppkey",
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .select(
+            "l_suppkey",
+            "s",
+            (F.col("s") + SHIP_WINDOW_DAYS).alias("e"),
+        )
+        .distinct()
+    )
+    w_prev = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = li.select(
+        "l_suppkey",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    blk = flag.select(
+        "l_suppkey", "s", "e", F.sum("is_new").over(w_run).alias("block_id")
+    )
+    return blk.groupBy(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("block_id").cast("bigint").alias("block_id"),
+    ).agg(
+        F.min("s").cast("bigint").alias("block_start_dn"),
+        F.max("e").cast("bigint").alias("block_end_dn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        (F.max("e") - F.min("s")).cast("bigint").alias("span_days"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("raw_days"),
+    )

@@ -41,15 +41,30 @@ def test_presentation_prefix_prioritizes_unverified():
         n for n in registry.ROWS_ONLY_REPRESENT if n in registry.REGISTRY
     ]
     assert prefix[: len(fixed)] == fixed
-    # rows-only re-presents sit at the prefix TAIL
+    # rows-only re-presents are contiguous in the prefix, immediately
+    # after the fresh block (round 8: the fresh queue no longer fills
+    # head_len, so rechecks pad the literal tail — the contract is
+    # that every re-present lands IN the prefix, which the driver
+    # records regardless of position)
     if represent:
-        assert prefix[-len(represent):] == represent
-    # everything between is SQL-oracled and NEVER driver-checked
-    mid = prefix[len(fixed): len(prefix) - len(represent)]
+        i = prefix.index(represent[0])
+        assert prefix[i : i + len(represent)] == represent
+    # everything before the re-presents is SQL-oracled and NEVER
+    # driver-checked (the fresh block); rechecks may pad after them
+    mid = prefix[len(fixed) : prefix.index(represent[0])] if represent else []
     assert all(registry.REGISTRY[n].oracle for n in mid)
     fresh = [n for n in mid if n not in registry.DRIVER_CHECKED]
     assert len(fresh) == len(mid), "recheck leaked into the fresh block"
-    assert len(fresh) >= 40, f"only {len(fresh)} never-checked in prefix"
+    # every never-checked SQL-oracled query must be in the prefix once
+    # the fresh queue fits (r8 regime: total external coverage)
+    all_fresh = [
+        n for n, s in registry.REGISTRY.items()
+        if s.oracle and n not in registry.DRIVER_CHECKED
+    ]
+    if len(all_fresh) + len(fixed) + len(represent) <= registry.DRIVER_PREFIX:
+        assert set(all_fresh) <= set(prefix), "fresh query missed the prefix"
+    else:
+        assert len(fresh) >= 40, f"only {len(fresh)} never-checked in prefix"
     # priority families are exhausted before any other fresh entry
     for fam in registry._PRIORITY_FAMILIES:
         fam_fresh_all = [
