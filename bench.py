@@ -106,6 +106,13 @@ HEADLINE = [
     "llm_dedup_e2e",
     "llm_pack_bfd",
     "llm_dedup_simhash",
+    # round-8 additions: the composite dedup/retrieval eval harnesses,
+    # the down-weighting dedup (e2e-composite), the incremental
+    # near-dup shape, and the K-permutation null-distribution build
+    "llm_softdedup",
+    "llm_retrieval_eval",
+    "llm_dedup_incremental_near",
+    "agg_permutation_test",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →

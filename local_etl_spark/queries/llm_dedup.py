@@ -2054,6 +2054,9 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sweep input is the PAIR set (output-sized); the
     threshold explode multiplies pairs ×5 before a partial-aggregating
     groupBy — trivial next to the postings join that produced them.
+    The pair relation is persisted (consumed once per threshold row)
+    and intentionally NOT unpersisted — the returned plan references
+    the cached relation (repo persist-leak convention, r4).
     """
     pairs = llm_dedup_ngram(spark, sf_dir).persist()
     th = spark.range(0).sparkSession.createDataFrame(

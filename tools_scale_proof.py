@@ -35,6 +35,10 @@ SKEW_QUERIES = [
 ]
 
 HEAVY = [
+    # round-8 additions with standing scale claims
+    "llm_softdedup",
+    "llm_dedup_incremental_near",
+    "llm_dedup_eval",
     "graph_pagerank",
     "graph_label_prop",
     "llm_dedup_ngram",
