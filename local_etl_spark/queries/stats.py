@@ -2139,15 +2139,23 @@ def agg_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PERMS = 200  # permutation draws; p-value resolution 1/(N+1)
 
-# 60-bit md5 hash parity — the llm_fingerprint cross-engine pattern:
-# Spark conv(hex, 16, 10) ≡ DuckDB CAST('0x' || hex AS BIGINT)
+# Per-(unit, permutation) fair coin WITHOUT a per-pair hash: two md5
+# digests per unit (256 independent bits ≥ N_PERMS), computed BEFORE
+# the ×K explode; permutation k reads bit (k−1) of the concatenated
+# hex — one substring + one 4-bit hex parse per exploded row instead
+# of a full md5 (the first draft hashed per (unit, k): 12M md5s,
+# 9.5 s at sf0.1 — this form is ~6× faster). Cross-engine: Spark
+# conv(hex, 16, 10) ≡ DuckDB CAST('0x' || hex AS BIGINT), and both
+# shift-mask identically.
 _PERM_SIDE_SPARK = (
-    "pmod(CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':',"
-    " CAST(k AS STRING))), 1, 15), 16, 10) AS BIGINT), 2)"
+    "pmod(CAST(conv(substring(IF(k <= 128, h0, h1),"
+    " CAST((pmod(k - 1, 128)) DIV 4 AS INT) + 1, 1), 16, 10) AS BIGINT)"
+    " DIV shiftleft(CAST(1 AS BIGINT), CAST(pmod(k - 1, 4) AS INT)), 2)"
 )
 _PERM_SIDE_DUCK = (
-    "CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
-    " CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 2"
+    "(CAST(('0x' || substring(CASE WHEN k <= 128 THEN h0 ELSE h1 END,"
+    " CAST(((k - 1) % 128) // 4 AS INT) + 1, 1)) AS BIGINT)"
+    " // (CAST(1 AS BIGINT) << CAST((k - 1) % 4 AS INT))) % 2"
 )
 
 
@@ -2158,7 +2166,9 @@ _PERM_SIDE_DUCK = (
     WITH u AS (
         SELECT o_orderkey,
                CAST(o_orderpriority = '1-URGENT' AS INT) AS in_a,
-               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               md5(CAST(o_orderkey AS VARCHAR) || ':0') AS h0,
+               md5(CAST(o_orderkey AS VARCHAR) || ':1') AS h1
         FROM orders
         WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
     ),
@@ -2197,11 +2207,13 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority — the exact nonparametric twin of agg_welch_t: no
     normality or variance assumption, the null distribution is built
     by re-splitting the pooled orders. Deterministic permutations (no
-    rand() — retry-idempotent and oracle-replayable): draw k's side
-    for each order from a 60-bit md5 of (o_orderkey, k) mod 2, the
-    llm_fingerprint hash-parity pattern, so both engines generate the
-    IDENTICAL {N_PERMS} pseudo-permutations. p = (1 + #{{|d_k| ≥
-    |d_obs|}}) / (K + 1), the add-one estimator that never reports 0.
+    rand() — retry-idempotent and oracle-replayable): permutation k's
+    side for each order is BIT k−1 of two per-order md5 digests (256
+    independent fair bits ≥ K, hashed once per order BEFORE the ×K
+    explode — see _PERM_SIDE_SPARK for the per-(unit,k)-hash
+    postmortem), so both engines generate the IDENTICAL {N_PERMS}
+    pseudo-permutations. p = (1 + #{{|d_k| ≥ |d_obs|}}) / (K + 1), the
+    add-one estimator that never reports 0.
 
     Determinism: sums are exact BIGINT cents; each mean is one IEEE
     division; d = one subtraction — identical chains both engines, so
@@ -2221,6 +2233,8 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("in_a"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":0"))).alias("h0"),
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":1"))).alias("h1"),
     )
     obs = e.agg(
         F.sum("in_a").cast("bigint").alias("n_a"),
@@ -2234,8 +2248,9 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     perm = (
         e.select(
-            "o_orderkey",
             "cents",
+            "h0",
+            "h1",
             F.explode(F.sequence(F.lit(1), F.lit(N_PERMS))).alias("k"),
         )
         .select("cents", "k", F.expr(_PERM_SIDE_SPARK).alias("side"))
