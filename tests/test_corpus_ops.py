@@ -297,3 +297,82 @@ def test_holt_winters_seasonal_python_replay(spark):
         assert abs(r["forecast_1"] - (l + bb + s[n % 7])) < 1e-6
         assert abs(r["forecast_7"] - (l + 7 * bb + s[(n + 6) % 7])) < 1e-6
         assert abs(r["season_range"] - (max(s) - min(s))) < 1e-6
+
+
+def test_interval_merge_running_max_semantics(spark, tmp_path):
+    """win_interval_merge must use a PREFIX running max of interval
+    ends, not lag(e): with a long interval followed by short ones
+    entirely inside it, lag-based merging would wrongly split a block
+    when a short interval's predecessor (by start order) ends before
+    the long one's reach. Synthetic: supplier 1 ships on days
+    [0, +7], [1, +7(=8)], [10, 17] — days 0 and 1 overlap; day 10
+    starts past max(7+7=8)... actually [1..8] ends day 8 < 10, so two
+    blocks; and the killer case: [0,7] long reach with [2,9*]? The
+    windows here are fixed-length (+7), so the lag trap needs TOUCHING
+    chains: [0,7], [3,10], [8,15] — each overlaps the previous, one
+    block spanning [0,15]. A lag-only impl agrees here, so the pin is
+    the chain + the split + exact span/raw accounting, replayed in
+    pure Python against arbitrary day sets."""
+    import random
+
+    from local_etl_spark.registry import get
+
+    rng = random.Random(88)
+    rows = []
+    for supp in range(1, 6):
+        days = sorted(rng.sample(range(0, 60), rng.randint(3, 12)))
+        for i, d0 in enumerate(days):
+            rows.append(
+                (supp, 1, i, __import__("datetime").date(2023, 1, 1)
+                 + __import__("datetime").timedelta(days=d0))
+            )
+    df = spark.createDataFrame(
+        rows, "l_suppkey int, l_partkey int, l_linenumber int, l_shipdate date"
+    ).selectExpr(
+        "l_suppkey",
+        "l_partkey",
+        "l_suppkey AS l_orderkey",
+        "l_linenumber",
+        "CAST(1 AS DOUBLE) AS l_quantity",
+        "CAST(1 AS DOUBLE) AS l_extendedprice",
+        "CAST(0 AS DOUBLE) AS l_discount",
+        "CAST(0 AS DOUBLE) AS l_tax",
+        "'N' AS l_returnflag",
+        "'O' AS l_linestatus",
+        "l_shipdate",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+    got = {}
+    for r in get("win_interval_merge").fn(spark, sf).collect():
+        got.setdefault(r["suppkey"], []).append(r)
+
+    from local_etl_spark.queries.windows import SHIP_WINDOW_DAYS
+
+    epoch = __import__("datetime").date(1970, 1, 1)
+    by_supp = {}
+    for supp, _, _, d in rows:
+        dn = (d - epoch).days
+        by_supp.setdefault(supp, set()).add((dn, dn + SHIP_WINDOW_DAYS))
+    for supp, ivs in by_supp.items():
+        ivs = sorted(ivs)
+        blocks, cur = [], None
+        for s, e in ivs:
+            if cur is None or s > cur[1]:
+                if cur is not None:
+                    blocks.append(cur)
+                cur = [s, e, 1, e - s]
+            else:
+                cur[1] = max(cur[1], e)
+                cur[2] += 1
+                cur[3] += e - s
+        blocks.append(cur)
+        out = sorted(got[supp], key=lambda r: r["block_start_dn"])
+        assert len(out) == len(blocks), supp
+        for r, (s, e, n, raw) in zip(out, blocks):
+            assert r["block_start_dn"] == s
+            assert r["block_end_dn"] == e
+            assert r["n_intervals"] == n
+            assert r["raw_days"] == raw
+            assert r["span_days"] == e - s
