@@ -1103,3 +1103,99 @@ def etl_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_anomaly"),
     )
+
+
+@query(
+    "etl_audit_chain",
+    family="etl",
+    oracle="""
+    WITH day AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE))
+                    AS BIGINT) AS dn,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    dg AS (
+        SELECT event_type, dn,
+               md5(CAST(dn AS VARCHAR) || '|' || CAST(cents AS VARCHAR)
+                   || '|' || CAST(n_events AS VARCHAR)) AS digest
+        FROM day
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           min_by(digest, dn) AS head_digest,
+           list_reduce(list(digest ORDER BY dn),
+                       (a, x) -> md5(a || x)) AS chain_digest
+    FROM dg GROUP BY event_type
+    """,
+)
+def etl_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident audit chain over each event_type's daily ledger —
+    the hash-chain integrity witness a regulated pipeline publishes
+    with its aggregates: day i's link is md5(link_{i−1} ‖ digest_i)
+    where digest_i = md5(dn|cents|n_events), so ANY retroactive edit
+    to any day changes the final chain digest, and two parties who
+    agree on the head and tail digests agree on the whole ledger
+    without exchanging it. (The blockchain shape minus consensus —
+    what 'audit log' means in a warehouse.)
+
+    Determinism: digests are md5 over canonical integer text
+    (cross-engine identical); the chain is an ORDERED string fold —
+    Spark ``aggregate(slice(ds, 2, …), ds[0], md5(concat))`` ≡ DuckDB
+    ``list_reduce(list(digest ORDER BY dn), md5(a || x))`` (init from
+    first element, the established fold identity with a STRING state).
+
+    Scale: one (event_type, day) shuffle then one event_type fold;
+    at 100 TB the chain composes — yesterday's tail digest seeds
+    today's fold, so the daily job hashes one day, not the history
+    (the incremental-ingest shape, like llm_dedup_bloom_incremental's
+    never-reshuffled archive).
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dn"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    dg = day.select(
+        "event_type",
+        "dn",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("dn").cast("string"),
+                F.col("cents").cast("string"),
+                F.col("n_events").cast("string"),
+            )
+        ).alias("digest"),
+    )
+    return (
+        dg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr("min_by(digest, dn)").alias("head_digest"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(dn, digest))),"
+                " s -> s.digest)"
+            ).alias("ds"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "head_digest",
+            F.expr(
+                "aggregate(slice(ds, 2, size(ds) - 1), ds[0],"
+                " (a, x) -> md5(concat(a, x)))"
+            ).alias("chain_digest"),
+        )
+    )

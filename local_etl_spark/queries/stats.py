@@ -2552,3 +2552,125 @@ def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("n_per_arm_at_100"),
     )
+
+
+Z_CI_975 = 1.959963984540054  # two-sided 95% normal quantile (literal)
+
+
+@query(
+    "agg_risk_ratio",
+    family="stats",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS in_a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(in_a * conv) AS BIGINT) AS x_a,
+               CAST(count(*) - sum(in_a) AS BIGINT) AS n_b,
+               CAST(sum((1 - in_a) * conv) AS BIGINT) AS x_b
+        FROM u
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           round((CAST(x_a AS DOUBLE) / n_a)
+                 / (CAST(x_b AS DOUBLE) / n_b), 6) + 0.0 AS risk_ratio,
+           round(ln((CAST(x_a AS DOUBLE) / n_a)
+                    / (CAST(x_b AS DOUBLE) / n_b))
+                 - {Z_CI_975} * sqrt(CAST(1 AS DOUBLE) / x_a
+                                     - CAST(1 AS DOUBLE) / n_a
+                                     + CAST(1 AS DOUBLE) / x_b
+                                     - CAST(1 AS DOUBLE) / n_b), 6) + 0.0
+               AS log_rr_lo,
+           round(ln((CAST(x_a AS DOUBLE) / n_a)
+                    / (CAST(x_b AS DOUBLE) / n_b))
+                 + {Z_CI_975} * sqrt(CAST(1 AS DOUBLE) / x_a
+                                     - CAST(1 AS DOUBLE) / n_a
+                                     + CAST(1 AS DOUBLE) / x_b
+                                     - CAST(1 AS DOUBLE) / n_b), 6) + 0.0
+               AS log_rr_hi,
+           (ln((CAST(x_a AS DOUBLE) / n_a) / (CAST(x_b AS DOUBLE) / n_b))
+              - {Z_CI_975} * sqrt(CAST(1 AS DOUBLE) / x_a
+                                  - CAST(1 AS DOUBLE) / n_a
+                                  + CAST(1 AS DOUBLE) / x_b
+                                  - CAST(1 AS DOUBLE) / n_b) > 0
+            OR
+            ln((CAST(x_a AS DOUBLE) / n_a) / (CAST(x_b AS DOUBLE) / n_b))
+              + {Z_CI_975} * sqrt(CAST(1 AS DOUBLE) / x_a
+                                  - CAST(1 AS DOUBLE) / n_a
+                                  + CAST(1 AS DOUBLE) / x_b
+                                  - CAST(1 AS DOUBLE) / n_b) < 0)
+               AS significant
+    FROM c
+    """,
+)
+def agg_risk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative risk (risk ratio) of conversion between the md5-parity
+    A/B user groups, with the Katz log-normal 95% CI — the binary-
+    metric experiment readout next to the mean-based agg_welch_t/
+    agg_cuped and the distributional agg_qte: conversion = the user
+    fired ≥1 'purchase' event. The CI is reported in LOG space
+    (lo/hi of ln RR) — exp() back-transforms are libm territory and
+    the significance decision (0 ∉ CI ⇔ 1 ∉ RR-CI) is identical in
+    either space. SE(ln RR) = √(1/x_a − 1/n_a + 1/x_b − 1/n_b), z is
+    a shared double literal (the IDCG policy).
+
+    Determinism: unit counts and conversion counts are exact integers
+    from one per-user aggregate; ln is proven bit-identical
+    cross-engine (the graph.py ordered folds); the lo/hi/flag all
+    reuse the same expression text on both sides.
+
+    Scale: one user-keyed aggregate (map-side partial), then a 1-row
+    closed form.
+    """
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            (
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8"
+            )
+            .cast("int")
+            .alias("in_a"),
+            "conv",
+        )
+    )
+    c = u.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum(F.col("in_a") * F.col("conv")).cast("bigint").alias("x_a"),
+        (F.count(F.lit(1)) - F.sum("in_a")).cast("bigint").alias("n_b"),
+        F.sum((1 - F.col("in_a")) * F.col("conv"))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    rr = (F.col("x_a").cast("double") / F.col("n_a")) / (
+        F.col("x_b").cast("double") / F.col("n_b")
+    )
+    se = F.sqrt(
+        F.lit(1.0) / F.col("x_a")
+        - F.lit(1.0) / F.col("n_a")
+        + F.lit(1.0) / F.col("x_b")
+        - F.lit(1.0) / F.col("n_b")
+    )
+    lo = F.log(rr) - F.lit(Z_CI_975) * se
+    hi = F.log(rr) + F.lit(Z_CI_975) * se
+    return c.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        (F.round(rr, 6) + 0.0).alias("risk_ratio"),
+        (F.round(lo, 6) + 0.0).alias("log_rr_lo"),
+        (F.round(hi, 6) + 0.0).alias("log_rr_hi"),
+        ((lo > 0) | (hi < 0)).alias("significant"),
+    )

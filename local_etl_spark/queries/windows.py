@@ -2556,3 +2556,165 @@ def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("e") - F.min("s")).cast("bigint").alias("span_days"),
         F.sum(F.col("e") - F.col("s")).cast("bigint").alias("raw_days"),
     )
+
+
+BT_HORIZON = 7  # backtest holdout: the final calendar week per series
+
+
+@query(
+    "win_forecast_backtest",
+    family="windows",
+    oracle=f"""
+    WITH day AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE))
+                    AS BIGINT) AS dn,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2, 3
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY dn DESC) AS r_desc,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM day
+    ),
+    train AS (SELECT * FROM rk WHERE r_desc > {BT_HORIZON}
+              AND n_days >= {BT_HORIZON} + 2),
+    test AS (SELECT * FROM rk WHERE r_desc <= {BT_HORIZON}
+             AND n_days >= {BT_HORIZON} + 2),
+    agg AS (
+        SELECT event_type,
+               max_by(cents, dn) AS last_c,
+               min_by(cents, dn) AS first_c,
+               max(dn) AS last_dn, min(dn) AS first_dn,
+               CAST(count(*) AS BIGINT) AS n_train
+        FROM train GROUP BY event_type
+    ),
+    scored AS (
+        SELECT t.event_type, 'naive' AS method,
+               CAST(t.cents - a.last_c AS DOUBLE) AS err
+        FROM test t JOIN agg a ON t.event_type = a.event_type
+        UNION ALL
+        SELECT t.event_type, 'drift',
+               CAST(t.cents AS DOUBLE)
+                 - (a.last_c + (t.dn - a.last_dn)
+                    * CAST(a.last_c - a.first_c AS DOUBLE)
+                      / (a.last_dn - a.first_dn))
+        FROM test t JOIN agg a ON t.event_type = a.event_type
+        UNION ALL
+        SELECT t.event_type, 'seasonal_naive',
+               CAST(t.cents - p.cents AS DOUBLE)
+        FROM test t JOIN day p
+          ON p.event_type = t.event_type AND p.dn = t.dn - 7
+    )
+    SELECT event_type, method,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(sum(abs(err)) / count(*) / 100, 6) + 0.0 AS mae,
+           round(sqrt(sum(err * err) / count(*)) / 100, 6) + 0.0 AS rmse
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def win_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest — the eval harness for the forecasting family
+    (the llm_retrieval_eval / llm_dedup_eval principle applied to
+    win_ewma/holt_winters/kalman's problem): hold out each
+    event_type's final {BT_HORIZON} days, forecast them with the three
+    classical baselines every method must beat to earn deployment —
+    'naive' (last train value), 'drift' (last + h·(last−first)/span),
+    'seasonal_naive' (same weekday last week — the M-competition
+    yardstick) — and report MAE/RMSE per (series, method).
+    Fixed-origin horizon: every seasonal lookback lands in train by
+    construction (test day i's d−7 precedes the holdout).
+
+    Determinism: day revenues are exact BIGINT cents; every error is
+    an exact subtraction (drift's slope is one division, applied in
+    an identical chain); |err| sums exactly in doubles (integer-valued)
+    and err² likewise; MAE/RMSE are a division (+ one correctly-
+    rounded sqrt) and a /100 rescale. max_by/min_by on (cents, dn)
+    are tie-free (dn is unique per series). Series shorter than
+    {BT_HORIZON} + 2 days can't fit train + holdout and are excluded
+    on both sides.
+
+    Scale: the backtest runs on the (event_type, day) aggregate; the
+    train summary is one broadcast-sized row per series, the seasonal
+    join is co-partitioned on event_type — nothing here scales with
+    the raw corpus beyond the one day-aggregate shuffle.
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dn"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("dn"))
+    wc = Window.partitionBy("event_type")
+    rk = day.select(
+        "*",
+        F.row_number().over(w).alias("r_desc"),
+        F.count(F.lit(1)).over(wc).alias("n_days"),
+    ).filter(F.col("n_days") >= BT_HORIZON + 2)
+    train = rk.filter(F.col("r_desc") > BT_HORIZON)
+    test = rk.filter(F.col("r_desc") <= BT_HORIZON)
+    agg = train.groupBy("event_type").agg(
+        F.expr("max_by(cents, dn)").alias("last_c"),
+        F.expr("min_by(cents, dn)").alias("first_c"),
+        F.max("dn").alias("last_dn"),
+        F.min("dn").alias("first_dn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_train"),
+    )
+    tj = test.join(F.broadcast(agg), "event_type")
+    naive = tj.select(
+        "event_type",
+        F.lit("naive").alias("method"),
+        (F.col("cents") - F.col("last_c")).cast("double").alias("err"),
+    )
+    drift = tj.select(
+        "event_type",
+        F.lit("drift").alias("method"),
+        (
+            F.col("cents").cast("double")
+            - (
+                F.col("last_c")
+                + (F.col("dn") - F.col("last_dn"))
+                * (F.col("last_c") - F.col("first_c")).cast("double")
+                / (F.col("last_dn") - F.col("first_dn"))
+            )
+        ).alias("err"),
+    )
+    prev = day.select(
+        F.col("event_type").alias("p_et"),
+        F.col("dn").alias("p_dn"),
+        F.col("cents").alias("p_cents"),
+    )
+    seasonal = test.join(
+        prev,
+        (F.col("event_type") == F.col("p_et"))
+        & (F.col("p_dn") == F.col("dn") - 7),
+    ).select(
+        "event_type",
+        F.lit("seasonal_naive").alias("method"),
+        (F.col("cents") - F.col("p_cents")).cast("double").alias("err"),
+    )
+    scored = naive.unionAll(drift).unionAll(seasonal)
+    return scored.groupBy("event_type", "method").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        (
+            F.round(F.sum(F.abs("err")) / F.count(F.lit(1)) / 100, 6) + 0.0
+        ).alias("mae"),
+        (
+            F.round(
+                F.sqrt(F.sum(F.col("err") * F.col("err")) / F.count(F.lit(1)))
+                / 100,
+                6,
+            )
+            + 0.0
+        ).alias("rmse"),
+    )
