@@ -2718,3 +2718,216 @@ def win_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("rmse"),
     )
+
+
+WAU_WINDOW = 7  # trailing calendar days for the rolling active count
+
+
+@query(
+    "win_rolling_wau",
+    family="windows",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE))
+                    AS BIGINT) AS dn
+        FROM events
+    ),
+    spine AS (SELECT DISTINCT dn FROM ud),
+    expanded AS (
+        SELECT user_id, dn + g.i AS day
+        FROM ud, generate_series(0, {WAU_WINDOW - 1}) AS g(i)
+    ),
+    wau AS (
+        SELECT day AS dn, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM expanded JOIN spine ON expanded.day = spine.dn
+        GROUP BY day
+    ),
+    dau AS (
+        SELECT dn, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY dn
+    )
+    SELECT dau.dn, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) + 0.0
+               AS stickiness
+    FROM dau JOIN wau ON dau.dn = wau.dn
+    """,
+)
+def win_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {WAU_WINDOW}-day distinct active users per day (WAU)
+    next to the daily count (DAU) and the DAU/WAU stickiness ratio —
+    the engagement triple every product dashboard leads with, and a
+    computation Spark cannot express directly (COUNT(DISTINCT) is not
+    a supported window aggregate). The scalable form used here: each
+    (user, day) first-class activity fact fans out to the {WAU_WINDOW}
+    report days it keeps the user active in (a map-side explode — NO
+    range join, NO per-day rescan), then one distinct-count per report
+    day. Report days are restricted to days with actual activity (the
+    spine), so a corpus gap never invents a row.
+
+    Determinism: everything is exact integer counting over exact
+    epoch-day arithmetic; stickiness is one IEEE division.
+
+    Scale: |user-days| × {WAU_WINDOW} map-side rows into a day-keyed
+    distinct aggregate (two-level: partial dedup per task, then the
+    day shuffle) — linear in activity, never quadratic in the window;
+    the window-size explode is THE production pattern for sliding
+    distinct counts (the HLL-sketch variant swaps the exact distinct
+    for mergeable sketches when report latency matters more than
+    exactness — agg_sketch_rollup shows that machinery).
+    """
+    e = t(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01")
+            )
+            .cast("long")
+            .alias("dn"),
+        )
+        .distinct()
+        .persist()  # feeds spine, DAU and the WAU expansion; leaked by
+        # the repo persist convention (plan references the cache)
+    )
+    spine = ud.select("dn").distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("dn"), F.col("dn") + (WAU_WINDOW - 1))
+        ).alias("day"),
+    )
+    wau = (
+        expanded.join(spine, expanded.day == spine.dn)
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    dau = ud.groupBy("dn").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    return dau.join(wau, dau.dn == wau.day).select(
+        dau.dn.alias("dn"),
+        "dau",
+        "wau",
+        (F.round(F.col("dau").cast("double") / F.col("wau"), 6) + 0.0).alias(
+            "stickiness"
+        ),
+    )
+
+
+@query(
+    "win_history_compress",
+    family="windows",
+    oracle="""
+    WITH ud AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE))
+                    AS BIGINT) AS dn,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    mx AS (
+        SELECT user_id, dn, max(cnt) AS mc FROM ud GROUP BY 1, 2
+    ),
+    dom AS (
+        SELECT ud.user_id, ud.dn, min(ud.event_type) AS status
+        FROM ud JOIN mx ON ud.user_id = mx.user_id AND ud.dn = mx.dn
+                        AND ud.cnt = mx.mc
+        GROUP BY 1, 2
+    ),
+    flag AS (
+        SELECT user_id, dn, status,
+               CASE WHEN lag(dn) OVER w IS NULL
+                         OR dn <> lag(dn) OVER w + 1
+                         OR status <> lag(status) OVER w
+                    THEN 1 ELSE 0 END AS is_new
+        FROM dom
+        WINDOW w AS (PARTITION BY user_id ORDER BY dn)
+    ),
+    isl AS (
+        SELECT user_id, dn, status,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY dn
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS island
+        FROM flag
+    )
+    SELECT user_id, status,
+           CAST(min(dn) AS BIGINT) AS valid_from_dn,
+           CAST(max(dn) AS BIGINT) AS valid_to_dn,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM isl GROUP BY user_id, status, island
+    """,
+)
+def win_history_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-history compression (SCD2 FROM observations): each
+    user's daily dominant event_type is a day-grained snapshot series;
+    consecutive days with the same status compress into one validity
+    range (valid_from, valid_to) — the op that turns an O(days)
+    snapshot table into an O(changes) history table, the other
+    direction from etl_scd2 (which APPLIES changes) and join_scd2_pit
+    (which QUERIES the result). Ranges split on status change OR on a
+    day gap (absence is unknown, not an extension — the conservative
+    SCD2 reading).
+
+    Determinism: the per-(user, day) dominant status is the two-level
+    exact argmax (max count, then min event_type among ties — the
+    llm_dataset_card discipline); islands come from lag-based change
+    flags + a prefix sum, all exact integer arithmetic on one
+    per-user partitioning.
+
+    Scale: one (user, day, type) count shuffle; the argmax join and
+    BOTH windows and the final rollup ride user-keyed partitionings;
+    state per user is its day grid. Output is O(changes) — the point.
+    """
+    e = t(spark, sf_dir, "events")
+    ud = e.groupBy(
+        "user_id",
+        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dn"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mx = ud.groupBy("user_id", "dn").agg(F.max("cnt").alias("mc"))
+    dom = (
+        ud.join(mx, ["user_id", "dn"])
+        .filter(F.col("cnt") == F.col("mc"))
+        .groupBy("user_id", "dn")
+        .agg(F.min("event_type").alias("status"))
+    )
+    w = Window.partitionBy("user_id").orderBy("dn")
+    flag = dom.select(
+        "user_id",
+        "dn",
+        "status",
+        F.when(
+            F.lag("dn").over(w).isNull()
+            | (F.col("dn") != F.lag("dn").over(w) + 1)
+            | (F.col("status") != F.lag("status").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("dn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = flag.select(
+        "user_id",
+        "dn",
+        "status",
+        F.sum("is_new").over(w_run).alias("island"),
+    )
+    return (
+        isl.groupBy("user_id", "status", "island")
+        .agg(
+            F.min("dn").cast("bigint").alias("valid_from_dn"),
+            F.max("dn").cast("bigint").alias("valid_to_dn"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .select(
+            "user_id", "status", "valid_from_dn", "valid_to_dn", "n_days"
+        )
+    )
