@@ -376,3 +376,141 @@ def test_interval_merge_running_max_semantics(spark, tmp_path):
             assert r["n_intervals"] == n
             assert r["raw_days"] == raw
             assert r["span_days"] == e - s
+
+
+def test_permutation_test_python_replay(spark):
+    """Third implementation for agg_permutation_test: replay the md5
+    bit-coin permutation stream and the exact-cents mean differences
+    in pure Python; every output column must match (the oracle and
+    engine share the hash expressions, so a common misreading of
+    'bit k of which digest' would pass the hash check — this won't)."""
+    import duckdb
+    import hashlib
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"""
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM read_parquet('{sf}/orders.parquet')
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            """
+        ).fetchall()
+    finally:
+        con.close()
+
+    from local_etl_spark.queries.stats import N_PERMS
+
+    def side(okey: int, k: int) -> int:
+        h = hashlib.md5(
+            f"{okey}:{0 if k <= 128 else 1}".encode()
+        ).hexdigest()
+        j = (k - 1) % 128
+        return (int(h[j // 4], 16) >> (j % 4)) & 1
+
+    n_a = sum(1 for _, p, _ in rows if p == "1-URGENT")
+    n_b = len(rows) - n_a
+    sa = sum(c for _, p, c in rows if p == "1-URGENT")
+    sb = sum(c for _, p, c in rows if p != "1-URGENT")
+    d_obs = sa / n_a - sb / n_b
+    n_ge = 0
+    for k in range(1, N_PERMS + 1):
+        s0 = s1 = c0 = c1 = 0
+        for okey, _, cents in rows:
+            if side(okey, k) == 0:
+                s0 += cents
+                c0 += 1
+            else:
+                s1 += cents
+                c1 += 1
+        if abs(s0 / c0 - s1 / c1) >= abs(d_obs):
+            n_ge += 1
+
+    r = get("agg_permutation_test").fn(spark, sf).collect()[0]
+    assert r["n_a"] == n_a and r["n_b"] == n_b
+    assert r["obs_diff"] == round(abs(d_obs) / 100, 6) + 0.0
+    assert r["p_value"] == round((1 + n_ge) / (N_PERMS + 1), 6) + 0.0
+
+
+def test_kalman_python_replay(spark):
+    """Third implementation for win_kalman_1d: replay the predict/
+    update recursion in pure Python on the day series."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"""
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100 AS y
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    series: dict[str, list[float]] = {}
+    for et, _, y in rows:
+        series.setdefault(et, []).append(y)
+
+    from local_etl_spark.queries.windows import KF_P0, KF_Q, KF_R
+
+    out = {
+        r["event_type"]: r
+        for r in get("win_kalman_1d").fn(spark, sf).collect()
+    }
+    for et, ys in series.items():
+        x, p = ys[0], KF_P0
+        for y in ys[1:]:
+            pp = p + KF_Q
+            g = pp / (pp + KF_R)
+            x = x + g * (y - x)
+            p = (1 - g) * pp
+        r = out[et]
+        assert abs(r["level"] - x) < 1e-6
+        assert abs(r["variance"] - p) < 1e-6
+        assert abs(r["steady_gain"] - p / (p + KF_R)) < 1e-6
+
+
+def test_audit_chain_python_replay(spark):
+    """Third implementation for etl_audit_chain: replay the md5 link
+    chain in pure Python (digest text layout AND fold direction)."""
+    import duckdb
+    import hashlib
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"""
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS dn,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+                   count(*) AS n
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    chains: dict[str, list] = {}
+    for et, dn, cents, n in rows:
+        d = hashlib.md5(f"{dn}|{cents}|{n}".encode()).hexdigest()
+        chains.setdefault(et, []).append(d)
+    out = {
+        r["event_type"]: r
+        for r in get("etl_audit_chain").fn(spark, sf).collect()
+    }
+    for et, ds in chains.items():
+        chain = ds[0]
+        for d in ds[1:]:
+            chain = hashlib.md5((chain + d).encode()).hexdigest()
+        r = out[et]
+        assert r["n_days"] == len(ds)
+        assert r["head_digest"] == ds[0]
+        assert r["chain_digest"] == chain
