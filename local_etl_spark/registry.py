@@ -229,11 +229,14 @@ def _presentation_order() -> list[str]:
     (DRIVER_PREFIX entries per round), so the prefix should (a) bank
     this round's fixes first, (b) cover SQL-oracled queries the driver
     has NEVER checked — priority families whole, the rest family-round-
-    robin so the prefix samples the surface, (c) spend the prefix TAIL
-    on rows-only re-presents so each gets a driver `spark_rows` record
-    (VERDICT r5 #3), then (d) re-verify already-green ones. Remaining
-    rows-only queries go last — they can never produce a hash-green
-    correctness row.
+    robin so the prefix samples the surface, (c) place rows-only
+    re-presents right after the fresh block so each gets a driver
+    `spark_rows` record (VERDICT r5 #3), then (d) re-verify already-
+    green ones (since round 8 the fresh queue fits head_len with room
+    to spare, so rechecks pad the literal prefix tail — every
+    never-recorded query still lands inside the prefix, which is the
+    contract tests/test_cli.py pins). Remaining rows-only queries go
+    last — they can never produce a hash-green correctness row.
     """
     fixed = [n for n in FIXED_THIS_ROUND if n in REGISTRY]
     represent = [n for n in ROWS_ONLY_REPRESENT if n in REGISTRY]
