@@ -2674,3 +2674,144 @@ def agg_risk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(hi, 6) + 0.0).alias("log_rr_hi"),
         ((lo > 0) | (hi < 0)).alias("significant"),
     )
+
+
+@query(
+    "agg_uplift_qini",
+    family="stats",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS in_a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv,
+               CAST(count(*) AS BIGINT) AS score
+        FROM events GROUP BY user_id
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (ORDER BY score DESC, user_id) AS rnk,
+               count(*) OVER () AS n
+        FROM u
+    ),
+    dec AS (
+        SELECT CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+               in_a, conv
+        FROM rk
+    ),
+    per AS (
+        SELECT decile,
+               CAST(sum(in_a) AS BIGINT) AS n_t,
+               CAST(sum(in_a * conv) AS BIGINT) AS x_t,
+               CAST(count(*) - sum(in_a) AS BIGINT) AS n_c,
+               CAST(sum((1 - in_a) * conv) AS BIGINT) AS x_c
+        FROM dec GROUP BY decile
+    ),
+    cum AS (
+        SELECT a.decile,
+               CAST(sum(b.n_t) AS BIGINT) AS cn_t,
+               CAST(sum(b.x_t) AS BIGINT) AS cx_t,
+               CAST(sum(b.n_c) AS BIGINT) AS cn_c,
+               CAST(sum(b.x_c) AS BIGINT) AS cx_c
+        FROM per a JOIN per b ON b.decile <= a.decile
+        GROUP BY a.decile
+    )
+    SELECT decile, cn_t, cx_t, cn_c, cx_c,
+           round(cx_t - CAST(cx_c AS DOUBLE) * cn_t / cn_c, 6) + 0.0
+               AS qini
+    FROM cum
+    """,
+)
+def agg_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve (uplift-model evaluation) over the md5-parity A/B
+    split: users ranked by an activity score (event count — the
+    deterministic stand-in for a model's uplift score), cut into
+    deciles; at each cumulative decile the Qini value
+    x_t − x_c·(n_t/n_c) is the INCREMENTAL conversions the top-k%
+    targeting would have bought vs proportional control — the curve
+    every uplift/targeting model is judged by (its area vs the random
+    diagonal is AUUC). Completes the experimentation shelf: agg_srm
+    guards the split, welch/cuped/qte read the effect, risk_ratio the
+    binary effect, and Qini reads the TARGETING value.
+
+    Determinism: the decile is an exact integer formula
+    ((rnk−1)·10 div n + 1) over a total-order rank — NOT ntile, whose
+    remainder distribution is engine-convention; the rank itself comes
+    from _util.ordered_prefix engine-side (no single-partition
+    WindowExec — the 100 TB-fatal plan) while the oracle's plain
+    window is single-node DuckDB's prerogative. Counts are exact
+    integers; qini is one division + multiply + subtract.
+
+    Scale: one user aggregate, a range-repartitioned global rank
+    (sampled skew-free boundaries, driver state O(#partitions)), one
+    10-group aggregate, then a 10×10 cumulative self-join.
+    """
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+            F.count(F.lit(1)).cast("bigint").alias("score"),
+        )
+        .select(
+            "user_id",
+            (
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8"
+            )
+            .cast("int")
+            .alias("in_a"),
+            "conv",
+            "score",
+        )
+    )
+    ranked, n = ordered_prefix(u, [F.desc("score"), "user_id"], rank_col="rnk")
+    # integer DIV, never a double divide + cast: a correctly-rounded
+    # double quotient can round UP across an integer boundary where
+    # floor division must not
+    dec = ranked.select(
+        F.expr(f"CAST((rnk - 1) * 10 DIV {n} AS BIGINT) + 1").alias(
+            "decile"
+        ),
+        "in_a",
+        "conv",
+    )
+    per = dec.groupBy("decile").agg(
+        F.sum("in_a").cast("bigint").alias("n_t"),
+        F.sum(F.col("in_a") * F.col("conv")).cast("bigint").alias("x_t"),
+        (F.count(F.lit(1)) - F.sum("in_a")).cast("bigint").alias("n_c"),
+        F.sum((1 - F.col("in_a")) * F.col("conv"))
+        .cast("bigint")
+        .alias("x_c"),
+    ).persist()  # consumed by both sides of the cumulative self-join;
+    # leaked by the repo persist convention (10 rows)
+    a, b = per.alias("a"), per.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"))
+        .agg(
+            F.sum("b.n_t").cast("bigint").alias("cn_t"),
+            F.sum("b.x_t").cast("bigint").alias("cx_t"),
+            F.sum("b.n_c").cast("bigint").alias("cn_c"),
+            F.sum("b.x_c").cast("bigint").alias("cx_c"),
+        )
+    )
+    return cum.select(
+        "decile",
+        "cn_t",
+        "cx_t",
+        "cn_c",
+        "cx_c",
+        (
+            F.round(
+                F.col("cx_t")
+                - F.col("cx_c").cast("double")
+                * F.col("cn_t")
+                / F.col("cn_c"),
+                6,
+            )
+            + 0.0
+        ).alias("qini"),
+    )
