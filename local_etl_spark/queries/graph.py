@@ -870,3 +870,90 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("clustering_coeff"),
     )
+
+
+@query(
+    "graph_assortativity",
+    family="graph",
+    oracle="""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ds AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s),
+    dc AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY c),
+    pairs AS (
+        SELECT ds.d AS dx, dc.d AS dy
+        FROM e JOIN ds ON e.s = ds.s JOIN dc ON e.c = dc.c
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS m_edges,
+               CAST(sum(dx) AS BIGINT) AS sdx,
+               CAST(sum(dy) AS BIGINT) AS sdy,
+               CAST(sum(dx * dy) AS BIGINT) AS sxy1,
+               CAST(sum(dx * dx) AS BIGINT) AS sxx1,
+               CAST(sum(dy * dy) AS BIGINT) AS syy1
+        FROM pairs
+    )
+    SELECT CAST(2 * m_edges AS BIGINT) AS n_directed_edges,
+           round((CAST(2 * m_edges AS DOUBLE) * (2 * sxy1)
+                  - CAST(sdx + sdy AS DOUBLE) * (sdx + sdy))
+                 / (CAST(2 * m_edges AS DOUBLE) * (sxx1 + syy1)
+                    - CAST(sdx + sdy AS DOUBLE) * (sdx + sdy)), 6) + 0.0
+               AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the BIPARTITE supplier↔customer trade
+    graph — Newman's degree-mixing coefficient: the Pearson
+    correlation of endpoint degrees over the directed edge list.
+    Bipartite trade graphs are canonically DISASSORTATIVE (high-degree
+    suppliers serve long tails of low-degree customers); the nation
+    projection is useless here — it is complete at every shipped SF
+    (all degrees equal, zero variance — the first draft divided by
+    zero on exactly that). With degree, triangles, clustering
+    coefficient and Jaccard this completes the structural profile.
+
+    Symmetrization in closed form: for the both-directions edge list,
+    n = 2m, Σx = Σy = Σ(dₛ+d_c), Σxy = 2Σdₛd_c, Σx² = Σy² =
+    Σ(dₛ²+d_c²) — so ONE directional pass yields the exact symmetric
+    Pearson, and because Σx = Σy and Σx² = Σy² the denominator needs
+    no sqrt at all ((n·Σx²−(Σx)²) appears squared under it): r =
+    (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²), a ratio of exact integers.
+
+    Scale: the edge set is the trade_edges derivation (one fact-fact
+    shuffle + distinct); degree attaches are co-partitioned joins;
+    the moment aggregate is one row. Integer moments: degrees ≤ |C|,
+    Σd² ≤ m·|C|² — BIGINT holds through sf1 with 10⁶ headroom; at
+    true 100 TB widths stage the moments in DECIMAL(38,0).
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .persist()
+    )
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("dx"))
+    dc = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("dy"))
+    pairs = e.join(ds, "s").join(dc, "c").select("dx", "dy")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_edges"),
+        F.sum("dx").cast("bigint").alias("sdx"),
+        F.sum("dy").cast("bigint").alias("sdy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy1"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx1"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy1"),
+    )
+    n = (F.lit(2) * F.col("m_edges")).cast("double")
+    ssum = (F.col("sdx") + F.col("sdy")).cast("double")
+    num = n * (2 * F.col("sxy1")) - ssum * ssum
+    den = n * (F.col("sxx1") + F.col("syy1")) - ssum * ssum
+    return m.select(
+        (F.lit(2) * F.col("m_edges")).cast("bigint").alias(
+            "n_directed_edges"
+        ),
+        (F.round(num / den, 6) + 0.0).alias("assortativity"),
+    )
