@@ -514,3 +514,142 @@ def test_audit_chain_python_replay(spark):
         assert r["n_days"] == len(ds)
         assert r["head_digest"] == ds[0]
         assert r["chain_digest"] == chain
+
+
+def _day_cents(sf):
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            f"""
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS dn,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def test_rolling_wau_python_replay(spark):
+    """Third implementation for win_rolling_wau: exact DAU/WAU from
+    set arithmetic over (user, day) activity."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"""
+            SELECT DISTINCT user_id,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS dn
+            FROM read_parquet('{sf}/events.parquet')
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    by_day: dict[int, set] = {}
+    for u, dn in rows:
+        by_day.setdefault(dn, set()).add(u)
+    out = {r["dn"]: r for r in get("win_rolling_wau").fn(spark, sf).collect()}
+    assert set(out) == set(by_day)
+    for dn, users in by_day.items():
+        wau = set()
+        for d in range(dn - 6, dn + 1):
+            wau |= by_day.get(d, set())
+        r = out[dn]
+        assert r["dau"] == len(users)
+        assert r["wau"] == len(wau)
+        assert r["stickiness"] == round(len(users) / len(wau), 6) + 0.0
+
+
+def test_history_compress_python_replay(spark):
+    """Third implementation for win_history_compress: replay dominant-
+    status selection (max count, min event_type on ties) and the
+    gap/change island compression for a sample of users."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"""
+            SELECT user_id,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS dn,
+                   event_type, count(*) AS cnt
+            FROM read_parquet('{sf}/events.parquet')
+            WHERE user_id < 60
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 4 DESC, 3
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    dom: dict[tuple, str] = {}
+    best: dict[tuple, tuple] = {}
+    for u, dn, et, cnt in rows:
+        k = (u, dn)
+        cand = (-cnt, et)
+        if k not in best or cand < best[k]:
+            best[k] = cand
+            dom[k] = et
+    ranges: dict[int, list] = {}
+    for (u, dn), status in sorted(dom.items()):
+        rs = ranges.setdefault(u, [])
+        if rs and rs[-1][1] == status and rs[-1][3] == dn - 1:
+            rs[-1][3] = dn
+            rs[-1][4] += 1
+        else:
+            rs.append([u, status, dn, dn, 1])
+    got = [
+        (r["user_id"], r["status"], r["valid_from_dn"], r["valid_to_dn"],
+         r["n_days"])
+        for r in get("win_history_compress").fn(spark, sf).collect()
+        if r["user_id"] < 60
+    ]
+    want = [tuple(x) for rs in ranges.values() for x in rs]
+    assert sorted(got) == sorted(want)
+
+
+def test_forecast_backtest_python_replay(spark):
+    """Third implementation for win_forecast_backtest: replay the
+    fixed-origin split and all three baseline error sets."""
+    sf = "/root/testdata/sf0.01"
+    series: dict[str, list[tuple[int, int]]] = {}
+    for et, dn, cents in _day_cents(sf):
+        series.setdefault(et, []).append((dn, cents))
+
+    out = {
+        (r["event_type"], r["method"]): r
+        for r in get("win_forecast_backtest").fn(spark, sf).collect()
+    }
+    for et, pts in series.items():
+        pts.sort()
+        if len(pts) < 9:
+            assert not any(k[0] == et for k in out)
+            continue
+        train, test = pts[:-7], pts[-7:]
+        by_dn = dict(pts)
+        last_dn, last_c = train[-1]
+        first_dn, first_c = train[0]
+        errs = {
+            "naive": [c - last_c for _, c in test],
+            "drift": [
+                c - (last_c + (dn - last_dn) * (last_c - first_c)
+                     / (last_dn - first_dn))
+                for dn, c in test
+            ],
+            "seasonal_naive": [
+                c - by_dn[dn - 7] for dn, c in test if dn - 7 in by_dn
+            ],
+        }
+        for method, es in errs.items():
+            r = out[(et, method)]
+            assert r["n_eval"] == len(es)
+            mae = sum(abs(e) for e in es) / len(es) / 100
+            rmse = (sum(e * e for e in es) / len(es)) ** 0.5 / 100
+            assert abs(r["mae"] - mae) < 1e-6, (et, method)
+            assert abs(r["rmse"] - rmse) < 1e-6, (et, method)
