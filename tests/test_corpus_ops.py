@@ -653,3 +653,51 @@ def test_forecast_backtest_python_replay(spark):
             rmse = (sum(e * e for e in es) / len(es)) ** 0.5 / 100
             assert abs(r["mae"] - mae) < 1e-6, (et, method)
             assert abs(r["rmse"] - rmse) < 1e-6, (et, method)
+
+
+def test_uplift_qini_python_replay(spark):
+    """Third implementation for agg_uplift_qini: replay the md5-parity
+    split, the total-order rank, the integer-DIV decile formula and
+    the cumulative Qini values (the engine ranks via ordered_prefix —
+    a very different plan from the oracle's row_number window, so an
+    independent replay guards both)."""
+    import duckdb
+    import hashlib
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"""
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+                   count(*)
+            FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    units = []
+    for u, conv, score in rows:
+        in_a = 1 if hashlib.md5(str(u).encode()).hexdigest()[0] < "8" else 0
+        units.append((u, in_a, conv, score))
+    units.sort(key=lambda t: (-t[3], t[0]))
+    n = len(units)
+    per = {}
+    for rnk, (u, in_a, conv, _) in enumerate(units, start=1):
+        d = (rnk - 1) * 10 // n + 1
+        e = per.setdefault(d, [0, 0, 0, 0])  # n_t, x_t, n_c, x_c
+        if in_a:
+            e[0] += 1
+            e[1] += conv
+        else:
+            e[2] += 1
+            e[3] += conv
+    out = {r["decile"]: r for r in get("agg_uplift_qini").fn(spark, sf).collect()}
+    cum = [0, 0, 0, 0]
+    for d in sorted(per):
+        cum = [a + b for a, b in zip(cum, per[d])]
+        r = out[d]
+        assert (r["cn_t"], r["cx_t"], r["cn_c"], r["cx_c"]) == tuple(cum)
+        qini = cum[1] - cum[3] * cum[0] / cum[2]
+        assert abs(r["qini"] - qini) < 1e-6, d
