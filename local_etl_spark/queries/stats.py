@@ -2815,3 +2815,86 @@ def agg_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("qini"),
     )
+
+
+HIGH_VALUE_CENTS = 10_000  # 'high-value event' threshold: value > $100
+
+
+@query(
+    "agg_wilson_ci",
+    family="stats",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                                  > {HIGH_VALUE_CENTS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, x,
+           round(CAST(x AS DOUBLE) / n, 6) + 0.0 AS p_hat,
+           round(((CAST(x AS DOUBLE) / n
+                   + {Z_CI_975} * {Z_CI_975} / (2 * CAST(n AS DOUBLE)))
+                  - {Z_CI_975} * sqrt((CAST(x AS DOUBLE) / n)
+                        * (1 - CAST(x AS DOUBLE) / n) / n
+                        + {Z_CI_975} * {Z_CI_975}
+                          / (4 * CAST(n AS DOUBLE) * n)))
+                 / (1 + {Z_CI_975} * {Z_CI_975} / CAST(n AS DOUBLE)), 6)
+               + 0.0 AS wilson_lo,
+           round(((CAST(x AS DOUBLE) / n
+                   + {Z_CI_975} * {Z_CI_975} / (2 * CAST(n AS DOUBLE)))
+                  + {Z_CI_975} * sqrt((CAST(x AS DOUBLE) / n)
+                        * (1 - CAST(x AS DOUBLE) / n) / n
+                        + {Z_CI_975} * {Z_CI_975}
+                          / (4 * CAST(n AS DOUBLE) * n)))
+                 / (1 + {Z_CI_975} * {Z_CI_975} / CAST(n AS DOUBLE)), 6)
+               + 0.0 AS wilson_hi
+    FROM c
+    """,
+)
+def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for the high-value-event
+    proportion per event_type (value > ${HIGH_VALUE_CENTS // 100}) —
+    the proportion CI every dashboard should use instead of the Wald
+    interval it usually uses (Wald collapses to zero width at p̂ ∈
+    {{0, 1}} and undercovers below n ≈ 40; Wilson is the standard
+    remedy, and the one-sample sibling of agg_risk_ratio's two-sample
+    log-CI). Closed form with z as the shared double literal (the
+    IDCG policy):
+        (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    Determinism: counts are exact integers; p̂ is one division; the
+    interval is a fixed literal × exact-chain formula with one
+    correctly-rounded sqrt — the identical expression text on both
+    sides.
+
+    Scale: one map-side-combined aggregate; the threshold predicate
+    is pushed to the scan.
+    """
+    c = t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.round(F.col("value") * 100).cast("bigint")
+                > HIGH_VALUE_CENTS,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+    z = Z_CI_975
+    p = F.col("x").cast("double") / F.col("n")
+    nd = F.col("n").cast("double")
+    center = p + z * z / (2 * nd)
+    half = F.lit(z) * F.sqrt(p * (1 - p) / F.col("n") + z * z / (4 * nd * nd))
+    denom = 1 + z * z / nd
+    return c.select(
+        "event_type",
+        "n",
+        "x",
+        (F.round(p, 6) + 0.0).alias("p_hat"),
+        (F.round((center - half) / denom, 6) + 0.0).alias("wilson_lo"),
+        (F.round((center + half) / denom, 6) + 0.0).alias("wilson_hi"),
+    )

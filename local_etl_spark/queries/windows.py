@@ -2931,3 +2931,191 @@ def win_history_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "status", "valid_from_dn", "valid_to_dn", "n_days"
         )
     )
+
+
+THETA_ALPHA = 0.25  # SES smoothing on the theta(2) line — power of two
+
+# index-carrying fold: state [i, s_ty] accumulates Σ t·y with t = the
+# 1-based position in the day-ordered series (both engines walk the
+# same order, so t is identical); values stay exact integers in
+# doubles (t·y ≤ n·max_cents ≪ 2^53)
+_SP_STY = (
+    "aggregate(ys, array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)), "
+    "(acc, y) -> array(acc[0] + CAST(1 AS DOUBLE), "
+    "acc[1] + (acc[0] + CAST(1 AS DOUBLE)) * y))[1]"
+)
+_DK_STY = (
+    "list_reduce(list_concat([[CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]], "
+    "list_transform(ys, v -> [v, CAST(0 AS DOUBLE)])), "
+    "(a, p) -> [a[1] + CAST(1 AS DOUBLE), "
+    "a[2] + (a[1] + CAST(1 AS DOUBLE)) * p[1]])[2]"
+)
+
+# SES over the theta(2) line z_t = 2·y_t − (a + b·t): state [i, L],
+# seeded L₁ = z₁ = 2·y₁ − a − b (t starts at 1); a and b are bound
+# ATTRIBUTES from the projection below, referenced inside the lambda
+_SP_SES = (
+    "aggregate(slice(ys, 2, size(ys) - 1), "
+    "array(CAST(1 AS DOUBLE), "
+    " CAST(2 AS DOUBLE) * ys[0] - a - b), "
+    f"(acc, y) -> array(acc[0] + CAST(1 AS DOUBLE), "
+    f"CAST({THETA_ALPHA} AS DOUBLE) * (CAST(2 AS DOUBLE) * y - a"
+    f" - b * (acc[0] + CAST(1 AS DOUBLE)))"
+    f" + CAST({1 - THETA_ALPHA} AS DOUBLE) * acc[1]))[1]"
+)
+_DK_SES = (
+    "list_reduce(list_concat("
+    "[[CAST(1 AS DOUBLE), CAST(2 AS DOUBLE) * ys[1] - a - b]], "
+    "list_transform(ys[2:], v -> [v, CAST(0 AS DOUBLE)])), "
+    f"(acc, p) -> [acc[1] + CAST(1 AS DOUBLE), "
+    f"CAST({THETA_ALPHA} AS DOUBLE) * (CAST(2 AS DOUBLE) * p[1] - a"
+    f" - b * (acc[1] + CAST(1 AS DOUBLE)))"
+    f" + CAST({1 - THETA_ALPHA} AS DOUBLE) * acc[2]])[2]"
+)
+
+
+@query(
+    "win_theta_forecast",
+    family="windows",
+    oracle=f"""
+    WITH day AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS y
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               list(y ORDER BY d) AS ys
+        FROM day GROUP BY event_type
+        HAVING count(*) >= 3
+    ),
+    mom AS (
+        SELECT event_type, n_days, ys,
+               {_DK_STY} AS sty,
+               CAST(n_days AS DOUBLE) * (n_days + 1) / 2 AS st,
+               CAST(n_days AS DOUBLE) * (n_days + 1) * (2 * n_days + 1)
+                   / 6 AS stt,
+               list_reduce(ys, (x, v) -> x + v) AS sy
+        FROM series
+    ),
+    fit AS (
+        SELECT event_type, n_days, ys,
+               (n_days * sty - st * sy) / (n_days * stt - st * st) AS b,
+               (sy - (n_days * sty - st * sy)
+                     / (n_days * stt - st * st) * st) / n_days AS a
+        FROM mom
+    ),
+    ses AS (
+        SELECT event_type, n_days, a, b, {_DK_SES} AS l2
+        FROM fit
+    )
+    SELECT event_type, n_days,
+           round(b, 6) + 0.0 AS slope,
+           round(a, 6) + 0.0 AS intercept,
+           round((l2 + a + b * (n_days + 1)) / 2, 6) + 0.0 AS theta_f1,
+           round((l2 + a + b * (n_days + 7)) / 2, 6) + 0.0 AS theta_f7
+    FROM ses
+    """,
+)
+def win_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+    M3-competition winner) per event_type daily-revenue series: the
+    series decomposes into the θ=0 line (the OLS linear trend, all
+    long-run signal) and the θ=2 line z_t = 2y_t − (a + b·t) (double
+    the local curvature); the h-step forecast averages the trend
+    extrapolation with an SES forecast of the θ=2 line — which is why
+    Theta beat every smoothing method it generalizes. Output: the
+    fitted trend and the 1-/7-day-ahead theta forecasts. The capstone
+    of the forecast shelf (ewma → holt → holt-winters → kalman →
+    backtest), and the next candidate system for
+    win_forecast_backtest's holdout harness.
+
+    Determinism: Σt and Σt² are closed forms of n; Σy is an exact
+    cents sum; Σt·y rides an index-carrying [i, Σty] fold (exact
+    integers in doubles); slope/intercept are short identical division
+    chains; the SES fold references a and b as BOUND ATTRIBUTES (one
+    projection below — the multiply-referenced-alias discipline) and
+    α = 1/4 is a power of two. DuckDB's list_reduce init-from-first
+    rides a prepended state element (the established encoding);
+    series shorter than 3 days can't fit a line + one SES step and
+    are excluded on both sides.
+
+    Scale: one (event_type, day) shuffle, one event_type fold; state
+    is O(1) per series — the streaming-checkpoint shape like its
+    siblings.
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("double")
+            / 100
+        ).alias("y")
+    )
+    series = (
+        day.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, y))), s -> s.y)"
+            ).alias("ys"),
+        )
+        .filter(F.col("n_days") >= 3)
+    )
+    mom = series.select(
+        "event_type",
+        "n_days",
+        "ys",
+        F.expr(_SP_STY).alias("sty"),
+        (F.col("n_days").cast("double") * (F.col("n_days") + 1) / 2).alias(
+            "st"
+        ),
+        (
+            F.col("n_days").cast("double")
+            * (F.col("n_days") + 1)
+            * (2 * F.col("n_days") + 1)
+            / 6
+        ).alias("stt"),
+        F.expr(
+            "aggregate(ys, CAST(0 AS DOUBLE), (x, v) -> x + v)"
+        ).alias("sy"),
+    )
+    b_expr = (F.col("n_days") * F.col("sty") - F.col("st") * F.col("sy")) / (
+        F.col("n_days") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    fit = mom.select(
+        "event_type",
+        "n_days",
+        "ys",
+        b_expr.alias("b"),
+        ((F.col("sy") - b_expr * F.col("st")) / F.col("n_days")).alias("a"),
+    )
+    ses = fit.select(
+        "event_type", "n_days", "a", "b", F.expr(_SP_SES).alias("l2")
+    )
+    return ses.select(
+        "event_type",
+        "n_days",
+        (F.round(F.col("b"), 6) + 0.0).alias("slope"),
+        (F.round(F.col("a"), 6) + 0.0).alias("intercept"),
+        (
+            F.round(
+                (F.col("l2") + F.col("a") + F.col("b") * (F.col("n_days") + 1))
+                / 2,
+                6,
+            )
+            + 0.0
+        ).alias("theta_f1"),
+        (
+            F.round(
+                (F.col("l2") + F.col("a") + F.col("b") * (F.col("n_days") + 7))
+                / 2,
+                6,
+            )
+            + 0.0
+        ).alias("theta_f7"),
+    )

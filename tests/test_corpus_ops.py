@@ -701,3 +701,39 @@ def test_uplift_qini_python_replay(spark):
         assert (r["cn_t"], r["cx_t"], r["cn_c"], r["cx_c"]) == tuple(cum)
         qini = cum[1] - cum[3] * cum[0] / cum[2]
         assert abs(r["qini"] - qini) < 1e-6, d
+
+
+def test_theta_forecast_python_replay(spark):
+    """Third implementation for win_theta_forecast: replay OLS fit,
+    the theta(2) line and its SES in pure Python."""
+    sf = "/root/testdata/sf0.01"
+    series: dict[str, list[float]] = {}
+    for et, dn, cents in _day_cents(sf):
+        series.setdefault(et, []).append(cents / 100)
+
+    from local_etl_spark.queries.windows import THETA_ALPHA
+
+    out = {
+        r["event_type"]: r
+        for r in get("win_theta_forecast").fn(spark, sf).collect()
+    }
+    for et, ys in series.items():
+        n = len(ys)
+        if n < 3:
+            assert et not in out
+            continue
+        st = n * (n + 1) / 2
+        stt = n * (n + 1) * (2 * n + 1) / 6
+        sy = sum(ys)
+        sty = sum((i + 1) * y for i, y in enumerate(ys))
+        b = (n * sty - st * sy) / (n * stt - st * st)
+        a = (sy - b * st) / n
+        l2 = 2 * ys[0] - a - b
+        for i, y in enumerate(ys[1:], start=2):
+            z = 2 * y - a - b * i
+            l2 = THETA_ALPHA * z + (1 - THETA_ALPHA) * l2
+        r = out[et]
+        assert abs(r["slope"] - b) < 1e-6
+        assert abs(r["intercept"] - a) < 1e-6
+        assert abs(r["theta_f1"] - (l2 + a + b * (n + 1)) / 2) < 1e-6
+        assert abs(r["theta_f7"] - (l2 + a + b * (n + 7)) / 2) < 1e-6
