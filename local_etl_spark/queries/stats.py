@@ -2898,3 +2898,167 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((center - half) / denom, 6) + 0.0).alias("wilson_lo"),
         (F.round((center + half) / denom, 6) + 0.0).alias("wilson_hi"),
     )
+
+
+@query(
+    "agg_meta_analysis",
+    family="stats",
+    oracle="""
+    WITH u AS (
+        SELECT event_type, user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS in_a,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2, 3
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(in_a * cents) AS BIGINT) AS s1a,
+               CAST(sum(in_a * cents * cents) AS BIGINT) AS s2a,
+               CAST(count(*) - sum(in_a) AS BIGINT) AS n_b,
+               CAST(sum((1 - in_a) * cents) AS BIGINT) AS s1b,
+               CAST(sum((1 - in_a) * cents * cents) AS BIGINT) AS s2b
+        FROM u GROUP BY event_type
+    ),
+    eff AS (
+        SELECT event_type,
+               CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b AS d,
+               (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
+                   / (n_a - 1) / n_a
+               + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b)
+                   / (n_b - 1) / n_b AS se2
+        FROM per
+    ),
+    pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               list_sum(list(d / se2 ORDER BY event_type))
+                 / list_sum(list(1 / se2 ORDER BY event_type)) AS mu,
+               list_sum(list(1 / se2 ORDER BY event_type)) AS sw
+        FROM eff
+    ),
+    q AS (
+        SELECT k, mu, sw,
+               list_sum(list((d - mu) * (d - mu) / se2
+                             ORDER BY event_type)) AS q_stat
+        FROM eff CROSS JOIN pooled
+        GROUP BY k, mu, sw
+    )
+    SELECT k AS k_experiments,
+           round(mu / 100, 6) + 0.0 AS pooled_effect,
+           round(sqrt(1 / sw) / 100, 6) + 0.0 AS pooled_se,
+           round(q_stat, 6) + 0.0 AS q_stat,
+           round(CASE WHEN q_stat > k - 1
+                      THEN (q_stat - (k - 1)) / q_stat
+                      ELSE CAST(0 AS DOUBLE) END, 6) + 0.0 AS i_squared
+    FROM q
+    """,
+)
+def agg_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect meta-analysis across the per-event_type A/B
+    experiments — the cross-experiment rollup a metrics platform runs
+    when one intervention is measured on several surfaces: each
+    event_type contributes its user-level mean-spend difference d_i
+    with Welch SE²_i; the pooled effect is the inverse-variance
+    weighted mean μ = Σ(d_i/SE²_i)/Σ(1/SE²_i) with SE = √(1/Σw); and
+    Cochran's Q = Σ w_i(d_i − μ)² with I² = (Q−(k−1))/Q reports how
+    much the surfaces genuinely DISAGREE (I² ≈ 0 → pool freely;
+    large → the fixed-effect pool is lying, go random-effects). The
+    capstone of the experimentation shelf: srm → per-metric tests →
+    risk/qte/qini readouts → THIS rolls k of them up.
+
+    Determinism: per-experiment d and SE² are short identical chains
+    over exact BIGINT cents moments; the three cross-experiment sums
+    of doubles are ORDERED folds (Spark sorted-struct aggregate ≡
+    DuckDB list_sum(list(x ORDER BY event_type)) — the established
+    identity), never a plain sum(double); μ feeds Q through a 1-row
+    broadcast so both engines square the identical residuals.
+
+    Scale: one (event_type, user) aggregate, then k-row arithmetic.
+    """
+    u = t(spark, sf_dir, "events").groupBy(
+        "event_type",
+        "user_id",
+        (
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+        )
+        .cast("int")
+        .alias("in_a"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    per = u.groupBy("event_type").agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum(F.col("in_a") * F.col("cents")).cast("bigint").alias("s1a"),
+        F.sum(F.col("in_a") * F.col("cents") * F.col("cents"))
+        .cast("bigint")
+        .alias("s2a"),
+        (F.count(F.lit(1)) - F.sum("in_a")).cast("bigint").alias("n_b"),
+        F.sum((1 - F.col("in_a")) * F.col("cents"))
+        .cast("bigint")
+        .alias("s1b"),
+        F.sum((1 - F.col("in_a")) * F.col("cents") * F.col("cents"))
+        .cast("bigint")
+        .alias("s2b"),
+    )
+    eff = per.select(
+        "event_type",
+        (
+            F.col("s1a").cast("double") / F.col("n_a")
+            - F.col("s1b").cast("double") / F.col("n_b")
+        ).alias("d"),
+        (
+            (
+                F.col("s2a").cast("double")
+                - F.col("s1a").cast("double") * F.col("s1a") / F.col("n_a")
+            )
+            / (F.col("n_a") - 1)
+            / F.col("n_a")
+            + (
+                F.col("s2b").cast("double")
+                - F.col("s1b").cast("double") * F.col("s1b") / F.col("n_b")
+            )
+            / (F.col("n_b") - 1)
+            / F.col("n_b")
+        ).alias("se2"),
+    ).persist()  # consumed by the pool AND Q stages (k rows); leaked
+    # by the repo persist convention
+
+    def ofold(expr: str) -> F.Column:
+        return F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            f"struct(event_type, {expr} AS v))), s -> s.v),"
+            " CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        )
+
+    pooled = eff.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (ofold("d / se2") / ofold("1 / se2")).alias("mu"),
+        ofold("1 / se2").alias("sw"),
+    )
+    q = (
+        eff.crossJoin(F.broadcast(pooled))
+        .groupBy("k", "mu", "sw")
+        .agg(ofold("(d - mu) * (d - mu) / se2").alias("q_stat"))
+    )
+    return q.select(
+        F.col("k").alias("k_experiments"),
+        (F.round(F.col("mu") / 100, 6) + 0.0).alias("pooled_effect"),
+        (F.round(F.sqrt(1 / F.col("sw")) / 100, 6) + 0.0).alias(
+            "pooled_se"
+        ),
+        (F.round(F.col("q_stat"), 6) + 0.0).alias("q_stat"),
+        (
+            F.round(
+                F.when(
+                    F.col("q_stat") > F.col("k") - 1,
+                    (F.col("q_stat") - (F.col("k") - 1)) / F.col("q_stat"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + 0.0
+        ).alias("i_squared"),
+    )

@@ -58,6 +58,8 @@ ALLOW_NESTED_LOOP = {
     "llm_dedup_threshold_sweep",  # 5-row threshold-table broadcast
     # theta-joined against the pair set (bounded enumeration)
     "agg_uplift_qini",  # 10-row decile-table cumulative self theta-join
+    "agg_meta_analysis",  # 1-row pooled-effect broadcast feeding the
+    # Q-statistic residual fold (k-row stream side)
     "llm_lm_kneser_ney",  # same shape: 1-row broadcast bigram type count
     "agg_welch_t",  # 1-row × 1-row group-pair product (test statistic)
     "agg_chi2",  # 1-row broadcast total + distinct-counts onto the
