@@ -737,3 +737,135 @@ def test_theta_forecast_python_replay(spark):
         assert abs(r["intercept"] - a) < 1e-6
         assert abs(r["theta_f1"] - (l2 + a + b * (n + 1)) / 2) < 1e-6
         assert abs(r["theta_f7"] - (l2 + a + b * (n + 7)) / 2) < 1e-6
+
+
+def test_spc_control_python_replay(spark):
+    """Third implementation for win_spc_control: replay z-scores and
+    the same-side run detection."""
+    sf = "/root/testdata/sf0.01"
+    series: dict[str, list[tuple[int, int]]] = {}
+    for et, dn, cents in _day_cents(sf):
+        series.setdefault(et, []).append((dn, cents))
+
+    from local_etl_spark.queries.windows import SPC_RUN
+
+    out = {
+        (r["event_type"], r["d"].date().toordinal()): r
+        for r in get("win_spc_control").fn(spark, sf).collect()
+    }
+    import datetime as dt
+
+    epoch = dt.date(1970, 1, 1).toordinal()
+    for et, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        if n < 2:
+            continue
+        s1 = sum(c for _, c in pts)
+        s2 = sum(c * c for _, c in pts)
+        mu = s1 / n
+        sd = ((s2 - s1 * s1 / n) / (n - 1)) ** 0.5
+        # runs of same side
+        runs, cur = [], None
+        for dn, c in pts:
+            hi = c > mu
+            if cur is None or cur[0] != hi:
+                cur = [hi, []]
+                runs.append(cur)
+            cur[1].append(dn)
+        run_len = {dn: len(r[1]) for r in runs for dn in r[1]}
+        for dn, c in pts:
+            r = out[(et, dn + epoch)]
+            z = (c - mu) / sd
+            assert abs(r["zscore"] - z) < 1e-6
+            assert r["rule1_3sigma"] == (abs(z) > 3)
+            assert r["run_len"] == run_len[dn]
+            assert r["rule4_run"] == (run_len[dn] >= SPC_RUN)
+
+
+def test_volume_anomaly_python_replay(spark):
+    """Third implementation for etl_volume_anomaly: replay the
+    calendar-trailing median baseline and the flag rule."""
+    import duckdb
+    import statistics
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"""
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS dn,
+                   count(*) AS n
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    from local_etl_spark.queries.etl import VOL_TOL, VOL_WINDOW_DAYS
+
+    by_et: dict[str, dict[int, int]] = {}
+    for et, dn, n in rows:
+        by_et.setdefault(et, {})[dn] = n
+    out = {
+        (r["event_type"], r["d"].date().isoformat()): r
+        for r in get("etl_volume_anomaly").fn(spark, sf).collect()
+    }
+    import datetime as dt
+
+    for et, days in by_et.items():
+        for dn, n in days.items():
+            prior = [
+                days[d]
+                for d in range(dn - VOL_WINDOW_DAYS, dn)
+                if d in days
+            ]
+            key = (et, (dt.date(1970, 1, 1) + dt.timedelta(days=dn)).isoformat())
+            r = out[key]
+            assert r["n_events"] == n
+            assert r["n_prior"] == len(prior)
+            if prior:
+                med = statistics.median(prior)
+                assert abs(r["trailing_median"] - med) < 1e-9
+                assert r["vol_ratio"] == round(n / med, 6) + 0.0
+                assert r["is_anomaly"] == (
+                    len(prior) >= 3 and abs(n - med) > VOL_TOL * med
+                )
+            else:
+                assert r["trailing_median"] is None
+                assert r["is_anomaly"] is False or r["is_anomaly"] is None
+
+
+def test_wilson_ci_python_replay(spark):
+    """Third implementation for agg_wilson_ci: closed-form replay."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"""
+            SELECT event_type, count(*),
+                   sum(CASE WHEN CAST(round(value * 100) AS BIGINT) > 10000
+                            THEN 1 ELSE 0 END)
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    from local_etl_spark.queries.stats import Z_CI_975 as z
+
+    out = {
+        r["event_type"]: r for r in get("agg_wilson_ci").fn(spark, sf).collect()
+    }
+    for et, n, x in rows:
+        p = x / n
+        center = p + z * z / (2 * n)
+        half = z * (p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5
+        denom = 1 + z * z / n
+        r = out[et]
+        assert r["n"] == n and r["x"] == x
+        assert abs(r["p_hat"] - p) < 1e-6
+        assert abs(r["wilson_lo"] - (center - half) / denom) < 1e-6
+        assert abs(r["wilson_hi"] - (center + half) / denom) < 1e-6
