@@ -170,6 +170,22 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
     "scan_json_variant", "win_kaplan_meier", "win_mann_kendall",
     "win_pettitt", "win_seasonal_decompose", "win_session_dynamic",
     "win_skyline", "win_theil_sen",
+    # round 8 (CORRECTNESS_r08.json — 36/36 SQL checks green incl. the
+    # bloom rows-only→SQL conversion; the 14 rows-only re-presents of
+    # that round are recorded but stay out of this set). With this
+    # block every SQL-oracled query in the registry has hash-matched
+    # DuckDB externally at least once — coverage is TOTAL.
+    "agg_fdr_bh", "agg_hodges_lehmann", "agg_meta_analysis",
+    "agg_permutation_test", "agg_power_mde", "agg_qte", "agg_risk_ratio",
+    "agg_srm_check", "agg_uplift_qini", "agg_wilson_ci", "etl_audit_chain",
+    "etl_volume_anomaly", "graph_assortativity", "graph_clustering_coeff",
+    "llm_dedup_bloom_incremental", "llm_dedup_cluster", "llm_dedup_e2e",
+    "llm_dedup_eval", "llm_dedup_incremental_near",
+    "llm_dedup_threshold_sweep", "llm_lang_confusion", "llm_retrieval_eval",
+    "llm_softdedup", "win_forecast_backtest", "win_history_compress",
+    "win_holt_winters", "win_holt_winters_seasonal", "win_interval_merge",
+    "win_kalman_1d", "win_rolling_median", "win_rolling_wau",
+    "win_spc_control", "win_theta_forecast",
 })
 
 # Queries whose LAST driver-recorded status is a failure that has since
@@ -179,29 +195,11 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
 FIXED_THIS_ROUND: tuple[str, ...] = ()
 
 # Rows-only queries re-presented so the ledger records a clean
-# rows-only (spark_rows) check. Round-8 slice (VERDICT r7 #1): ALL 15
-# remaining never-recorded rows-only ops — together with the 6 r7
-# DEFER_FRESH SQL queries (now plain fresh) they fit the 50-slot
-# prefix with room for this round's new SQL surface; after r8 the
-# driver has recorded every registry query at least once (344/344).
-ROWS_ONLY_REPRESENT: tuple[str, ...] = (
-    "llm_audio_features",
-    "llm_bpe_apply",
-    # llm_dedup_bloom_incremental: converted to SQL-oracled in r8 —
-    # never driver-checked, so it enters the prefix as fresh SQL
-    "llm_dedup_lsh_cosine",
-    "llm_image_phash",
-    "llm_ivf_partitioned",
-    "llm_kmeans_train",
-    "llm_mmr_diversify",
-    "llm_pack_bfd",
-    "llm_semdedup",
-    "llm_simsearch_pq",
-    "llm_unigram_apply",
-    "llm_video_scenes",
-    "llm_wordpiece_train",
-    "stream_watermark",
-)
+# rows-only (spark_rows) check. Round 9: EMPTY — CORRECTNESS_r08
+# recorded the final 14 never-recorded rows-only ops, so every registry
+# query now has at least one external record. The prefix is r9-new ops
+# (fresh SQL) + recheck padding (see RECHECK_PRIORITY).
+ROWS_ONLY_REPRESENT: tuple[str, ...] = ()
 
 # The driver verifies this many registry-prefix entries per round.
 DRIVER_PREFIX = 50
@@ -220,6 +218,36 @@ _PRIORITY_FAMILIES: tuple[str, ...] = ()
 # prefix has ~29 spare slots, so new r8 SQL surface lands directly in
 # the prefix instead of deferring a round.
 DEFER_FRESH: tuple[str, ...] = ()
+
+# With external coverage TOTAL after round 8, prefix slots left over by
+# new-surface queries become regression rechecks. The judge asked that
+# these be spent on the heaviest-machinery greens (recursive-CTE
+# closure witnesses, ordered state folds, the capped inverted-index
+# dedups) rather than round-robin order — a regression there is far
+# likelier and far costlier than in a simple projection (VERDICT r8
+# #2). Listed most-fragile-first; anything beyond this list pads in
+# family round-robin as before.
+RECHECK_PRIORITY: tuple[str, ...] = (
+    # recursive-CTE closure witnesses / composite dedup pipelines
+    "llm_dedup_e2e", "llm_dedup_cluster", "llm_softdedup",
+    "llm_dedup_incremental_near", "llm_dedup_eval",
+    "llm_dedup_threshold_sweep",
+    # bit-arithmetic hash replays (sha256/md5 halves, band hashing)
+    "llm_dedup_bloom_incremental", "llm_dedup_simhash", "llm_fingerprint",
+    # ordered state folds (aggregate() over sorted struct arrays)
+    "win_holt_winters_seasonal", "win_holt_winters", "win_kalman_1d",
+    "win_theta_forecast", "agg_meta_analysis", "win_kaplan_meier",
+    "agg_qte", "win_rolling_median", "etl_audit_chain", "win_cusum",
+    "agg_lorenz", "win_theil_sen",
+    # capped inverted-index dedups + heavy join machinery
+    "llm_dedup_ngram", "llm_dedup_prefix", "llm_dedup_containment",
+    "llm_dedup_substring", "llm_dedup_embed", "agg_heavy_hitters",
+    "join_fuzzy", "join_scd2_pit", "win_match_recognize",
+    "win_history_compress", "win_interval_merge", "win_sessionize",
+    # null-distribution / rank machinery + generated-dim TPC-H shapes
+    "agg_permutation_test", "agg_uplift_qini", "agg_hodges_lehmann",
+    "sql_q2", "sql_q11", "sql_recursive",
+)
 
 
 def _presentation_order() -> list[str]:
@@ -285,11 +313,20 @@ def _presentation_order() -> list[str]:
             del fresh[fam]
     ordered_fresh = priority + round_robin(fresh) + sorted(deferred)
     head_len = max(0, DRIVER_PREFIX - len(fixed) - len(represent))
+    # recheck padding: most-fragile machinery first (VERDICT r8 #2),
+    # then family round-robin over the rest
+    recheck_names = {n for names in rechecks.values() for n in names}
+    recheck_head = [n for n in RECHECK_PRIORITY if n in recheck_names]
+    for fam in list(rechecks):
+        rechecks[fam] = [n for n in rechecks[fam] if n not in RECHECK_PRIORITY]
+        if not rechecks[fam]:
+            del rechecks[fam]
     return (
         fixed
         + ordered_fresh[:head_len]
         + represent
         + ordered_fresh[head_len:]
+        + recheck_head
         + round_robin(rechecks)
         + round_robin(rows_only)
     )
