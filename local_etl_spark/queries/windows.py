@@ -851,11 +851,11 @@ def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_GAP_MIN = 30  # inactivity gap that closes a session
 
-
-@query(
-    "win_sessionize",
-    family="windows",
-    oracle=f"""
+# Shared by win_sessionize and win_sessionize_split: the split variant
+# is semantics-identical by construction, so it carries the SAME oracle
+# text (VERDICT r8 #6) — the DuckDB ground truth for both is the plain
+# per-user gaps-and-islands.
+_SESSIONIZE_ORACLE = f"""
     WITH flagged AS (
         SELECT user_id, ts, event_id,
                CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts)
@@ -880,8 +880,10 @@ SESSION_GAP_MIN = 30  # inactivity gap that closes a session
     FROM sess
     GROUP BY user_id, session_id
     ORDER BY user_id, session_id
-    """,
-)
+    """
+
+
+@query("win_sessionize", family="windows", oracle=_SESSIONIZE_ORACLE)
 def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: a user's events split into sessions at
     every >30-minute inactivity gap (the canonical web-analytics
@@ -937,6 +939,115 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_end",
             F.col("n_events").cast("bigint").alias("n_events"),
             F.col("duration_us").cast("bigint").alias("duration_us"),
+        )
+    )
+
+
+@query("win_sessionize_split", family="windows", oracle=_SESSIONIZE_ORACLE)
+def win_sessionize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """win_sessionize's 100 TB skew mitigation, implemented (SCALE.md
+    §16.3 documented it; VERDICT r8 #6 asked for the code): a session
+    window is per-user BY SEMANTICS, so a 20%-hot user turns the plain
+    per-user window into one straggler task holding that user's entire
+    lifetime. Two-phase boundary-split form:
+
+    1. Gaps-and-islands within (user_id, calendar day) splits — the
+       hot task is now bounded by ONE DAY of one user's events, not
+       their lifetime. The first event of each split flags a session
+       start unconditionally (lag is NULL at the split edge), which
+       over-splits exactly at day boundaries.
+    2. Stitch on SESSION SUMMARIES: per user, a summary merges into
+       its predecessor iff its first event is within the gap of the
+       predecessor's last event. Within a split, consecutive islands
+       are > gap apart by construction, so the merge flag re-derives
+       them unchanged; only boundary-crossing sessions fuse, and
+       midnight-spanning chains fuse transitively because the stitch
+       is itself gaps-and-islands over start/end times. The stitch
+       window is per-user but sees session summaries (bounded by the
+       user's session count), not raw events — the win_streaks
+       two-phase shape.
+
+    The merged running sum of stitch flags IS the original session_id
+    (both count true session starts in time order), so the operator is
+    row-identical to win_sessionize and carries the same oracle text;
+    tests/test_plan_shape.py pins that the phase-1 window partitions by
+    (user_id, day) and the equality test pins the row set.
+    """
+    e = t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60_000_000
+    gap_ok = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") <= gap_us
+    flagged = (
+        e.select("user_id", "ts", "event_id", F.to_date("ts").alias("day"))
+        .select(
+            "user_id",
+            "day",
+            "ts",
+            "event_id",
+            F.lag("ts").over(w1).alias("prev_ts"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "ts",
+            "event_id",
+            F.when(gap_ok, 0).otherwise(1).alias("new_sess"),
+        )
+    )
+    local = flagged.select(
+        "user_id",
+        "day",
+        "ts",
+        F.sum("new_sess").over(w1).alias("local_sess"),
+    )
+    # per-split session summaries: the only rows phase 2 ever shuffles
+    splits = local.groupBy("user_id", "day", "local_sess").agg(
+        F.min("ts").alias("s_start"),
+        F.max("ts").alias("s_end"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("s_start")
+    stitch_ok = F.expr(
+        "timestampdiff(MICROSECOND, prev_end, s_start)"
+    ) <= gap_us
+    stitched = splits.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        "n",
+        F.lag("s_end").over(w2).alias("prev_end"),
+    ).select(
+        "user_id",
+        "s_start",
+        "s_end",
+        "n",
+        F.when(stitch_ok, 0).otherwise(1).alias("starts"),
+    )
+    merged = stitched.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        "n",
+        F.sum("starts").over(w2).alias("session_id"),
+    )
+    return (
+        merged.groupBy("user_id", "session_id")
+        .agg(
+            F.min("s_start").alias("session_start"),
+            F.max("s_end").alias("session_end"),
+            F.sum("n").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("bigint").alias("session_id"),
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr(
+                "timestampdiff(MICROSECOND, session_start, session_end)"
+            )
+            .cast("bigint")
+            .alias("duration_us"),
         )
     )
 

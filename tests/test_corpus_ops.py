@@ -869,3 +869,140 @@ def test_wilson_ci_python_replay(spark):
         assert abs(r["p_hat"] - p) < 1e-6
         assert abs(r["wilson_lo"] - (center - half) / denom) < 1e-6
         assert abs(r["wilson_hi"] - (center + half) / denom) < 1e-6
+
+
+def test_msprt_python_replay(spark):
+    """Third implementation for agg_msprt: day aggregates come from
+    DuckDB, then the sequential mixture-likelihood fold (cumulative
+    moments -> delta/V -> ln Lambda -> running-max always-valid
+    ln(1/p)) replays in pure Python floats."""
+    import math
+
+    from local_etl_spark.queries.stats import (
+        MSPRT_LN_INV_ALPHA,
+        MSPRT_TAU2,
+    )
+
+    con = duckdb.connect()
+    try:
+        days = con.execute(
+            f"""
+            WITH u AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                       CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 1) < '8'
+                            THEN 1 ELSE 0 END AS a,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM read_parquet('{SF}/events.parquet')
+            )
+            SELECT event_type, d,
+                   sum(a), count(*) - sum(a),
+                   sum(CASE WHEN a = 1 THEN c ELSE 0 END),
+                   sum(CASE WHEN a = 0 THEN c ELSE 0 END)
+            FROM u GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).fetchall()
+        sig = dict(
+            (et, (float(tn), float(sc), float(scc)))
+            for et, tn, sc, scc in con.execute(
+                f"""
+                SELECT event_type, count(*),
+                       sum(CAST(round(value * 100) AS BIGINT)),
+                       sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT))
+                FROM read_parquet('{SF}/events.parquet') GROUP BY 1
+                """
+            ).fetchall()
+        )
+    finally:
+        con.close()
+
+    out = {
+        (r["event_type"], r["d"]): r
+        for r in get("agg_msprt").fn(spark, SF).collect()
+    }
+    assert out
+    series: dict[str, list] = {}
+    for et, d, na, nb, sa, sb in days:
+        series.setdefault(et, []).append((d, int(na), int(nb), int(sa), int(sb)))
+    tau2 = float(MSPRT_TAU2)
+    n_checked = 0
+    for et, rows_ in series.items():
+        tn, sc, scc = sig[et]
+        sigma2 = ((scc - (sc * sc) / tn) / (tn - 1.0)) / 10000.0
+        n_a = n_b = s_a = s_b = 0
+        best = 0.0
+        for d, na, nb, sa, sb in rows_:
+            n_a += na
+            n_b += nb
+            s_a += sa
+            s_b += sb
+            if n_a == 0 or n_b == 0:
+                continue
+            delta = (
+                float(s_a) / float(n_a) - float(s_b) / float(n_b)
+            ) / 100.0
+            v = sigma2 * (1.0 / float(n_a) + 1.0 / float(n_b))
+            logl = 0.5 * math.log(v / (v + tau2)) + (
+                (delta * delta) * tau2
+            ) / ((2.0 * v) * (v + tau2))
+            best = max(best, logl)
+            r = out[(et, d)]
+            assert r["n_a"] == n_a and r["n_b"] == n_b
+            assert abs(r["log_lambda"] - logl) < 2e-6
+            assert abs(r["ln_inv_p"] - best) < 2e-6
+            assert r["rejected"] == (best > MSPRT_LN_INV_ALPHA)
+            n_checked += 1
+    assert n_checked == len(out)
+
+
+def test_cusum_ab_python_replay(spark):
+    """Third implementation for agg_cusum_ab: the RECURSIVE Page CUSUM
+    (S+ = max(0, S+ + x), S- = max(0, S- - x)) replayed in pure Python
+    must equal the engine's prefix-sum/running-extremum closed form."""
+    import math
+
+    from local_etl_spark.queries.stats import CUSUM_AB_H
+
+    con = duckdb.connect()
+    try:
+        days = con.execute(
+            f"""
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   sum(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 1) < '8'
+                            THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 1) < '8'
+                            THEN 0 ELSE 1 END) AS n_b
+            FROM read_parquet('{SF}/events.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).fetchall()
+    finally:
+        con.close()
+
+    out = {
+        (r["event_type"], r["d"]): r
+        for r in get("agg_cusum_ab").fn(spark, SF).collect()
+    }
+    assert out
+    state: dict[str, list[int]] = {}
+    n_checked = 0
+    for et, d, na, nb in days:
+        sp, sn, cn = state.get(et, [0, 0, 0])
+        x = int(na) - int(nb)
+        sp = max(0, sp + x)
+        sn = max(0, sn - x)
+        cn += int(na) + int(nb)
+        state[et] = [sp, sn, cn]
+        r = out[(et, d)]
+        thr = CUSUM_AB_H * math.sqrt(cn)
+        assert r["cusum_pos"] == sp and r["cusum_neg"] == sn
+        assert r["cum_n"] == cn
+        assert abs(r["threshold"] - thr) < 2e-6
+        assert r["alarm"] == (sp > thr or sn > thr)
+        n_checked += 1
+    assert n_checked == len(out)

@@ -459,6 +459,36 @@ def test_sessionize_single_exchange(spark):
     assert specs and all(s.startswith("user_id") for s in specs), specs
 
 
+def test_sessionize_split_row_identical(spark):
+    """win_sessionize_split is win_sessionize's boundary-split skew
+    mitigation (SCALE.md §16.3, VERDICT r8 #6) — same semantics by
+    construction, so the row sets must be identical."""
+    a = sorted(map(tuple, get("win_sessionize").fn(spark, SF).collect()))
+    b = sorted(
+        map(tuple, get("win_sessionize_split").fn(spark, SF).collect())
+    )
+    assert a == b
+
+
+def test_sessionize_split_hot_task_bound(spark):
+    """The split variant's scale claim: phase 1 windows partition by
+    (user_id, day) — the hot task is bounded by one DAY of one user's
+    events — and phase 2 (per-user stitch) runs over the (user, day,
+    island) session-summary aggregate, never the raw event rows."""
+    import re
+
+    plan = _simple_plan(spark, "win_sessionize_split")
+    # phase-1 lag + running sum both partition by (user_id, day)
+    assert re.search(
+        r"windowspecdefinition\(user_id#\d+L?, day#\d+", plan
+    ), "phase-1 window not split by day"
+    # the stitch is fed by the split-summary aggregate
+    assert re.search(
+        r"HashAggregate\(keys=\[user_id#\d+L?, day#\d+, local_sess#\d+",
+        plan,
+    ), "stitch not fed by session summaries"
+
+
 def test_cusum_windows_over_day_grid(spark):
     """win_cusum's claim: every window partitions by event_type and
     runs over the type×day GRID (the upstream day-grain aggregate),
