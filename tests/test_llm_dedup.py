@@ -409,3 +409,78 @@ def test_e2e_oracle_assumptions(spark):
         ).fetchone()[0]
         con.close()
         assert max_df < DF_CAP, (sf, max_df)
+
+
+def test_dedup_url_python_ground_truth(spark):
+    """llm_dedup_url's oracle shares the regex cascade text with the
+    engine, so a semantically wrong step would still hash-match. This
+    is the INDEPENDENT implementation: URLs rebuilt in Python and
+    canonicalized with urllib parsing (no regex), then the full
+    (canonical -> n_crawls, n_variants, keeper) map compared."""
+    from collections import defaultdict
+    from urllib.parse import urlsplit
+
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        docs = con.execute(
+            f"SELECT doc_id, source FROM read_parquet("
+            f"'{SF}/documents.parquet')"
+        ).fetchall()
+    finally:
+        con.close()
+
+    def build(doc_id: int, source: str) -> str:
+        scheme = ["http://", "https://", "HTTPS://"][doc_id % 3]
+        www = "www." if doc_id % 2 == 0 else ""
+        suffix = [
+            "",
+            "/",
+            "?utm_source=newsletter&utm_medium=email",
+            "?id=7&utm_campaign=q3#ref-2",
+            "?utm_campaign=q3",
+            "/#top",
+            "/?utm_id=9",
+        ][doc_id % 7]
+        return (
+            f"{scheme}{www}{source}.example.org/Articles/"
+            f"{doc_id % 40}{suffix}"
+        )
+
+    def canonicalize(url: str) -> str:
+        s = urlsplit(url.lower())
+        host = s.netloc
+        if host.startswith("www."):
+            host = host[4:]
+        params = [
+            p
+            for p in s.query.split("&")
+            if p and not p.split("=")[0].startswith("utm_")
+        ]
+        path = s.path.rstrip("/")
+        return host + path + ("?" + "&".join(params) if params else "")
+
+    truth: dict[str, list] = defaultdict(lambda: [0, set(), None])
+    for doc_id, source in docs:
+        url = build(doc_id, source)
+        c = canonicalize(url)
+        g = truth[c]
+        g[0] += 1
+        g[1].add(url)
+        g[2] = doc_id if g[2] is None else min(g[2], doc_id)
+
+    out = {
+        r["canonical_url"]: r
+        for r in get("llm_dedup_url").fn(spark, SF).collect()
+    }
+    assert set(out) == set(truth)
+    for c, (n, variants, keeper) in truth.items():
+        r = out[c]
+        assert r["n_crawls"] == n
+        assert r["n_variants"] == len(variants)
+        assert r["keeper_doc_id"] == keeper
+    # the corpus actually exercises the cascade: multi-variant groups
+    # exist, and the real ?id= param splits pages rather than merging
+    assert any(r["n_variants"] > 1 for r in out.values())
+    assert any(c.endswith("?id=7") for c in out)
