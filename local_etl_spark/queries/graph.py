@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from local_etl_spark.queries._util import t
+from local_etl_spark.queries._util import ordered_prefix, t
 from local_etl_spark.registry import query
 
 DAMPING = 0.85
@@ -956,4 +956,180 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_directed_edges"
         ),
         (F.round(num / den, 6) + 0.0).alias("assortativity"),
+    )
+
+
+# --- Sampled-source betweenness (round 9) -----------------------------
+
+BETW_EDGE_BUDGET = 40  # top trade edges kept (complete graph is degenerate)
+BETW_SOURCE_MOD = 3  # sample sources: nationkey % 3 == 0
+
+
+def _betweenness_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse weighted backbone of the nation trade graph: the
+    assortativity/clustering ops showed the raw nation projection is
+    COMPLETE at every shipped SF — and betweenness on a complete graph
+    is identically zero. Keep the BETW_EDGE_BUDGET heaviest edges by
+    lineitem count under the exact total order (cnt DESC, a, b), the
+    standard network-backbone extraction. Rank via ordered_prefix (the
+    edge relation is ≤ |V|² but the discipline is uniform: no
+    unpartitioned window)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ranked, _n = ordered_prefix(
+        w, [F.desc("cnt"), "a", "b"], rank_col="rnk"
+    )
+    return ranked.filter(F.col("rnk") <= BETW_EDGE_BUDGET).select("a", "b")
+
+
+@query("graph_betweenness_sample", family="graph", oracle=None)
+def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes betweenness centrality on the trade
+    backbone (VERDICT r8 #9 — completes the centrality pair with
+    pagerank: pagerank measures where mass settles, betweenness
+    measures who brokers). Sources are the deterministic sample
+    {{v : v % {BETW_SOURCE_MOD} == 0}}; the estimate is the standard
+    sampled-Brandes sum scaled by |V|/|S|, halved for undirectedness.
+
+    Distributed Brandes, level-synchronous (the graph_bfs loop shape,
+    one (src, node)-keyed join per level, localCheckpoint lineage
+    cuts):
+      forward — multi-source BFS carrying σ (shortest-path counts):
+        frontier ⋈ edges → candidate (src, child), anti-join visited,
+        σ_child = Σ σ_parent (grouped sum, exact BIGINT);
+      backward — dependency accumulation per depth d = maxd..1:
+        δ_v = Σ_{{w : succ on SP}} σ_v/σ_w · (1 + δ_w), computed as
+        level-d deltas joined through edges to level-(d−1) visited
+        rows (the σ ratio keeps only true shortest-path successors
+        because BFS depths differ by exactly 1).
+    Every frontier/visited/delta relation is (src, node)-sized —
+    |S|·|V| rows max, never path-multiplied; σ multiplicities live in
+    one integer column. Rows-only: the float δ sums are
+    accumulation-order-dependent (grouped double sums), so the check
+    is the pure-Python Brandes replay in tests/test_graph.py rather
+    than a bit-exact SQL oracle.
+
+    100 TB: the heavy stage is the edge derivation (one fact-fact
+    shuffle, the graph_triangles cost model); the Brandes loop runs on
+    the collapsed graph. For million-node graphs the same plan holds —
+    (src, node) keys hash-partition, the level count is the diameter,
+    and source sampling is exactly the knob that bounds total work
+    (Brandes-exact is |V| BFS passes; ε-approximation needs O(log|V|/ε²)
+    sampled sources regardless of graph size).
+    """
+    e = _betweenness_graph(spark, sf_dir)
+    edges = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node")).distinct().persist()
+    )
+    n_nodes = nodes.count()
+    sources = nodes.filter(
+        F.col("node") % BETW_SOURCE_MOD == 0
+    ).select(F.col("node").alias("src"))
+    n_sources = sources.count()
+
+    # forward: multi-source BFS with path counts
+    frontier = sources.select(
+        "src",
+        F.col("src").alias("node"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint()
+    visited = frontier
+    levels = [frontier]
+    d = 0
+    while True:
+        d += 1
+        nxt = (
+            frontier.join(edges, frontier.node == edges.u)
+            .select("src", F.col("v").alias("node"), "sigma")
+            .join(
+                visited.select("src", "node"), ["src", "node"], "left_anti"
+            )
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .select("src", "node", F.lit(d).alias("dist"), "sigma")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        levels.append(nxt)
+        frontier = nxt
+    maxd = len(levels) - 1
+
+    # backward: dependency accumulation, deepest level first
+    acc: list[DataFrame] = []
+    delta = levels[maxd].select(
+        "src", "node", "sigma", F.lit(0.0).alias("delta")
+    )
+    for depth in range(maxd, 0, -1):
+        acc.append(delta.select("src", "node", "delta"))
+        contrib = (
+            delta.join(edges, delta.node == edges.v)
+            .select(
+                "src",
+                F.col("u").alias("node"),
+                (F.lit(1.0) + F.col("delta")).alias("dw"),
+                F.col("sigma").alias("sigma_w"),
+            )
+            .groupBy("src", "node")
+            .agg(
+                F.sum(F.col("dw") / F.col("sigma_w")).alias("ratio_sum")
+            )
+        )
+        prev = levels[depth - 1].join(
+            contrib, ["src", "node"], "left"
+        )
+        delta = prev.select(
+            "src",
+            "node",
+            "sigma",
+            (
+                F.coalesce(F.col("ratio_sum"), F.lit(0.0))
+                * F.col("sigma").cast("double")
+            ).alias("delta"),
+        ).localCheckpoint()
+    edges.unpersist()
+    nodes.unpersist()
+
+    if not acc:
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("betweenness"),
+            F.lit(n_sources).cast("bigint").alias("n_sources"),
+        )
+    all_delta = acc[0]
+    for a in acc[1:]:
+        all_delta = all_delta.unionAll(a)
+    scale = float(n_nodes) / float(n_sources) / 2.0 if n_sources else 0.0
+    bc = (
+        all_delta.filter(F.col("node") != F.col("src"))
+        .groupBy("node")
+        .agg(F.sum("delta").alias("raw"))
+    )
+    # complete over the backbone node set: brokers-of-nothing score 0
+    return nodes.join(bc, "node", "left").select(
+        "node",
+        (
+            F.round(F.coalesce(F.col("raw"), F.lit(0.0)) * scale, 6) + 0.0
+        ).alias("betweenness"),
+        F.lit(n_sources).cast("bigint").alias("n_sources"),
     )

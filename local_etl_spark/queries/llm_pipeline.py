@@ -1047,3 +1047,110 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.col("split_total"), 6
         ).alias("lang_share"),
     )
+
+
+# DCLM-style quality-bucket target mix (bucket 1 = lowest perplexity =
+# highest weight). Literals sum to 1; sixths-free decimals so the
+# weight column is exactly representable text in both engines.
+QB_K = 5
+QB_WEIGHTS = (0.40, 0.25, 0.17, 0.11, 0.07)
+
+_QB_WEIGHT_SQL = "CASE bucket " + " ".join(
+    f"WHEN {i + 1} THEN CAST({w} AS DOUBLE)" for i, w in enumerate(QB_WEIGHTS)
+) + " END"
+
+
+def _qb_oracle() -> str:
+    from local_etl_spark.queries.llm_text import LM_SCORE_ORACLE
+
+    return f"""
+    WITH base AS ({LM_SCORE_ORACLE}),
+    cut AS (
+        SELECT doc_id, n_bigrams, avg_logprob,
+               ntile({QB_K}) OVER (ORDER BY avg_logprob DESC, doc_id)
+                   AS bucket
+        FROM base
+    ),
+    agg AS (
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bigrams + 1) AS BIGINT) AS n_tokens,
+               min(avg_logprob) AS min_score,
+               max(avg_logprob) AS max_score
+        FROM cut GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM agg)
+    SELECT bucket, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / tot.total, 6)
+               + CAST(0 AS DOUBLE) AS tok_share,
+           {_QB_WEIGHT_SQL} AS target_weight,
+           round({_QB_WEIGHT_SQL} * tot.total
+                 / CAST(n_tokens AS DOUBLE), 6)
+               + CAST(0 AS DOUBLE) AS epochs,
+           min_score, max_score
+    FROM agg CROSS JOIN tot
+    """
+
+
+@query("llm_quality_buckets", family="llm", oracle=_qb_oracle())
+def llm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCLM-style perplexity-bucket mixing (VERDICT r8 #9): rank the
+    corpus by the self-trained bigram LM score (llm_lm_score — the
+    KenLM perplexity proxy), cut it into {QB_K} equal-size quality
+    buckets, and assign each bucket its target mixing weight
+    (QB_WEIGHTS, biased hard toward the lowest-perplexity bucket — the
+    DataComp-LM recipe where model-scored quality percentiles drive
+    the sampling distribution, not binary filtering). `epochs` is the
+    per-bucket repeat factor that realizes the target mix in a budget
+    equal to the corpus token count (> 1 = up-sampled, the
+    llm_mix_weighted formula); docs with no bigram (single-word) are
+    unscorable and excluded, mirrored in the oracle.
+
+    Composition: the scored relation IS llm_lm_score's output (same
+    function, not a re-derivation); the cut matches ntile({QB_K}) over
+    (score DESC, doc_id) exactly but computes scale-safely via
+    ordered_prefix + map-side _ntile_from_rank (the llm_curriculum
+    shape — a bare global ntile window is one task at 100 TB).
+
+    Determinism: ranking keys are the ALREADY-ROUNDED 6 dp score plus
+    the doc_id total-order tiebreak; bucket token sums are exact
+    BIGINT; shares/epochs are single double divisions rounded at the
+    edge.
+    """
+    from local_etl_spark.queries.llm_text import llm_lm_score
+
+    scored = llm_lm_score(spark, sf_dir)
+    ranked, n = ordered_prefix(
+        scored,
+        [F.desc("avg_logprob"), "doc_id"],
+        rank_col="rnk",
+    )
+    cut = ranked.withColumn("bucket", _ntile_from_rank("rnk", n, QB_K))
+    agg = cut.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_bigrams") + 1).cast("bigint").alias("n_tokens"),
+        F.min("avg_logprob").alias("min_score"),
+        F.max("avg_logprob").alias("max_score"),
+    )
+    tot = agg.agg(F.sum("n_tokens").cast("double").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        (
+            F.round(F.col("n_tokens").cast("double") / F.col("total"), 6)
+            + 0.0
+        ).alias("tok_share"),
+        F.expr(_QB_WEIGHT_SQL).alias("target_weight"),
+        (
+            F.round(
+                F.expr(_QB_WEIGHT_SQL)
+                * F.col("total")
+                / F.col("n_tokens").cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("epochs"),
+        "min_score",
+        "max_score",
+    )

@@ -589,10 +589,10 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_lm_score",
-    family="llm",
-    oracle="""
+# Shared with llm_quality_buckets (llm_pipeline.py), which buckets the
+# corpus by exactly this score — the composite's oracle embeds this
+# text as a CTE so the two stay in lockstep.
+LM_SCORE_ORACLE = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 big AS (
     SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2
@@ -618,8 +618,10 @@ SELECT doc_id,
        CAST(n_bigrams AS BIGINT) AS n_bigrams,
        round(list_sum(lnps) / n_bigrams, 6) AS avg_logprob
 FROM folded
-""",
-)
+"""
+
+
+@query("llm_lm_score", family="llm", oracle=LM_SCORE_ORACLE)
 def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram language-model score per document — the
     KenLM-style perplexity-proxy quality filter, with the model

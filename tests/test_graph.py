@@ -145,3 +145,84 @@ def test_label_prop_matches_python_replay(spark):
         for r in get("graph_label_prop").fn(spark, sf).collect()
     }
     assert got == labels
+
+
+def test_betweenness_matches_python_brandes(spark):
+    """graph_betweenness_sample ≡ textbook Brandes (Brandes 2001) run
+    in pure Python from the same sampled sources on the same top-K
+    backbone, independently rebuilt from the parquet via DuckDB."""
+    from collections import defaultdict, deque
+
+    import duckdb
+
+    from local_etl_spark.queries.graph import (
+        BETW_EDGE_BUDGET,
+        BETW_SOURCE_MOD,
+        graph_betweenness_sample,
+    )
+
+    con = duckdb.connect()
+    try:
+        pairs = con.execute(
+            f"""
+            SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+                   greatest(c.c_nationkey, s.s_nationkey) AS b,
+                   count(*) AS cnt
+            FROM read_parquet('{SF}/lineitem.parquet') l
+            JOIN read_parquet('{SF}/orders.parquet') o
+                 ON l.l_orderkey = o.o_orderkey
+            JOIN read_parquet('{SF}/customer.parquet') c
+                 ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{SF}/supplier.parquet') s
+                 ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2 ORDER BY cnt DESC, a, b
+            LIMIT {BETW_EDGE_BUDGET}
+            """
+        ).fetchall()
+    finally:
+        con.close()
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b, _ in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    sources = [v for v in nodes if v % BETW_SOURCE_MOD == 0]
+    bc = dict.fromkeys(nodes, 0.0)
+    for s in sources:
+        # forward BFS with path counts
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        # backward dependency accumulation
+        delta = dict.fromkeys(order, 0.0)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+
+    scale = len(nodes) / len(sources) / 2.0
+    got = {
+        r["node"]: r
+        for r in graph_betweenness_sample(spark, SF).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v]["n_sources"] == len(sources)
+        assert abs(got[v]["betweenness"] - bc[v] * scale) < 2e-6, v
+    # the backbone is sparse enough to have real brokers
+    assert any(x > 0 for x in bc.values())

@@ -61,6 +61,8 @@ ALLOW_NESTED_LOOP = {
     "agg_meta_analysis",  # 1-row pooled-effect broadcast feeding the
     # Q-statistic residual fold (k-row stream side)
     "llm_lm_kneser_ney",  # same shape: 1-row broadcast bigram type count
+    "llm_quality_buckets",  # same shape: 1-row broadcast corpus token
+    # total onto the 5-row bucket aggregate (epochs denominator)
     "agg_welch_t",  # 1-row × 1-row group-pair product (test statistic)
     "agg_chi2",  # 1-row broadcast total + distinct-counts onto the
     # contingency-table aggregate
