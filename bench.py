@@ -113,6 +113,15 @@ HEADLINE = [
     "llm_retrieval_eval",
     "llm_dedup_incremental_near",
     "agg_permutation_test",
+    # round-9 additions: stage-0 URL dedup, the perplexity-bucket mixer
+    # (rides the full bigram-LM scoring pipeline), the split-sessionize
+    # skew mitigation, the sequential mSPRT fold, and the iterative
+    # Brandes loop (the round's heaviest new machinery)
+    "llm_dedup_url",
+    "llm_quality_buckets",
+    "win_sessionize_split",
+    "agg_msprt",
+    "graph_betweenness_sample",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →
@@ -470,23 +479,24 @@ def main() -> None:
     except OSError:
         pass
     line = ""
-    for ndigits in (4, 3, 2, 1):
+    # contract fields ONLY (metric/value/unit/queries/sf — everything
+    # else lives in the side artifact); precision steps down in
+    # SIGNIFICANT digits, not decimals, so a 0.357 s entry keeps its
+    # ratio-comparable value at the same char cost as a 48.8 s one
+    for sig in (6, 4, 3, 2):
         line = json.dumps(
             {
                 "metric": "headline-suite-total",
                 "value": total,
                 "unit": "sec",
-                "queries": {n: round(t, ndigits) for n, t in timings.items()},
+                "queries": {
+                    n: float(f"{v:.{sig}g}") for n, v in timings.items()
+                },
                 "sf": sf_num,
-                "loadavg_1m": load1,
-                "runs_per_query": runs,
-                "ambient_max_cores": (
-                    round(max(ambient.values()), 2) if ambient else None
-                ),
             },
             separators=(",", ":"),
         )
-        if len(line) <= 1900:
+        if len(line) <= 1850:
             break
     print(line)
     spark.stop()

@@ -195,11 +195,13 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
 FIXED_THIS_ROUND: tuple[str, ...] = ()
 
 # Rows-only queries re-presented so the ledger records a clean
-# rows-only (spark_rows) check. Round 9: EMPTY — CORRECTNESS_r08
-# recorded the final 14 never-recorded rows-only ops, so every registry
-# query now has at least one external record. The prefix is r9-new ops
-# (fresh SQL) + recheck padding (see RECHECK_PRIORITY).
-ROWS_ONLY_REPRESENT: tuple[str, ...] = ()
+# rows-only (spark_rows) check. CORRECTNESS_r08 recorded the final 14
+# never-recorded rows-only ops, so coverage entering round 9 is TOTAL;
+# this slice now carries only rows-only ops ADDED this round, so each
+# gets its first external record immediately.
+ROWS_ONLY_REPRESENT: tuple[str, ...] = (
+    "graph_betweenness_sample",
+)
 
 # The driver verifies this many registry-prefix entries per round.
 DRIVER_PREFIX = 50
