@@ -56,14 +56,18 @@ SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 
 
-def make_skew(dest: str) -> None:
-    """Same-size sf0.1 variant with one ~20%-hot key per fact table."""
+def make_skew(dest: str, src_dir: str = SRC) -> None:
+    """Same-size variant of ``src_dir`` with one ~20%-hot key per fact
+    table. src_dir defaults to sf0.1; pass the derived .scale/sf1 to
+    combine BOTH scale axes (10× data AND 20% skew — VERDICT r8 #5,
+    the regime where a straggler can no longer hide behind short
+    runtimes)."""
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {max(4, (os.cpu_count() or 8) // 2)}")
 
     def src(t: str) -> str:
-        return f"read_parquet('{SRC}/{t}.parquet')"
+        return f"read_parquet('{src_dir}/{t}.parquet')"
 
     def write(t: str, sql: str) -> None:
         out = os.path.join(dest, f"{t}.parquet")
@@ -128,7 +132,8 @@ def main() -> None:
                 os.path.dirname(os.path.abspath(__file__)),
                 ".scale",
                 "sf0.1skew",
-            )
+            ),
+            src_dir=sys.argv[3] if len(sys.argv) > 3 else SRC,
         )
         return
     dest = sys.argv[1] if len(sys.argv) > 1 else os.path.join(

@@ -32,6 +32,8 @@ SKEW_QUERIES = [
     "graph_pagerank",  # hot vertex s1 with ~20% of all edges
     "graph_label_prop",
     "win_sessionize",  # hot user: per-user window straggler regime
+    "win_sessionize_split",  # the (user, day)-split mitigation — must
+    # hold ≤ the plain form under the same hot user (SCALE.md §16.3)
 ]
 
 HEAVY = [
@@ -59,6 +61,9 @@ HEAVY = [
 
 
 def run_skew() -> None:
+    """--skew [skew_dir [uniform_dir]] [query ...] — uniform_dir
+    defaults to sf0.1; pass .scale/sf1skew .scale/sf1 to ratio the
+    COMBINED 10×+skew corpus against its own uniform baseline."""
     args = sys.argv[2:]
     skew_dir = (
         args[0]
@@ -67,7 +72,13 @@ def run_skew() -> None:
             os.path.dirname(os.path.abspath(__file__)), ".scale", "sf0.1skew"
         )
     )
-    names = (args[1:] if args and os.path.isdir(args[0]) else args) or SKEW_QUERIES
+    if args and os.path.isdir(args[0]):
+        args = args[1:]
+    uniform_dir = "/root/testdata/sf0.1"
+    if args and os.path.isdir(args[0]):
+        uniform_dir = args[0]
+        args = args[1:]
+    names = args or SKEW_QUERIES
     from local_etl_spark.registry import all_queries
     from local_etl_spark.session import get_spark
 
@@ -78,7 +89,7 @@ def run_skew() -> None:
     for name in names:
         fn = queries[name]
         entry: dict[str, float] = {}
-        for label, sf_dir in (("uniform", "/root/testdata/sf0.1"), ("skew", skew_dir)):
+        for label, sf_dir in (("uniform", uniform_dir), ("skew", skew_dir)):
             best = float("inf")
             rows = -1
             for _ in range(2):
