@@ -37,8 +37,8 @@ from local_etl_spark.etl.validate import (
     CLASS_MISSING,
     CLASS_OTHER,
     CLASS_VALID,
-    compiled_validity_leaves,
     _pythonize_message,
+    compiled_validity_leaves,
     float_head_token,
     leaf_exprs,
     render_typed,
@@ -179,13 +179,16 @@ def read_event_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _render_field(obj: str, fname: str, json_type: str | None = None) -> Column:
-    """Output rendering of one envelope field as the reference's CSV
+def _fv(obj: str, fname: str) -> Column:
+    return F.variant_get(F.col("v"), f"$.{obj}.{fname}", "variant")
+
+
+def _render_fv(fv: Column, json_type: str | None = None) -> Column:
+    """Output rendering of a variant value as the reference's CSV
     writer would print it: missing key → '' (restval), None → ''
     (csv module), str(value) otherwise. ``json_type`` (the field's
     declared schema type) narrows the render to the shapes a VALID row
     can hold — see validate.render_typed."""
-    fv = F.variant_get(F.col("v"), f"$.{obj}.{fname}", "variant")
     sv = F.schema_of_variant(fv)
     return F.coalesce(
         F.when(F.is_variant_null(fv), F.lit("")).otherwise(
@@ -193,6 +196,10 @@ def _render_field(obj: str, fname: str, json_type: str | None = None) -> Column:
         ),
         F.lit(""),
     )
+
+
+def _render_field(obj: str, fname: str, json_type: str | None = None) -> Column:
+    return _render_fv(_fv(obj, fname), json_type)
 
 
 def classify(docs: DataFrame, schema: EnvelopeSchema) -> DataFrame:
@@ -246,83 +253,189 @@ def classify(docs: DataFrame, schema: EnvelopeSchema) -> DataFrame:
 
 
 @lru_cache(maxsize=64)
-def _payload_columns(schema: EnvelopeSchema, version: int) -> dict[str, Column]:
-    """Rendered + transformed output columns for one event row.
+def _v1_stage1(schema: EnvelopeSchema) -> tuple:
+    """Stage 1 of the v1 sink: one MERGED variant probe per unique
+    slot name — coalesce(metadata key, payload key).
 
-    Memoized per (schema, version): the render trees are expensive to
-    construct driver-side and Columns are immutable/reusable, so repeat
-    runs (and the multi-sink fan-out) reuse one compiled set.
+    main.py:100-107 builds ONE row dict — payload keys then metadata
+    keys (metadata WINS collisions) — and every header slot (payload
+    required + metadata required, duplicates and all) reads that merged
+    dict. A JSON-null metadata value is a present variant
+    (SQL-non-null), so coalesce implements exactly the reference's
+    key-presence merge; for the reference's own schemas the required
+    lists are disjoint from the other object's keys, so this reduces
+    to the per-object render. The merge bites when a schema lists a
+    field name the doc carries in the OTHER envelope object
+    (schema-mutation fuzz, round 9: payload-required 'type' must print
+    the metadata value in BOTH duplicate header slots).
+
+    Staging the probe also keeps codegen at the historical per-object
+    size — the probe would otherwise re-embed at every reference site
+    inside the render CASE branches (branches defeat codegen
+    subexpression elimination, the janino 64 KB lesson). _mv_address
+    is staged unconditionally: the ad-hoc fixes gate on merged-dict
+    presence of 'address' (main.py:110) even when address is not
+    itself a header slot.
     """
-    payload_fields = list(schema.payload.required)
-    types = {f.name: f.json_type for f in schema.payload.fields}
-    cols: dict[str, Column] = {
-        fname: _render_field("payload", fname, types.get(fname))
-        for fname in payload_fields
-    }
+    slots = dict.fromkeys(
+        list(schema.payload.required) + list(schema.metadata.required)
+    )
+    out = [
+        F.coalesce(_fv("metadata", f), _fv("payload", f)).alias(f"_mv_{f}")
+        for f in slots
+    ]
+    if "address" not in slots:
+        out.append(
+            F.coalesce(
+                _fv("metadata", "address"), _fv("payload", "address")
+            ).alias("_mv_address")
+        )
+    return tuple(out)
 
-    # ad-hoc users fixes, gated on address presence in the DOCUMENT —
-    # the reference gates on `'address' in row_dict` (main.py:110), so a
-    # repaired row whose address is missing skips BOTH fixes.
+
+def _declared(schema: EnvelopeSchema, fname: str) -> str | None:
+    """Declared json type for a MERGED v1 slot: the fast-path type is
+    usable only when the declaring objects agree (render_typed falls
+    back to the general renderer on any shape mismatch anyway, so this
+    only decides which fast path fronts the render)."""
+    ptypes = {f.name: f.json_type for f in schema.payload.fields}
+    mtypes = {f.name: f.json_type for f in schema.metadata.fields}
+    pt, mt = ptypes.get(fname), mtypes.get(fname)
+    if pt is not None and mt is not None and pt != mt:
+        return None
+    return mt if mt is not None else pt
+
+
+@lru_cache(maxsize=64)
+def _v1_out_columns(schema: EnvelopeSchema) -> tuple:
+    """Stage 2 of the v1 sink: render every slot from its staged merged
+    variant (render_typed: declared-type fast path + general fallback —
+    REPAIR-SAFE since round 9, because the reference writes a repaired
+    row's raw str(value) even where it violates the declared type and
+    the old valid-only narrowing printed '' for a string in a number
+    slot), apply the ad-hoc address/job fixes on the merged values
+    gated on merged-dict presence (main.py:110-113), and emit header
+    slots by occurrence (duplicates read the same value — the
+    DictWriter fieldnames semantics)."""
+    slots = list(schema.payload.required) + list(schema.metadata.required)
+    cols = {
+        f: _render_fv(F.col(f"_mv_{f}"), _declared(schema, f))
+        for f in dict.fromkeys(slots)
+    }
+    has_address = F.col("_mv_address").isNotNull()
     if "address" in cols:
-        has_address = F.variant_get(
-            F.col("v"), "$.payload.address", "variant"
-        ).isNotNull()
         cols["address"] = F.when(
             has_address, transforms.fix_address(cols["address"])
         ).otherwise(cols["address"])
-        if "job" in cols:
-            cols["job"] = F.when(
-                has_address, transforms.fix_job(cols["job"])
-            ).otherwise(cols["job"])
-
-    if version == 2:
-        # FK propagation: metadata.event_id or '' (main2.py:226)
-        cols["event_id"] = _render_field(
-            "metadata",
-            "event_id",
-            next(
-                (f.json_type for f in schema.metadata.fields
-                 if f.name == "event_id"),
-                None,
-            ),
-        )
-        # name/created_by_name prefix-suffix normalization (main2.py:234-256)
-        name_col = next(
-            (c for c in ("name", "created_by_name") if c in cols), None
-        )
-        if name_col:
-            norm = transforms.name_norm(cols[name_col])
-            cols["prefix"] = norm["prefix"]
-            cols[name_col] = norm["name"]
-            cols["suffix"] = norm["suffix"]
-    return cols
-
-
-@lru_cache(maxsize=64)
-def _v1_out_columns(schema: EnvelopeSchema) -> tuple[Column, ...]:
-    cols = _payload_columns(schema, version=1)
-    mtypes = {f.name: f.json_type for f in schema.metadata.fields}
-    return tuple(
-        [cols[f].alias(f) for f in schema.payload.required]
-        + [
-            _render_field("metadata", f, mtypes.get(f)).alias(f)
-            for f in schema.metadata.required
-        ]
-    )
+    if "job" in cols:
+        cols["job"] = F.when(
+            has_address, transforms.fix_job(cols["job"])
+        ).otherwise(cols["job"])
+    return tuple(cols[f].alias(f) for f in slots)
 
 
 def v1_rows(classified: DataFrame, schema: EnvelopeSchema) -> DataFrame:
-    """Denormalized output rows (v1, main.py): payload + metadata flat."""
-    return classified.select(*_v1_out_columns(schema))
+    """Denormalized output rows (v1, main.py): payload + metadata flat,
+    via the staged merged-probe -> render plan."""
+    return classified.select("*", *_v1_stage1(schema)).select(
+        *_v1_out_columns(schema)
+    )
 
 
 @lru_cache(maxsize=64)
-def _v2_out_columns(
-    schema: EnvelopeSchema,
-) -> tuple[tuple[Column, ...], tuple[Column, ...]]:
-    payload_fields, metadata_fields = v2_field_names(schema)
-    cols = _payload_columns(schema, version=2)
+def _v2_stage1(schema: EnvelopeSchema) -> tuple:
+    """Stage 1 of the v2 payload sink: the payload variant probe per
+    unique required slot, the FK probe (metadata.event_id), and the
+    name-normalization inputs — the rendered name/created_by_name
+    values plus their doc-presence flags, each computed ONCE
+    (multiply-referenced by the norm attributes, so CollapseProject
+    keeps the stage). _pv_address is staged unconditionally: the
+    ad-hoc fixes gate on 'address' in the PAYLOAD dict (main2.py:230 —
+    v2 keeps the dicts separate, unlike v1's merge)."""
+    ptypes = {f.name: f.json_type for f in schema.payload.fields}
+    fields = dict.fromkeys(schema.payload.required)
+    fields["address"] = None
+    out = [_fv("payload", f).alias(f"_pv_{f}") for f in fields]
+    out.append(_fv("metadata", "event_id").alias("_fkv_event_id"))
+    for c in ("name", "created_by_name"):
+        out.append(
+            _render_fv(_fv("payload", c), ptypes.get(c)).alias(f"_nm_{c}")
+        )
+        out.append(_fv("payload", c).isNotNull().alias(f"_hn_{c}"))
+    return tuple(out)
+
+
+@lru_cache(maxsize=64)
+def _v2_out_columns(schema: EnvelopeSchema) -> tuple[tuple, tuple]:
+    """Stage 2 of the v2 sinks: payload renders over the staged
+    variants plus the reference's transforms; metadata renders.
+
+    Two DISTINCT selectors drive the name normalization in the
+    reference (schema-mutation fuzz find, r9): the header insertion
+    keys off the REQUIRED list (get_field_names, main2.py:170-182 —
+    that part lives in v2_field_names), but the VALUE transform keys
+    off the DOC's payload keys (get_row_data, main2.py:234-256: 'name'
+    in payload_dict elif 'created_by_name'). A cards schema whose
+    required list names 'name' gets prefix/suffix columns inserted
+    around the (empty) name slot while the doc's created_by_name value
+    still normalizes. When NEITHER name is present the reference
+    CRASHES (NameError on name_split, main2.py:242 — documented
+    divergence); the engine prints the restval '' row instead.
+    """
+    ptypes = {f.name: f.json_type for f in schema.payload.fields}
     mtypes = {f.name: f.json_type for f in schema.metadata.fields}
+    cols = {
+        f: _render_fv(F.col(f"_pv_{f}"), ptypes.get(f))
+        for f in dict.fromkeys(schema.payload.required)
+    }
+    has_address = F.col("_pv_address").isNotNull()
+    if "address" in cols:
+        cols["address"] = F.when(
+            has_address, transforms.fix_address(cols["address"])
+        ).otherwise(cols["address"])
+    if "job" in cols:
+        cols["job"] = F.when(
+            has_address, transforms.fix_job(cols["job"])
+        ).otherwise(cols["job"])
+    # FK propagation: metadata.event_id or '' (main2.py:226) —
+    # overwrites a payload-required event_id slot exactly like the
+    # reference's payload_dict['event_id'] assignment
+    cols["event_id"] = _render_fv(
+        F.col("_fkv_event_id"), mtypes.get("event_id")
+    )
+    payload_fields, metadata_fields = v2_field_names(schema)
+    if any(c in payload_fields for c in ("name", "created_by_name")):
+        for c in ("name", "created_by_name"):
+            if c in cols:
+                cols[c] = F.col(f"_nm_{c}")
+        has = {c: F.col(f"_hn_{c}") for c in ("name", "created_by_name")}
+        norm = {
+            c: transforms.name_norm(F.col(f"_nm_{c}"))
+            for c in ("name", "created_by_name")
+        }
+
+        def pick(attr: str) -> Column:
+            return (
+                F.when(has["name"], norm["name"][attr])
+                .when(has["created_by_name"], norm["created_by_name"][attr])
+                .otherwise(F.lit(""))
+            )
+
+        cols["prefix"] = pick("prefix")
+        cols["suffix"] = pick("suffix")
+        if "name" in cols:
+            cols["name"] = F.when(
+                has["name"], norm["name"]["name"]
+            ).otherwise(cols["name"])
+        if "created_by_name" in cols:
+            cols["created_by_name"] = (
+                F.when(has["name"], cols["created_by_name"])
+                .when(
+                    has["created_by_name"],
+                    norm["created_by_name"]["name"],
+                )
+                .otherwise(cols["created_by_name"])
+            )
     return (
         tuple(cols[f].alias(f) for f in payload_fields),
         tuple(
@@ -335,11 +448,14 @@ def _v2_out_columns(
 def v2_rows(
     classified: DataFrame, schema: EnvelopeSchema
 ) -> tuple[DataFrame, DataFrame]:
-    """Normalized outputs (v2, main2.py): payload(+FK,+prefix/suffix) and
-    metadata DataFrames."""
+    """Normalized outputs (v2, main2.py): payload(+FK,+prefix/suffix)
+    and metadata DataFrames; the payload frame stages its variant
+    probes and name-norm inputs (_v2_stage1) below the slot
+    projection."""
     payload_cols, metadata_cols = _v2_out_columns(schema)
+    staged = classified.select("*", *_v2_stage1(schema))
     return (
-        classified.select(*payload_cols),
+        staged.select(*payload_cols),
         classified.select(*metadata_cols),
     )
 
@@ -448,26 +564,46 @@ def write_sinks(
         "ignoreTrailingWhiteSpace": False,
         "escape": '"',
     }
+
+    def _write_csv(df: DataFrame, path: str):
+        """CSV append — or, for an EMPTY header (both required lists
+        empty for v1, an empty metadata required list for v2), the
+        blank-line layout Python's DictWriter produces with
+        fieldnames=[]: one blank header line + one blank line per row
+        (schema-mutation fuzz, round 9). Spark's CSV source refuses a
+        zero-column schema, so the data rows ride the text sink as
+        empty strings and the header blank line is a driver-written
+        'part-00000' that sorts before every Spark part file; it is
+        created once (the reference's tell()==0 header-once check)."""
+        if df.columns:
+            df.write.mode("append").options(**_verbatim).csv(path)
+            return
+        kept.select(F.lit("").alias("value")).write.mode("append").text(path)
+        hdr = os.path.join(path, "part-00000")
+        if not os.path.exists(hdr):
+            with open(hdr, "w", encoding="utf-8") as fh:
+                fh.write("\n")
+
     writes: list = []
     # output sink(s)
     if version == 1:
         out1 = v1_rows(kept, schema)
         writes.append(
-            lambda: out1.write.mode("append")
-            .options(**_verbatim)
-            .csv(cfg.path(table.output_file or f"{table.name}.csv"))
+            lambda: _write_csv(
+                out1, cfg.path(table.output_file or f"{table.name}.csv")
+            )
         )
     else:
         payload, metadata = v2_rows(kept, schema)
         writes.append(
-            lambda: payload.write.mode("append")
-            .options(**_verbatim)
-            .csv(cfg.path(table.payload_file or f"{table.name}.csv"))
+            lambda: _write_csv(
+                payload, cfg.path(table.payload_file or f"{table.name}.csv")
+            )
         )
         writes.append(
-            lambda: metadata.write.mode("append")
-            .options(**_verbatim)
-            .csv(cfg.path(table.metadata_file or "metadata.csv"))
+            lambda: _write_csv(
+                metadata, cfg.path(table.metadata_file or "metadata.csv")
+            )
         )
 
     # quarantine sink (R5): original documents, verbatim
@@ -483,19 +619,39 @@ def write_sinks(
         .text(cfg.path(f"{cfg.errors_log}.d"))
     )
 
-    # The output sink runs FIRST and alone: its filter sits above the
-    # cache node, so this one job computes every partition — it is the
-    # materializing action for the persisted classification and the one
-    # that fires observe() counters over the full input. The remaining
-    # sinks are then independent filtered reads of a warm cache and run
-    # as concurrent Spark jobs so their fixed scheduling + file-commit
-    # overhead overlaps. (Launching all four concurrently on a cold
-    # cache is still correct — racing jobs duplicate partition compute,
-    # never corrupt it — but measured 30% slower on the 2000-file
-    # corpus, and leaves counter coverage to whichever job wins.)
+    # Materialize-then-fan-out: the count() computes every partition
+    # into the persisted classification (and fires the observe()
+    # counters over the full input); the output sink then runs alone as
+    # the first warm-cache read, and the remaining sinks are
+    # independent filtered reads running as concurrent Spark jobs so
+    # their fixed scheduling + file-commit overhead overlaps.
+    # (Launching all four concurrently on a cold cache is still
+    # correct — racing jobs duplicate partition compute, never corrupt
+    # it — but measured 30% slower on the 2000-file corpus, and leaves
+    # counter coverage to whichever job wins.)
     from concurrent.futures import ThreadPoolExecutor
 
-    writes[0]()
+    # The wide render sink plans with whole-stage codegen OFF: under
+    # fusion ALL of a Project's renders land in ONE doConsume method
+    # and a 9-slot schema (cards) crosses janino's 64 KB limit — with
+    # repair-safe renders there is no narrowing to shrink them (round-9
+    # schema fuzz). Non-fused ProjectExec codegen splits per expression
+    # and compiles any slot count; measured cost on the 50k-row bench
+    # is within noise because the render job is commit-bound. Conf is
+    # restored before the concurrent small sinks (driver-side plan
+    # time only — the threaded writes plan after the restore).
+    ws_key = "spark.sql.codegen.wholeStage"
+    spark = classified.sparkSession
+    # materialize the classification cache FIRST, under normal fusion:
+    # the classify when-chain is the expensive compute and fuses well;
+    # only the render sink jobs (cache reads) plan non-fused
+    classified.count()
+    ws_old = spark.conf.get(ws_key, "true")
+    spark.conf.set(ws_key, "false")
+    try:
+        writes[0]()
+    finally:
+        spark.conf.set(ws_key, ws_old)
     with ThreadPoolExecutor(max_workers=len(writes) - 1) as pool:
         for fut in [pool.submit(w) for w in writes[1:]]:
             fut.result()

@@ -297,7 +297,11 @@ def py_repr_str(s: Column) -> Column:
 
 
 def render_value(
-    fv: Column, sv: Column, quote_strings: bool, raw_containers: bool = False
+    fv: Column,
+    sv: Column,
+    quote_strings: bool,
+    raw_containers: bool = False,
+    py_floats: bool = False,
 ) -> Column:
     """Render a variant scalar the way Python would (reference writes
     ``str(value)`` into CSV; jsonschema messages use ``repr``).
@@ -340,10 +344,19 @@ def render_value(
         .when(sv == "BOOLEAN", F.when(as_str == "true", "True").otherwise("False"))
         .when(sv == "BIGINT", as_str)
         .when(_is_wide_int(sv), _exact_int_text(fv))
-        # plain Java cast text — the Python float-repr rewrite happens
-        # ONCE over the finished message (_pythonize_message), not in
-        # each of the ~13 slots that embed this renderer
-        .when(_is_numeric(sv), F.try_variant_get(fv, "$", "double").cast("string"))
+        # default: plain Java cast text — the Python float-repr rewrite
+        # happens ONCE over the finished message (_pythonize_message),
+        # not in each of the ~13 slots that embed this renderer.
+        # py_floats=True inlines the Python repr instead: CSV cells
+        # have no post-pass, so the declared-NUMERIC sink slots (<=2
+        # per schema + this renderer as their repair fallback — the
+        # r4-measured three-site budget) pay the ~40-node tree here.
+        .when(
+            _is_numeric(sv),
+            _py_double_str(F.try_variant_get(fv, "$", "double"))
+            if py_floats
+            else F.try_variant_get(fv, "$", "double").cast("string"),
+        )
         .otherwise(container)
     )
 
@@ -371,38 +384,44 @@ def _exact_int_text(fv: Column) -> Column:
 
 
 def render_typed(fv: Column, sv: Column, json_type: str | None) -> Column:
-    """CSV rendering of a field on the VALID-row path.
+    """CSV rendering of a field: a declared-type FAST PATH with the
+    general renderer as the per-row fallback.
 
-    Rows reaching the output sinks passed validation, so a field's
-    variant type is already constrained by its declared json type —
-    a 'string' field IS a STRING (one variant_get instead of the full
-    render CASE). This matters because the payload projection embeds
-    the name render THREE times (prefix/name/suffix split) and the
-    address render twice; with the round-4 exact-int/float-repr
-    branches the full CASE per copy measurably slowed every sink job
-    (0.35 → 0.65 s per render pass at 50k rows). Numeric fields keep
-    the full numeric chain — a VALID 'integer' can still be BIGINT,
-    a wide int literal, or an integral-valued double ('2.0' renders
-    '2.0' like Python). Unknown/absent declared types fall back to the
-    general renderer.
+    The fast path matters because the payload projection embeds the
+    name render THREE times (prefix/name/suffix split) and the address
+    render twice; with the round-4 exact-int/float-repr branches the
+    full CASE per copy measurably slowed every sink job (0.35 → 0.65 s
+    per render pass at 50k rows).
+
+    REPAIR-SAFE since round 9 (schema-mutation fuzz find): the old
+    form assumed only VALID rows reached it and silently mangled
+    type-violating values on REPAIRED rows (a string in a number slot
+    rendered '' where the reference writes it verbatim; any non-bool
+    in a boolean slot rendered 'False'). Every typed chain now ends in
+    ``render_value`` — embedded ONCE per slot, so codegen grows by the
+    cheap guards only — and the fast branch fires exactly when the
+    value's variant shape matches the declared type. Unknown/absent
+    declared types go straight to the general renderer.
     """
     if json_type == "string":
-        return F.try_variant_get(fv, "$", "string")
+        as_str = F.try_variant_get(fv, "$", "string")
+        return F.when(
+            (sv == "STRING") & (as_str != BARE_NAN), as_str
+        ).otherwise(render_value(fv, sv, quote_strings=False))
     if json_type == "boolean":
-        # NULL-transparent (ADVICE r4): a missing key must surface NULL
-        # so _render_field's coalesce('') contract renders '' — the old
-        # otherwise('False') silently invented a value for absent
-        # fields (latent: no current envelope schema declares booleans)
-        return F.when(fv.isNull(), F.lit(None).cast("string")).when(
-            F.try_variant_get(fv, "$", "string") == "true", "True"
-        ).otherwise("False")
+        # NULL-transparency (ADVICE r4) rides the fallback: a missing
+        # key is fv NULL → render_value yields NULL → the caller's
+        # coalesce('') contract renders ''
+        return F.when(
+            sv == "BOOLEAN",
+            F.when(
+                F.try_variant_get(fv, "$", "string") == "true", "True"
+            ).otherwise("False"),
+        ).otherwise(render_value(fv, sv, quote_strings=False))
     if json_type in ("integer", "number"):
-        return (
-            F.when(sv == "BIGINT", F.try_variant_get(fv, "$", "string"))
-            .when(_is_bare_nan(fv, sv), F.lit("nan"))
-            .when(_is_wide_int(sv), _exact_int_text(fv))
-            .otherwise(_py_double_str(F.try_variant_get(fv, "$", "double")))
-        )
+        # py_floats: a numeric CSV cell must print Python float text
+        # directly (no message post-pass exists on the sink path)
+        return render_value(fv, sv, quote_strings=False, py_floats=True)
     return render_value(fv, sv, quote_strings=False)
 
 

@@ -432,10 +432,22 @@ def test_classify_and_renders_stay_codegen_compiled(etl_run, spark):
             classified = classify(docs, schema).persist()
             try:
                 classified.collect()
-                v1_rows(classified, schema).collect()
-                payload, metadata = v2_rows(classified, schema)
-                payload.collect()
-                metadata.collect()
+                # the wide render sinks plan with whole-stage codegen
+                # OFF in the product (write_sinks): fused, a Project's
+                # renders all land in one doConsume and a 9-slot schema
+                # crosses 64 KB — non-fused ProjectExec splits per
+                # expression. Verify exactly the product regime: the
+                # split codegen must COMPILE (fallback=false is still
+                # in force), so a single oversized render expression
+                # still fails here loudly.
+                spark.conf.set("spark.sql.codegen.wholeStage", "false")
+                try:
+                    v1_rows(classified, schema).collect()
+                    payload, metadata = v2_rows(classified, schema)
+                    payload.collect()
+                    metadata.collect()
+                finally:
+                    spark.conf.set("spark.sql.codegen.wholeStage", "true")
                 error_log_lines(
                     classified.where(~classified.is_valid)
                 ).collect()

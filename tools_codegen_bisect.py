@@ -52,24 +52,40 @@ def main() -> None:
         schema = load_schema(cfg.path(table.schema_file))
         docs = read_event_docs(spark, cfg.path(table.data_dir))
         classified = classify(docs, schema).persist()
+        # (step, runs-with-wholeStage-off) — the wide render sinks plan
+        # non-fused in the product (write_sinks): fused, all of a
+        # Project's renders share one doConsume and 9 slots cross 64 KB
         steps = [
-            ("classify", lambda: classified.collect()),
-            ("v1_rows", lambda: v1_rows(classified, schema).collect()),
-            ("v2_payload", lambda: v2_rows(classified, schema)[0].collect()),
-            ("v2_metadata", lambda: v2_rows(classified, schema)[1].collect()),
+            ("classify", lambda: classified.collect(), False),
+            ("v1_rows", lambda: v1_rows(classified, schema).collect(), True),
+            (
+                "v2_payload",
+                lambda: v2_rows(classified, schema)[0].collect(),
+                True,
+            ),
+            (
+                "v2_metadata",
+                lambda: v2_rows(classified, schema)[1].collect(),
+                True,
+            ),
             (
                 "error_log",
                 lambda: error_log_lines(
                     classified.where(~classified.is_valid)
                 ).collect(),
+                False,
             ),
         ]
-        for name, fn in steps:
+        for name, fn, ws_off in steps:
+            if ws_off:
+                spark.conf.set("spark.sql.codegen.wholeStage", "false")
             try:
                 fn()
                 print(f"OK   {table.name}:{name}", flush=True)
             except Exception as e:  # noqa: BLE001
                 print(f"FAIL {table.name}:{name}: {str(e)[:120]}", flush=True)
+            finally:
+                spark.conf.set("spark.sql.codegen.wholeStage", "true")
         classified.unpersist()
     shutil.rmtree(tmp, ignore_errors=True)
 

@@ -295,14 +295,56 @@ def run_scenario(spark, name: str, us: dict, cs: dict, root: Path) -> list[str]:
                     f"[{name}] v2 {tbl} ROWS differ "
                     f"({len(ref_rows) - 1} vs {len(er)})"
                 )
+        # metadata.csv is SHARED between tables. The reference appends
+        # with header-once-by-the-first-writer semantics; the engine's
+        # distributed sink writes per-part headers (pre-existing,
+        # accepted convention in tests/test_reference_diff*.py). When
+        # the two tables' metadata schemas DIVERGE (an empty required
+        # list on one), compare the content modulo that convention:
+        # non-blank data rows as multisets, blank-line counts, and the
+        # first writer's header.
         ref_meta = _csv_lists(ref2 / "metadata.csv")
-        eh, er = _engine_csv_lists(out / "metadata.csv")
-        if ref_meta and ref_meta[0] != eh:
-            diffs.append(f"[{name}] v2 metadata HEADER: ref={ref_meta[0]} eng={eh}")
-        if ref_meta and sorted(map(tuple, ref_meta[1:])) != sorted(map(tuple, er)):
+        ref_blank = sum(1 for r in ref_meta if not r)
+        ref_data = [r for r in ref_meta[1:] if r]
+        if ref_meta and ref_meta[0]:
+            ref_data = [r for r in ref_meta[1:] if r]
+        eng_blank = 0
+        hdr_file = out / "metadata.csv" / "part-00000"
+        if hdr_file.exists():
+            eng_blank += sum(
+                1 for ln in hdr_file.read_text().splitlines()
+            ) or 1
+        for part in glob.glob(str(out / "metadata.csv" / "part-*.txt")):
+            eng_blank += sum(
+                1 if not ln else 0
+                for ln in open(part, encoding="utf-8").read().splitlines()
+            )
+        eng_headers = set()
+        eng_data = []
+        for part in sorted(glob.glob(str(out / "metadata.csv" / "part-*.csv"))):
+            with open(part, newline="", encoding="utf-8") as fh:
+                it = list(csv.reader(fh))
+            if it:
+                eng_headers.add(tuple(it[0]))
+                eng_data.extend(it[1:])
+        if ref_meta and ref_meta[0]:
+            # normal case: one shared header everywhere
+            if eng_headers != {tuple(ref_meta[0])}:
+                diffs.append(
+                    f"[{name}] v2 metadata HEADER: ref={ref_meta[0]} "
+                    f"eng={sorted(eng_headers)}"
+                )
+        elif ref_meta and not hdr_file.exists():
+            diffs.append(f"[{name}] v2 metadata blank header missing engine-side")
+        if sorted(map(tuple, ref_data)) != sorted(map(tuple, eng_data)):
             diffs.append(
                 f"[{name}] v2 metadata ROWS differ "
-                f"({len(ref_meta) - 1} vs {len(er)})"
+                f"({len(ref_data)} vs {len(eng_data)})"
+            )
+        if ref_blank != eng_blank:
+            diffs.append(
+                f"[{name}] v2 metadata blank lines: ref={ref_blank} "
+                f"eng={eng_blank}"
             )
         # errors.log + quarantine sets (v2 run)
         ref_errs = _errors(ref2 / "errors.log")
