@@ -122,6 +122,8 @@ HEADLINE = [
     "win_sessionize_split",
     "agg_msprt",
     "graph_betweenness_sample",
+    "win_bollinger",
+    "llm_ppl_filter_sweep",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →

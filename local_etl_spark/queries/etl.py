@@ -1199,3 +1199,68 @@ def etl_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chain_digest"),
         )
     )
+
+
+FRESH_SLA_HOURS = 48  # staleness budget per stream
+
+
+@query(
+    "etl_freshness_sla",
+    family="etl",
+    oracle=f"""
+    WITH per AS (
+        SELECT event_type,
+               CAST(max(ts) AS TIMESTAMP) AS last_ts,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    ref AS (SELECT max(last_ts) AS corpus_max FROM per)
+    SELECT p.event_type, p.last_ts, p.n_events,
+           CAST(date_diff('microsecond', p.last_ts, r.corpus_max)
+                AS BIGINT) AS lag_us,
+           round(CAST(date_diff('microsecond', p.last_ts, r.corpus_max)
+                      AS DOUBLE) / CAST(3600000000 AS DOUBLE), 6)
+               + CAST(0 AS DOUBLE) AS lag_hours,
+           date_diff('microsecond', p.last_ts, r.corpus_max)
+             <= CAST({FRESH_SLA_HOURS} AS BIGINT) * 3600000000 AS fresh
+    FROM per p CROSS JOIN ref r
+    """,
+)
+def etl_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness SLA — the third leg of the DQ gate family
+    (etl_volume_anomaly watches row VOLUME, etl_expectations watches
+    VALUES; this watches ARRIVAL): each event_type's high-water mark
+    lags the corpus-wide high-water mark by at most
+    {FRESH_SLA_HOURS} h, else the stream is stale (a dead producer, a
+    stuck partition, an upstream backlog). The reference point is the
+    CORPUS max — self-referential, so the check is reproducible on
+    static data (a live deployment substitutes wall clock; using the
+    corpus max also makes the freshest stream trivially green, which
+    is the correct fixed point).
+
+    Determinism: timestamps are exact µs; the lag is one
+    timestampdiff; the SLA compare is exact integer µs.
+
+    Scale: one map-side-combined (event_type) max/count aggregate,
+    then a 1-row broadcast of the corpus max — one scan at any size,
+    and the scan prunes to (event_type, ts).
+    """
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    ref = per.agg(F.max("last_ts").alias("corpus_max"))
+    lag = F.expr("timestampdiff(MICROSECOND, last_ts, corpus_max)")
+    return per.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "last_ts",
+        "n_events",
+        lag.cast("bigint").alias("lag_us"),
+        (F.round(lag.cast("double") / 3600000000.0, 6) + 0.0).alias(
+            "lag_hours"
+        ),
+        (lag <= F.lit(FRESH_SLA_HOURS).cast("bigint") * 3600000000).alias(
+            "fresh"
+        ),
+    )

@@ -1154,3 +1154,104 @@ def llm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_score",
         "max_score",
     )
+
+
+# Keep-top percentages swept by the perplexity filter harness
+PPL_SWEEP_PCTS = (10, 25, 50, 75, 90)
+
+
+def _ppl_sweep_oracle() -> str:
+    from local_etl_spark.queries.llm_text import LM_SCORE_ORACLE
+
+    pcts = ", ".join(f"({p})" for p in PPL_SWEEP_PCTS)
+    return f"""
+    WITH base AS ({LM_SCORE_ORACLE}),
+    ranked AS (
+        SELECT doc_id, n_bigrams + 1 AS toks, avg_logprob,
+               rank() OVER (ORDER BY avg_logprob DESC, doc_id) AS rnk
+        FROM base
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(toks) AS BIGINT) AS tot_toks FROM ranked),
+    pcts(keep_pct) AS (VALUES {pcts})
+    SELECT p.keep_pct,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(r.toks) AS BIGINT) AS tokens_kept,
+           round(CAST(sum(r.toks) AS DOUBLE)
+                 / (SELECT CAST(tot_toks AS DOUBLE) FROM tot), 6)
+               + CAST(0 AS DOUBLE) AS token_share,
+           min(r.avg_logprob) AS cutoff_score
+    FROM pcts p
+    JOIN ranked r
+      ON r.rnk <= ((SELECT n FROM tot) * p.keep_pct) / 100
+    GROUP BY p.keep_pct
+    """
+
+
+@query(
+    "llm_ppl_filter_sweep",
+    family="llm",
+    oracle=_ppl_sweep_oracle(),
+)
+def llm_ppl_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter threshold sweep: for each keep-top-X% cut of
+    the bigram-LM quality ranking (llm_lm_score — the CCNet/DCLM
+    perplexity proxy), report surviving docs, surviving tokens, token
+    share and the cutoff score — the harness that answers "how much
+    data does each filter strength cost?" BEFORE committing a corpus
+    build (the llm_dedup_threshold_sweep shape applied to quality
+    filtering; llm_quality_buckets is the mixing-side consumer of the
+    same ranking).
+
+    Determinism: cuts are RANK-based over the total order (score DESC,
+    doc_id); the rnk <= n·pct/100 compare floors implicitly (an
+    integer rank against a double threshold — both engines divide
+    integers as doubles, so the kept set is identical); token sums
+    exact BIGINT; cutoff witness is the min already-rounded score
+    among survivors.
+
+    Scale: the ranking comes from ordered_prefix (range-partitioned
+    exact global rank, no one-task window); the sweep is a broadcast
+    theta-join of 5 literal rows against the ranked relation, grouped
+    map-side — one pass over the corpus serves all five thresholds.
+    """
+    from local_etl_spark.queries.llm_text import llm_lm_score
+
+    scored = llm_lm_score(spark, sf_dir)
+    ranked, n = ordered_prefix(
+        scored.select(
+            "doc_id",
+            (F.col("n_bigrams") + 1).alias("toks"),
+            "avg_logprob",
+        ),
+        [F.desc("avg_logprob"), "doc_id"],
+        rank_col="rnk",
+    )
+    tot_toks = ranked.agg(
+        F.sum("toks").cast("bigint").alias("tot_toks")
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in PPL_SWEEP_PCTS], "keep_pct int"
+    )
+    joined = F.broadcast(pcts).join(
+        ranked, F.col("rnk") <= (F.lit(n) * F.col("keep_pct")) / 100
+    )
+    agg = joined.groupBy("keep_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("toks").cast("bigint").alias("tokens_kept"),
+        F.min("avg_logprob").alias("cutoff_score"),
+    )
+    return agg.crossJoin(F.broadcast(tot_toks)).select(
+        "keep_pct",
+        "n_kept",
+        "tokens_kept",
+        (
+            F.round(
+                F.col("tokens_kept").cast("double")
+                / F.col("tot_toks").cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("token_share"),
+        "cutoff_score",
+    )

@@ -3419,3 +3419,131 @@ def agg_cusum_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(thr, 6) + 0.0).alias("threshold"),
         ((pos > thr) | (neg > thr)).alias("alarm"),
     )
+
+
+# TOST equivalence margin (dollars) and the one-sided normal critical
+# value at alpha = 0.05 (the IDCG shared-literal policy — no erf/ppf).
+TOST_MARGIN = 5000.0
+Z_ONE_SIDED_95 = 1.6448536269514722
+
+
+@query(
+    "agg_tost",
+    family="stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderpriority AS grp,
+             count(*) AS n,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                  AS DECIMAL(28,6)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0))
+                                * CAST(0.001 AS DECIMAL(9,3))
+                                AS DECIMAL(18,6))
+                           * CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0))
+                                  * CAST(0.001 AS DECIMAL(9,3))
+                                  AS DECIMAL(18,6)))
+                  AS DECIMAL(28,6)) AS DOUBLE) AS sxx_k,
+             CAST(CAST(sum(CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0))
+                                * CAST(0.001 AS DECIMAL(9,3))
+                                AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                  AS DOUBLE) AS sfx_k
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY o_orderpriority
+    ),
+    s AS (
+      SELECT grp, n, sx / n AS mean,
+             ((sxx_k - sfx_k * sfx_k / n) / (n - 1))
+               * CAST(1000000 AS DOUBLE) AS var
+      FROM m
+    ),
+    p AS (
+      SELECT a.n AS n_urgent, b.n AS n_low,
+             a.mean - b.mean AS diff,
+             sqrt(a.var / a.n + b.var / b.n) AS se
+      FROM (SELECT * FROM s WHERE grp = '1-URGENT') a
+      CROSS JOIN (SELECT * FROM s WHERE grp = '5-LOW') b
+    )
+    SELECT n_urgent, n_low,
+           round(diff, 6) + CAST(0 AS DOUBLE) AS diff,
+           round(se, 6) + CAST(0 AS DOUBLE) AS se,
+           round((diff + {TOST_MARGIN}) / se, 6) + CAST(0 AS DOUBLE)
+               AS t_lower,
+           round(({TOST_MARGIN} - diff) / se, 6) + CAST(0 AS DOUBLE)
+               AS t_upper,
+           ((diff + {TOST_MARGIN}) / se > {Z_ONE_SIDED_95})
+             AND (({TOST_MARGIN} - diff) / se > {Z_ONE_SIDED_95})
+               AS equivalent
+    FROM p
+    """,
+)
+def agg_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann 1987) —
+    the experimentation shelf's missing direction: welch_t/msprt ask
+    "is there a difference?"; TOST asks "can we DECLARE the groups the
+    same within a margin?" (the non-inferiority / do-no-harm readout a
+    platform needs before shipping a refactor that should not move the
+    metric). H0 is |μ_a − μ_b| ≥ δ; equivalence is declared only when
+    BOTH one-sided statistics (diff + δ)/se and (δ − diff)/se clear the
+    one-sided critical value {Z_ONE_SIDED_95} (normal approximation —
+    the literal-quantile policy; at these n the t and z quantiles agree
+    to 4 dp). Margin δ = {TOST_MARGIN} $ on mean order value between
+    URGENT and LOW priorities (the agg_welch_t pair, whose exact
+    decimal moment staging this reuses: Σx exact DECIMAL, Σx² over
+    whole-dollar-floored k$ so squares stay exact at scale 6).
+
+    Scale: one partial+final aggregate over the pushed-down priority
+    scan, then a 2-row pair — one scan at any corpus size.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    price_k = (
+        F.floor("o_totalprice").cast("decimal(18,0)")
+        * F.lit("0.001").cast("decimal(9,3)")
+    ).cast("decimal(18,6)")
+    m = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice"))
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("sx"),
+        F.sum(price_k * price_k)
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("sxx_k"),
+        F.sum(price_k).cast("decimal(28,6)").cast("double").alias("sfx_k"),
+    )
+    s = m.select(
+        "grp",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (
+            (F.col("sxx_k") - F.col("sfx_k") * F.col("sfx_k") / F.col("n"))
+            / (F.col("n") - 1)
+            * F.lit(1000000.0)
+        ).alias("var"),
+    )
+    a = s.filter(F.col("grp") == "1-URGENT").alias("a")
+    b = s.filter(F.col("grp") == "5-LOW").alias("b")
+    p = a.crossJoin(b).select(
+        F.col("a.n").alias("n_urgent"),
+        F.col("b.n").alias("n_low"),
+        (F.col("a.mean") - F.col("b.mean")).alias("diff"),
+        F.sqrt(
+            F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+        ).alias("se"),
+    )
+    t_lo = (F.col("diff") + TOST_MARGIN) / F.col("se")
+    t_hi = (F.lit(TOST_MARGIN) - F.col("diff")) / F.col("se")
+    return p.select(
+        "n_urgent",
+        "n_low",
+        (F.round("diff", 6) + 0.0).alias("diff"),
+        (F.round("se", 6) + 0.0).alias("se"),
+        (F.round(t_lo, 6) + 0.0).alias("t_lower"),
+        (F.round(t_hi, 6) + 0.0).alias("t_upper"),
+        ((t_lo > Z_ONE_SIDED_95) & (t_hi > Z_ONE_SIDED_95)).alias(
+            "equivalent"
+        ),
+    )

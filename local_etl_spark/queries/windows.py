@@ -3230,3 +3230,143 @@ def win_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("theta_f7"),
     )
+
+
+BOLL_WIN = 19  # calendar days back (20-day band incl. current)
+BOLL_K = 2  # band half-width in rolling sigmas
+
+
+@query(
+    "win_bollinger",
+    family="windows",
+    oracle=f"""
+    WITH day AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS dn,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2, 3
+    ),
+    frames AS (
+        SELECT event_type, d, cents,
+               CAST(count(*) OVER w AS BIGINT) AS n_frame,
+               CAST(sum(cents) OVER w AS BIGINT) AS s1,
+               CAST(sum(cents * cents) OVER w AS BIGINT) AS s2
+        FROM day
+        WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                     RANGE BETWEEN {BOLL_WIN} PRECEDING AND CURRENT ROW)
+    ),
+    b AS (
+        SELECT event_type, d, cents, n_frame,
+               CAST(s1 AS DOUBLE) / CAST(n_frame AS DOUBLE) AS mid_c,
+               CASE WHEN n_frame > 1 THEN
+                   sqrt((CAST(s2 AS DOUBLE)
+                         - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                           / CAST(n_frame AS DOUBLE))
+                        / CAST(n_frame - 1 AS DOUBLE))
+               ELSE CAST(0 AS DOUBLE) END AS sd_c
+        FROM frames
+    )
+    SELECT event_type, d, n_frame,
+           round(CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE), 6)
+               + CAST(0 AS DOUBLE) AS close,
+           round(mid_c / CAST(100 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS mid,
+           round((mid_c + CAST({BOLL_K} AS DOUBLE) * sd_c)
+                 / CAST(100 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS upper,
+           round((mid_c - CAST({BOLL_K} AS DOUBLE) * sd_c)
+                 / CAST(100 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS lower,
+           CAST(cents AS DOUBLE) > mid_c + CAST({BOLL_K} AS DOUBLE) * sd_c
+             OR CAST(cents AS DOUBLE) < mid_c - CAST({BOLL_K} AS DOUBLE)
+                * sd_c AS breach
+    FROM b
+    """,
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over each event_type's daily revenue: rolling
+    {BOLL_WIN + 1}-calendar-day mean ± {BOLL_K}σ with a breach flag —
+    the ROLLING-limits control chart complementing win_spc_control's
+    global Shewhart limits (a drifting series re-centers the band;
+    SPC holds the baseline fixed) and win_rolling_median's robust
+    center (this one is the classic mean/σ form every trading/metrics
+    dashboard draws).
+
+    Determinism: the frame is calendar-exact — RANGE over the epoch-day
+    number, the win_rolling_median discipline, so gapped days shrink
+    the window identically in both engines; frame moments (Σc, Σc²)
+    accumulate as exact BIGINT cents inside the frame; mean/σ derive in
+    one fixed-order double chain; sqrt is the correctly-rounded libm
+    call. Single-day frames define σ = 0 (band collapses to the point;
+    breach false).
+
+    Scale: window input is the (event_type, day) aggregate — map-side
+    combined, calendar-bounded — then one bounded range-frame scan per
+    partition; never the raw corpus.
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01")
+        )
+        .cast("long")
+        .alias("dn"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dn")
+        .rangeBetween(-BOLL_WIN, 0)
+    )
+    frames = day.select(
+        "event_type",
+        "d",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_frame"),
+        F.sum("cents").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents"))
+        .over(w)
+        .cast("bigint")
+        .alias("s2"),
+    )
+    mid_c = F.col("s1").cast("double") / F.col("n_frame").cast("double")
+    sd_c = F.when(
+        F.col("n_frame") > 1,
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - (F.col("s1").cast("double") * F.col("s1").cast("double"))
+                / F.col("n_frame").cast("double")
+            )
+            / (F.col("n_frame") - 1).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    b = frames.select(
+        "event_type",
+        "d",
+        "cents",
+        "n_frame",
+        mid_c.alias("mid_c"),
+        sd_c.alias("sd_c"),
+    )
+    up = F.col("mid_c") + BOLL_K * F.col("sd_c")
+    lo = F.col("mid_c") - BOLL_K * F.col("sd_c")
+    return b.select(
+        "event_type",
+        "d",
+        "n_frame",
+        (F.round(F.col("cents").cast("double") / 100, 6) + 0.0).alias(
+            "close"
+        ),
+        (F.round(F.col("mid_c") / 100, 6) + 0.0).alias("mid"),
+        (F.round(up / 100, 6) + 0.0).alias("upper"),
+        (F.round(lo / 100, 6) + 0.0).alias("lower"),
+        (
+            (F.col("cents").cast("double") > up)
+            | (F.col("cents").cast("double") < lo)
+        ).alias("breach"),
+    )

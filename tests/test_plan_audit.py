@@ -64,6 +64,12 @@ ALLOW_NESTED_LOOP = {
     "llm_quality_buckets",  # same shape: 1-row broadcast corpus token
     # total onto the 5-row bucket aggregate (epochs denominator)
     "agg_welch_t",  # 1-row × 1-row group-pair product (test statistic)
+    "agg_tost",  # same shape: 1-row × 1-row priority pair (TOST stats)
+    "etl_freshness_sla",  # 1-row corpus-max broadcast onto the
+    # per-stream high-water aggregate
+    "llm_ppl_filter_sweep",  # 5-row keep-pct table theta-joined
+    # against the ranked corpus + 1-row token-total broadcast (the
+    # llm_dedup_threshold_sweep shape)
     "agg_chi2",  # 1-row broadcast total + distinct-counts onto the
     # contingency-table aggregate
     "agg_benford",  # 1-row broadcast digit-count total
