@@ -42,6 +42,10 @@ SCEN = [
     "event_id_in_payload",
     "empty_metadata_required",
     "both_name_columns",
+    # property TYPE flipped (score number->string): every doc becomes
+    # type-invalid and the FLOAT value must render through the
+    # Python-repr message machinery under a mutated schema
+    "flip_score_type",
 ]
 
 

@@ -131,6 +131,23 @@ def scenarios() -> dict[str, tuple[dict, dict]]:
         u,
         _mut(c, "payload", ["name"] + cp),
     )
+    # TOP-LEVEL required emptied: a doc missing the whole payload
+    # object validates clean -> reference get_row_data KeyErrors
+    # (crash class); with intact docs both engines must agree
+    top = json.loads(json.dumps(u))
+    top["required"] = []
+    s["empty_top_required"] = (top, c)
+    # property TYPE flipped (score: number -> string): every doc is
+    # now type-invalid and the float value renders through the
+    # Python-repr message machinery ("12.5 is not of type 'string'")
+    flip = json.loads(json.dumps(u))
+    flip["properties"]["payload"]["properties"]["score"]["type"] = "string"
+    s["flip_score_type"] = (flip, c)
+    # property type flipped the other way (name: string -> number):
+    # strings render with repr quotes in the messages
+    flip2 = json.loads(json.dumps(u))
+    flip2["properties"]["payload"]["properties"]["name"]["type"] = "number"
+    s["flip_name_type"] = (flip2, c)
     return s
 
 
