@@ -1133,3 +1133,80 @@ def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("betweenness"),
         F.lit(n_sources).cast("bigint").alias("n_sources"),
     )
+
+
+@query("graph_closeness_sample", family="graph", oracle=None)
+def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source HARMONIC closeness on the trade backbone —
+    completing the centrality trio (pagerank: where mass settles;
+    betweenness: who brokers; closeness: who reaches everyone
+    fastest). Harmonic form (Boldi–Vigna): H(v) = Σ_s 1/d(s,v),
+    the closeness variant that handles disconnected pairs natively
+    (unreachable ⇒ 0 contribution, no infinite mean) — the right
+    choice on a top-K backbone that may shed nodes. Undirected edges
+    make d(s,v) = d(v,s), so distances FROM the sampled sources
+    estimate every node's centrality, scaled by (|V|−1)/|S|.
+
+    Distributed form: the graph_betweenness_sample forward pass minus
+    the σ path counts — level-synchronous multi-source BFS, (src,
+    node)-keyed joins, localCheckpoint lineage cuts; the estimate is
+    one groupBy(node) over the (src, node, dist) visited set. Rows-only
+    (1/d sums are float; the check is the pure-Python replay in
+    tests/test_graph.py).
+
+    100 TB: identical cost model to betweenness — the edge derivation
+    dominates; the BFS runs diameter rounds over node-sized relations,
+    and the source-sample size is the precision/work knob.
+    """
+    e = _betweenness_graph(spark, sf_dir)
+    edges = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    nodes = edges.select(F.col("u").alias("node")).distinct().persist()
+    n_nodes = nodes.count()
+    sources = nodes.filter(
+        F.col("node") % BETW_SOURCE_MOD == 0
+    ).select(F.col("node").alias("src"))
+    n_sources = sources.count()
+
+    frontier = sources.select(
+        "src", F.col("src").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    visited = frontier
+    d = 0
+    while True:
+        d += 1
+        nxt = (
+            frontier.join(edges, frontier.node == edges.u)
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+            .join(
+                visited.select("src", "node"), ["src", "node"], "left_anti"
+            )
+            .select("src", "node", F.lit(d).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    edges.unpersist()
+
+    scale = (
+        float(n_nodes - 1) / float(n_sources) if n_sources else 0.0
+    )
+    h = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(F.sum(1.0 / F.col("dist")).alias("h_raw"))
+    )
+    return nodes.join(h, "node", "left").select(
+        "node",
+        (
+            F.round(F.coalesce(F.col("h_raw"), F.lit(0.0)) * scale, 6)
+            + 0.0
+        ).alias("harmonic"),
+        F.lit(n_sources).cast("bigint").alias("n_sources"),
+    )

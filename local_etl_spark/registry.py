@@ -201,6 +201,7 @@ FIXED_THIS_ROUND: tuple[str, ...] = ()
 # gets its first external record immediately.
 ROWS_ONLY_REPRESENT: tuple[str, ...] = (
     "graph_betweenness_sample",
+    "graph_closeness_sample",
 )
 
 # The driver verifies this many registry-prefix entries per round.

@@ -226,3 +226,69 @@ def test_betweenness_matches_python_brandes(spark):
         assert abs(got[v]["betweenness"] - bc[v] * scale) < 2e-6, v
     # the backbone is sparse enough to have real brokers
     assert any(x > 0 for x in bc.values())
+
+
+def test_closeness_matches_python_bfs(spark):
+    """graph_closeness_sample ≡ pure-Python BFS harmonic sums from the
+    same sampled sources on the same independently rebuilt backbone."""
+    from collections import defaultdict, deque
+
+    import duckdb
+
+    from local_etl_spark.queries.graph import (
+        BETW_EDGE_BUDGET,
+        BETW_SOURCE_MOD,
+        graph_closeness_sample,
+    )
+
+    con = duckdb.connect()
+    try:
+        pairs = con.execute(
+            f"""
+            SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+                   greatest(c.c_nationkey, s.s_nationkey) AS b,
+                   count(*) AS cnt
+            FROM read_parquet('{SF}/lineitem.parquet') l
+            JOIN read_parquet('{SF}/orders.parquet') o
+                 ON l.l_orderkey = o.o_orderkey
+            JOIN read_parquet('{SF}/customer.parquet') c
+                 ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{SF}/supplier.parquet') s
+                 ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2 ORDER BY cnt DESC, a, b
+            LIMIT {BETW_EDGE_BUDGET}
+            """
+        ).fetchall()
+    finally:
+        con.close()
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b, _ in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    sources = [v for v in nodes if v % BETW_SOURCE_MOD == 0]
+    h = dict.fromkeys(nodes, 0.0)
+    for s in sources:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+        for v, d in dist.items():
+            if d > 0:
+                h[v] += 1.0 / d
+
+    scale = (len(nodes) - 1) / len(sources)
+    got = {
+        r["node"]: r for r in graph_closeness_sample(spark, SF).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v]["n_sources"] == len(sources)
+        assert abs(got[v]["harmonic"] - h[v] * scale) < 2e-6, v
+    assert any(x > 0 for x in h.values())
