@@ -3547,3 +3547,126 @@ def agg_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
             "equivalent"
         ),
     )
+
+
+@query(
+    "agg_cohens_d",
+    family="stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderpriority AS grp,
+             count(*) AS n,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                  AS DECIMAL(28,6)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0))
+                                * CAST(0.001 AS DECIMAL(9,3))
+                                AS DECIMAL(18,6))
+                           * CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0))
+                                  * CAST(0.001 AS DECIMAL(9,3))
+                                  AS DECIMAL(18,6)))
+                  AS DECIMAL(28,6)) AS DOUBLE) AS sxx_k,
+             CAST(CAST(sum(CAST(CAST(floor(o_totalprice) AS DECIMAL(18,0))
+                                * CAST(0.001 AS DECIMAL(9,3))
+                                AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                  AS DOUBLE) AS sfx_k
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY o_orderpriority
+    ),
+    s AS (
+      SELECT grp, n, sx / n AS mean,
+             (sxx_k - sfx_k * sfx_k / n) * CAST(1000000 AS DOUBLE) AS ss
+      FROM m
+    ),
+    p AS (
+      SELECT a.n AS n_urgent, b.n AS n_low,
+             a.mean - b.mean AS diff,
+             sqrt((a.ss + b.ss)
+                  / CAST(a.n + b.n - 2 AS DOUBLE)) AS pooled_sd,
+             CAST(a.n + b.n - 2 AS DOUBLE) AS df
+      FROM (SELECT * FROM s WHERE grp = '1-URGENT') a
+      CROSS JOIN (SELECT * FROM s WHERE grp = '5-LOW') b
+    )
+    SELECT n_urgent, n_low,
+           round(diff, 6) + CAST(0 AS DOUBLE) AS diff,
+           round(pooled_sd, 6) + CAST(0 AS DOUBLE) AS pooled_sd,
+           round(diff / pooled_sd, 6) + CAST(0 AS DOUBLE) AS cohens_d,
+           round((diff / pooled_sd)
+                 * (CAST(1 AS DOUBLE)
+                    - CAST(3 AS DOUBLE)
+                      / (CAST(4 AS DOUBLE) * df - CAST(1 AS DOUBLE))), 6)
+               + CAST(0 AS DOUBLE) AS hedges_g
+    FROM p
+    """,
+)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size for the URGENT-vs-LOW order-value
+    comparison: Cohen's d = (μ_a − μ_b)/s_pooled plus Hedges' g
+    small-sample correction g = d·(1 − 3/(4·df − 1)) — the REPORTING
+    layer the experimentation shelf lacked: welch_t answers "is it
+    significant", power_mde answers "what could we detect", tost
+    answers "is it equivalent"; the effect size answers "how BIG is
+    it" in units every experiment shares (the number a meta-analysis
+    like agg_meta_analysis pools). The correction uses the exact
+    algebraic approximation (Hedges 1981) — a rational expression, no
+    gamma function, so it is cross-engine exact.
+
+    Determinism: the agg_welch_t decimal staging (Σx exact DECIMAL,
+    Σx² over whole-dollar-floored k$ exact at scale 6); pooled SD is
+    one sqrt over a fixed-order double chain; rounding at the edge.
+
+    Scale: one partial+final aggregate over the pushed-down priority
+    scan, then a 2-row pair — one scan at any corpus size.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    price_k = (
+        F.floor("o_totalprice").cast("decimal(18,0)")
+        * F.lit("0.001").cast("decimal(9,3)")
+    ).cast("decimal(18,6)")
+    m = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice"))
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("sx"),
+        F.sum(price_k * price_k)
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("sxx_k"),
+        F.sum(price_k).cast("decimal(28,6)").cast("double").alias("sfx_k"),
+    )
+    s = m.select(
+        "grp",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (
+            (F.col("sxx_k") - F.col("sfx_k") * F.col("sfx_k") / F.col("n"))
+            * F.lit(1000000.0)
+        ).alias("ss"),
+    )
+    a = s.filter(F.col("grp") == "1-URGENT").alias("a")
+    b = s.filter(F.col("grp") == "5-LOW").alias("b")
+    p = a.crossJoin(b).select(
+        F.col("a.n").alias("n_urgent"),
+        F.col("b.n").alias("n_low"),
+        (F.col("a.mean") - F.col("b.mean")).alias("diff"),
+        F.sqrt(
+            (F.col("a.ss") + F.col("b.ss"))
+            / (F.col("a.n") + F.col("b.n") - 2).cast("double")
+        ).alias("pooled_sd"),
+        (F.col("a.n") + F.col("b.n") - 2).cast("double").alias("df"),
+    )
+    d = F.col("diff") / F.col("pooled_sd")
+    g = d * (
+        F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * F.col("df") - F.lit(1.0))
+    )
+    return p.select(
+        "n_urgent",
+        "n_low",
+        (F.round("diff", 6) + 0.0).alias("diff"),
+        (F.round("pooled_sd", 6) + 0.0).alias("pooled_sd"),
+        (F.round(d, 6) + 0.0).alias("cohens_d"),
+        (F.round(g, 6) + 0.0).alias("hedges_g"),
+    )

@@ -65,6 +65,7 @@ ALLOW_NESTED_LOOP = {
     # total onto the 5-row bucket aggregate (epochs denominator)
     "agg_welch_t",  # 1-row × 1-row group-pair product (test statistic)
     "agg_tost",  # same shape: 1-row × 1-row priority pair (TOST stats)
+    "agg_cohens_d",  # same shape: 1-row × 1-row priority pair (effect size)
     "etl_freshness_sla",  # 1-row corpus-max broadcast onto the
     # per-stream high-water aggregate
     "llm_ppl_filter_sweep",  # 5-row keep-pct table theta-joined
