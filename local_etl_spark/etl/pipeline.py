@@ -574,7 +574,13 @@ def write_sinks(
         zero-column schema, so the data rows ride the text sink as
         empty strings and the header blank line is a driver-written
         'part-00000' that sorts before every Spark part file; it is
-        created once (the reference's tell()==0 header-once check)."""
+        created once (the reference's tell()==0 header-once check).
+        NOTE (ADVICE r9): the sentinel uses driver-local os.path/open,
+        so this degenerate layout assumes a LOCAL-FS sink path and
+        that 'part-00000' sorts before Spark's 'part-00000-<uuid>'
+        names — fine for the local driver contract this layout exists
+        to byte-match; on a real cluster with an object-store sink,
+        route the header through a 1-row coalesced text write."""
         if df.columns:
             df.write.mode("append").options(**_verbatim).csv(path)
             return

@@ -1384,7 +1384,7 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap² per shingle), and the same count-only closure: containment
     needs just the shared count and the two set sizes — no shingle
     array ever travels through the pair shuffle (the 11× array-dragging
-    trap, CLAUDE.md). On a corpus where the cap binds, pairs touching
+    trap, SCALE.md §13). On a corpus where the cap binds, pairs touching
     capped shingles under-count `shared` (a lower bound — the cap can
     only MISS pairs, never invent them); route those through
     llm_dedup_ngram's full-set verify split. The testdata corpus is
@@ -2139,10 +2139,17 @@ _URL_CANON_STEPS = (
 
 
 def _canon_sql(expr: str, duck: bool) -> str:
+    # The engines share pattern text at the REGEX level, but the SQL
+    # LITERALS differ: Spark's parser processes backslash escapes
+    # inside '...' (so '^www\.' would reach the regex engine as
+    # '^www.' — any char), while DuckDB literals are escape-inert.
+    # Double the backslashes on the Spark side so the regex that RUNS
+    # is identical in both engines (ADVICE r9).
     out = f"lower({expr})"
     for pat, rep in _URL_CANON_STEPS:
         flag = ", 'g'" if duck else ""
-        out = f"regexp_replace({out}, '{pat}', '{rep}'{flag})"
+        p = pat if duck else pat.replace("\\", "\\\\")
+        out = f"regexp_replace({out}, '{p}', '{rep}'{flag})"
     return out
 
 

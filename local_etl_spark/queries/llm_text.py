@@ -632,7 +632,7 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     of scored bigrams; probabilities broadcast back onto the exploded
     bigram stream. Cross-engine determinism: ln(c2/c1) terms are
     identical integer-ratio logs, summed in POSITION order via a
-    sequential list fold on both engines (CLAUDE.md: list_sum ≡
+    sequential list fold on both engines (SCALE.md §11: list_sum ≡
     left→right), then round 6 dp."""
     d = t(spark, sf_dir, "documents")
     big = (

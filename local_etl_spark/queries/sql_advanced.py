@@ -314,7 +314,7 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     the max_by-on-a-composite-key aggregate: one partial+final hash
     aggregate where each task ships a single champion row per key —
     strictly cheaper than the row_number()=1 window, which must sort
-    every partition (CLAUDE gotcha: count/rank-over-window = a sort).
+    every partition (SCALE.md §11: count/rank-over-window = a sort).
     The composite (o_orderdate, o_orderkey) max key makes the champion
     unique, so both engines pick the identical row.
     """

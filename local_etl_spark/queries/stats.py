@@ -3151,7 +3151,7 @@ _MSPRT_SIGMA2 = (
     ),
     ll AS (
         SELECT event_type, d, n_a, n_b,
-               CASE WHEN v IS NOT NULL THEN {_MSPRT_LOGL} END
+               CASE WHEN v > 0 THEN {_MSPRT_LOGL} END
                    AS log_lambda
         FROM vd
     ),
@@ -3197,8 +3197,11 @@ def agg_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     σ² and ln Λ derive through expression text SHARED verbatim with
     the oracle (module constants _MSPRT_*), so both engines run the
     identical IEEE chain; rounding only at the edge. Days where an arm
-    is still empty yield NULL ln Λ (never Inf/NaN — a NaN would poison
-    the running max) and are filtered after the windows materialize.
+    is still empty — or where σ² = 0 (a degenerate all-identical-value
+    prefix makes V = 0, so ln Λ would be ln(0) + 0/0) — yield NULL
+    ln Λ via a shared v > 0 guard (ADVICE r9; never Inf/NaN — a NaN
+    would poison the running max) and the empty-arm days are filtered
+    after the windows materialize.
 
     Scale: one (event_type, day) aggregate over the corpus (map-side
     combined), a per-type σ² aggregate broadcast back, then windows
@@ -3268,7 +3271,7 @@ def agg_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "n_a",
         "n_b",
-        F.when(F.col("v").isNotNull(), F.expr(_MSPRT_LOGL)).alias(
+        F.when(F.col("v") > 0, F.expr(_MSPRT_LOGL)).alias(
             "log_lambda"
         ),
     )

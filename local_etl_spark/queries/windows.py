@@ -360,7 +360,7 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the head as init ≡ DuckDB ``list_reduce`` seeding semantics),
     so the result is bit-identical with no tolerance — the same
     sequential-fold determinism policy as the embedding math
-    (CLAUDE.md). α is the exact double 0.25 (a power of two), so
+    (SCALE.md §5). α is the exact double 0.25 (a power of two), so
     1-α is exact too.
 
     Scale: one shuffle on user_id, then map-side folds; per-user state
@@ -702,7 +702,7 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The moments are exact BIGINT sums over integer day counts,
     aggregated per type and JOINED back (broadcast — type-count-sized)
     rather than windowed: a count-over-window would sort every
-    partition (CLAUDE gotcha), while groupBy + broadcast join reuses
+    partition (SCALE.md §11), while groupBy + broadcast join reuses
     the day-aggregate's exchange and stays sort-free. The z expression
     is fixed-operand-order double math rounded to 6 dp; the flag
     re-derives the same expression so both engines branch on the

@@ -186,6 +186,14 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
     "win_holt_winters", "win_holt_winters_seasonal", "win_interval_merge",
     "win_kalman_1d", "win_rolling_median", "win_rolling_wau",
     "win_spc_control", "win_theta_forecast",
+    # round 9 (CORRECTNESS_r09.json — 48/48 SQL checks green: all 10
+    # r9-new ops on first presentation + 38 RECHECK_PRIORITY re-greens;
+    # the 2 rows-only graph ops recorded spark_rows). Coverage stays
+    # TOTAL: every SQL-oracled query externally hash-matched at least
+    # once, zero failures in nine rounds.
+    "agg_cohens_d", "agg_cusum_ab", "agg_msprt", "agg_tost",
+    "etl_freshness_sla", "llm_dedup_url", "llm_ppl_filter_sweep",
+    "llm_quality_buckets", "win_bollinger", "win_sessionize_split",
 })
 
 # Queries whose LAST driver-recorded status is a failure that has since
@@ -195,13 +203,12 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
 FIXED_THIS_ROUND: tuple[str, ...] = ()
 
 # Rows-only queries re-presented so the ledger records a clean
-# rows-only (spark_rows) check. CORRECTNESS_r08 recorded the final 14
-# never-recorded rows-only ops, so coverage entering round 9 is TOTAL;
-# this slice now carries only rows-only ops ADDED this round, so each
-# gets its first external record immediately.
+# rows-only (spark_rows) check. Coverage is TOTAL (every rows-only op
+# has an external spark_rows record — r9 recorded the two sampled
+# centrality ops); this slice carries only rows-only ops ADDED this
+# round, so each gets its first external record immediately.
 ROWS_ONLY_REPRESENT: tuple[str, ...] = (
-    "graph_betweenness_sample",
-    "graph_closeness_sample",
+    "llm_audio_fingerprint",
 )
 
 # The driver verifies this many registry-prefix entries per round.
@@ -231,25 +238,30 @@ DEFER_FRESH: tuple[str, ...] = ()
 # #2). Listed most-fragile-first; anything beyond this list pads in
 # family round-robin as before.
 RECHECK_PRIORITY: tuple[str, ...] = (
-    # recursive-CTE closure witnesses / composite dedup pipelines
-    "llm_dedup_e2e", "llm_dedup_cluster", "llm_softdedup",
-    "llm_dedup_incremental_near", "llm_dedup_eval",
-    "llm_dedup_threshold_sweep",
-    # bit-arithmetic hash replays (sha256/md5 halves, band hashing)
-    "llm_dedup_bloom_incremental", "llm_dedup_simhash", "llm_fingerprint",
-    # ordered state folds (aggregate() over sorted struct arrays)
-    "win_holt_winters_seasonal", "win_holt_winters", "win_kalman_1d",
-    "win_theta_forecast", "agg_meta_analysis", "win_kaplan_meier",
-    "agg_qte", "win_rolling_median", "etl_audit_chain", "win_cusum",
-    "agg_lorenz", "win_theil_sen",
-    # capped inverted-index dedups + heavy join machinery
-    "llm_dedup_ngram", "llm_dedup_prefix", "llm_dedup_containment",
-    "llm_dedup_substring", "llm_dedup_embed", "agg_heavy_hitters",
-    "join_fuzzy", "join_scd2_pit", "win_match_recognize",
-    "win_history_compress", "win_interval_merge", "win_sessionize",
-    # null-distribution / rank machinery + generated-dim TPC-H shapes
-    "agg_permutation_test", "agg_uplift_qini", "agg_hodges_lehmann",
-    "sql_q2", "sql_q11", "sql_recursive",
+    # Round-10 rotation: the r9 prefix re-greened the previous 38-name
+    # slate (CORRECTNESS_r09, zero failures), so this round cycles to
+    # the heaviest-machinery greens NOT rechecked in r9 — recursive
+    # CTEs, vocabulary-keyed LM folds, ordered window state machines,
+    # cross-engine decimal-staged statistics — most-fragile-first.
+    # recursive-CTE / iterative witnesses
+    "graph_bfs", "sql_recursive",
+    # vocabulary-keyed LM machinery (smoothed ratios, ordered folds)
+    "llm_lm_kneser_ney", "llm_lm_score", "llm_dsir_weight",
+    "llm_kl_shift", "llm_tfidf", "llm_bm25", "llm_contamination",
+    "llm_rouge_overlap", "llm_curate_e2e", "llm_dataset_split",
+    # ordered window state machines / calendar-exact frames
+    "win_ewma", "win_retention_cohort", "win_streaks",
+    "win_attribution", "win_spc_control", "win_forecast_backtest",
+    "win_rolling_wau", "win_acf", "win_seasonal_decompose",
+    "win_mann_kendall", "win_pettitt", "win_gap_fill",
+    "win_period_over_period", "win_rolling_corr", "win_skyline",
+    # cross-engine decimal-staged statistics
+    "agg_regr", "agg_welch_t", "agg_jackknife_ratio", "agg_cuped",
+    "agg_winsorized_mean", "agg_bootstrap_ci", "agg_ks_test",
+    "agg_corr_matrix", "agg_theil", "agg_gini", "agg_benford",
+    # temporal join machinery
+    "join_asof_tolerance", "join_asof_forward", "join_allen_relations",
+    "join_bloom", "join_dpp",
 )
 
 

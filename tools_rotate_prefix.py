@@ -83,7 +83,7 @@ def main() -> int:
     print(f"#    never-recorded rows-only ({len(ro_pending)}): {ro_pending}")
     print(f"#    suggested ROWS_ONLY_REPRESENT = {ro_pending[:slots]}")
     print("\n# 4. empty DEFER_FRESH (its names are now plain fresh) and")
-    print("#    update the CLAUDE.md coverage ledger table.")
+    print("#    update the coverage ledger table in the project notes.")
     return 0
 
 

@@ -373,17 +373,35 @@ def run_scenario(spark, name: str, us: dict, cs: dict, root: Path) -> list[str]:
                 f"{sorted(eng_errs - ref_errs)[:3]}"
             )
         for tbl in ("users", "cards"):
+            # reference MOVES invalid files; the engine records
+            # (file_path, raw) parquet rows — compare basename sets
+            # and the verbatim text (the tools_deep_fuzz surface)
             rq = {
-                os.path.basename(p)
-                for p in glob.glob(str(ref2 / f"{tbl}_schema_mismatches" / "*"))
+                os.path.basename(p): open(p, encoding="utf-8").read()
+                for p in glob.glob(
+                    str(ref2 / f"{tbl}_schema_mismatches" / "*")
+                )
             }
-            eq = set()
-            for part in glob.glob(str(out / f"{tbl}_q" / "part-*")):
-                # engine quarantine: (file_path, raw) parquet? csv? — read names
-                pass
-            # engine quarantine comparison handled by the pinned tests;
-            # here we only compare the reference-visible surfaces above
-            _ = rq, eq
+            qdir = str(out / f"{tbl}_q")
+            eq: dict[str, str] = {}
+            if glob.glob(os.path.join(qdir, "part-*")):
+                eq = {
+                    os.path.basename(r["file_path"]): r["raw"]
+                    for r in spark.read.parquet(qdir).collect()
+                }
+            if set(rq) != set(eq):
+                diffs.append(
+                    f"[{name}] {tbl} quarantine SETS differ: only_ref="
+                    f"{sorted(set(rq) - set(eq))[:3]} only_eng="
+                    f"{sorted(set(eq) - set(rq))[:3]}"
+                )
+            else:
+                bad = [k for k in rq if rq[k] != eq[k]]
+                if bad:
+                    diffs.append(
+                        f"[{name}] {tbl} quarantine BYTES differ: "
+                        f"{bad[:3]}"
+                    )
     return diffs
 
 
