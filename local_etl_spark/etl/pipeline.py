@@ -183,23 +183,33 @@ def _fv(obj: str, fname: str) -> Column:
     return F.variant_get(F.col("v"), f"$.{obj}.{fname}", "variant")
 
 
-def _render_fv(fv: Column, json_type: str | None = None) -> Column:
+def _render_fv(
+    fv: Column,
+    json_type: str | None = None,
+    valid_col: Column | None = None,
+) -> Column:
     """Output rendering of a variant value as the reference's CSV
     writer would print it: missing key → '' (restval), None → ''
     (csv module), str(value) otherwise. ``json_type`` (the field's
     declared schema type) narrows the render to the shapes a VALID row
-    can hold — see validate.render_typed."""
+    can hold — see validate.render_typed, incl. the ``valid_col``
+    contract (v2-only boolean fast guard)."""
     sv = F.schema_of_variant(fv)
     return F.coalesce(
         F.when(F.is_variant_null(fv), F.lit("")).otherwise(
-            render_typed(fv, sv, json_type)
+            render_typed(fv, sv, json_type, valid_col)
         ),
         F.lit(""),
     )
 
 
-def _render_field(obj: str, fname: str, json_type: str | None = None) -> Column:
-    return _render_fv(_fv(obj, fname), json_type)
+def _render_field(
+    obj: str,
+    fname: str,
+    json_type: str | None = None,
+    valid_col: Column | None = None,
+) -> Column:
+    return _render_fv(_fv(obj, fname), json_type, valid_col)
 
 
 def classify(docs: DataFrame, schema: EnvelopeSchema) -> DataFrame:
@@ -359,7 +369,9 @@ def _v2_stage1(schema: EnvelopeSchema) -> tuple:
     out.append(_fv("metadata", "event_id").alias("_fkv_event_id"))
     for c in ("name", "created_by_name"):
         out.append(
-            _render_fv(_fv("payload", c), ptypes.get(c)).alias(f"_nm_{c}")
+            _render_fv(
+                _fv("payload", c), ptypes.get(c), F.col("is_valid")
+            ).alias(f"_nm_{c}")
         )
         out.append(_fv("payload", c).isNotNull().alias(f"_hn_{c}"))
     return tuple(out)
@@ -384,8 +396,12 @@ def _v2_out_columns(schema: EnvelopeSchema) -> tuple[tuple, tuple]:
     """
     ptypes = {f.name: f.json_type for f in schema.payload.fields}
     mtypes = {f.name: f.json_type for f in schema.metadata.fields}
+    # v2 slots read their OWN envelope object, so is_valid ⇒ declared
+    # shape and the renders take the boolean fast guard (render_typed
+    # valid_col contract; v1 must NOT do this — merged-dict shadowing)
+    valid = F.col("is_valid")
     cols = {
-        f: _render_fv(F.col(f"_pv_{f}"), ptypes.get(f))
+        f: _render_fv(F.col(f"_pv_{f}"), ptypes.get(f), valid)
         for f in dict.fromkeys(schema.payload.required)
     }
     has_address = F.col("_pv_address").isNotNull()
@@ -401,7 +417,7 @@ def _v2_out_columns(schema: EnvelopeSchema) -> tuple[tuple, tuple]:
     # overwrites a payload-required event_id slot exactly like the
     # reference's payload_dict['event_id'] assignment
     cols["event_id"] = _render_fv(
-        F.col("_fkv_event_id"), mtypes.get("event_id")
+        F.col("_fkv_event_id"), mtypes.get("event_id"), valid
     )
     payload_fields, metadata_fields = v2_field_names(schema)
     if any(c in payload_fields for c in ("name", "created_by_name")):
@@ -439,7 +455,7 @@ def _v2_out_columns(schema: EnvelopeSchema) -> tuple[tuple, tuple]:
     return (
         tuple(cols[f].alias(f) for f in payload_fields),
         tuple(
-            _render_field("metadata", f, mtypes.get(f)).alias(f)
+            _render_field("metadata", f, mtypes.get(f), valid).alias(f)
             for f in metadata_fields
         ),
     )
@@ -625,12 +641,12 @@ def write_sinks(
         .text(cfg.path(f"{cfg.errors_log}.d"))
     )
 
-    # Materialize-then-fan-out: the count() computes every partition
-    # into the persisted classification (and fires the observe()
-    # counters over the full input); the output sink then runs alone as
-    # the first warm-cache read, and the remaining sinks are
-    # independent filtered reads running as concurrent Spark jobs so
-    # their fixed scheduling + file-commit overhead overlaps.
+    # Materialize-then-fan-out: the first sink job computes every
+    # partition into the persisted classification (its filter sits
+    # above the cache node, so the observe() counters fire over the
+    # full input); the remaining sinks are independent filtered
+    # warm-cache reads running as concurrent Spark jobs so their fixed
+    # scheduling + file-commit overhead overlaps.
     # (Launching all four concurrently on a cold cache is still
     # correct — racing jobs duplicate partition compute, never corrupt
     # it — but measured 30% slower on the 2000-file corpus, and leaves
@@ -648,10 +664,15 @@ def write_sinks(
     # time only — the threaded writes plan after the restore).
     ws_key = "spark.sql.codegen.wholeStage"
     spark = classified.sparkSession
-    # materialize the classification cache FIRST, under normal fusion:
-    # the classify when-chain is the expensive compute and fuses well;
-    # only the render sink jobs (cache reads) plan non-fused
-    classified.count()
+    # The FIRST sink write also materializes the classification cache
+    # (and fires run_table's observe() counters — its filter sits
+    # above the cache node, so the job computes every partition). A
+    # separate count() job was tried in round 9 to stage the cache
+    # under fused conf; measured round 10: non-fused classify
+    # materialization is within noise of fused (the ~40-branch CASE
+    # splits per expression and compiles), while the dedicated count
+    # job costs a full warm-cache pass (~0.24 s at 50 k rows) — so the
+    # sink write materializes directly, one job fewer per table.
     ws_old = spark.conf.get(ws_key, "true")
     spark.conf.set(ws_key, "false")
     try:
