@@ -621,3 +621,92 @@ def image_hashes(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(hash_batches, schema=IMAGE_HASH_SCHEMA)
+
+
+# --- audio fingerprint (round 10: energy-envelope dHash) ---------------
+
+AUDIO_FP_BANDS = 65  # 65 band energies -> 64 sign-of-delta bits
+
+
+def _wav_pcm16(raw: bytes) -> tuple:
+    """PCM16 sample tuple from a RIFF/WAVE byte string (the
+    wav_windows chunk walk, factored for reuse)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, data = 12, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            data = raw[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("missing data chunk")
+    n = len(data) // 2
+    return struct.unpack("<%dh" % n, data[: 2 * n])
+
+
+def audio_fp64(raw: bytes) -> int:
+    """64-bit energy-envelope fingerprint of a WAV stream: split the
+    PCM16 samples into AUDIO_FP_BANDS time bands (band i covers
+    samples [i·n/B, (i+1)·n/B) — length-normalized, so the signature
+    compares streams of different durations), take each band's energy
+    (exact integer sum of squares), and emit the dHash of the
+    envelope: bit i = 1 iff energy[i+1] > energy[i]. Sign-of-delta is
+    the loudness CONTOUR — robust to uniform gain (scaling all
+    samples preserves every comparison), which is exactly why
+    industrial audio fingerprints (Haitsma–Kalker/Shazam family) hash
+    energy differences rather than energies. All-integer, so the
+    value is bit-reproducible on any platform."""
+    samples = _wav_pcm16(raw)
+    n = len(samples)
+    b = AUDIO_FP_BANDS
+    energies = []
+    for i in range(b):
+        lo, hi = i * n // b, (i + 1) * n // b
+        energies.append(sum(s * s for s in samples[lo:hi]))
+    fp = 0
+    for i in range(b - 1):
+        if energies[i + 1] > energies[i]:
+            fp |= 1 << i
+    return fp
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("fp", T.LongType()),
+        T.StructField("fp_hex", T.StringType()),
+    ]
+)
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio fingerprinting over the media table's audio
+    rows: one 64-bit energy-envelope dHash per stream (audio_fp64).
+    LongType carries the two's-complement form for JVM bit ops
+    (xor/bit_count), fp_hex the unsigned spelling."""
+
+    def fp_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        def signed(u: int) -> int:
+            return u - (1 << 64) if u >= (1 << 63) else u
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FP_SCHEMA.fields}
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "audio":
+                    continue
+                raw = bytes(payload)
+                u = audio_fp64(raw)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(_wav_pcm16(raw)))
+                out["fp"].append(signed(u))
+                out["fp_hex"].append(f"{u:016x}")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fp_batches, schema=AUDIO_FP_SCHEMA)

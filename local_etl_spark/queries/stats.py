@@ -3673,3 +3673,214 @@ def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(d, 6) + 0.0).alias("cohens_d"),
         (F.round(g, 6) + 0.0).alias("hedges_g"),
     )
+
+
+# --- group-sequential test (O'Brien–Fleming), round 10 -----------------
+
+GST_K = 5  # scheduled interim looks
+# O'Brien–Fleming group-sequential critical value for K=5 equally
+# spaced looks, two-sided alpha=0.05 (Jennison & Turnbull Table 2.3 /
+# Pocock 1982: C_B(5, 0.05) = 2.040): the look-k Z boundary is
+# C_B * sqrt(K/k), i.e. 4.562, 3.226, 2.634, 2.281, 2.040 — very hard
+# to cross early, ~fixed-horizon at the final look.
+GST_OBF_C = 2.0401
+
+_GST_Z = (
+    f"({_MSPRT_DELTA} / sqrt({_MSPRT_V.replace('sigma2', _MSPRT_SIGMA2)}))"
+)
+# arm-presence + degenerate-variance guard (the agg_msprt v > 0
+# policy: an all-identical-value prefix makes V = 0 and Z = x/0)
+_GST_Z_OK = f"(n_a > 0 AND n_b > 0 AND {_MSPRT_SIGMA2} > 0)"
+_GST_BOUND = (
+    f"(CAST({GST_OBF_C} AS DOUBLE)"
+    f" * sqrt(CAST({GST_K} AS DOUBLE) / CAST(look_k AS DOUBLE)))"
+)
+
+
+@query(
+    "agg_gst_obrien_fleming",
+    family="stats",
+    oracle=f"""
+    WITH u AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS a,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    sig AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS tn,
+               CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS sc,
+               CAST(CAST(sum(c * c) AS BIGINT) AS DOUBLE) AS scc,
+               CAST(count(*) AS BIGINT) AS tot_n
+        FROM u GROUP BY event_type
+    ),
+    day AS (
+        SELECT event_type, d,
+               CAST(sum(a) AS BIGINT) AS na_d,
+               CAST(count(*) - sum(a) AS BIGINT) AS nb_d,
+               CAST(sum(CASE WHEN a = 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS sa_d,
+               CAST(sum(CASE WHEN a = 0 THEN c ELSE 0 END) AS BIGINT)
+                   AS sb_d
+        FROM u GROUP BY event_type, d
+    ),
+    cum AS (
+        SELECT event_type, d,
+               sum(na_d) OVER w AS n_a, sum(nb_d) OVER w AS n_b,
+               sum(sa_d) OVER w AS s_a, sum(sb_d) OVER w AS s_b
+        FROM day
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    looks AS (SELECT k AS look_k FROM (VALUES (1), (2), (3), (4), (5))
+              AS t(k)),
+    look_day AS (
+        SELECT c.event_type, l.look_k, min(c.d) AS d
+        FROM cum c
+        JOIN sig g ON c.event_type = g.event_type
+        CROSS JOIN looks l
+        WHERE (c.n_a + c.n_b) * {GST_K}
+              >= CAST(l.look_k AS BIGINT) * g.tot_n
+        GROUP BY c.event_type, l.look_k
+    ),
+    at_look AS (
+        SELECT ld.event_type, ld.look_k, ld.d,
+               c.n_a, c.n_b, c.s_a, c.s_b, g.tn, g.sc, g.scc, g.tot_n
+        FROM look_day ld
+        JOIN cum c ON ld.event_type = c.event_type AND ld.d = c.d
+        JOIN sig g ON ld.event_type = g.event_type
+    ),
+    z AS (
+        SELECT event_type, look_k, d, n_a, n_b,
+               CAST(n_a + n_b AS DOUBLE) / CAST(tot_n AS DOUBLE)
+                   AS info_frac,
+               CASE WHEN {_GST_Z_OK} THEN {_GST_Z} END AS zstat,
+               {_GST_BOUND} AS bound
+        FROM at_look
+    )
+    SELECT event_type, look_k, d,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(info_frac, 6) + CAST(0 AS DOUBLE) AS info_frac,
+           round(zstat, 6) + CAST(0 AS DOUBLE) AS z,
+           round(bound, 6) + CAST(0 AS DOUBLE) AS boundary,
+           abs(zstat) >= bound AS rejected
+    FROM z
+    """,
+)
+def agg_gst_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential test with O'Brien–Fleming boundaries — the
+    scheduled-looks member completing the sequential-testing shelf
+    (VERDICT r9 #7): agg_msprt is always-valid (peek anytime),
+    agg_cusum_ab is the SRM alarm, and THIS is the industry-standard
+    K-scheduled-interim-analyses design (the regulatory/clinical and
+    large-platform default). K = {GST_K} looks at information
+    fractions k/K; look k fires on the FIRST day the cumulative
+    sample count reaches k/K of the corpus total (the compare is
+    exact BIGINT: cum_n·K ≥ k·tot_n). At each look the two-arm
+    Z-statistic (the agg_msprt md5-split and exact-cents moments;
+    Z = δ/√V with the plug-in σ²) meets the O'Brien–Fleming boundary
+    C·√(K/k) — literals + sqrt only, no libm beyond the one
+    correctly-rounded IEEE op (the agg_power_mde normal-quantile
+    policy).
+
+    Determinism: daily/cumulative moments are exact BIGINT cents; δ,
+    V, σ², Z and the boundary derive through expression text SHARED
+    verbatim with the oracle (_GST_Z/_GST_BOUND reuse the _MSPRT_*
+    fragments), so both engines run the identical IEEE chain;
+    info_frac is one double division of exact BIGINTs; rounding only
+    at the edge, `rejected` compares the unrounded doubles.
+
+    Scale: the same one-pass shape as agg_msprt — one (event_type,
+    day) aggregate (map-side combined), a per-type totals aggregate
+    broadcast back, cumulative windows over the calendar-bounded day
+    grid, and a {GST_K}-row literal broadcast theta-join to place the
+    looks. A live platform stores 4 integers per (type, day) and
+    evaluates each look once — this query IS that evaluation replayed
+    over history.
+    """
+    e = t(spark, sf_dir, "events")
+    u = e.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        (
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+            < "8"
+        )
+        .cast("int")
+        .alias("a"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    sig = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("tn"),
+        F.sum("c").cast("bigint").cast("double").alias("sc"),
+        F.sum(F.col("c") * F.col("c"))
+        .cast("bigint")
+        .cast("double")
+        .alias("scc"),
+        F.count(F.lit(1)).cast("bigint").alias("tot_n"),
+    )
+    day = u.groupBy("event_type", "d").agg(
+        F.sum("a").cast("bigint").alias("na_d"),
+        (F.count(F.lit(1)) - F.sum("a")).cast("bigint").alias("nb_d"),
+        F.sum(F.when(F.col("a") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("sa_d"),
+        F.sum(F.when(F.col("a") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("sb_d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = day.select(
+        "event_type",
+        "d",
+        F.sum("na_d").over(w).alias("n_a"),
+        F.sum("nb_d").over(w).alias("n_b"),
+        F.sum("sa_d").over(w).alias("s_a"),
+        F.sum("sb_d").over(w).alias("s_b"),
+    )
+    looks = spark.range(1, GST_K + 1).select(
+        F.col("id").cast("int").alias("look_k")
+    )
+    look_day = (
+        cum.join(F.broadcast(sig.select("event_type", "tot_n")), "event_type")
+        .crossJoin(F.broadcast(looks))
+        .filter(
+            (F.col("n_a") + F.col("n_b")) * GST_K
+            >= F.col("look_k").cast("bigint") * F.col("tot_n")
+        )
+        .groupBy("event_type", "look_k")
+        .agg(F.min("d").alias("d"))
+    )
+    at_look = look_day.join(cum, ["event_type", "d"]).join(
+        F.broadcast(sig), "event_type"
+    )
+    z = at_look.select(
+        "event_type",
+        "look_k",
+        "d",
+        "n_a",
+        "n_b",
+        (
+            (F.col("n_a") + F.col("n_b")).cast("double")
+            / F.col("tot_n").cast("double")
+        ).alias("info_frac"),
+        F.when(F.expr(_GST_Z_OK), F.expr(_GST_Z)).alias("zstat"),
+        F.expr(_GST_BOUND).alias("bound"),
+    )
+    return z.select(
+        "event_type",
+        "look_k",
+        "d",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.round("info_frac", 6) + 0.0).alias("info_frac"),
+        (F.round("zstat", 6) + 0.0).alias("z"),
+        (F.round("bound", 6) + 0.0).alias("boundary"),
+        (F.abs(F.col("zstat")) >= F.col("bound")).alias("rejected"),
+    )

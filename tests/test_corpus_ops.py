@@ -1006,3 +1006,92 @@ def test_cusum_ab_python_replay(spark):
         assert r["alarm"] == (sp > thr or sn > thr)
         n_checked += 1
     assert n_checked == len(out)
+
+
+def test_gst_obrien_fleming_python_replay(spark):
+    """Third implementation for agg_gst_obrien_fleming: DuckDB day
+    aggregates, then the look placement (first day cum_n*K >= k*tot,
+    exact ints), Z = delta/sqrt(V) and the OBF boundary C*sqrt(K/k)
+    replayed in pure Python floats."""
+    import math
+
+    from local_etl_spark.queries.stats import GST_K, GST_OBF_C
+
+    con = duckdb.connect()
+    try:
+        days = con.execute(
+            f"""
+            WITH u AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                       CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 1) < '8'
+                            THEN 1 ELSE 0 END AS a,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM read_parquet('{SF}/events.parquet')
+            )
+            SELECT event_type, d,
+                   sum(a), count(*) - sum(a),
+                   sum(CASE WHEN a = 1 THEN c ELSE 0 END),
+                   sum(CASE WHEN a = 0 THEN c ELSE 0 END)
+            FROM u GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).fetchall()
+        sig = dict(
+            (et, (float(tn), float(sc), float(scc), int(tn)))
+            for et, tn, sc, scc in con.execute(
+                f"""
+                SELECT event_type, count(*),
+                       sum(CAST(round(value * 100) AS BIGINT)),
+                       sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT))
+                FROM read_parquet('{SF}/events.parquet') GROUP BY 1
+                """
+            ).fetchall()
+        )
+    finally:
+        con.close()
+
+    out = {
+        (r["event_type"], r["look_k"]): r
+        for r in get("agg_gst_obrien_fleming").fn(spark, SF).collect()
+    }
+    assert out
+    series: dict[str, list] = {}
+    for et, d, na, nb, sa, sb in days:
+        series.setdefault(et, []).append(
+            (d, int(na), int(nb), int(sa), int(sb))
+        )
+    n_checked = 0
+    for et, rows_ in series.items():
+        tn, sc, scc, tot_n = sig[et]
+        sigma2 = ((scc - (sc * sc) / tn) / (tn - 1.0)) / 10000.0
+        n_a = n_b = s_a = s_b = 0
+        next_k = 1
+        for d, na, nb, sa, sb in rows_:
+            n_a += na
+            n_b += nb
+            s_a += sa
+            s_b += sb
+            while next_k <= GST_K and (n_a + n_b) * GST_K >= next_k * tot_n:
+                k = next_k
+                next_k += 1
+                r = out[(et, k)]
+                assert r["d"] == d and r["n_a"] == n_a and r["n_b"] == n_b
+                bound = GST_OBF_C * math.sqrt(float(GST_K) / float(k))
+                assert abs(r["boundary"] - bound) < 2e-6
+                assert abs(
+                    r["info_frac"] - float(n_a + n_b) / float(tot_n)
+                ) < 2e-6
+                if n_a > 0 and n_b > 0 and sigma2 > 0:
+                    delta = (
+                        float(s_a) / float(n_a) - float(s_b) / float(n_b)
+                    ) / 100.0
+                    v = sigma2 * (1.0 / float(n_a) + 1.0 / float(n_b))
+                    zz = delta / math.sqrt(v)
+                    assert abs(r["z"] - zz) < 2e-6
+                    assert r["rejected"] == (abs(zz) >= bound)
+                else:
+                    assert r["z"] is None
+                n_checked += 1
+    assert n_checked == len(out) == 5 * GST_K

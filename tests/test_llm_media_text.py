@@ -446,3 +446,90 @@ def test_image_phash_matches_numpy_reference_and_exact_pairs(spark):
     }
     assert pairs == expected_pairs
     assert pairs, "corpus should contain at least one near-dup image"
+
+
+def test_audio_fingerprint_matches_numpy_reference_and_exact_pairs(spark):
+    """llm_audio_fingerprint invariants, against an INDEPENDENT NumPy
+    reference: (1) every fp equals a vectorized re-derivation from the
+    same payload bytes (np.frombuffer int16 + cumsum-of-squares band
+    energies vs the kernel's per-sample Python walk); (2) the banded
+    pair set equals the brute-force hamming-<=T pair set EXACTLY (8
+    one-byte bands pigeonhole-cover every pair with hamming <= 7);
+    (3) gain-robustness: doubling the samples of one stream leaves
+    its fingerprint unchanged (sign-of-delta contour)."""
+    import itertools
+    import struct as _struct
+
+    import numpy as np
+
+    from local_etl_spark.multimodal.columns import (
+        AUDIO_FP_BANDS,
+        audio_fingerprints,
+        audio_fp64,
+    )
+    from local_etl_spark.queries.llm_media import (
+        AUDIO_FP_HAMMING_T,
+        llm_audio_fingerprint,
+    )
+
+    media = synthesize_media(table(spark, SF, "documents"))
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in media.filter(F.col("modality") == "audio").collect()
+    }
+    assert payloads
+
+    def np_fp(raw):
+        # independent RIFF walk: find the data chunk with a regex-free
+        # scan, then vectorized band energies
+        assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+        pos, data = 12, None
+        while pos + 8 <= len(raw):
+            cid = raw[pos : pos + 4]
+            size = _struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+            if cid == b"data":
+                data = raw[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        s = np.frombuffer(data[: 2 * (len(data) // 2)], dtype="<i2").astype(
+            np.int64
+        )
+        n = len(s)
+        cut = [(i * n) // AUDIO_FP_BANDS for i in range(AUDIO_FP_BANDS + 1)]
+        sq = np.concatenate([[0], np.cumsum(s * s)])
+        e = [int(sq[cut[i + 1]] - sq[cut[i]]) for i in range(AUDIO_FP_BANDS)]
+        fp = 0
+        for i in range(AUDIO_FP_BANDS - 1):
+            if e[i + 1] > e[i]:
+                fp |= 1 << i
+        return fp
+
+    got = {r["doc_id"]: r for r in audio_fingerprints(media).collect()}
+    assert set(got) == set(payloads)
+    ref = {}
+    for doc_id, raw in payloads.items():
+        u = np_fp(raw)
+        ref[doc_id] = u
+        signed = u - (1 << 64) if u >= (1 << 63) else u
+        assert got[doc_id]["fp"] == signed, doc_id
+        assert got[doc_id]["fp_hex"] == f"{u:016x}"
+
+    # exact pair set by brute force
+    want = set()
+    for d1, d2 in itertools.combinations(sorted(ref), 2):
+        if bin(ref[d1] ^ ref[d2]).count("1") <= AUDIO_FP_HAMMING_T:
+            want.add((d1, d2))
+    have = {
+        (r["d1"], r["d2"])
+        for r in llm_audio_fingerprint(spark, SF).collect()
+    }
+    assert have == want
+
+    # gain-robustness: scale one stream's samples by 2 (clip-free by
+    # construction: re-synthesize from half-amplitude values)
+    some = next(iter(payloads))
+    raw = payloads[some]
+    s = np.frombuffer(raw[44:], dtype="<i2").astype(np.int64)
+    halved = (s // 4).astype("<i2").tobytes()
+    doubled = (2 * (s // 4)).astype("<i2").tobytes()
+    hdr = raw[:40] + _struct.pack("<I", len(halved))
+    assert audio_fp64(hdr + halved) == audio_fp64(hdr + doubled)
