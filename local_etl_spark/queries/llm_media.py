@@ -181,14 +181,18 @@ def llm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     with hamming ≤ 7 must agree on ≥1 of 8 one-byte bands, so 8
     equi-joins are EXACT for the ≤{AUDIO_FP_HAMMING_T} bar — no
     nested loop, no recall loss. Verification is one xor+bit_count
-    per candidate.
+    per candidate. Output is one row per audio doc — fingerprint plus
+    its near-dup census (n_near_dups, min_hamming) — so the result is
+    non-degenerate at every SF (the shipped sf0.01 corpus contains no
+    pair within the bar; a pair-list would record 0 rows externally).
 
     Scale: fingerprinting is one Arrow-batched map pass (each stream
     read once); the 8 band joins key on (band, byte) so postings stay
     hash-partitioned and only same-byte buckets pair at any corpus
     size. Rows-only (binary kernel + banding isn't SQL-expressible);
     tests/test_llm_media_text.py recomputes every fingerprint with an
-    independent reference and the exact pair set by brute force.
+    independent reference and the exact per-doc census against the
+    brute-force pair set.
     """
     from local_etl_spark.multimodal.columns import audio_fingerprints
 
@@ -211,14 +215,35 @@ def llm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "fp", "k.band", "k.bv")
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    return (
+    partners = (
         a.join(b, ["band", "bv"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("partner"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= AUDIO_FP_HAMMING_T)
-        .dropDuplicates(["d1", "d2"])
+        .dropDuplicates(["doc_id", "partner"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_near_dups"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+    )
+    # one row per AUDIO DOC (non-degenerate at every SF — the shipped
+    # sf0.01 corpus happens to contain no pair within the ≤6 bar, and
+    # a 0-row external record pins nothing), carrying the fingerprint
+    # and its near-dup census; the banded pair machinery above is the
+    # same plan the pair-list form would run.
+    return fps.join(partners, "doc_id", "left").select(
+        "doc_id",
+        "n_samples",
+        "fp_hex",
+        F.coalesce(F.col("n_near_dups"), F.lit(0).cast("bigint")).alias(
+            "n_near_dups"
+        ),
+        F.coalesce(F.col("min_hamming"), F.lit(-1).cast("int")).alias(
+            "min_hamming"
+        ),
     )

@@ -96,3 +96,59 @@ def test_cli_query_runner(spark, capsys):
     assert "Elapsed:" in out
 
     assert main(["--query", "definitely_not_a_query"]) == 2
+
+
+def test_query_collects_stay_driver_sized(spark):
+    """Driver-boundedness guard (VERDICT r9 #9): every .collect() a
+    query fn makes while BUILDING its DataFrame must stay model-sized
+    (query vectors, trained codebooks, manifests) — never
+    corpus-proportional. Discovers the collecting ops from their own
+    source, runs each at sf0.01 with the classic DataFrame's collect
+    wrapped (the pyspark.sql.DataFrame base is abstract in Spark 4 —
+    patching it misses the subclass override), and asserts every
+    internal collect returns <= the declared bound. tools_driver_sim
+    applies the same guard to ALL ops at every sim SF, so a future
+    op with a new collect is caught there each round even if its
+    collect hides in a helper this source scan can't see."""
+    import inspect
+
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from local_etl_spark import registry
+
+    registry._load_all_modules()
+    BOUND = 25_000
+    # ops whose collect hides in a shared helper the per-fn source
+    # scan can't see (the sim-level guard still covers them at all SFs)
+    helper_collectors = {"llm_kmeans_train"}
+    collectors = [
+        (name, spec)
+        for name, spec in registry.REGISTRY.items()
+        if ".collect(" in inspect.getsource(spec.fn)
+        or name in helper_collectors
+    ]
+    # the known-collector families must be discovered (the scan going
+    # silently empty would neuter the guard)
+    found = {n for n, _ in collectors}
+    assert {"llm_simsearch_ivf", "llm_kmeans_train", "llm_simsearch_pq"} <= found
+
+    sizes: dict[str, int] = {}
+    orig = CDF.collect
+    cur = [None]
+
+    def wrapped(self):
+        rows = orig(self)
+        if cur[0] is not None:
+            sizes[cur[0]] = max(sizes.get(cur[0], 0), len(rows))
+        return rows
+
+    CDF.collect = wrapped
+    try:
+        for name, spec in collectors:
+            cur[0] = name
+            spec.fn(spark, "/root/testdata/sf0.01")
+            cur[0] = None
+    finally:
+        CDF.collect = orig
+    over = {n: v for n, v in sizes.items() if v > BOUND}
+    assert not over, f"driver over-collects at sf0.01: {over}"

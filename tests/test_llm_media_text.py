@@ -513,16 +513,20 @@ def test_audio_fingerprint_matches_numpy_reference_and_exact_pairs(spark):
         assert got[doc_id]["fp"] == signed, doc_id
         assert got[doc_id]["fp_hex"] == f"{u:016x}"
 
-    # exact pair set by brute force
-    want = set()
+    # exact per-doc near-dup census against the brute-force pair set
+    want_n = {d: 0 for d in ref}
+    want_min = {d: -1 for d in ref}
     for d1, d2 in itertools.combinations(sorted(ref), 2):
-        if bin(ref[d1] ^ ref[d2]).count("1") <= AUDIO_FP_HAMMING_T:
-            want.add((d1, d2))
-    have = {
-        (r["d1"], r["d2"])
-        for r in llm_audio_fingerprint(spark, SF).collect()
-    }
-    assert have == want
+        h = bin(ref[d1] ^ ref[d2]).count("1")
+        if h <= AUDIO_FP_HAMMING_T:
+            for x in (d1, d2):
+                want_n[x] += 1
+                want_min[x] = h if want_min[x] < 0 else min(want_min[x], h)
+    rows = {r["doc_id"]: r for r in llm_audio_fingerprint(spark, SF).collect()}
+    assert set(rows) == set(ref)
+    for d, r in rows.items():
+        assert r["n_near_dups"] == want_n[d], d
+        assert r["min_hamming"] == want_min[d], d
 
     # gain-robustness: scale one stream's samples by 2 (clip-free by
     # construction: re-synthesize from half-amplitude values)

@@ -21,6 +21,31 @@ import __spark_entry__ as e
 spark = get_spark()
 qs, os_ = e.queries(), e.oracle_sql()
 
+# Driver-boundedness guard (VERDICT r9 #9): every .collect() a query
+# fn makes internally must stay model-sized — query vectors, trained
+# codebooks, file manifests — never corpus-proportional. Wrap the
+# classic DataFrame's collect (the pyspark.sql.DataFrame base is
+# abstract in Spark 4 — patching it misses the subclass override) and
+# fail the sim if any op over-collects. Observed legit max at sf0.01:
+# 1,024 rows (the IVF training sample); the bound leaves ~20× headroom
+# while still catching any big-table corpus collect outright.
+COLLECT_BOUND = 25_000
+from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+_collect_orig = _CDF.collect
+_cur_op: list = [None]
+_over: list = []
+
+
+def _guarded_collect(self):
+    rows = _collect_orig(self)
+    if _cur_op[0] is not None and len(rows) > COLLECT_BOUND:
+        _over.append((_cur_op[0], len(rows)))
+    return rows
+
+
+_CDF.collect = _guarded_collect
+
 df = e.entry(spark)
 rows = df.collect()
 print(f"entry: {len(rows)} rows, schema {[f.name for f in df.schema.fields]}", flush=True)
@@ -32,7 +57,9 @@ for i, (name, fn) in enumerate(qs.items()):
     if only and name not in only:
         continue
     try:
+        _cur_op[0] = name  # guard INTERNAL collects during fn build
         sdf = fn(spark, sf_dir)
+        _cur_op[0] = None  # the sim's own result collect is exempt
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
     except Exception as ex:
@@ -63,6 +90,11 @@ for i, (name, fn) in enumerate(qs.items()):
         print(f"[{i}] {name}: VALUE MISMATCH", flush=True)
         continue
     print(f"[{i}] {name}: ok ({len(srows)} rows)", flush=True)
+
+for op, n in _over:
+    fails.append((op, f"driver over-collect: {n} rows > {COLLECT_BOUND}"))
+    print(f"OVER-COLLECT {op}: {n} rows > {COLLECT_BOUND}", flush=True)
+_CDF.collect = _collect_orig
 
 print(f"\n{time.time()-t0:.1f}s total; {len(fails)} failures")
 for name, why in fails:
