@@ -153,15 +153,70 @@ def read_event_docs(spark: SparkSession, data_dir: str) -> DataFrame:
     """
     content = F.col("content")
     raw = content.cast("string")  # UTF-8 with U+FFFD replacement, never throws
-    return (
+    scan = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.json")
         .load(data_dir)
         .select(
             F.regexp_replace(F.col("path"), "^file:", "").alias("file_path"),
-            raw.alias("raw"),
-            F.when(F.expr("is_valid_utf8(content)"), _parse_event(raw)).alias("v"),
+            content.alias("content"),
         )
+    )
+    # HIDDEN-FILE repair (table fuzz, round 10): every Spark file
+    # source — dir listing, explicit paths, even sc.binaryFiles —
+    # silently drops names starting with '.' or '_' (the Hadoop
+    # metadata convention: _SUCCESS, ._copying). The reference's
+    # endswith('.json') check has no such notion: '.json' and
+    # '_backup.json' are data to it. List the stragglers driver-side
+    # (the _scan_partitions local-listing pattern; non-local dirs
+    # where the listing fails keep the Hadoop convention, which is
+    # also the right call on object stores) and read them
+    # executor-side via mapInPandas, then union into the same scan
+    # schema. Hidden files are by construction rare — one tiny extra
+    # partition, no effect on the main scan's plan.
+    hidden = _hidden_json_files(data_dir)
+    if hidden:
+        hdf = spark.createDataFrame(
+            [(p,) for p in hidden], "file_path string"
+        )
+
+        def read_files(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                contents = []
+                for p in pdf["file_path"]:
+                    with open(p, "rb") as fh:
+                        contents.append(fh.read())
+                yield pd.DataFrame(
+                    {"file_path": pdf["file_path"], "content": contents}
+                )
+
+        scan = scan.unionByName(
+            hdf.mapInPandas(
+                read_files, schema="file_path string, content binary"
+            )
+        )
+    return scan.select(
+        "file_path",
+        raw.alias("raw"),
+        F.when(F.expr("is_valid_utf8(content)"), _parse_event(raw)).alias("v"),
+    )
+
+
+def _hidden_json_files(data_dir: str) -> list[str]:
+    """Top-level *.json files a Hadoop listing would hide (dot/
+    underscore-prefixed) — [] when the dir can't be listed locally."""
+    try:
+        names = os.listdir(data_dir)
+    except OSError:
+        return []
+    return sorted(
+        os.path.join(data_dir, f)
+        for f in names
+        if f.endswith(".json")
+        and (f.startswith(".") or f.startswith("_"))
+        and os.path.isfile(os.path.join(data_dir, f))
     )
 
 
