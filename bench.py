@@ -124,6 +124,12 @@ HEADLINE = [
     "graph_betweenness_sample",
     "win_bollinger",
     "llm_ppl_filter_sweep",
+    # round-10 additions: the audio-fingerprint banded dedup (media
+    # synthesis + Arrow kernel + 8 band joins), the now-SQL-oracled
+    # harmonic-closeness BFS loop, and the group-sequential test
+    "llm_audio_fingerprint",
+    "graph_closeness_sample",
+    "agg_gst_obrien_fleming",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →
