@@ -3884,3 +3884,140 @@ def agg_gst_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("bound", 6) + 0.0).alias("boundary"),
         (F.abs(F.col("zstat")) >= F.col("bound")).alias("rejected"),
     )
+
+
+# --- polynomial-kernel MMD two-sample test (round 10) -------------------
+
+# exact integer staging: whole dollars (floor, the agg_cohens_d
+# discipline — round() HALF-UP vs bankers could diverge on .5 cents)
+_MMD_D = "CAST(floor(o_totalprice) AS BIGINT)"
+# O(1) working units: dollars / 1e5 (typical order ≈ 1.5 units), so the
+# kernel offset c = 1 and the three moment terms are balanced
+_MMD_MU = "(s1_{a} / (CAST(100000 AS DOUBLE) * CAST(n_{a} AS DOUBLE)))"
+_MMD_M2 = "(s2_{a} / (CAST(10000000000 AS DOUBLE) * CAST(n_{a} AS DOUBLE)))"
+_MMD_M3 = (
+    "(s3_{a} / (CAST(1000000000000000 AS DOUBLE) * CAST(n_{a} AS DOUBLE)))"
+)
+_MMD_T1 = "(CAST(3 AS DOUBLE) * ((mu_x - mu_y) * (mu_x - mu_y)))"
+_MMD_T2 = "(CAST(3 AS DOUBLE) * ((m2_x - m2_y) * (m2_x - m2_y)))"
+_MMD_T3 = "((m3_x - m3_y) * (m3_x - m3_y))"
+
+
+def _mmd_sums_sql(alias: str) -> str:
+    d = _MMD_D
+    return (
+        f"CAST(count(*) AS BIGINT) AS n_{alias}, "
+        f"CAST(sum(CAST({d} AS DECIMAL(20,0))) AS DOUBLE) AS s1_{alias}, "
+        f"CAST(sum(CAST({d} * {d} AS DECIMAL(24,0))) AS DOUBLE) "
+        f"AS s2_{alias}, "
+        f"CAST(sum(CAST(({d} * {d}) * {d} AS DECIMAL(28,0))) AS DOUBLE) "
+        f"AS s3_{alias}"
+    )
+
+
+@query(
+    "agg_mmd_poly",
+    family="stats",
+    oracle=f"""
+    WITH x AS (
+        SELECT {_mmd_sums_sql("x")} FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    y AS (
+        SELECT {_mmd_sums_sql("y")} FROM orders
+        WHERE o_orderpriority = '5-LOW'
+    ),
+    mom AS (
+        SELECT n_x, n_y,
+               {_MMD_MU.format(a="x")} AS mu_x,
+               {_MMD_MU.format(a="y")} AS mu_y,
+               {_MMD_M2.format(a="x")} AS m2_x,
+               {_MMD_M2.format(a="y")} AS m2_y,
+               {_MMD_M3.format(a="x")} AS m3_x,
+               {_MMD_M3.format(a="y")} AS m3_y
+        FROM x CROSS JOIN y
+    )
+    SELECT n_x, n_y,
+           round({_MMD_T1}, 8) + CAST(0 AS DOUBLE) AS mean_term,
+           round({_MMD_T2}, 8) + CAST(0 AS DOUBLE) AS m2_term,
+           round({_MMD_T3}, 8) + CAST(0 AS DOUBLE) AS m3_term,
+           round((({_MMD_T1} + {_MMD_T2}) + {_MMD_T3}), 8)
+               + CAST(0 AS DOUBLE) AS mmd2
+    FROM mom
+    """,
+)
+def agg_mmd_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum Mean Discrepancy two-sample test with a degree-3
+    polynomial kernel over the URGENT/LOW order-value pair — the
+    DISTRIBUTION-level comparison completing the shelf above the
+    mean-level tests (welch_t/cohens_d compare means; ks_test compares
+    CDFs rank-wise; this compares kernel mean embeddings).
+
+    The key identity that makes it exact and one-pass: for
+    k(a,b) = (c + ab)³ with INDEPENDENT draws, E[k] factorizes through
+    moments (E[(ab)^p] = E[a^p]·E[b^p]), so the biased MMD² collapses
+    to pure moment matching:
+
+        MMD² = 3c²(μx−μy)² + 3c(m2x−m2y)² + (m3x−m3y)²
+
+    — mean shift, second-moment shift, and third-moment (skew) shift,
+    each non-negative. No n² kernel matrix exists anywhere: the whole
+    statistic derives from six sums. (The Gaussian-kernel MMD would
+    need exp() — libm territory — and a quadratic-cost kernel matrix;
+    the polynomial kernel is the principled exact alternative, and
+    degree 3 is the lowest degree that sees skew.)
+
+    Determinism: per-arm sums of whole dollars (floor-staged like
+    agg_cohens_d) accumulate as exact DECIMAL from BIGINT terms —
+    d³ ≤ 2.2e17 fits a BIGINT per row, the DECIMAL(28,0) sum is exact
+    at any corpus size, and both engines cast the identical exact
+    integer to DOUBLE (correctly-rounded in both). Every double
+    expression after that is text-shared (_MMD_* fragments), c = 1 in
+    dollars/1e5 units so the three terms are comparably scaled.
+
+    Scale: ONE pushed-down scan of orders (two partial-aggregated
+    branches of the same predicate family), a 1×1-row cross join, and
+    pure literal arithmetic — the cheapest possible two-sample test
+    at 100 TB, and an always-fresh DQ monitor when pointed at
+    yesterday-vs-today partitions.
+    """
+    o = t(spark, sf_dir, "orders")
+
+    def arm(pri: str, alias: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderpriority") == pri)
+            .select(F.expr(_MMD_D).alias("d"))
+            .selectExpr(
+                f"CAST(count(*) AS BIGINT) AS n_{alias}",
+                f"CAST(sum(CAST(d AS DECIMAL(20,0))) AS DOUBLE) "
+                f"AS s1_{alias}",
+                f"CAST(sum(CAST(d * d AS DECIMAL(24,0))) AS DOUBLE) "
+                f"AS s2_{alias}",
+                f"CAST(sum(CAST((d * d) * d AS DECIMAL(28,0))) AS DOUBLE) "
+                f"AS s3_{alias}",
+            )
+        )
+
+    mom = (
+        arm("1-URGENT", "x")
+        .crossJoin(arm("5-LOW", "y"))
+        .selectExpr(
+            "n_x",
+            "n_y",
+            f"{_MMD_MU.format(a='x')} AS mu_x",
+            f"{_MMD_MU.format(a='y')} AS mu_y",
+            f"{_MMD_M2.format(a='x')} AS m2_x",
+            f"{_MMD_M2.format(a='y')} AS m2_y",
+            f"{_MMD_M3.format(a='x')} AS m3_x",
+            f"{_MMD_M3.format(a='y')} AS m3_y",
+        )
+    )
+    return mom.selectExpr(
+        "n_x",
+        "n_y",
+        f"round({_MMD_T1}, 8) + CAST(0 AS DOUBLE) AS mean_term",
+        f"round({_MMD_T2}, 8) + CAST(0 AS DOUBLE) AS m2_term",
+        f"round({_MMD_T3}, 8) + CAST(0 AS DOUBLE) AS m3_term",
+        f"round((({_MMD_T1} + {_MMD_T2}) + {_MMD_T3}), 8)"
+        " + CAST(0 AS DOUBLE) AS mmd2",
+    )

@@ -1095,3 +1095,92 @@ def test_gst_obrien_fleming_python_replay(spark):
                     assert r["z"] is None
                 n_checked += 1
     assert n_checked == len(out) == 5 * GST_K
+
+
+def test_mmd_poly_python_replay(spark):
+    """Third implementation for agg_mmd_poly: exact integer moments
+    from DuckDB, then the closed-form degree-3 polynomial-kernel MMD
+    (3c^2*dmu^2 + 3c*dm2^2 + dm3^2, c=1 in dollars/1e5 units) in pure
+    Python floats. Also pins the factorization against a literal
+    O(n^2) kernel-mean computation on a small subsample."""
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"""
+            SELECT o_orderpriority, count(*),
+                   sum(CAST(floor(o_totalprice) AS BIGINT)),
+                   sum(CAST(floor(o_totalprice) AS BIGINT)
+                       * CAST(floor(o_totalprice) AS BIGINT)),
+                   sum(CAST(floor(o_totalprice) AS BIGINT)
+                       * CAST(floor(o_totalprice) AS BIGINT)
+                       * CAST(floor(o_totalprice) AS BIGINT))
+            FROM read_parquet('{SF}/orders.parquet')
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            GROUP BY 1
+            """
+        ).fetchall()
+        vals = {
+            g: [
+                float(v) / 100000.0
+                for (v,) in con.execute(
+                    f"""
+                    SELECT CAST(floor(o_totalprice) AS BIGINT)
+                    FROM read_parquet('{SF}/orders.parquet')
+                    WHERE o_orderpriority = '{g}'
+                    ORDER BY o_orderkey LIMIT 60
+                    """
+                ).fetchall()
+            ]
+            for g in ("1-URGENT", "5-LOW")
+        }
+    finally:
+        con.close()
+    mom = {}
+    for g, n, s1, s2, s3 in rows:
+        n = float(n)
+        mom[g] = (
+            float(s1) / (1e5 * n),
+            float(s2) / (1e10 * n),
+            float(s3) / (1e15 * n),
+        )
+    mx, my = mom["1-URGENT"], mom["5-LOW"]
+    t1 = 3.0 * (mx[0] - my[0]) * (mx[0] - my[0])
+    t2 = 3.0 * (mx[1] - my[1]) * (mx[1] - my[1])
+    t3 = (mx[2] - my[2]) * (mx[2] - my[2])
+    r = get("agg_mmd_poly").fn(spark, SF).collect()
+    assert len(r) == 1
+    r = r[0]
+    # the engine rounds to 8 dp: quantization alone is up to 5e-9
+    assert abs(r["mean_term"] - t1) < 6e-9
+    assert abs(r["m2_term"] - t2) < 6e-9
+    assert abs(r["m3_term"] - t3) < 6e-9
+    assert abs(r["mmd2"] - ((t1 + t2) + t3)) < 6e-9
+    for term in ("mean_term", "m2_term", "m3_term", "mmd2"):
+        assert r[term] >= 0.0
+
+    # factorization sanity on a literal subsample: mean of (1+ab)^3
+    # over X×X + Y×Y − 2·X×Y equals the closed form from moments
+    xs, ys = vals["1-URGENT"], vals["5-LOW"]
+
+    def kmean(a, b):
+        return sum(
+            (1.0 + u * v) ** 3 for u in a for v in b
+        ) / (len(a) * len(b))
+
+    lit = kmean(xs, xs) + kmean(ys, ys) - 2.0 * kmean(xs, ys)
+
+    def moments(a):
+        n = float(len(a))
+        return (
+            sum(a) / n,
+            sum(u * u for u in a) / n,
+            sum(u**3 for u in a) / n,
+        )
+
+    ax, ay = moments(xs), moments(ys)
+    closed = (
+        3.0 * (ax[0] - ay[0]) ** 2
+        + 3.0 * (ax[1] - ay[1]) ** 2
+        + (ax[2] - ay[2]) ** 2
+    )
+    assert abs(lit - closed) < 1e-9 * max(1.0, abs(lit))

@@ -66,6 +66,11 @@ ALLOW_NESTED_LOOP = {
     "agg_welch_t",  # 1-row × 1-row group-pair product (test statistic)
     "agg_tost",  # same shape: 1-row × 1-row priority pair (TOST stats)
     "agg_cohens_d",  # same shape: 1-row × 1-row priority pair (effect size)
+    "agg_mmd_poly",  # same shape: 1-row × 1-row arm-moment pair (the
+    # closed-form kernel statistic)
+    "agg_gst_obrien_fleming",  # 5-row looks-table broadcast theta-join
+    # placing the interim analyses (the llm_dedup_threshold_sweep
+    # shape: bounded literal enumeration, never data×data)
     "etl_freshness_sla",  # 1-row corpus-max broadcast onto the
     # per-stream high-water aggregate
     "llm_ppl_filter_sweep",  # 5-row keep-pct table theta-joined
@@ -125,6 +130,9 @@ ALLOW_PYTHON = {
     "llm_image_phash",  # perceptual-hash kernel over the real pixel
     # planes (Arrow-batched mapInPandas, the media-codec contract);
     # banding/verify stay JVM-side
+    "llm_audio_fingerprint",  # energy-envelope fingerprint kernel over
+    # the real PCM streams (same media-codec contract as image_phash);
+    # banding/census stay JVM-side
     "agg_heavy_hitters",  # Misra–Gries counters are partition-local
     # sequential state by definition — one Arrow pass, O(k) memory;
     # the summary merge is relational
