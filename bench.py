@@ -515,11 +515,26 @@ def main() -> None:
             )
     except OSError:
         pass
+    print(contract_line(total, timings, sf_num))
+    spark.stop()
+
+
+def contract_line(
+    total: float, timings: dict, sf_num: float, cap: int = 1850
+) -> str:
+    """The ONE stdout JSON line the driver records (it keeps only the
+    LAST 2000 chars of stdout, so the line must fit ``cap`` with
+    margin). Contract fields only (metric/value/unit/queries/sf —
+    everything else lives in the side artifact); precision steps down
+    in SIGNIFICANT digits, not decimals, so a 0.357 s entry keeps its
+    ratio-comparable value at the same char cost as a 48.8 s one.
+    If even 2 significant digits overflow (80 entries crossed the cap
+    in round 10), drop the CHEAPEST entries one at a time — the heavy
+    entries are the ones perf review audits — and record how many were
+    cut (full-precision timings for every entry stay in
+    BENCH_ambient_last.json). Pinned by tests/test_bench_contract.py.
+    """
     line = ""
-    # contract fields ONLY (metric/value/unit/queries/sf — everything
-    # else lives in the side artifact); precision steps down in
-    # SIGNIFICANT digits, not decimals, so a 0.357 s entry keeps its
-    # ratio-comparable value at the same char cost as a 48.8 s one
     for sig in (6, 4, 3, 2):
         line = json.dumps(
             {
@@ -533,15 +548,9 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
-        if len(line) <= 1850:
+        if len(line) <= cap:
             break
-    if len(line) > 1850:
-        # graceful degradation (ADVICE r9, hardened round 10 when the
-        # 80-entry map crossed the cap even at 2 significant digits):
-        # drop the CHEAPEST entries one at a time — the heavy entries
-        # are the ones perf review audits — and say how many were cut.
-        # Full-precision timings for every entry stay in the side
-        # artifact (BENCH_ambient_last.json).
+    if len(line) > cap:
         kept = sorted(timings.items(), key=lambda kv: -kv[1])
         while kept:
             kept.pop()
@@ -558,10 +567,9 @@ def main() -> None:
                 },
                 separators=(",", ":"),
             )
-            if len(line) <= 1850:
+            if len(line) <= cap:
                 break
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":
