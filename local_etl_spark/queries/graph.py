@@ -1299,3 +1299,135 @@ def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("harmonic"),
         F.lit(n_sources).cast("bigint").alias("n_sources"),
     )
+
+
+@query(
+    "graph_coreness",
+    family="graph",
+    oracle=f"""
+    WITH RECURSIVE w AS MATERIALIZED (
+        SELECT least(c_nationkey, s_nationkey) AS a,
+               greatest(c_nationkey, s_nationkey) AS b,
+               count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey
+        GROUP BY 1, 2
+    ),
+    backbone AS MATERIALIZED (
+        SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk
+            FROM w
+        ) WHERE rnk <= {BETW_EDGE_BUDGET}
+    ),
+    init AS (
+        SELECT 1 AS k,
+               list(list_value(CAST(a AS BIGINT), CAST(b AS BIGINT))
+                    ORDER BY a, b) AS edges,
+               list_sort(list_distinct(flatten(
+                   list(list_value(CAST(a AS BIGINT), CAST(b AS BIGINT)))
+               ))) AS nodes,
+               CAST([] AS STRUCT(node BIGINT, core INT)[]) AS done
+        FROM backbone
+    ),
+    peel AS (
+        SELECT k, edges, nodes, done FROM init
+        UNION ALL
+        SELECT
+          CASE WHEN len(low) > 0 THEN k ELSE k + 1 END AS k,
+          CASE WHEN len(low) > 0
+               THEN list_filter(edges, e -> NOT list_contains(low, e[1])
+                                        AND NOT list_contains(low, e[2]))
+               ELSE edges END AS edges,
+          CASE WHEN len(low) > 0
+               THEN list_filter(nodes, n -> NOT list_contains(low, n))
+               ELSE nodes END AS nodes,
+          CASE WHEN len(low) > 0
+               THEN done || list_transform(
+                   low, n -> {{'node': n, 'core': k - 1}})
+               ELSE done END AS done
+        FROM (
+          SELECT k, edges, nodes, done,
+                 list_filter(nodes, n ->
+                     len(list_filter(edges, e -> e[1] = n OR e[2] = n)) < k
+                 ) AS low
+          FROM peel
+        )
+        WHERE len(nodes) > 0
+    )
+    SELECT CAST(u.node AS BIGINT) AS node, CAST(u.core AS INT) AS core
+    FROM (SELECT done FROM peel WHERE len(nodes) = 0) f,
+         LATERAL unnest(f.done) AS t(u)
+    """,
+)
+def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core DECOMPOSITION of the trade backbone: every node's
+    core number (the largest k whose k-core contains it) — the
+    per-node generalization of graph_kcore's single-k membership, and
+    the standard density ranking (spam rings, engagement tiers,
+    graph-sampling priorities). Exact integers end to end, so unlike
+    most iterative graph algorithms this one is SQL-ORACLED: the
+    oracle replays the peel as a single-row LIST-MACHINE recursive CTE
+    (state = (k, edge list, node list, assignments); each step either
+    peels the current low-degree set or advances k — pure scalar list
+    lambdas, which the recursion allows where aggregates are not).
+
+    Engine form: the graph_kcore level-synchronous peel, WITH
+    assignment — each round computes degrees over the surviving edge
+    set (one node-keyed aggregate), drops every node under the current
+    k tagging it core = k−1 (batch removal, so rounds are bounded by
+    peels + degeneracy, not node count), or advances k at a fixpoint.
+    Termination is a theorem: every round removes ≥1 node or
+    increments k ≤ max-degree+1. localCheckpoint truncates per-round
+    lineage (the pagerank/bfs/kcore discipline).
+
+    Scale: identical cost model to graph_kcore — the edge derivation
+    dominates; every shuffle keys on the node id and the edge set only
+    shrinks. The peel-round count is the O(degeneracy) batch-removal
+    bound, the standard distributed-coreness shape.
+    """
+    e = _betweenness_graph(spark, sf_dir)
+    edges = (
+        e.select(
+            F.col("a").cast("bigint").alias("u"),
+            F.col("b").cast("bigint").alias("v"),
+        )
+        .unionAll(
+            e.select(
+                F.col("b").cast("bigint").alias("u"),
+                F.col("a").cast("bigint").alias("v"),
+            )
+        )
+        .localCheckpoint()
+    )
+    remaining = (
+        edges.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    )
+    assigned = spark.createDataFrame([], "node bigint, core int")
+    k = 1
+    while not remaining.isEmpty():
+        deg = (
+            edges.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        low = (
+            remaining.join(deg, "node", "left")
+            .filter(F.coalesce(F.col("deg"), F.lit(0)) < k)
+            .select("node")
+            .localCheckpoint()
+        )
+        if low.isEmpty():
+            k += 1
+            continue
+        assigned = assigned.unionAll(
+            low.select("node", F.lit(k - 1).cast("int").alias("core"))
+        ).localCheckpoint()
+        remaining = remaining.join(low, "node", "left_anti").localCheckpoint()
+        edges = (
+            edges.join(low.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(low.withColumnRenamed("node", "v"), "v", "left_anti")
+            .localCheckpoint()
+        )
+    return assigned

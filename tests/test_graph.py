@@ -292,3 +292,63 @@ def test_closeness_matches_python_bfs(spark):
         assert got[v]["n_sources"] == len(sources)
         assert abs(got[v]["harmonic"] - h[v] * scale) < 2e-6, v
     assert any(x > 0 for x in h.values())
+
+
+def test_coreness_python_replay(spark):
+    """Third implementation for graph_coreness: the textbook peeling
+    algorithm (Batagelj–Zaversnik bucket variant) over the SAME
+    backbone edges, in pure Python — independent of both the engine's
+    relational peel and the oracle's list-machine recursion."""
+    import duckdb
+
+    from local_etl_spark.queries.graph import BETW_EDGE_BUDGET, graph_coreness
+
+    con = duckdb.connect()
+    try:
+        edges = con.execute(
+            f"""
+            WITH w AS (
+                SELECT least(c_nationkey, s_nationkey) AS a,
+                       greatest(c_nationkey, s_nationkey) AS b,
+                       count(*) AS cnt
+                FROM read_parquet('{SF}/lineitem.parquet') li
+                JOIN read_parquet('{SF}/orders.parquet') o
+                  ON l_orderkey = o_orderkey
+                JOIN read_parquet('{SF}/customer.parquet') c
+                  ON o_custkey = c_custkey
+                JOIN read_parquet('{SF}/supplier.parquet') s
+                  ON l_suppkey = s_suppkey
+                WHERE c_nationkey <> s_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT a, b FROM (
+                SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a, b)
+                       AS rnk FROM w
+            ) WHERE rnk <= {BETW_EDGE_BUDGET}
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # textbook peel: repeatedly remove min-degree nodes, core(v) =
+    # max k reached when v is removed
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict[int, int] = {}
+    k = 0
+    alive = set(adj)
+    while alive:
+        v = min(alive, key=lambda x: deg[x])
+        k = max(k, deg[v])
+        core[v] = k
+        alive.remove(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+    got = {
+        r["node"]: r["core"]
+        for r in graph_coreness(spark, SF).collect()
+    }
+    assert got == core
