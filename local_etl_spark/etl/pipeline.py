@@ -613,10 +613,26 @@ def write_sinks(
     (streaming/etl_stream.py foreachBatch) — identical routing semantics
     in both execution modes.
     """
+    # ride the materializing first-sink job with an invalid-row counter
+    # (round 10): a CLEAN batch — the steady state of any production
+    # feed — then SKIPS the quarantine and error-log jobs entirely,
+    # which also matches the reference exactly (it creates errors.log /
+    # the mismatch dir lazily, only when an error occurs). The counter
+    # costs nothing: observe() folds into the job that computes the
+    # cache anyway.
+    sink_obs = Observation(f"etl_sink_{table.name}")
     keep = F.col("is_valid") | (
         F.lit(cfg.replace_missing_data)
         & (F.col("error_class") == CLASS_MISSING)
     )
+    # the metrics node lives ONLY under the FIRST sink's plan (an
+    # Observation is single-action: the later sinks' jobs must not
+    # re-fire it), and sits BELOW the keep-filter so it counts the
+    # full batch
+    kept_first = classified.observe(
+        sink_obs,
+        F.sum((~F.col("is_valid")).cast("long")).alias("n_invalid"),
+    ).where(keep)
     kept = classified.where(keep)
     invalid = classified.where(~F.col("is_valid"))
 
@@ -662,16 +678,17 @@ def write_sinks(
                 fh.write("\n")
 
     writes: list = []
-    # output sink(s)
+    # output sink(s) — the FIRST uses the observed plan (kept_first)
     if version == 1:
-        out1 = v1_rows(kept, schema)
+        out1 = v1_rows(kept_first, schema)
         writes.append(
             lambda: _write_csv(
                 out1, cfg.path(table.output_file or f"{table.name}.csv")
             )
         )
     else:
-        payload, metadata = v2_rows(kept, schema)
+        payload = v2_rows(kept_first, schema)[0]
+        metadata = v2_rows(kept, schema)[1]
         writes.append(
             lambda: _write_csv(
                 payload, cfg.path(table.payload_file or f"{table.name}.csv")
@@ -683,18 +700,17 @@ def write_sinks(
             )
         )
 
-    # quarantine sink (R5): original documents, verbatim
-    writes.append(
+    # error-path sinks, run ONLY when the batch has invalid rows (the
+    # reference's lazy-creation semantics — see sink_obs above):
+    # quarantine (R5): original documents, verbatim; error log (R6)
+    error_writes = [
         lambda: invalid.select("file_path", "raw")
         .write.mode("append")
-        .parquet(cfg.path(table.schema_mismatch_dir))
-    )
-    # error log sink (R6)
-    writes.append(
+        .parquet(cfg.path(table.schema_mismatch_dir)),
         lambda: error_log_lines(invalid)
         .write.mode("append")
-        .text(cfg.path(f"{cfg.errors_log}.d"))
-    )
+        .text(cfg.path(f"{cfg.errors_log}.d")),
+    ]
 
     # Materialize-then-fan-out: the first sink job computes every
     # partition into the persisted classification (its filter sits
@@ -734,9 +750,14 @@ def write_sinks(
         writes[0]()
     finally:
         spark.conf.set(ws_key, ws_old)
-    with ThreadPoolExecutor(max_workers=len(writes) - 1) as pool:
-        for fut in [pool.submit(w) for w in writes[1:]]:
-            fut.result()
+    # the materializing job has completed, so the batch's invalid
+    # count is known: a clean batch skips the two error-path jobs
+    if (sink_obs.get["n_invalid"] or 0) > 0:
+        writes += error_writes
+    if len(writes) > 1:
+        with ThreadPoolExecutor(max_workers=len(writes) - 1) as pool:
+            for fut in [pool.submit(w) for w in writes[1:]]:
+                fut.result()
 
 
 def run_pipeline(
