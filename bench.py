@@ -392,6 +392,30 @@ def _cpu_calibration() -> float:
     return round(10.0 / best, 2)
 
 
+def _burn(n: int) -> None:
+    s = 0
+    for i in range(n):
+        s += i
+
+
+def _cpu_calibration_mt() -> float:
+    """All-core aggregate Miter/s (one burn per core via a process
+    pool): the local[32] workloads are throttled by the MULTI-core
+    clock, which round-10 probing showed can move independently of
+    the single-thread reading (scaling stays ~perfect; the per-core
+    clock wanders 8–30 Miter/s on minute timescales)."""
+    import multiprocessing as mp
+
+    n = os.cpu_count() or 1
+    try:
+        with mp.Pool(n) as pool:
+            t = time.perf_counter()
+            pool.map(_burn, [5_000_000] * n)
+            return round(5.0 * n / (time.perf_counter() - t), 1)
+    except OSError:
+        return 0.0
+
+
 def main() -> None:
     # ambient load BEFORE the bench's own work starts — the end-of-run
     # reading mostly measures the bench itself (local[32] queries keep
@@ -505,6 +529,7 @@ def main() -> None:
                     # bimodal host clock, see _cpu_calibration
                     "calib_miter_s_start": calib_start,
                     "calib_miter_s_end": _cpu_calibration(),
+                    "calib_mt_miter_s_end": _cpu_calibration_mt(),
                     "rewait_sec": round(rewait_total, 1),
                     "wall_clock": time.strftime(
                         "%Y-%m-%dT%H:%M:%S", time.gmtime()
