@@ -184,13 +184,20 @@ def read_event_docs(spark: SparkSession, data_dir: str) -> DataFrame:
             import pandas as pd
 
             for pdf in batches:
-                contents = []
+                paths, contents = [], []
                 for p in pdf["file_path"]:
-                    with open(p, "rb") as fh:
-                        contents.append(fh.read())
-                yield pd.DataFrame(
-                    {"file_path": pdf["file_path"], "content": contents}
-                )
+                    # a dot/underscore file seen at driver listing time
+                    # can vanish before the task runs (an in-flight
+                    # '._copying' temp is the exact convention being
+                    # bypassed) — skip it, matching the tolerance of
+                    # Spark's own listing-to-read window
+                    try:
+                        with open(p, "rb") as fh:
+                            contents.append(fh.read())
+                    except OSError:
+                        continue
+                    paths.append(p)
+                yield pd.DataFrame({"file_path": paths, "content": contents})
 
         scan = scan.unionByName(
             hdf.mapInPandas(
@@ -671,7 +678,14 @@ def write_sinks(
         if df.columns:
             df.write.mode("append").options(**_verbatim).csv(path)
             return
-        kept.select(F.lit("").alias("value")).write.mode("append").text(path)
+        # MUST derive from the PASSED df, not the `kept` closure: the
+        # first sink's df rides the observed plan (kept_first), and if
+        # this branch wrote `kept` instead, sink_obs would never see an
+        # action and sink_obs.get below would block forever (ADVICE
+        # r10). A zero-column frame still carries its row count and
+        # lineage, so selecting a literal yields one blank line per
+        # kept row over the same (observed) plan.
+        df.select(F.lit("").alias("value")).write.mode("append").text(path)
         hdr = os.path.join(path, "part-00000")
         if not os.path.exists(hdr):
             with open(hdr, "w", encoding="utf-8") as fh:

@@ -46,6 +46,11 @@ SCEN = [
     # type-invalid and the FLOAT value must render through the
     # Python-repr message machinery under a mutated schema
     "flip_score_type",
+    # BOTH required lists empty → v1 has ZERO columns and the FIRST
+    # (observed) sink takes the blank-line branch; pins the ADVICE r10
+    # deadlock fix — the branch must execute the passed kept_first df
+    # or write_sinks hangs on sink_obs.get
+    "empty_both_required",
 ]
 
 

@@ -125,6 +125,15 @@ def scenarios() -> dict[str, tuple[dict, dict]]:
     # empty required lists
     s["empty_payload_required"] = (_mut(u, "payload", []), c)
     s["empty_metadata_required"] = (_mut(u, "metadata", []), c)
+    # BOTH required lists emptied: the v1 header (payload+metadata
+    # concat) has ZERO columns, so the FIRST sink — which rides the
+    # observed plan — takes _write_csv's blank-line branch. That branch
+    # must still execute the passed df (kept_first) or sink_obs.get
+    # blocks forever (ADVICE r10 deadlock pin).
+    s["empty_both_required"] = (
+        _mut(_mut(u, "payload", []), "metadata", []),
+        c,
+    )
     # cards schema listing BOTH name and created_by_name: the elif
     # order makes 'name' win the insertion even though cards lack it
     s["both_name_columns"] = (
@@ -203,6 +212,20 @@ def _engine_csv_lists(part_dir) -> tuple[list[str] | None, list[list[str]]]:
         elif it[0] != header:
             raise AssertionError(f"part headers disagree: {it[0]} vs {header}")
         rows.extend(it[1:])
+    if header is None:
+        # the ZERO-COLUMN blank-line layout (both required lists empty):
+        # a driver-written 'part-00000' blank header + text parts with
+        # one empty line per row — translate to csv.reader's view of the
+        # reference's DictWriter(fieldnames=[]) output ([] per line)
+        hdr = os.path.join(str(part_dir), "part-00000")
+        if os.path.exists(hdr):
+            header = []
+            for part in sorted(
+                glob.glob(os.path.join(str(part_dir), "part-*.txt"))
+            ):
+                for ln in open(part, encoding="utf-8").read().splitlines():
+                    if not ln:
+                        rows.append([])
     return header, rows
 
 
