@@ -423,6 +423,7 @@ def main() -> None:
     # needs the start value (VERDICT r5 item 6)
     load_start, load_waited = _wait_for_idle()
     calib_start = _cpu_calibration()
+    calib_mt_start = _cpu_calibration_mt()
     runs = 2 if (load_start is None or load_start < LOAD_MAX) else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from local_etl_spark.registry import all_queries
@@ -529,6 +530,12 @@ def main() -> None:
                     # bimodal host clock, see _cpu_calibration
                     "calib_miter_s_start": calib_start,
                     "calib_miter_s_end": _cpu_calibration(),
+                    # all-core probe at START and end (VERDICT r10 #3):
+                    # the multi-core clock moves independently of the
+                    # single-thread one, and local[32] workloads ride
+                    # it — both endpoints make cross-round ratios
+                    # normalizable instead of merely arguable
+                    "calib_mt_miter_s_start": calib_mt_start,
                     "calib_mt_miter_s_end": _cpu_calibration_mt(),
                     "rewait_sec": round(rewait_total, 1),
                     "wall_clock": time.strftime(
@@ -554,46 +561,64 @@ def contract_line(
     in SIGNIFICANT digits, not decimals, so a 0.357 s entry keeps its
     ratio-comparable value at the same char cost as a 48.8 s one.
     If even 2 significant digits overflow (80 entries crossed the cap
-    in round 10), drop the CHEAPEST entries one at a time — the heavy
-    entries are the ones perf review audits — and record how many were
-    cut (full-precision timings for every entry stay in
-    BENCH_ambient_last.json). Pinned by tests/test_bench_contract.py.
+    in round 10), drop the CHEAPEST entries — the heavy entries are the
+    ones perf review audits — and record how many were cut
+    (full-precision timings for every entry stay in
+    BENCH_ambient_last.json). The prune has a PROTECTED FLOOR (VERDICT
+    r10 #6): the ETL entries (the only baseline-comparable numbers)
+    and the top-10 heaviest always survive, whatever the registry
+    grows to; the drop count is found by bisection rather than
+    pop-and-reserialize (ADVICE r10). For a pathological cap where
+    even the protected floor overflows, the queries map is dropped
+    entirely — the line NEVER exceeds cap. Pinned by
+    tests/test_bench_contract.py.
     """
+
+    def _dump(queries: dict, omitted: int, sig: int) -> str:
+        payload: dict = {
+            "metric": "headline-suite-total",
+            "value": total,
+            "unit": "sec",
+            "queries": {
+                n: float(f"{v:.{sig}g}") for n, v in queries.items()
+            },
+        }
+        if omitted:
+            payload["omitted_cheapest"] = omitted
+        payload["sf"] = sf_num
+        return json.dumps(payload, separators=(",", ":"))
+
     line = ""
     for sig in (6, 4, 3, 2):
-        line = json.dumps(
-            {
-                "metric": "headline-suite-total",
-                "value": total,
-                "unit": "sec",
-                "queries": {
-                    n: float(f"{v:.{sig}g}") for n, v in timings.items()
-                },
-                "sf": sf_num,
-            },
-            separators=(",", ":"),
-        )
+        line = _dump(timings, 0, sig)
         if len(line) <= cap:
-            break
+            return line
+    heavy = {
+        n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    }
+    protected = heavy | {n for n in timings if n.startswith("etl_")}
+    # unprotected cheapest first; kept entries re-sorted by name below
+    order = sorted(
+        timings.items(), key=lambda kv: (kv[0] in protected, kv[1], kv[0])
+    )
+    droppable = len(order) - len(protected)
+
+    def _pruned(k: int) -> str:
+        return _dump(dict(sorted(order[k:])), k, 2)
+
+    if droppable > 0:
+        lo, hi = 1, droppable
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if len(_pruned(mid)) <= cap:
+                hi = mid
+            else:
+                lo = mid + 1
+        line = _pruned(lo)
     if len(line) > cap:
-        kept = sorted(timings.items(), key=lambda kv: -kv[1])
-        while kept:
-            kept.pop()
-            line = json.dumps(
-                {
-                    "metric": "headline-suite-total",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": {
-                        n: float(f"{v:.2g}") for n, v in sorted(kept)
-                    },
-                    "omitted_cheapest": len(timings) - len(kept),
-                    "sf": sf_num,
-                },
-                separators=(",", ":"),
-            )
-            if len(line) <= cap:
-                break
+        # even the protected floor overflows this cap: contract fields
+        # outrank the floor — ship totals only, never an over-cap line
+        line = _dump({}, len(timings), 2)
     return line
 
 

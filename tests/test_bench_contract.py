@@ -58,3 +58,30 @@ def test_pathological_cap_never_breaks_contract_fields():
     line = contract_line(1.0, _mk(50), 0.01, cap=120)
     d = json.loads(line)
     assert d["value"] == 1.0 and d["queries"] == {}
+    assert len(line) <= 120
+
+
+def test_pruning_floor_protects_etl_and_heaviest():
+    # VERDICT r10 #6: whatever the registry grows to, the regression-
+    # relevant entries — the ETL entries (CHEAP relative to the graph
+    # ops, so cheapest-first pruning would otherwise cut them) and the
+    # top-10 heaviest — must survive the prune
+    timings = _mk(400)  # deep overflow even at 2 sig digits
+    timings["etl_files_2000"] = 1.37
+    timings["etl_jsonl_50000"] = 2.7
+    line = contract_line(99.9, timings, 0.1)
+    assert len(line) <= 1850
+    d = json.loads(line)
+    assert d["omitted_cheapest"] >= 1
+    assert "etl_files_2000" in d["queries"]
+    assert "etl_jsonl_50000" in d["queries"]
+    top10 = sorted(timings, key=lambda n: -timings[n])[:10]
+    assert all(n in d["queries"] for n in top10)
+    # the dropped set is the cheapest of the UNPROTECTED entries
+    protected = set(top10) | {"etl_files_2000", "etl_jsonl_50000"}
+    dropped = [n for n in timings if n not in d["queries"]]
+    assert not (set(dropped) & protected)
+    kept_unprot_min = min(
+        timings[n] for n in d["queries"] if n not in protected
+    )
+    assert max(timings[n] for n in dropped) <= kept_unprot_min + 1e-9
