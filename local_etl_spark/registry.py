@@ -194,6 +194,13 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
     "agg_cohens_d", "agg_cusum_ab", "agg_msprt", "agg_tost",
     "etl_freshness_sla", "llm_dedup_url", "llm_ppl_filter_sweep",
     "llm_quality_buckets", "win_bollinger", "win_sessionize_split",
+    # round 10 (CORRECTNESS_r10.json — 49/49 SQL checks green: the 4
+    # r10-new/converted ops on first presentation + 45 rechecks from
+    # the rotated heavy slate; llm_audio_fingerprint recorded 167
+    # rows). Coverage stays TOTAL — zero external failures in ten
+    # rounds.
+    "agg_gst_obrien_fleming", "agg_mmd_poly", "graph_closeness_sample",
+    "graph_coreness",
 })
 
 # Queries whose LAST driver-recorded status is a failure that has since
@@ -208,7 +215,9 @@ FIXED_THIS_ROUND: tuple[str, ...] = ()
 # centrality ops); this slice carries only rows-only ops ADDED this
 # round, so each gets its first external record immediately.
 ROWS_ONLY_REPRESENT: tuple[str, ...] = (
-    "llm_audio_fingerprint",
+    # r10's llm_audio_fingerprint is now recorded (167 rows); this
+    # slice carries only rows-only ops ADDED this round.
+    "llm_ann_ivf_incremental",
 )
 
 # The driver verifies this many registry-prefix entries per round.
@@ -238,30 +247,36 @@ DEFER_FRESH: tuple[str, ...] = ()
 # #2). Listed most-fragile-first; anything beyond this list pads in
 # family round-robin as before.
 RECHECK_PRIORITY: tuple[str, ...] = (
-    # Round-10 rotation: the r9 prefix re-greened the previous 38-name
-    # slate (CORRECTNESS_r09, zero failures), so this round cycles to
-    # the heaviest-machinery greens NOT rechecked in r9 — recursive
-    # CTEs, vocabulary-keyed LM folds, ordered window state machines,
-    # cross-engine decimal-staged statistics — most-fragile-first.
-    # recursive-CTE / iterative witnesses
-    "graph_bfs", "sql_recursive",
-    # vocabulary-keyed LM machinery (smoothed ratios, ordered folds)
-    "llm_lm_kneser_ney", "llm_lm_score", "llm_dsir_weight",
-    "llm_kl_shift", "llm_tfidf", "llm_bm25", "llm_contamination",
-    "llm_rouge_overlap", "llm_curate_e2e", "llm_dataset_split",
-    # ordered window state machines / calendar-exact frames
-    "win_ewma", "win_retention_cohort", "win_streaks",
-    "win_attribution", "win_spc_control", "win_forecast_backtest",
-    "win_rolling_wau", "win_acf", "win_seasonal_decompose",
-    "win_mann_kendall", "win_pettitt", "win_gap_fill",
-    "win_period_over_period", "win_rolling_corr", "win_skyline",
+    # Round-11 rotation (third slate): r9 re-greened the first 38-name
+    # slate and r10 the second 43-name slate (both zero failures), so
+    # this round cycles to heavy-machinery greens checked in NEITHER
+    # r9 nor r10 prefix — iterative graph witnesses, sketch/embedding
+    # dedup machinery, corpus-wide ordered folds, window state
+    # machines, decimal-staged statistics, temporal joins —
+    # most-fragile-first.
+    # iterative / relational graph witnesses
+    "graph_link_predict", "graph_triangles", "graph_jaccard",
+    "graph_assortativity", "graph_clustering_coeff",
+    # sketch / embedding dedup + retrieval machinery
+    "llm_dedup_exact", "llm_dedup_norm", "llm_knn_join",
+    "llm_embed_quantize", "llm_retrieval_eval", "llm_hard_negatives",
+    "llm_simsearch",
+    # corpus-wide ordered folds / text statistics
+    "llm_boilerplate_chunks", "llm_zipf_fit", "llm_ngram_novelty",
+    "llm_ngram_freq", "llm_readability", "llm_ttr", "llm_repetition",
+    "llm_token_entropy",
+    # ordered window state machines / frame arithmetic
+    "win_drawdown", "win_interpolate", "win_zscore",
+    "win_session_dynamic", "win_topn_ties", "win_ignore_nulls",
+    "win_range_interval",
     # cross-engine decimal-staged statistics
-    "agg_regr", "agg_welch_t", "agg_jackknife_ratio", "agg_cuped",
-    "agg_winsorized_mean", "agg_bootstrap_ci", "agg_ks_test",
-    "agg_corr_matrix", "agg_theil", "agg_gini", "agg_benford",
-    # temporal join machinery
-    "join_asof_tolerance", "join_asof_forward", "join_allen_relations",
-    "join_bloom", "join_dpp",
+    "agg_anova", "agg_mann_whitney", "agg_skew_kurtosis",
+    "agg_weighted_median", "agg_entropy", "agg_autocorr",
+    "agg_histogram_equidepth", "agg_mutual_information", "agg_hhi",
+    "agg_wilson_ci",
+    # temporal / banded join machinery + SCD state
+    "join_asof", "join_asof_nearest", "join_range_banded",
+    "join_skew_salted", "join_interval_overlap", "etl_scd2",
 )
 
 
