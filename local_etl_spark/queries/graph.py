@@ -490,9 +490,61 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KCORE_K = 3
+KCORE_ORACLE_ROUNDS = 4  # unrolled peel rounds in the SQL witness
 
 
-@query("graph_kcore", family="graph", oracle=None)
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled relational peel witness (rows-only→SQL conversion,
+    VERDICT r10 #4). SQL recursion forbids the per-round degree
+    aggregate and the supplier↔customer trade graph is far too large
+    for the coreness LIST-MACHINE (≈600k undirected edges at sf0.1 vs
+    the backbone's BETW_EDGE_BUDGET cap), so the peel is unrolled:
+    round r keeps nodes with ≥k surviving neighbors and semi-joins the
+    edge set down on both endpoints — exactly kcore_membership's loop
+    body. The engine peels to the FIXPOINT; equality holds whenever
+    the fixpoint arrives within ``rounds`` — measured 1 round at
+    sf0.001/sf0.01 and 2 at sf0.1, and pinned with margin by
+    tests/test_graph.py::test_kcore_oracle_round_margin so a corpus
+    change fails loudly instead of as an oracle mismatch (the
+    llm_dedup_ngram df-cap contract pattern)."""
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+    k{r} AS MATERIALIZED (
+        SELECT a FROM (
+            SELECT a FROM e{r} UNION ALL SELECT b FROM e{r}
+        ) GROUP BY a HAVING count(*) >= {k}
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{r} e
+        JOIN k{r} x ON e.a = x.a
+        JOIN k{r} y ON e.b = y.a
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST({k} AS INT) AS core_k
+    FROM (
+        SELECT a AS node FROM e{rounds}
+        UNION
+        SELECT b FROM e{rounds}
+    )"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_kcore",
+    family="graph",
+    oracle=_kcore_oracle(KCORE_K, KCORE_ORACLE_ROUNDS),
+)
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition membership (k=3) of the trade graph: the
     maximal subgraph where every node keeps degree ≥ k — the standard
@@ -516,8 +568,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges in a handful of rounds on power-law graphs at any
     scale.
 
-    Rows-only (iterative fixpoint); tests/test_graph.py checks exact
-    membership equality against a driver-side reference peel.
+    SQL-ORACLED since round 11 (the 8th rows-only→SQL conversion):
+    the witness unrolls KCORE_ORACLE_ROUNDS peel rounds relationally
+    (see _kcore_oracle — fixpoint margin pytest-pinned);
+    tests/test_graph.py additionally checks exact membership equality
+    against a driver-side reference peel.
     """
     edges = (
         trade_edges(spark, sf_dir)

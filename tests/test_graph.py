@@ -59,6 +59,43 @@ def test_kcore_matches_reference_peel(spark):
     assert got, "k-core unexpectedly empty at k=3"
 
 
+def test_kcore_oracle_round_margin(spark):
+    """The SQL witness unrolls KCORE_ORACLE_ROUNDS peel rounds
+    (_kcore_oracle), so oracle ≡ engine only while the fixpoint arrives
+    within that budget. Pin the margin on the shipped corpora: the
+    driver-side peel must converge in ≤ KCORE_ORACLE_ROUNDS − 1 rounds
+    (measured: 1 at sf0.001/sf0.01, 2 at sf0.1) — a corpus change that
+    eats the margin fails HERE, not as an opaque oracle mismatch."""
+    from local_etl_spark.queries.graph import (
+        KCORE_K,
+        KCORE_ORACLE_ROUNDS,
+        trade_edges,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        edges = {
+            (r["a"], r["b"])
+            for r in trade_edges(spark, sf)
+            .select("a", "b")
+            .distinct()
+            .collect()
+        }
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        rounds = 0
+        while True:
+            rounds += 1
+            drop = {n for n, nb in adj.items() if len(nb) < KCORE_K}
+            if not drop:
+                break
+            for n in drop:
+                adj.pop(n)
+            for nb in adj.values():
+                nb.difference_update(drop)
+        assert rounds <= KCORE_ORACLE_ROUNDS - 1, (sf, rounds)
+
+
 def test_kcore_long_chain_peels_to_fixpoint(spark):
     """ADVICE r5: the pre-r6 fixed KCORE_MAX_ROUNDS=12 cap could return
     an unconverged superset (nodes with degree < k) on a graph whose
