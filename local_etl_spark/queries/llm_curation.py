@@ -1319,3 +1319,176 @@ def _learn_wordpiece(spark: SparkSession, sf_dir: str) -> list[tuple]:
         _WP_MERGE_CACHE.pop(next(iter(_WP_MERGE_CACHE)))
     _WP_MERGE_CACHE[sf_dir] = merges
     return merges
+
+
+# --- Tokenizer deployment gate: vocab coverage / OOV (VERDICT r10 #8) ---
+
+TOKCOV_VOCAB = 16  # top-V words kept in the deployed vocab (the corpus
+# has 31 distinct words — templated synthetic text — so V=16 leaves a
+# non-degenerate OOV tail at every SF; at production scale V is the
+# tokenizer's real vocab size and the shape below is unchanged)
+
+_TOKCOV_ORACLE = f"""
+WITH wf AS MATERIALIZED (
+    SELECT lang, t.w AS w, count(*) AS freq
+    FROM documents, unnest(string_split(text, ' ')) AS t(w)
+    WHERE t.w <> ''
+    GROUP BY lang, t.w
+),
+gf AS (SELECT w, sum(freq) AS gfreq FROM wf GROUP BY w),
+vocab AS MATERIALIZED (
+    SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY gfreq DESC, w) AS rn FROM gf
+    ) WHERE rn <= {TOKCOV_VOCAB}
+),
+vchars AS MATERIALIZED (
+    SELECT DISTINCT t.c AS c FROM vocab, unnest(string_split(w, '')) AS t(c)
+),
+oov AS MATERIALIZED (
+    SELECT lang, w, freq FROM wf
+    WHERE NOT EXISTS (SELECT 1 FROM vocab v WHERE v.w = wf.w)
+),
+base AS (
+    SELECT lang, sum(freq) AS n_tokens, count(*) AS n_types
+    FROM wf GROUP BY lang
+),
+om AS (
+    SELECT lang, sum(freq) AS n_oov, count(*) AS n_oov_types,
+           max(freq) AS mx
+    FROM oov GROUP BY lang
+),
+worst AS (
+    SELECT o.lang, min(o.w) AS worst_oov
+    FROM oov o JOIN om ON om.lang = o.lang AND o.freq = om.mx
+    GROUP BY o.lang
+),
+ochar AS (
+    SELECT o.lang, o.freq, t.c AS c
+    FROM oov o, unnest(string_split(o.w, '')) AS t(c)
+),
+charcov AS (
+    SELECT oc.lang,
+           sum(oc.freq) AS total_c,
+           sum(CASE WHEN v.c IS NOT NULL THEN oc.freq ELSE 0 END) AS cov_c
+    FROM ochar oc LEFT JOIN vchars v ON v.c = oc.c
+    GROUP BY oc.lang
+)
+SELECT b.lang,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.n_types AS BIGINT) AS n_types,
+       CAST(COALESCE(om.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(COALESCE(om.n_oov_types, 0) AS BIGINT) AS n_oov_types,
+       round(CAST(COALESCE(om.n_oov, 0) AS DOUBLE) / b.n_tokens, 6)
+           AS oov_rate,
+       round(CASE WHEN COALESCE(cc.total_c, 0) = 0 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(cc.cov_c AS DOUBLE) / cc.total_c END, 6)
+           AS oov_char_coverage,
+       COALESCE(w2.worst_oov, '') AS worst_oov
+FROM base b
+LEFT JOIN om ON om.lang = b.lang
+LEFT JOIN charcov cc ON cc.lang = b.lang
+LEFT JOIN worst w2 ON w2.lang = b.lang
+"""
+
+
+@query("llm_tokenizer_coverage", family="llm", oracle=_TOKCOV_ORACLE)
+def llm_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab coverage / OOV audit per language slice — the deployment
+    gate the tokenizer shelf (bpe/wordpiece/unigram train+apply,
+    fertility) was missing: before committing a trained vocab, a
+    pipeline checks what fraction of each language's token stream the
+    vocab covers, how much falls to the unknown path, and whether the
+    CHARACTER fallback can even spell the misses.
+
+    Vocab = the top-TOKCOV_VOCAB words by corpus frequency (ties by
+    word — a deterministic, SQL-derivable table, which is what makes
+    this op hash-checkable end to end where the iterative trainers are
+    rows-only). Per lang: token/type counts, OOV occurrences and
+    types, oov_rate, the fraction of OOV character occurrences whose
+    character appears in some vocab word (char-fallback coverage), and
+    the worst OOV word (max freq, ties by min word — the two-level
+    argmax pattern, exact in both engines).
+
+    Scale: ONE corpus-wide shuffle builds the (lang, word, freq) table
+    (vocab×lang-sized from then on); the vocab is a constant-size
+    TakeOrdered (map-side partial top-V, no single-task window);
+    vocab/vchars are broadcast-sized; every metric is an exact integer
+    aggregate plus one double division. The (lang, word) relation is
+    persisted — three branches (totals, OOV metrics, char explode)
+    consume it.
+    """
+    docs = t(spark, sf_dir, "documents")
+    wf = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .persist()
+    )
+    gf = wf.groupBy("w").agg(F.sum("freq").alias("gfreq"))
+    vocab = (
+        gf.orderBy(F.col("gfreq").desc(), "w")
+        .limit(TOKCOV_VOCAB)
+        .select("w")
+        .persist()
+    )
+    vchars = vocab.select(F.explode(F.split("w", "")).alias("c")).distinct()
+    oov = wf.join(vocab, "w", "left_anti").persist()
+    base = wf.groupBy("lang").agg(
+        F.sum("freq").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    om = oov.groupBy("lang").agg(
+        F.sum("freq").alias("n_oov"),
+        F.count(F.lit(1)).cast("bigint").alias("n_oov_types"),
+        F.max("freq").alias("mx"),
+    )
+    worst = (
+        oov.join(om.select("lang", "mx"), "lang")
+        .filter(F.col("freq") == F.col("mx"))
+        .groupBy("lang")
+        .agg(F.min("w").alias("worst_oov"))
+    )
+    ochar = oov.select(
+        "lang", "freq", F.explode(F.split("w", "")).alias("c")
+    )
+    charcov = (
+        ochar.join(vchars.withColumn("hit", F.lit(1)), "c", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").alias("total_c"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), F.col("freq")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("cov_c"),
+        )
+    )
+    return (
+        base.join(om, "lang", "left")
+        .join(charcov, "lang", "left")
+        .join(worst, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "n_types",
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.coalesce("n_oov_types", F.lit(0))
+            .cast("bigint")
+            .alias("n_oov_types"),
+            F.round(
+                F.coalesce("n_oov", F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("oov_rate"),
+            F.round(
+                F.when(
+                    F.coalesce("total_c", F.lit(0)) == 0, F.lit(1.0)
+                ).otherwise(
+                    F.col("cov_c").cast("double") / F.col("total_c")
+                ),
+                6,
+            ).alias("oov_char_coverage"),
+            F.coalesce("worst_oov", F.lit("")).alias("worst_oov"),
+        )
+    )

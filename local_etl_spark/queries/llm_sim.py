@@ -1119,3 +1119,105 @@ def llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist(cosine("e16", "q16"), "trunc16")
     )
     return retrieval_metrics(sl, gold)
+
+
+# --- Incremental ANN maintenance (VERDICT r10 #7) -----------------------
+
+IVF_INCR_MOD = 10  # vec_id % MOD == 0 plays the "new daily batch" role
+
+
+@query("llm_ann_ivf_incremental", family="llm", oracle=None)
+def llm_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the op every GROWING corpus
+    needs between retrains: assign a NEW vector batch to the EXISTING
+    trained cells (broadcast model, map-only, no retrain), APPEND it to
+    the cell-partitioned layout, and report the per-cell drift witness
+    (new-batch cell shares vs the base corpus — the signal a pipeline
+    watches to decide when the frozen centroids have gone stale and a
+    retrain is due).
+
+    The batch split is deterministic: vec_id % IVF_INCR_MOD == 0 is
+    "today's crawl" (10%), the rest is the already-indexed base. Both
+    slices assign with the SAME frozen spherical-kmeans model the rest
+    of the ANN shelf uses (_lloyd — cached, so no extra training), so
+    the incremental layout is bit-identical to a full rebuild:
+    tests/test_llm_sim.py asserts (a) the appended layout's (cid,
+    vec_id) set equals a from-scratch rebuild's, and (b) a probe over
+    the incremental layout is row-identical to llm_simsearch_ivf.
+
+    Output (one row per cell, IVF_CELLS rows): base/new counts read
+    back FROM THE LAYOUT (so the append path itself is what is
+    witnessed), cell shares, and the share drift. Rows-only (trained
+    model in the path).
+
+    Scale: assignment is the in-row codegen fold (zero shuffles); the
+    append writes only the new batch's files (partition-sized, not
+    corpus-sized — the whole point vs rebuild); the census is one
+    cell-keyed aggregate over the read-back. At 100 TB the same op is
+    the nightly index roll: freeze model → assign delta → append to
+    the partitioned store → alert on drift.
+    """
+    import os
+
+    from local_etl_spark.queries.scans import _cache_dir
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = _lloyd(
+        spark, sf_dir, k=IVF_CELLS, iters=KM_ITERS, spherical=True
+    )
+
+    def assigned(df: DataFrame, is_new: bool) -> DataFrame:
+        # staged normalize (the llm_simsearch_ivf barrier pattern)
+        return df.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.expr(_UNIT_EMBEDDING).alias("_u"),
+        ).select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.lit(is_new).alias("is_new"),
+            _km_assign_expr(centroids, vector="_u").alias("cid"),
+        )
+
+    base = emb.filter(F.col("vec_id") % IVF_INCR_MOD != 0)
+    new = emb.filter(F.col("vec_id") % IVF_INCR_MOD == 0)
+    path = _cache_dir(sf_dir, "embeddings_ivf_incr")
+    # two-phase marker: parquet's own _SUCCESS lands after the FIRST
+    # write, so gating on it would skip the append forever if the
+    # sequence were interrupted — the custom marker is only created
+    # once BOTH phases committed
+    marker = os.path.join(path, "_INCR_DONE")
+    if not os.path.exists(marker):
+        assigned(base, False).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(path)
+        assigned(new, True).write.mode("append").partitionBy(
+            "cid"
+        ).parquet(path)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("")
+
+    back = spark.read.parquet(path)
+    census = back.groupBy("cid").agg(
+        F.sum((~F.col("is_new")).cast("long")).alias("n_base"),
+        F.sum(F.col("is_new").cast("long")).alias("n_new"),
+    )
+    tot = census.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_new").alias("tn")
+    )
+    share_base = F.col("n_base").cast("double") / F.col("tb")
+    share_new = F.col("n_new").cast("double") / F.col("tn")
+    return (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            "n_base",
+            "n_new",
+            F.round(share_base, 6).alias("share_base"),
+            F.round(share_new, 6).alias("share_new"),
+            (F.round(share_new - share_base, 6) + 0.0).alias("drift"),
+        )
+        .orderBy("cid")
+    )

@@ -297,3 +297,81 @@ def test_ivf_partitioned_equals_ivf(spark):
     a = [tuple(r) for r in get("llm_ivf_partitioned").fn(spark, SF).collect()]
     b = [tuple(r) for r in get("llm_simsearch_ivf").fn(spark, SF).collect()]
     assert a == b and len(a) == 10
+
+
+def test_ann_ivf_incremental_rebuild_parity(spark):
+    """The incremental layout (base write + new-batch append under the
+    FROZEN model) must be indistinguishable from a full rebuild:
+    (a) its (cid, vec_id) assignment set equals a from-scratch
+    assignment of the whole corpus with the same model, and (b) a
+    probe over it is row-identical to llm_simsearch_ivf. Also pins
+    the census arithmetic: per-cell base+new counts sum to the corpus
+    and the new slice is exactly the vec_id % IVF_INCR_MOD == 0 rows."""
+    from local_etl_spark.queries.llm_sim import (
+        _UNIT_EMBEDDING,
+        _km_assign_expr,
+        _lloyd,
+        IVF_CELLS,
+        IVF_INCR_MOD,
+        IVF_NPROBE,
+        KM_ITERS,
+        K,
+        cosine,
+    )
+    from local_etl_spark.queries._util import t
+    from local_etl_spark.queries.scans import _cache_dir
+    from pyspark.sql import functions as F
+
+    census = {
+        r["cid"]: (r["n_base"], r["n_new"])
+        for r in get("llm_ann_ivf_incremental").fn(spark, SF).collect()
+    }
+    emb = t(spark, SF, "embeddings")
+    n_total = emb.count()
+    n_new = emb.filter(F.col("vec_id") % IVF_INCR_MOD == 0).count()
+    assert sum(b + n for b, n in census.values()) == n_total
+    assert sum(n for _, n in census.values()) == n_new
+
+    # (a) layout ≡ full rebuild under the same frozen model
+    centroids = _lloyd(spark, SF, k=IVF_CELLS, iters=KM_ITERS, spherical=True)
+    rebuilt = {
+        (r["cid"], r["vec_id"])
+        for r in emb.select(
+            "vec_id", F.expr(_UNIT_EMBEDDING).alias("_u")
+        )
+        .select("vec_id", _km_assign_expr(centroids, vector="_u").alias("cid"))
+        .collect()
+    }
+    back = spark.read.parquet(_cache_dir(SF, "embeddings_ivf_incr"))
+    layout = {(r["cid"], r["vec_id"]) for r in back.select("cid", "vec_id").collect()}
+    assert layout == rebuilt
+
+    # (b) probe over the incremental layout ≡ llm_simsearch_ivf
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qn = sum(float(x) * float(x) for x in q) ** 0.5
+    qunit = [float(x) / qn for x in q]
+
+    def cell_sim(c):
+        cn = sum(v * v for v in c) ** 0.5
+        return sum(u * v for u, v in zip(qunit, c)) / cn
+
+    probe = sorted(
+        range(len(centroids)), key=lambda j: (-cell_sim(centroids[j]), j)
+    )[:IVF_NPROBE]
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    got = [
+        tuple(r)
+        for r in back.filter(F.col("cid").isin(probe))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            "vec_id", "label", F.round(cosine("embedding", "qv"), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(K)
+        .collect()
+    ]
+    want = [tuple(r) for r in get("llm_simsearch_ivf").fn(spark, SF).collect()]
+    assert got == want and len(got) == K
