@@ -20,6 +20,7 @@ contents, not layout) with a local materializer for exact parity.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 from functools import lru_cache
 
@@ -716,9 +717,19 @@ def write_sinks(
 
     # error-path sinks, run ONLY when the batch has invalid rows (the
     # reference's lazy-creation semantics — see sink_obs above):
-    # quarantine (R5): original documents, verbatim; error log (R6)
+    # quarantine (R5): original documents, verbatim; error log (R6).
+    # batch_seq (fuzz round 11, re-run axis): the reference's
+    # shutil.copy OVERWRITES a same-named quarantine file, so on a
+    # re-run where the bad file's bytes CHANGED the reference keeps
+    # the LATEST version — but an append-only (file_path, raw) table
+    # has no recency key, and materialize_quarantine's collect order
+    # over uuid-named part files is effectively random. A per-run
+    # driver timestamp restores latest-wins determinism without
+    # giving up the append-only sink (at scale it doubles as the
+    # ingest-run audit column).
     error_writes = [
         lambda: invalid.select("file_path", "raw")
+        .withColumn("batch_seq", F.lit(time.time_ns()))
         .write.mode("append")
         .parquet(cfg.path(table.schema_mismatch_dir)),
         lambda: error_log_lines(invalid)
@@ -845,8 +856,21 @@ def run_table_incremental(
 def materialize_quarantine(spark: SparkSession, quarantine_dir: str, out_dir: str) -> int:
     """Local helper: re-create verbatim per-file quarantine copies from
     the (file_path, raw) table — exact reference file layout for small
-    runs; the table form is what scales."""
-    rows = spark.read.parquet(quarantine_dir).select("file_path", "raw").collect()
+    runs; the table form is what scales.
+
+    Re-run semantics (fuzz round 11): the reference overwrites, so the
+    LATEST quarantined version of a file must win — max_by(batch_seq)
+    per path when the recency column is present (older tables without
+    it keep the legacy collect-order behavior)."""
+    df = spark.read.parquet(quarantine_dir)
+    if "batch_seq" in df.columns:
+        rows = (
+            df.groupBy("file_path")
+            .agg(F.max_by("raw", "batch_seq").alias("raw"))
+            .collect()
+        )
+    else:
+        rows = df.select("file_path", "raw").collect()
     os.makedirs(out_dir, exist_ok=True)
     for r in rows:
         with open(
