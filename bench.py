@@ -130,6 +130,10 @@ HEADLINE = [
     "llm_audio_fingerprint",
     "graph_closeness_sample",
     "agg_gst_obrien_fleming",
+    # round-11 additions: the incremental IVF maintenance roll (assign
+    # + partitioned append + drift census) and the vocab OOV audit
+    "llm_ann_ivf_incremental",
+    "llm_tokenizer_coverage",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →

@@ -440,8 +440,10 @@ _MH_SEEDS_SQL = ", ".join(f"({i}, {a}, {b})" for i, a, b in _MH_AB)
 # (cap inert on every shipped corpus — max bucket 4 vs cap 64; hash
 # collisions are the accepted 2^-64 class, same as llm_dedup_ngram's
 # xxhash64 join keys).
-_MINHASH_ORACLE = f"""
-WITH sets AS MATERIALIZED (
+# Shared CTE core: shingle sets → distinct-set groups → postings →
+# md5 base hashes → 64 affine minhash draws (also consumed by the
+# llm_lsh_band_sweep oracle).
+_MH_CORE_CTES = f"""sets AS MATERIALIZED (
     SELECT doc_id, list_sort(list_distinct(list_transform(
                generate_series(1, len(ws) - 2),
                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sl
@@ -468,7 +470,10 @@ mh AS MATERIALIZED (
     SELECT b.gid, s.i, min((s.a * b.h + s.b) % 2147483647) AS v
     FROM base b CROSS JOIN seeds s
     GROUP BY b.gid, s.i
-),
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MH_CORE_CTES},
 bandkey AS MATERIALIZED (
     SELECT gid, i // 4 AS band,
            string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bk
@@ -2338,4 +2343,172 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_crawls"),
         F.count_distinct("url").cast("bigint").alias("n_variants"),
         F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+    )
+
+
+# --- LSH banding-config sweep (round 11) ---------------------------------
+
+LSH_SWEEP_CONFIGS = ((8, 8), (16, 4), (32, 2))  # (bands, rows per band)
+
+_LSH_SWEEP_ORACLE = f"""
+WITH {_MH_CORE_CTES},
+cfg(b, r) AS (VALUES {", ".join(f"({b}, {r})" for b, r in LSH_SWEEP_CONFIGS)}),
+bandkey AS MATERIALIZED (
+    SELECT mh.gid, cfg.b, cfg.r, mh.i // cfg.r AS band,
+           string_agg(CAST(mh.v AS VARCHAR), ',' ORDER BY mh.i) AS bk
+    FROM mh CROSS JOIN cfg
+    GROUP BY mh.gid, cfg.b, cfg.r, mh.i // cfg.r
+),
+cand AS MATERIALIZED (
+    SELECT DISTINCT a.b, a.r, a.gid AS g1, b2.gid AS g2
+    FROM bandkey a
+    JOIN bandkey b2 ON a.b = b2.b AND a.band = b2.band AND a.bk = b2.bk
+                   AND a.gid < b2.gid
+),
+sizes AS (SELECT gid, len(sl) AS n FROM grp),
+shared AS MATERIALIZED (
+    SELECT p1.gid AS g1, p2.gid AS g2, count(*) AS sp
+    FROM post p1 JOIN post p2 ON p2.s = p1.s AND p1.gid < p2.gid
+    GROUP BY p1.gid, p2.gid
+),
+exact AS MATERIALIZED (
+    SELECT sh.g1, sh.g2
+    FROM shared sh
+    JOIN sizes n1 ON n1.gid = sh.g1
+    JOIN sizes n2 ON n2.gid = sh.g2
+    WHERE CAST(sh.sp AS DOUBLE) / (n1.n + n2.n - sh.sp) >= {JACCARD_T}
+),
+ex AS (SELECT count(*) AS n_exact FROM exact),
+per AS (
+    SELECT c.b, c.r,
+           count(*) AS n_candidates,
+           sum(CASE WHEN e.g1 IS NOT NULL THEN 1 ELSE 0 END) AS n_verified
+    FROM cand c
+    LEFT JOIN exact e ON e.g1 = c.g1 AND e.g2 = c.g2
+    GROUP BY c.b, c.r
+)
+SELECT CAST(per.b AS INT) AS bands,
+       CAST(per.r AS INT) AS rows_per_band,
+       CAST(per.n_candidates AS BIGINT) AS n_candidates,
+       CAST(per.n_verified AS BIGINT) AS n_verified,
+       CAST(ex.n_exact AS BIGINT) AS n_exact,
+       round(CAST(per.n_verified AS DOUBLE) / ex.n_exact, 6) AS recall,
+       round(CAST(per.n_verified AS DOUBLE) / per.n_candidates, 6)
+           AS precision_
+FROM per CROSS JOIN ex
+"""
+
+
+@query("llm_lsh_band_sweep", family="llm", oracle=_LSH_SWEEP_ORACLE)
+def llm_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-configuration sweep — the tuning harness for the
+    MinHash index: for (bands × rows/band) ∈ {LSH_SWEEP_CONFIGS} over
+    the SAME 64 md5-affine draws, the candidate-pair volume, how many
+    candidates survive exact-Jaccard verification, and recall /
+    precision against the exact pair set — the b×r trade every dedup
+    deployment tunes (more bands = higher recall at J near the
+    threshold, more candidates to verify). Companion to
+    llm_dedup_threshold_sweep (which sweeps the THRESHOLD at fixed
+    banding); SQL-oracled end to end because round 11's minhash
+    conversion made the draws DuckDB-replayable.
+
+    Set-level semantics: pairs are between DISTINCT shingle sets
+    (identical sets collapse before banding and are trivially
+    recalled, so they would only inflate every config's recall
+    identically). The exact ground truth is the uncapped set-postings
+    join — this is an audit op over model-sized distinct sets;
+    production banding runs through _minhash_buckets' capped,
+    split-keyed machinery.
+
+    Scale: signatures are map-only folds over the distinct-set
+    relation; each config's candidate join is keys-only on (band,
+    band-hash); the exact pair set reuses the postings join shape.
+    The three per-config aggregates are model-sized collects
+    (llm_bpe_train class) re-emitted as one 3-row DataFrame so ratio
+    rounding happens in Spark SQL, matching the oracle's round().
+    """
+    sh = with_shingles(t(spark, sf_dir, "documents")).persist()
+    sized = sh.filter(F.size("shingles") > 0)
+    set_hash = F.xxhash64(F.array_sort("shingles")).alias("set_hash")
+    reps = (
+        sized.select(set_hash, "shingles")
+        .dropDuplicates(["set_hash"])
+        .persist()
+    )
+    sig = (
+        reps.select("set_hash", _mh_bases_col())
+        .select("set_hash", *[_minhash_col(i) for i in range(N_PERM)])
+        .persist()
+    )
+    posts = reps.select(
+        "set_hash",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("_s"),
+    ).select("set_hash", "n", F.xxhash64("_s").alias("s"))
+    pairs = (
+        posts.alias("a")
+        .join(posts.alias("b"), "s")
+        .filter(F.col("a.set_hash") < F.col("b.set_hash"))
+        .groupBy(
+            F.col("a.set_hash").alias("g1"),
+            F.col("b.set_hash").alias("g2"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("sp"))
+    )
+    jac = F.col("sp").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("sp")
+    )
+    exact = pairs.filter(jac >= JACCARD_T).select("g1", "g2").persist()
+    n_exact = exact.count()
+
+    rows = []
+    for b, r in LSH_SWEEP_CONFIGS:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.xxhash64(
+                        *[F.col(f"mh{band * r + j}") for j in range(r)]
+                    ).alias("bh"),
+                )
+                for band in range(b)
+            ]
+        )
+        keyed = sig.select("set_hash", F.explode(bands).alias("k")).select(
+            "set_hash", "k.band", "k.bh"
+        )
+        cand = (
+            keyed.alias("a")
+            .join(keyed.alias("b"), ["band", "bh"])
+            .filter(F.col("a.set_hash") < F.col("b.set_hash"))
+            .select(
+                F.col("a.set_hash").alias("g1"),
+                F.col("b.set_hash").alias("g2"),
+            )
+            .dropDuplicates(["g1", "g2"])
+            .persist()
+        )
+        n_cand = cand.count()
+        n_ver = cand.join(exact, ["g1", "g2"], "semi").count()
+        cand.unpersist()
+        rows.append((b, r, n_cand, n_ver, n_exact))
+    out = spark.createDataFrame(
+        rows,
+        "bands int, rows_per_band int, n_candidates bigint,"
+        " n_verified bigint, n_exact bigint",
+    )
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_verified",
+        "n_exact",
+        F.round(
+            F.col("n_verified").cast("double") / F.col("n_exact"), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_verified").cast("double") / F.col("n_candidates"), 6
+        ).alias("precision_"),
     )

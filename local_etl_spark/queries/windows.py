@@ -3370,3 +3370,268 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("cents").cast("double") < lo)
         ).alias("breach"),
     )
+
+
+# --- RSI (Wilder smoothing) — round 11 -----------------------------------
+
+RSI_N = 14
+
+
+@query(
+    "win_rsi",
+    family="windows",
+    oracle=f"""
+    WITH day AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS y
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, count(*) AS n_days, list(y ORDER BY d) AS ys
+        FROM day GROUP BY event_type
+    ),
+    gl AS (
+        SELECT event_type, n_days,
+               list_transform(generate_series(2, len(ys)),
+                   i -> [greatest(ys[i] - ys[i-1], CAST(0 AS DOUBLE)),
+                         greatest(ys[i-1] - ys[i], CAST(0 AS DOUBLE))]) AS g
+        FROM series WHERE len(ys) >= 2
+    ),
+    folded AS (
+        SELECT event_type, n_days,
+               list_reduce(g, (a, p) -> [
+                   (a[1] * CAST({RSI_N - 1} AS DOUBLE) + p[1])
+                       / CAST({RSI_N} AS DOUBLE),
+                   (a[2] * CAST({RSI_N - 1} AS DOUBLE) + p[2])
+                       / CAST({RSI_N} AS DOUBLE)]) AS s
+        FROM gl
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(s[1], 6) + 0.0 AS avg_gain,
+           round(s[2], 6) + 0.0 AS avg_loss,
+           round(CASE WHEN s[2] = 0 THEN CAST(100 AS DOUBLE)
+                      ELSE CAST(100 AS DOUBLE)
+                         - CAST(100 AS DOUBLE)
+                           / (CAST(1 AS DOUBLE) + s[1] / s[2]) END,
+                 6) + 0.0 AS rsi
+    FROM folded
+    """,
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Wilder's smoothing, n = RSI_N = 14) over
+    each event_type's daily-revenue series — the momentum gauge
+    completing the technical shelf next to win_bollinger (volatility
+    bands), win_ewma (level) and win_theta_forecast (trend): is the
+    series' recent movement gain- or loss-dominated.
+
+    Each day-over-day delta is encoded as its (gain, loss) pair up
+    front, so DuckDB's list_reduce seeding (init = FIRST ELEMENT, acc
+    type = element type — the win_holt_winters mechanism) makes the
+    seed exactly Wilder's first observation; both engines then run the
+    identical multiply-add chain (a·(n−1) + x)/n left-to-right over
+    the day-ordered deltas. avg_loss = 0 defines RSI = 100 (the
+    conventional all-gains limit, shared CASE in both engines).
+
+    Scale: window input is the (event_type, day) aggregate — map-side
+    combined, calendar-bounded — then one in-row fold per series; at
+    100 TB the fold composes exactly like win_ewma (carry [avg_gain,
+    avg_loss] forward as the next window's seed).
+    """
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("double")
+            / 100
+        ).alias("y")
+    )
+    series = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, y))), s -> s.y)"
+        ).alias("ys"),
+    ).filter(F.size("ys") >= 2)
+    gl = (
+        "transform(sequence(1, size(ys) - 1), "
+        "i -> array(greatest(ys[i] - ys[i-1], CAST(0 AS DOUBLE)), "
+        "greatest(ys[i-1] - ys[i], CAST(0 AS DOUBLE))))"
+    )
+    fold = (
+        f"aggregate(slice(_gl, 2, size(_gl) - 1), _gl[0], "
+        f"(a, p) -> array("
+        f"(a[0] * CAST({RSI_N - 1} AS DOUBLE) + p[0])"
+        f" / CAST({RSI_N} AS DOUBLE), "
+        f"(a[1] * CAST({RSI_N - 1} AS DOUBLE) + p[1])"
+        f" / CAST({RSI_N} AS DOUBLE)))"
+    )
+    s = F.col("s")
+    rsi = F.when(s[1] == 0, F.lit(100.0)).otherwise(
+        F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + s[0] / s[1])
+    )
+    return (
+        series.select("event_type", "n_days", F.expr(gl).alias("_gl"))
+        .select("event_type", "n_days", F.expr(fold).alias("s"))
+        .select(
+            "event_type",
+            "n_days",
+            (F.round(s[0], 6) + 0.0).alias("avg_gain"),
+            (F.round(s[1], 6) + 0.0).alias("avg_loss"),
+            (F.round(rsi, 6) + 0.0).alias("rsi"),
+        )
+    )
+
+
+@query(
+    "win_seasonality_strength",
+    family="windows",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT day, c,
+               CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT)
+                   AS dow,
+               CAST(sum(c) OVER w AS BIGINT) AS t_c,
+               CAST(count(*) OVER w AS BIGINT) AS n_t
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    ),
+    det AS (
+        SELECT day, c, dow,
+               CASE WHEN n_t = 3 THEN 3 * c - t_c END AS d3
+        FROM tr
+    ),
+    seas AS (
+        SELECT dow, CAST(sum(d3) AS BIGINT) AS s_num,
+               CAST(count(d3) AS BIGINT) AS s_den
+        FROM det GROUP BY dow
+    ),
+    comp AS (
+        SELECT det.day,
+               det.d3 / 300.0 AS sr,
+               det.d3 / 300.0
+                 - CAST(s_num AS DOUBLE) / s_den / 300.0 AS r,
+               det.c / 100.0
+                 - CAST(s_num AS DOUBLE) / s_den / 300.0 AS t_r
+        FROM det JOIN seas ON det.dow = seas.dow
+        WHERE det.d3 IS NOT NULL
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               list_sum(list(r ORDER BY day)) AS f_r,
+               list_sum(list(r * r ORDER BY day)) AS f_r2,
+               list_sum(list(sr ORDER BY day)) AS f_sr,
+               list_sum(list(sr * sr ORDER BY day)) AS f_sr2,
+               list_sum(list(t_r ORDER BY day)) AS f_t,
+               list_sum(list(t_r * t_r ORDER BY day)) AS f_t2
+        FROM comp
+    )
+    SELECT n AS n_days,
+           round(greatest(CAST(0 AS DOUBLE),
+                 1 - (f_r2 / n - (f_r / n) * (f_r / n))
+                   / (f_sr2 / n - (f_sr / n) * (f_sr / n))), 6) + 0.0
+               AS seasonal_strength,
+           round(greatest(CAST(0 AS DOUBLE),
+                 1 - (f_r2 / n - (f_r / n) * (f_r / n))
+                   / (f_t2 / n - (f_t / n) * (f_t / n))), 6) + 0.0
+               AS trend_strength
+    FROM sums
+    """,
+)
+def win_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend / seasonality STRENGTH of the daily revenue series
+    (Hyndman & Athanasopoulos FPP §3.4): F_seasonal = max(0,
+    1 − Var(R)/Var(S+R)) and F_trend = max(0, 1 − Var(R)/Var(T+R))
+    over win_seasonal_decompose's components — the single-number
+    "does this series even HAVE seasonality worth modeling" gate a
+    forecasting pipeline runs before choosing between win_ewma /
+    win_theta_forecast / win_holt_winters_seasonal.
+
+    Determinism: the components reuse the decompose op's all-integer
+    staging (exact cents, exact BIGINT frame sums, d3 = 3c − Σframe)
+    so every per-day double is bit-identical cross-engine; the six
+    variance moments then fold in EXPLICIT day order (list_sum(list(x
+    ORDER BY day)) ≡ aggregate(array_sort(...))); each strength is
+    one division of those sums. Var = E[x²] − E[x]², same expression
+    text both sides. A zero variance denominator yields ±inf and
+    greatest(0, ·) clamps identically in both engines.
+
+    Scale: one day-grain aggregate, the calendar-bounded trend window
+    (ALLOW_GLOBAL_WINDOW class), a 7-row broadcast, then one 1-row
+    fold — nothing corpus-sized past the first aggregate.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.orderBy("day").rowsBetween(-1, 1)
+    tr = daily.select(
+        "day",
+        "c",
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.sum("c").over(w).cast("bigint").alias("t_c"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_t"),
+    )
+    det = tr.select(
+        "day",
+        "c",
+        "dow",
+        F.when(F.col("n_t") == 3, 3 * F.col("c") - F.col("t_c")).alias("d3"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.sum("d3").cast("bigint").alias("s_num"),
+        F.count("d3").cast("bigint").alias("s_den"),
+    )
+    s_mean = F.col("s_num").cast("double") / F.col("s_den") / F.lit(300.0)
+    comp = (
+        det.join(F.broadcast(seas), "dow")
+        .filter(F.col("d3").isNotNull())
+        .select(
+            "day",
+            (F.col("d3") / F.lit(300.0)).alias("sr"),
+            (F.col("d3") / F.lit(300.0) - s_mean).alias("r"),
+            (F.col("c") / F.lit(100.0) - s_mean).alias("t_r"),
+        )
+    )
+
+    def osum(x: str) -> F.Column:
+        return F.expr(
+            f"aggregate(array_sort(collect_list(struct(day, {x} AS x))),"
+            " CAST(0 AS DOUBLE), (a, e) -> a + e.x)"
+        )
+
+    sums = comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        osum("r").alias("f_r"),
+        osum("r * r").alias("f_r2"),
+        osum("sr").alias("f_sr"),
+        osum("sr * sr").alias("f_sr2"),
+        osum("t_r").alias("f_t"),
+        osum("t_r * t_r").alias("f_t2"),
+    )
+    n = F.col("n")
+
+    def strength(s2: str, s1: str) -> F.Column:
+        var_r = F.col("f_r2") / n - (F.col("f_r") / n) * (F.col("f_r") / n)
+        var_d = F.col(s2) / n - (F.col(s1) / n) * (F.col(s1) / n)
+        return F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d), 6
+        ) + 0.0
+
+    return sums.select(
+        n.alias("n_days"),
+        strength("f_sr2", "f_sr").alias("seasonal_strength"),
+        strength("f_t2", "f_t").alias("trend_strength"),
+    )

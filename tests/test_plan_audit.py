@@ -112,6 +112,8 @@ ALLOW_NESTED_LOOP = {
     # p(l,s) denominator
     "agg_fdr_bh",  # two 1-row broadcasts (m_tests count, BH cut rank)
     # joined to the m-row (one per hypothesis) ranked table
+    "llm_ann_ivf_incremental",  # same shape: 1-row base/new totals
+    # broadcast onto the 16-row cell census (share denominators)
 }
 
 # queries whose CONTRACT is running Python (UDF surface, media decode)
@@ -169,6 +171,8 @@ ALLOW_GLOBAL_WINDOW = {
     "win_interpolate",  # gap-fill over the per-day series (calendar-bounded)
     "win_seasonal_decompose",  # trend frame over the per-day series
     # (calendar-bounded day grid, same class as win_interpolate)
+    "win_seasonality_strength",  # same decompose trend frame over the
+    # calendar-bounded day grid (round 11)
     "agg_fdr_bh",  # BH rank over the m-row hypothesis table (one row
     # per event_type — hypothesis-family-bounded, never data-sized)
 }
