@@ -27,19 +27,31 @@ import statistics
 import sys
 
 
-def _calib(d: dict) -> float | None:
-    """Host-speed probe from a bench artifact, preferring the all-core
-    probe (local[32] workloads ride the multi-core clock, which moves
-    independently of the single-thread one); mean of start/end when
-    both endpoints were recorded."""
-    for keys in (
-        ("calib_mt_miter_s_start", "calib_mt_miter_s_end"),
-        ("calib_miter_s_start", "calib_miter_s_end"),
-    ):
+_CALIB_KINDS = (
+    # all-core first: local[32] workloads ride the multi-core clock,
+    # which moves independently of the single-thread one
+    ("calib_mt_miter_s_start", "calib_mt_miter_s_end"),
+    ("calib_miter_s_start", "calib_miter_s_end"),
+)
+
+
+def _calibs(d: dict) -> dict[int, float]:
+    """Host-speed probes from a bench artifact, one value per probe
+    KIND (mean of start/end when both endpoints were recorded). The
+    caller must normalize with the SAME kind on both sides — mt and
+    single-thread readings are different units (aggregate vs per-core
+    Miter/s) and must never be cross-divided."""
+    out: dict[int, float] = {}
+    for i, keys in enumerate(_CALIB_KINDS):
         vals = [float(d[k]) for k in keys if d.get(k)]
         if vals:
-            return sum(vals) / len(vals)
-    return None
+            out[i] = sum(vals) / len(vals)
+    return out
+
+
+def _calib(d: dict) -> dict[int, float] | None:
+    c = _calibs(d)
+    return c or None
 
 
 def _sidecar_calib(path: str, queries: dict[str, float]) -> float | None:
@@ -100,13 +112,22 @@ def main(argv: list[str]) -> int:
         return 1
     ratios = {k: b[k] / a[k] for k in shared if a[k] > 0}
     med = statistics.median(ratios.values())
-    if ca and cb:
-        # time ~ 1/speed: a host that probes at cb < ca inflates B's
-        # times by ca/cb, so the code-attributable median is med*cb/ca
-        norm = med * cb / ca
+    pair = None
+    if isinstance(ca, dict) and isinstance(cb, dict):
+        common = sorted(set(ca) & set(cb))
+        if common:
+            kind = common[0]
+            pair = (ca[kind], cb[kind], _CALIB_KINDS[kind][0])
+    elif ca and cb and not isinstance(ca, dict):
+        pair = (float(ca), float(cb), "--calib")
+    if pair:
+        va, vb, kind_name = pair
+        # time ~ 1/speed: a host that probes at vb < va inflates B's
+        # times by va/vb, so the code-attributable median is med*vb/va
+        norm = med * vb / va
         print(
-            f"host calib: {ca:.1f} vs {cb:.1f} Miter/s — raw median "
-            f"{med:.2f}x, calib-normalized {norm:.2f}x "
+            f"host calib ({kind_name}): {va:.1f} vs {vb:.1f} Miter/s — "
+            f"raw median {med:.2f}x, calib-normalized {norm:.2f}x "
             f"(bisect only if the NORMALIZED median moved)"
         )
     else:
