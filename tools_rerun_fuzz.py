@@ -407,6 +407,107 @@ def scenario_rerun_quarantine_mutation(spark, root: Path) -> list[str]:
     return diffs
 
 
+def sweep_randomized(spark, root: Path, seeds: int) -> list[str]:
+    """Randomized re-run sweep (--sweep N): per seed, build an intact
+    corpus, run reference main2.py + the engine, apply 2–4 RANDOM
+    corpus edits (add a valid doc / add an invalid doc / REWRITE an
+    invalid doc's bytes / delete a doc), run both again, and diff the
+    three accumulation surfaces: v2 data-row multisets, errors.log
+    multisets, and quarantine latest-wins bytes via
+    materialize_quarantine (the reference's overwrite semantics)."""
+    import random
+
+    from local_etl_spark.etl.pipeline import (
+        materialize_quarantine,
+        run_pipeline,
+    )
+
+    u = json.load(open("/root/reference/user-events-schema.json"))
+    c = json.load(open("/root/reference/card-events-schema.json"))
+    all_diffs: list[str] = []
+    for seed in range(seeds):
+        rng = random.Random(1000 + seed)
+        tag = f"s{seed}"
+        ref2 = root / tag / "ref2"
+        sf._build(ref2, u, c)
+        out = root / tag / "engine"
+        cfg = _engine_cfg(ref2, out)
+        p = sf._run_reference("/root/reference/main2.py", ref2)
+        if p.returncode:
+            all_diffs.append(f"[{tag}] reference run1 crashed")
+            continue
+        run_pipeline(spark, cfg, version=2)
+
+        # 2-4 random edits between the runs
+        for n_edit in range(rng.randint(2, 4)):
+            kind = rng.choice(["add_valid", "add_bad", "mutate_bad", "del"])
+            if kind == "add_valid":
+                (ref2 / "users" / f"new_ok_{n_edit}.json").write_text(
+                    json.dumps(sf._user_doc(500 + seed * 10 + n_edit), indent=2)
+                )
+            elif kind == "add_bad":
+                bad = sf._user_doc(600 + seed * 10 + n_edit)
+                bad["payload"]["score"] = f"bad-{seed}-{n_edit}"
+                (ref2 / "users" / f"new_bad_{n_edit}.json").write_text(
+                    json.dumps(bad, indent=2)
+                )
+            elif kind == "mutate_bad":
+                bad = sf._user_doc(90)
+                bad["payload"]["score"] = f"mutated-{seed}-{n_edit}"
+                (ref2 / "users" / "bad_type.json").write_text(
+                    json.dumps(bad, indent=2)
+                )
+            else:
+                victims = sorted(
+                    f for f in os.listdir(ref2 / "users")
+                    if f.startswith("ev")
+                )
+                if victims:
+                    os.unlink(ref2 / "users" / victims[rng.randrange(len(victims))])
+
+        p = sf._run_reference("/root/reference/main2.py", ref2)
+        if p.returncode:
+            all_diffs.append(f"[{tag}] reference run2 crashed")
+            continue
+        run_pipeline(spark, cfg, version=2)
+
+        # v2 rows (multiset, duplicate-free headers)
+        for tbl in ("users", "cards"):
+            ref_rows, dup = _ref_rows_split(ref2 / f"{tbl}.csv")
+            if dup:
+                all_diffs.append(f"[{tag}] v2 {tbl}: dup header in reference")
+            eh, er = sf._engine_csv_lists(out / f"{tbl}.csv")
+            if sorted(map(tuple, ref_rows)) != sorted(map(tuple, er)):
+                all_diffs.append(
+                    f"[{tag}] v2 {tbl} ROWS differ "
+                    f"({len(ref_rows)} vs {len(er)})"
+                )
+        # errors.log multiset
+        if _errors_multi(ref2 / "errors.log") != _errors_multi(
+            out / "errors.log.d"
+        ):
+            all_diffs.append(f"[{tag}] errors.log multisets differ")
+        # quarantine latest-wins bytes
+        rq = {
+            os.path.basename(pth): open(pth, encoding="utf-8").read()
+            for pth in glob.glob(str(ref2 / "users_schema_mismatches" / "*"))
+        }
+        mat = root / tag / "materialized"
+        if glob.glob(str(out / "users_q" / "part-*")):
+            materialize_quarantine(spark, str(out / "users_q"), str(mat))
+        eq = {
+            os.path.basename(pth): open(pth, encoding="utf-8").read()
+            for pth in glob.glob(str(mat / "*"))
+        }
+        if rq != eq:
+            all_diffs.append(
+                f"[{tag}] quarantine latest-wins differ: "
+                f"{sorted(set(rq) ^ set(eq))[:3] or [k for k in rq if rq[k] != eq.get(k)][:3]}"
+            )
+        print(f"seed {seed}: {'OK' if not all_diffs else 'diffs so far ' + str(len(all_diffs))}")
+    return all_diffs
+
+
 SCENARIOS = {
     "rerun_accumulation": scenario_rerun_accumulation,
     "rerun_growth": scenario_rerun_growth,
@@ -416,7 +517,13 @@ SCENARIOS = {
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = list(sys.argv[1:])
+    sweep_n = 0
+    if "--sweep" in argv:
+        i = argv.index("--sweep")
+        sweep_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from local_etl_spark.session import get_spark
 
@@ -424,6 +531,15 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     all_diffs: list[str] = []
     root = Path(tempfile.mkdtemp(prefix="rerun_fuzz_"))
+    if sweep_n:
+        d = root / "sweep"
+        d.mkdir(parents=True)
+        diffs = sweep_randomized(spark, d, sweep_n)
+        print(f"randomized sweep ({sweep_n} seeds): {len(diffs)} diff(s)")
+        for x in diffs:
+            print(f"   {x}")
+        print(f"\ntotal scenarios diffs: {len(diffs)}")
+        return 1 if diffs else 0
     for name, fn in SCENARIOS.items():
         if only and name not in only:
             continue
