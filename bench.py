@@ -131,9 +131,16 @@ HEADLINE = [
     "graph_closeness_sample",
     "agg_gst_obrien_fleming",
     # round-11 additions: the incremental IVF maintenance roll (assign
-    # + partitioned append + drift census) and the vocab OOV audit
+    # + partitioned append + drift census), the vocab OOV audit, the
+    # LSH banding sweep (three band joins over the md5-affine draws),
+    # the Croston intermittent-demand folds, and the two light
+    # forecasting-gate entries
     "llm_ann_ivf_incremental",
     "llm_tokenizer_coverage",
+    "llm_lsh_band_sweep",
+    "win_croston",
+    "win_rsi",
+    "win_seasonality_strength",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →

@@ -3635,3 +3635,122 @@ def win_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         strength("f_sr2", "f_sr").alias("seasonal_strength"),
         strength("f_t2", "f_t").alias("trend_strength"),
     )
+
+
+@query(
+    "win_croston",
+    family="windows",
+    oracle="""
+    WITH act AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS z,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE))
+                    AS DOUBLE) AS dn
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT user_id, count(*) AS n_active,
+               list(z ORDER BY day) AS zs,
+               list(dn ORDER BY day) AS ds
+        FROM act GROUP BY user_id
+    ),
+    f AS (
+        SELECT user_id, n_active,
+               list_reduce(zs, (a, x) -> a * CAST(0.75 AS DOUBLE)
+                                       + x * CAST(0.25 AS DOUBLE)) AS zh,
+               list_reduce(
+                   list_transform(generate_series(2, len(ds)),
+                                  i -> ds[i] - ds[i-1]),
+                   (a, x) -> a * CAST(0.75 AS DOUBLE)
+                           + x * CAST(0.25 AS DOUBLE)) AS qh
+        FROM s WHERE n_active >= 2
+    )
+    SELECT user_id, CAST(n_active AS BIGINT) AS n_active_days,
+           round(zh, 6) + 0.0 AS size_hat,
+           round(qh, 6) + 0.0 AS interval_hat,
+           round(zh / qh, 6) + 0.0 AS demand_rate
+    FROM f
+    """,
+)
+def win_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand, per user over purchase
+    events (Croston 1972): smooth the nonzero demand SIZES and the
+    INTER-ARRIVAL intervals separately (EWMA, α = 0.25 — an exact
+    power of two, the win_ewma discipline), forecast = size/interval
+    demand per day. The forecasting shelf's sparse-series member: ewma
+    / holt / holt-winters / theta / rsi all assume a dense series;
+    per-user purchases are the archetypal intermittent one (most days
+    zero), where naive smoothing of the zero-filled series
+    systematically under-forecasts — the exact bias Croston removes.
+
+    Determinism: active-day sizes are exact cents → one division;
+    intervals are exact day diffs cast to double; BOTH folds seed with
+    their first element (Spark aggregate-over-slice ≡ DuckDB
+    list_reduce first-element seeding) and run the identical
+    multiply-add chain in day order. Users with a single active day
+    have no interval and are excluded (n_active ≥ 2, both engines).
+
+    Scale: one shuffle to (user, day), one to per-user lists bounded
+    by the user's ACTIVE days (sparse by definition — far smaller than
+    the calendar); the folds are in-row. The streaming twin carries
+    (ẑ, q̂, last_day) as state exactly like win_ewma's seed-forward
+    composition.
+    """
+    e = t(spark, sf_dir, "events")
+    act = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("double")
+                / 100
+            ).alias("z")
+        )
+        .select(
+            "user_id",
+            "day",
+            "z",
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("dn"),
+        )
+    )
+    s = act.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, z))), s -> s.z)"
+        ).alias("zs"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, dn))), s -> s.dn)"
+        ).alias("ds"),
+    ).filter(F.col("n_active") >= 2)
+    ewma = (
+        "aggregate(slice({v}, 2, size({v}) - 1), {v}[0], "
+        "(a, x) -> a * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE))"
+    )
+    staged = s.select(
+        "user_id",
+        "n_active",
+        "zs",
+        F.expr(
+            "transform(sequence(1, size(ds) - 1), i -> ds[i] - ds[i-1])"
+        ).alias("_iv"),
+    ).select(
+        "user_id",
+        "n_active",
+        F.expr(ewma.format(v="zs")).alias("zh"),
+        F.expr(ewma.format(v="_iv")).alias("qh"),
+    )
+    return staged.select(
+        "user_id",
+        F.col("n_active").alias("n_active_days"),
+        (F.round("zh", 6) + 0.0).alias("size_hat"),
+        (F.round("qh", 6) + 0.0).alias("interval_hat"),
+        (F.round(F.col("zh") / F.col("qh"), 6) + 0.0).alias("demand_rate"),
+    )
