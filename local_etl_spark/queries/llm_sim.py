@@ -552,7 +552,87 @@ MMR_LAMBDA = 0.7
 MMR_CANDIDATES = 30
 
 
-@query("llm_mmr_diversify", family="llm", oracle=None)
+# LIST-MACHINE replay of the greedy MMR loop (rows-only→SQL conversion
+# #9, round 11 — the graph_coreness pattern applied to a FLOAT greedy):
+# the pool is MMR_CANDIDATES rows, every arithmetic step is an ordered
+# sequential double fold (Python sum() ≡ index-ordered list_sum; the
+# known float32 trap is dodged by pre-casting embeddings to DOUBLE
+# once), and the argmax tie-break (first max in vec_id order) is
+# list_filter(...)[1] over a vid-ordered remaining list. State =
+# (step, remaining, selected, selected embeddings); scalar list
+# lambdas only, which SQL recursion allows where aggregates are not.
+_MMR_SCORE = (
+    f"CAST({MMR_LAMBDA} AS DOUBLE) * struct_extract(c, 'rel')"
+    f" - (CAST(1.0 AS DOUBLE) - CAST({MMR_LAMBDA} AS DOUBLE))"
+    " * coalesce(list_max(list_transform(sembs, se ->"
+    " list_sum(list_transform(list_zip(struct_extract(c, 'emb'), se),"
+    " p -> p[1] * p[2]))"
+    " / (sqrt(list_sum(list_transform(struct_extract(c, 'emb'),"
+    " v -> v * v)))"
+    " * sqrt(list_sum(list_transform(se, v -> v * v)))))),"
+    " CAST(0 AS DOUBLE))"
+)
+
+_MMR_ORACLE = f"""
+WITH RECURSIVE q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pool AS MATERIALIZED (
+    SELECT e.vec_id,
+           list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS emb,
+           round({{DUCK_COS}}, 6) AS rel
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY rel DESC, e.vec_id
+    LIMIT {MMR_CANDIDATES}
+),
+init AS (
+    SELECT 0 AS step,
+           list({{{{'vid': vec_id, 'rel': rel, 'emb': emb}}}}
+                ORDER BY vec_id) AS rem,
+           CAST([] AS STRUCT(rnk INT, vid BIGINT, rel DOUBLE,
+                             score DOUBLE)[]) AS sel,
+           CAST([] AS DOUBLE[][]) AS sembs
+    FROM pool
+),
+greedy AS (
+    SELECT step, rem, sel, sembs FROM init
+    UNION ALL
+    SELECT step + 1,
+           list_filter(rem, c -> struct_extract(c, 'vid')
+                              <> struct_extract(pick, 'vid')),
+           sel || [{{{{'rnk': CAST(step + 1 AS INT),
+                    'vid': struct_extract(pick, 'vid'),
+                    'rel': struct_extract(pick, 'rel'),
+                    'score': struct_extract(pick, 'score')}}}}],
+           sembs || [struct_extract(pick, 'emb')]
+    FROM (
+        SELECT step, rem, sel, sembs,
+               list_filter(scored, s -> struct_extract(s, 'score') =
+                   list_max(list_transform(scored,
+                       z -> struct_extract(z, 'score'))))[1] AS pick
+        FROM (
+            SELECT step, rem, sel, sembs,
+                   list_transform(rem, c -> {{{{
+                       'vid': struct_extract(c, 'vid'),
+                       'rel': struct_extract(c, 'rel'),
+                       'emb': struct_extract(c, 'emb'),
+                       'score': {_MMR_SCORE}
+                   }}}}) AS scored
+            FROM greedy
+            WHERE step < {K} AND len(rem) > 0
+        )
+    )
+)
+SELECT struct_extract(u, 'rnk') AS rank,
+       struct_extract(u, 'vid') AS vec_id,
+       struct_extract(u, 'rel') AS relevance,
+       struct_extract(u, 'score') AS mmr_score
+FROM (SELECT sel FROM greedy
+      WHERE step = (SELECT max(step) FROM greedy)) f,
+     LATERAL unnest(f.sel) AS t(u)
+""".format(DUCK_COS=_duck_cosine("e.embedding", "q.qv"))
+
+
+@query("llm_mmr_diversify", family="llm", oracle=_MMR_ORACLE)
 def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998) over the brute-force candidate pool: greedy selection of K
@@ -565,9 +645,16 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the MMR_CANDIDATES-row pool crosses to the driver for the
     inherently sequential greedy loop (each pick depends on all prior
     picks), mirroring the IVF-centroid allowance — model-sized, never
-    corpus-sized. Rows-only: iterative argmax isn't SQL-expressible;
-    tests/test_llm_sim.py re-runs the greedy spec in NumPy and asserts
-    the identical selection, order, and scores.
+    corpus-sized.
+
+    SQL-ORACLED since round 11 (the 9th rows-only→SQL conversion, and
+    the first FLOAT-greedy one): every arithmetic step of the loop is
+    an ordered sequential double fold — Python sum() ≡ index-ordered
+    list_sum, math.sqrt ≡ sqrt, and the strictly-greater argmax scan
+    ≡ first-max-in-vid-order — so _MMR_ORACLE replays the selection
+    bit-for-bit as a LIST-MACHINE recursive CTE (the graph_coreness
+    pattern). tests/test_llm_sim.py additionally re-runs the greedy
+    spec in NumPy and asserts the identical selection, order, scores.
     """
     emb = t(spark, sf_dir, "embeddings")
     qv = F.broadcast(
