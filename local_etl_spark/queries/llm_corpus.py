@@ -209,7 +209,92 @@ def bfd_pack(sizes: list[tuple[int, int]], budget: int) -> dict[int, int]:
     return assign
 
 
-@query("llm_pack_bfd", family="llm", oracle=None)
+# LIST-MACHINE replay of best-fit-decreasing (rows-only→SQL conversion
+# #10, round 11): BFD is an INTEGER greedy, so unlike the float folds
+# there is no arithmetic subtlety at all — the machine just has to
+# reproduce bfd_pack's exact choice rule: items sorted (n DESC, d ASC);
+# per item the OPEN bin with the smallest (remaining, bin_id) that
+# fits (list_sort(fits)[1] ≡ the bisect_left scan), else a new bin
+# numbered by opening order; zero-remaining bins close. One machine
+# row per (lang, source) stratum evolves through the recursion — the
+# multi-row twin of the graph_coreness single-row machine; depth =
+# max stratum size (≤ ~112 on shipped corpora).
+_BFD_ORACLE = f"""
+WITH RECURSIVE docs AS MATERIALIZED (
+    SELECT doc_id, lang, source,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+    FROM documents
+),
+init AS (
+    SELECT lang, source, 0 AS idx,
+           list({{'d': doc_id, 'n': n_tokens}}
+                ORDER BY n_tokens DESC, doc_id) AS items,
+           CAST([] AS STRUCT(rem INT, bid BIGINT)[]) AS bins,
+           CAST([] AS STRUCT(d BIGINT, s BIGINT)[]) AS assigns,
+           CAST(0 AS BIGINT) AS nb
+    FROM docs GROUP BY lang, source
+),
+pack AS (
+    SELECT lang, source, idx, items, bins, assigns, nb FROM init
+    UNION ALL
+    SELECT lang, source, idx + 1, items,
+           CASE WHEN hit THEN
+               list_filter(bins, x -> struct_extract(x, 'bid')
+                                   <> struct_extract(pick, 'bid'))
+               || CASE WHEN struct_extract(pick, 'rem') - n > 0
+                       THEN [{{'rem': struct_extract(pick, 'rem') - n,
+                              'bid': struct_extract(pick, 'bid')}}]
+                       ELSE CAST([] AS STRUCT(rem INT, bid BIGINT)[]) END
+           ELSE
+               bins || CASE WHEN {PACK_BUDGET} - n > 0
+                            THEN [{{'rem': {PACK_BUDGET} - n, 'bid': nb}}]
+                            ELSE CAST([] AS STRUCT(rem INT,
+                                                   bid BIGINT)[]) END
+           END AS bins,
+           assigns || [{{'d': d,
+                        's': CASE WHEN hit
+                             THEN struct_extract(pick, 'bid')
+                             ELSE nb END}}],
+           CASE WHEN hit THEN nb ELSE nb + 1 END AS nb
+    FROM (
+        SELECT lang, source, idx, items, bins, assigns, nb, d, n,
+               list_sort(list_filter(bins,
+                   b -> struct_extract(b, 'rem') >= n))[1] AS pick,
+               (n <= {PACK_BUDGET} AND len(list_filter(bins,
+                   b -> struct_extract(b, 'rem') >= n)) > 0) AS hit
+        FROM (
+            SELECT lang, source, idx, items, bins, assigns, nb,
+                   struct_extract(items[idx + 1], 'd') AS d,
+                   struct_extract(items[idx + 1], 'n') AS n
+            FROM pack WHERE idx < len(items)
+        )
+    )
+),
+final AS (
+    SELECT lang, source, assigns, nb FROM pack WHERE idx = len(items)
+),
+asg AS (
+    SELECT f.lang, f.source, f.nb,
+           struct_extract(u, 'd') AS doc_id,
+           struct_extract(u, 's') AS seq_id
+    FROM final f, LATERAL unnest(f.assigns) AS t(u)
+),
+eff AS (
+    SELECT a.lang, a.source, a.nb,
+           sum(least(CAST(d.n_tokens AS BIGINT), {PACK_BUDGET})) AS filled
+    FROM asg a JOIN docs d ON d.doc_id = a.doc_id
+    GROUP BY a.lang, a.source, a.nb
+)
+SELECT d.doc_id, d.lang, d.source, d.n_tokens,
+       a.seq_id,
+       CAST(e.filled AS DOUBLE) / (e.nb * {PACK_BUDGET}) AS efficiency
+FROM docs d
+JOIN asg a ON a.doc_id = d.doc_id
+JOIN eff e ON e.lang = d.lang AND e.source = d.source
+"""
+
+
+@query("llm_pack_bfd", family="llm", oracle=_BFD_ORACLE)
 def llm_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit-decreasing sequence packing — the production upgrade
     over llm_pack_sequences' concat-and-chunk: documents are never
@@ -261,8 +346,14 @@ def llm_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["seq_id"] = out["doc_id"].map(assign)
             n_bins = int(out["seq_id"].max()) + 1 if len(out) else 0
             filled = int(out["n_tokens"].clip(upper=budget).sum())
+            # RAW double division, no rounding: with a power-of-two
+            # budget the ratio lands on exact 6-dp half-ties
+            # constantly, where Python round (banker's) and SQL round
+            # (half-away) DIVERGE — the bare int/int division is
+            # bit-identical in every engine (round 11, found by the
+            # oracle conversion)
             out["efficiency"] = (
-                round(filled / (n_bins * budget), 6) if n_bins else 0.0
+                filled / (n_bins * budget) if n_bins else 0.0
             )
             return out
 

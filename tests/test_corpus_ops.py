@@ -189,7 +189,10 @@ def test_pack_bfd_matches_reference_and_beats_chunk_layout(spark):
 
         n_bins = max(fill) + 1
         filled = sum(min(r["n_tokens"], PACK_BUDGET) for r in docs)
-        eff = round(filled / (n_bins * PACK_BUDGET), 6)
+        # raw division — no rounding; see the engine comment (Python
+        # banker's round vs SQL half-away diverge on the power-of-two
+        # budget's constant half-ties)
+        eff = filled / (n_bins * PACK_BUDGET)
         assert all(r["efficiency"] == eff for r in docs), key
         # BFD bin count within the Wahba/Johnson guarantee of the
         # split-allowed lower bound (chunk layout = ceil(total/budget))
