@@ -785,7 +785,131 @@ def _bpe_quote(sym: str) -> str:
     return "\\Q" + sym.replace("\\E", "\\E\\\\E\\Q") + "\\E"
 
 
-@query("llm_bpe_train", family="llm", oracle=None)
+# LIST-MACHINE replay of the full BPE training loop (rows-only→SQL
+# conversions #11/#12, round 11): the corpus collapses to the distinct
+# (word, freq) table — 31 words here, vocab-sized anywhere — so the
+# whole trainer state fits ONE machine row: a list of (word, symbol
+# list, freq) structs plus the learned merge table. Per round the
+# machine (a) enumerates adjacent symbol pairs with word weights,
+# (b) scores each distinct pair by an exact BIGINT weighted count,
+# (c) picks argmax with the trainer's exact tie-break ((cnt DESC, l,
+# r) ≡ list_sort on (-cnt, l, r) structs, binary string order both
+# engines), and (d) applies the merge to every word as a left-to-right
+# singleton-list fold — verified to reproduce the engine's
+# lookaround-anchored non-overlapping regex substitution exactly
+# ('a a a a' → 'aa aa', never 'aa a a'). Integer counts end to end;
+# the only strings are the symbols themselves.
+_BPE_MACHINE = f"""words AS MATERIALIZED (
+    SELECT t.w AS w, CAST(count(*) AS BIGINT) AS freq
+    FROM documents, unnest(regexp_split_to_array(text, '\\s+')) AS t(w)
+    WHERE t.w <> ''
+    GROUP BY t.w
+),
+init AS (
+    SELECT 0 AS step,
+           list({{'w': w, 'syms': string_split(w, ''), 'freq': freq}}
+                ORDER BY w) AS vocab,
+           CAST([] AS STRUCT(st INT, l VARCHAR, r VARCHAR, m VARCHAR,
+                             wt BIGINT)[]) AS merges
+    FROM words
+),
+bpe AS (
+    SELECT step, vocab, merges FROM init
+    UNION ALL
+    SELECT step + 1,
+           list_transform(vocab, v -> {{
+               'w': struct_extract(v, 'w'),
+               'syms': list_reduce(
+                   list_transform(struct_extract(v, 'syms'), s -> [s]),
+                   (acc, x) -> CASE
+                       WHEN len(acc) > 0
+                            AND acc[-1] = struct_extract(best, 'l')
+                            AND x[1] = struct_extract(best, 'r')
+                       THEN acc[1:len(acc) - 1]
+                            || [struct_extract(best, 'l')
+                                || struct_extract(best, 'r')]
+                       ELSE acc || x END),
+               'freq': struct_extract(v, 'freq')}}) AS vocab,
+           merges || [{{'st': CAST(step + 1 AS INT),
+                       'l': struct_extract(best, 'l'),
+                       'r': struct_extract(best, 'r'),
+                       'm': struct_extract(best, 'l')
+                            || struct_extract(best, 'r'),
+                       'wt': -struct_extract(best, 'negc')}}] AS merges
+    FROM (
+        SELECT step, vocab, merges,
+               list_sort(list_transform(keys, k -> {{
+                   'negc': -list_sum(list_transform(
+                       list_filter(pairs,
+                           p -> struct_extract(p, 'l')
+                                    = string_split(k, chr(31))[1]
+                            AND struct_extract(p, 'r')
+                                    = string_split(k, chr(31))[2]),
+                       p -> struct_extract(p, 'f'))),
+                   'l': string_split(k, chr(31))[1],
+                   'r': string_split(k, chr(31))[2]}}))[1] AS best
+        FROM (
+            SELECT step, vocab, merges, pairs,
+                   list_distinct(list_transform(pairs, p ->
+                       struct_extract(p, 'l') || chr(31)
+                       || struct_extract(p, 'r'))) AS keys
+            FROM (
+                SELECT step, vocab, merges,
+                       flatten(list_transform(vocab, v ->
+                           list_transform(
+                               generate_series(1,
+                                   len(struct_extract(v, 'syms')) - 1),
+                               i -> {{'l': struct_extract(v, 'syms')[i],
+                                     'r': struct_extract(v, 'syms')[i + 1],
+                                     'f': struct_extract(v, 'freq')}})))
+                           AS pairs
+                FROM bpe
+                WHERE step < {BPE_TRAIN_ROUNDS}
+            )
+        )
+        WHERE len(pairs) > 0
+    )
+)"""
+
+_BPE_TRAIN_ORACLE = f"""
+WITH RECURSIVE {_BPE_MACHINE}
+SELECT struct_extract(u, 'st') AS step,
+       struct_extract(u, 'l') AS "left",
+       struct_extract(u, 'r') AS "right",
+       struct_extract(u, 'm') AS merged,
+       struct_extract(u, 'wt') AS weight
+FROM (SELECT merges FROM bpe
+      WHERE step = (SELECT max(step) FROM bpe)) f,
+     LATERAL unnest(f.merges) AS t(u)
+"""
+
+_BPE_APPLY_ORACLE = f"""
+WITH RECURSIVE {_BPE_MACHINE},
+fv AS (
+    SELECT struct_extract(u, 'w') AS w,
+           CAST(len(struct_extract(u, 'syms')) AS BIGINT) AS nsyms
+    FROM (SELECT vocab FROM bpe
+          WHERE step = (SELECT max(step) FROM bpe)) f,
+         LATERAL unnest(f.vocab) AS t(u)
+),
+langw AS (
+    SELECT lang, t.w AS w, CAST(count(*) AS BIGINT) AS freq
+    FROM documents, unnest(regexp_split_to_array(text, '\\s+')) AS t(w)
+    WHERE t.w <> ''
+    GROUP BY lang, t.w
+)
+SELECT lw.lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(lw.w) * lw.freq) AS BIGINT) AS total_chars,
+       CAST(sum(fv.nsyms * lw.freq) AS BIGINT) AS total_symbols,
+       round(CAST(sum(fv.nsyms * lw.freq) AS DOUBLE)
+             / sum(length(lw.w) * lw.freq), 6) AS compression
+FROM langw lw JOIN fv ON fv.w = lw.w
+GROUP BY lw.lang
+"""
+
+
+@query("llm_bpe_train", family="llm", oracle=_BPE_TRAIN_ORACLE)
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer training (Sennrich et al. 2016 §3.1), 8
     merge rounds: start from characters, repeatedly count adjacent
@@ -794,7 +918,12 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores ONE round's candidates; this one runs the training loop
     and emits the learned merge table (step, left, right, merged,
     weight), pytest-verified against a pure-Python reference
-    implementation of the same algorithm.
+    implementation of the same algorithm AND SQL-ORACLED since round
+    11 (conversion #11): _BPE_TRAIN_ORACLE replays the whole loop as
+    a single-row vocab LIST-MACHINE — exact BIGINT pair counts, the
+    (cnt DESC, l, r) argmax as a struct sort, and the merge
+    application as a left-to-right singleton-list fold proven
+    equivalent to the lookaround regex substitution.
 
     Scale design: all state is the DISTINCT-WORD table (vocab-sized —
     the corpus collapses to (word, freq) once, up front), so each
@@ -875,7 +1004,7 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
     return merges
 
 
-@query("llm_bpe_apply", family="llm", oracle=None)
+@query("llm_bpe_apply", family="llm", oracle=_BPE_APPLY_ORACLE)
 def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize with the learned merges — the apply half of
     llm_bpe_train, reporting what the 8 merges actually bought per
@@ -888,9 +1017,12 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer used (order matters: merge k can consume merge k-1's
     output, e.g. 'p'+'ar' after 'a'+'r'), over the per-(lang, word)
     distinct table — vocab-sized input, one lang-keyed aggregate out,
-    nothing corpus-sized anywhere. Rows-only: the result depends on
-    the learned merge table (pytest re-derives it in pure Python and
-    checks the per-lang symbol counts)."""
+    nothing corpus-sized anywhere. SQL-ORACLED since round 11
+    (conversion #12): the _BPE_MACHINE's final vocab already holds
+    every word's fully-merged symbol count, so the oracle joins it to
+    the per-(lang, word) frequency table — no second machine needed.
+    The pytest additionally re-derives the merge table in pure Python
+    and checks the per-lang symbol counts."""
     merges = _learn_bpe(spark, sf_dir)
     docs = t(spark, sf_dir, "documents")
     words = (
