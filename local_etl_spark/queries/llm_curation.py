@@ -1337,7 +1337,136 @@ def llm_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 WORDPIECE_ROUNDS = 8
 
 
-@query("llm_wordpiece_train", family="llm", oracle=None)
+# LIST-MACHINE replay of the WordPiece trainer (conversion #13, round
+# 11): the _BPE_MACHINE skeleton with the likelihood score — per round
+# the machine also tallies SYMBOL occurrence counts, scores each
+# distinct pair cnt/(cl·cr) as one IEEE division of exact BIGINTs, and
+# argmaxes (score DESC, l, r) via a struct sort on (-score, l, r).
+# '##' continuation symbols seed as first-char-bare / rest-prefixed,
+# and merges concatenate dropping the right side's '##'.
+_WP_MACHINE = f"""words AS MATERIALIZED (
+    SELECT t.w AS w, CAST(count(*) AS BIGINT) AS freq
+    FROM documents, unnest(regexp_split_to_array(text, '\\s+')) AS t(w)
+    WHERE t.w <> ''
+    GROUP BY t.w
+),
+init AS (
+    SELECT 0 AS step,
+           list({{'w': w,
+                 'syms': list_transform(generate_series(1, length(w)),
+                     i -> CASE WHEN i = 1 THEN w[1]
+                               ELSE '##' || w[i] END),
+                 'freq': freq}} ORDER BY w) AS vocab,
+           CAST([] AS STRUCT(st INT, l VARCHAR, r VARCHAR, m VARCHAR,
+                             wt BIGINT, sc DOUBLE)[]) AS merges
+    FROM words
+),
+wp AS (
+    SELECT step, vocab, merges FROM init
+    UNION ALL
+    SELECT step + 1,
+           list_transform(vocab, v -> {{
+               'w': struct_extract(v, 'w'),
+               'syms': list_reduce(
+                   list_transform(struct_extract(v, 'syms'), s -> [s]),
+                   (acc, x) -> CASE
+                       WHEN len(acc) > 0
+                            AND acc[-1] = struct_extract(best, 'l')
+                            AND x[1] = struct_extract(best, 'r')
+                       THEN acc[1:len(acc) - 1]
+                            || [struct_extract(best, 'l')
+                                || CASE WHEN starts_with(
+                                            struct_extract(best, 'r'), '##')
+                                        THEN struct_extract(best, 'r')[3:]
+                                        ELSE struct_extract(best, 'r') END]
+                       ELSE acc || x END),
+               'freq': struct_extract(v, 'freq')}}) AS vocab,
+           merges || [{{'st': CAST(step + 1 AS INT),
+                       'l': struct_extract(best, 'l'),
+                       'r': struct_extract(best, 'r'),
+                       'm': struct_extract(best, 'l')
+                            || CASE WHEN starts_with(
+                                        struct_extract(best, 'r'), '##')
+                                    THEN struct_extract(best, 'r')[3:]
+                                    ELSE struct_extract(best, 'r') END,
+                       'wt': struct_extract(best, 'cnt'),
+                       'sc': -struct_extract(best, 'negs')}}] AS merges
+    FROM (
+        SELECT step, vocab, merges,
+               list_sort(list_transform(keys, k -> {{
+                   'negs': -(CAST(list_sum(list_transform(
+                       list_filter(pairs,
+                           p -> struct_extract(p, 'l')
+                                    = string_split(k, chr(31))[1]
+                            AND struct_extract(p, 'r')
+                                    = string_split(k, chr(31))[2]),
+                       p -> struct_extract(p, 'f'))) AS DOUBLE)
+                     / CAST(
+                         list_filter(symc, e -> struct_extract(e, 's')
+                             = string_split(k, chr(31))[1])[1]['c']
+                         * list_filter(symc, e -> struct_extract(e, 's')
+                             = string_split(k, chr(31))[2])[1]['c']
+                       AS DOUBLE)),
+                   'l': string_split(k, chr(31))[1],
+                   'r': string_split(k, chr(31))[2],
+                   'cnt': list_sum(list_transform(
+                       list_filter(pairs,
+                           p -> struct_extract(p, 'l')
+                                    = string_split(k, chr(31))[1]
+                            AND struct_extract(p, 'r')
+                                    = string_split(k, chr(31))[2]),
+                       p -> struct_extract(p, 'f')))}}))[1] AS best
+        FROM (
+            SELECT step, vocab, merges, pairs,
+                   list_distinct(list_transform(pairs, p ->
+                       struct_extract(p, 'l') || chr(31)
+                       || struct_extract(p, 'r'))) AS keys,
+                   list_transform(
+                       list_distinct(list_transform(occs,
+                           o -> struct_extract(o, 's'))),
+                       s -> {{'s': s,
+                             'c': list_sum(list_transform(
+                                 list_filter(occs,
+                                     o -> struct_extract(o, 's') = s),
+                                 o -> struct_extract(o, 'f')))}}) AS symc
+            FROM (
+                SELECT step, vocab, merges,
+                       flatten(list_transform(vocab, v ->
+                           list_transform(
+                               generate_series(1,
+                                   len(struct_extract(v, 'syms')) - 1),
+                               i -> {{'l': struct_extract(v, 'syms')[i],
+                                     'r': struct_extract(v, 'syms')[i + 1],
+                                     'f': struct_extract(v, 'freq')}})))
+                           AS pairs,
+                       flatten(list_transform(vocab, v ->
+                           list_transform(struct_extract(v, 'syms'),
+                               s -> {{'s': s,
+                                     'f': struct_extract(v, 'freq')}})))
+                           AS occs
+                FROM wp
+                WHERE step < {WORDPIECE_ROUNDS}
+            )
+        )
+        WHERE len(pairs) > 0
+    )
+)"""
+
+_WP_TRAIN_ORACLE = f"""
+WITH RECURSIVE {_WP_MACHINE}
+SELECT struct_extract(u, 'st') AS step,
+       struct_extract(u, 'l') AS "left",
+       struct_extract(u, 'r') AS "right",
+       struct_extract(u, 'm') AS merged,
+       struct_extract(u, 'wt') AS pair_weight,
+       struct_extract(u, 'sc') AS score
+FROM (SELECT merges FROM wp
+      WHERE step = (SELECT max(step) FROM wp)) f,
+     LATERAL unnest(f.merges) AS t(u)
+"""
+
+
+@query("llm_wordpiece_train", family="llm", oracle=_WP_TRAIN_ORACLE)
 def llm_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT
     tokenizer), 8 merge rounds — the LIKELIHOOD-scored sibling of
@@ -1357,8 +1486,11 @@ def llm_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one IEEE division of exact ints (identical everywhere), and
     ties break (left, right) in binary order — the pytest reference
     reproduces the same arithmetic in pure Python and the merge
-    tables match exactly. Rows-only: an 8-round trainer is not
-    SQL-expressible.
+    tables match exactly. SQL-ORACLED since round 11 (conversion #13):
+    _WP_TRAIN_ORACLE replays the loop as the _BPE_MACHINE skeleton
+    plus per-round symbol-occurrence counts and the (−score, l, r)
+    struct-sort argmax; '##' seeding and the drop-right-marker merge
+    concatenation included.
     """
     merges = _learn_wordpiece(spark, sf_dir)
     return spark.createDataFrame(
