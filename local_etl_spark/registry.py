@@ -201,6 +201,15 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
     # rounds.
     "agg_gst_obrien_fleming", "agg_mmd_poly", "graph_closeness_sample",
     "graph_coreness",
+    # round 11 (CORRECTNESS_r11.json — 49/49 SQL checks green: the 12
+    # r11-new/converted ops on first presentation + 37 rechecks from
+    # the rotated third slate; llm_ann_ivf_incremental recorded 16
+    # rows). Coverage stays TOTAL — zero external failures in eleven
+    # rounds.
+    "graph_kcore", "llm_bpe_apply", "llm_bpe_train", "llm_dedup_minhash",
+    "llm_lsh_band_sweep", "llm_mmr_diversify", "llm_pack_bfd",
+    "llm_tokenizer_coverage", "llm_wordpiece_train", "win_croston",
+    "win_rsi", "win_seasonality_strength",
 })
 
 # Queries whose LAST driver-recorded status is a failure that has since
@@ -215,9 +224,8 @@ FIXED_THIS_ROUND: tuple[str, ...] = ()
 # centrality ops); this slice carries only rows-only ops ADDED this
 # round, so each gets its first external record immediately.
 ROWS_ONLY_REPRESENT: tuple[str, ...] = (
-    # r10's llm_audio_fingerprint is now recorded (167 rows); this
-    # slice carries only rows-only ops ADDED this round.
-    "llm_ann_ivf_incremental",
+    # r11's llm_ann_ivf_incremental is now recorded (16 rows); this
+    # slice carries only rows-only ops ADDED this round (none yet).
 )
 
 # The driver verifies this many registry-prefix entries per round.
@@ -247,36 +255,39 @@ DEFER_FRESH: tuple[str, ...] = ()
 # #2). Listed most-fragile-first; anything beyond this list pads in
 # family round-robin as before.
 RECHECK_PRIORITY: tuple[str, ...] = (
-    # Round-11 rotation (third slate): r9 re-greened the first 38-name
-    # slate and r10 the second 43-name slate (both zero failures), so
-    # this round cycles to heavy-machinery greens checked in NEITHER
-    # r9 nor r10 prefix — iterative graph witnesses, sketch/embedding
-    # dedup machinery, corpus-wide ordered folds, window state
-    # machines, decimal-staged statistics, temporal joins —
+    # Round-12 rotation (FOURTH slate): the r9/r10/r11 slates re-greened
+    # ~124 distinct names with zero overlap and zero failures. 220
+    # SQL-oracled names remain never-rechecked in any of those three
+    # prefixes; this slate picks the heaviest machinery among them —
+    # TPC-H multi-join plans, streaming state machines, the temporal
+    # joins crowded out of the third slate's tail (join_asof .. etl_scd2
+    # never actually landed in the r11 prefix), ETL merge/SCD state,
+    # variant/XML/malformed-input parsing, and grouped-UDF plumbing —
     # most-fragile-first.
-    # iterative / relational graph witnesses
-    "graph_link_predict", "graph_triangles", "graph_jaccard",
-    "graph_assortativity", "graph_clustering_coeff",
-    # sketch / embedding dedup + retrieval machinery
-    "llm_dedup_exact", "llm_dedup_norm", "llm_knn_join",
-    "llm_embed_quantize", "llm_retrieval_eval", "llm_hard_negatives",
-    "llm_simsearch",
-    # corpus-wide ordered folds / text statistics
-    "llm_boilerplate_chunks", "llm_zipf_fit", "llm_ngram_novelty",
-    "llm_ngram_freq", "llm_readability", "llm_ttr", "llm_repetition",
-    "llm_token_entropy",
-    # ordered window state machines / frame arithmetic
-    "win_drawdown", "win_interpolate", "win_zscore",
-    "win_session_dynamic", "win_topn_ties", "win_ignore_nulls",
-    "win_range_interval",
-    # cross-engine decimal-staged statistics
-    "agg_anova", "agg_mann_whitney", "agg_skew_kurtosis",
-    "agg_weighted_median", "agg_entropy", "agg_autocorr",
-    "agg_histogram_equidepth", "agg_mutual_information", "agg_hhi",
-    "agg_wilson_ci",
-    # temporal / banded join machinery + SCD state
+    # temporal/banded joins + SCD state (crowded out of the r11 prefix)
     "join_asof", "join_asof_nearest", "join_range_banded",
     "join_skew_salted", "join_interval_overlap", "etl_scd2",
+    # TPC-H multi-join / correlated-subquery plans
+    "sql_q9", "sql_q21", "sql_q8", "sql_q17", "sql_q20", "sql_q18",
+    "sql_q7", "sql_q5", "sql_q10", "sql_q22",
+    # streaming state machines (watermark/session/outer-join state)
+    "stream_session_dynamic", "stream_stateful",
+    "stream_full_outer_join", "stream_dedup_within_wm",
+    "stream_foreach_merge", "stream_chained_agg",
+    "stream_trigger_availablenow",
+    # ETL merge / routing / DQ state
+    "etl_cdc_apply", "etl_upsert", "etl_quarantine_replay",
+    "etl_pseudonymize", "etl_drift_psi", "etl_volume_anomaly",
+    # variant / XML / malformed-input parsing
+    "fn_variant", "fn_variant_explode", "fn_xml", "scan_json_variant",
+    "scan_xml", "scan_csv_malformed", "scan_csv_multiline",
+    "scan_python_ds",
+    # grouped / cogrouped / arrow UDF plumbing
+    "udf_cogrouped", "udf_grouped", "udf_arrow", "udf_table",
+    # bucketed/multiway join machinery + heavy aggs
+    "join_bucketed", "join_multiway", "join_theta",
+    "agg_fdr_bh", "agg_risk_ratio", "agg_power_mde", "agg_srm_check",
+    "agg_rfm_segments", "agg_outlier_mad",
 )
 
 
