@@ -862,11 +862,22 @@ def materialize_quarantine(spark: SparkSession, quarantine_dir: str, out_dir: st
     LATEST quarantined version of a file must win — max_by(batch_seq)
     per path when the recency column is present (older tables without
     it keep the legacy collect-order behavior)."""
-    df = spark.read.parquet(quarantine_dir)
+    # mergeSchema: a quarantine dir written partly before the batch_seq
+    # column existed has mixed-schema part files — without merging,
+    # footer-sampling could drop the column entirely (silently reverting
+    # to collect-order bytes). Legacy rows surface with NULL batch_seq;
+    # coalesce to 0 so they lose deterministically to any re-run that
+    # carries a real (time_ns) sequence instead of max_by picking a
+    # NULL raw.
+    df = spark.read.option("mergeSchema", "true").parquet(quarantine_dir)
     if "batch_seq" in df.columns:
         rows = (
             df.groupBy("file_path")
-            .agg(F.max_by("raw", "batch_seq").alias("raw"))
+            .agg(
+                F.max_by(
+                    "raw", F.coalesce(F.col("batch_seq"), F.lit(0))
+                ).alias("raw")
+            )
             .collect()
         )
     else:

@@ -785,6 +785,15 @@ def _bpe_quote(sym: str) -> str:
     return "\\Q" + sym.replace("\\E", "\\E\\\\E\\Q") + "\\E"
 
 
+# Explicit whitespace class shared by the engine tokenizers and the
+# DuckDB oracle machines (ADVICE r11): Java's \s includes \x0B
+# (vertical tab) where RE2's does not, so a document containing \x0B
+# would tokenize differently engine-vs-oracle under a bare '\\s+'.
+# Both sides now split on exactly these five characters. Inert on the
+# shipped corpora (no \x0B anywhere) — every hash is unchanged.
+WS_SPLIT = r"[ \t\n\f\r]+"
+
+
 # LIST-MACHINE replay of the full BPE training loop (rows-only→SQL
 # conversions #11/#12, round 11): the corpus collapses to the distinct
 # (word, freq) table — 31 words here, vocab-sized anywhere — so the
@@ -801,7 +810,7 @@ def _bpe_quote(sym: str) -> str:
 # the only strings are the symbols themselves.
 _BPE_MACHINE = f"""words AS MATERIALIZED (
     SELECT t.w AS w, CAST(count(*) AS BIGINT) AS freq
-    FROM documents, unnest(regexp_split_to_array(text, '\\s+')) AS t(w)
+    FROM documents, unnest(regexp_split_to_array(text, '{WS_SPLIT}')) AS t(w)
     WHERE t.w <> ''
     GROUP BY t.w
 ),
@@ -894,7 +903,7 @@ fv AS (
 ),
 langw AS (
     SELECT lang, t.w AS w, CAST(count(*) AS BIGINT) AS freq
-    FROM documents, unnest(regexp_split_to_array(text, '\\s+')) AS t(w)
+    FROM documents, unnest(regexp_split_to_array(text, '{WS_SPLIT}')) AS t(w)
     WHERE t.w <> ''
     GROUP BY lang, t.w
 )
@@ -956,7 +965,7 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
         return _BPE_MERGE_CACHE[sf_dir]
     docs = t(spark, sf_dir, "documents")
     words = (
-        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        docs.select(F.explode(F.split("text", WS_SPLIT)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -1026,7 +1035,7 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _learn_bpe(spark, sf_dir)
     docs = t(spark, sf_dir, "documents")
     words = (
-        docs.select("lang", F.explode(F.split("text", r"\s+")).alias("w"))
+        docs.select("lang", F.explode(F.split("text", WS_SPLIT)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -1125,7 +1134,7 @@ def _desc(s: str) -> tuple:
 def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        docs.select(F.explode(F.split("text", WS_SPLIT)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -1296,7 +1305,7 @@ def llm_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     words = (
-        docs.select("lang", F.explode(F.split("text", r"\s+")).alias("w"))
+        docs.select("lang", F.explode(F.split("text", WS_SPLIT)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -1346,7 +1355,7 @@ WORDPIECE_ROUNDS = 8
 # and merges concatenate dropping the right side's '##'.
 _WP_MACHINE = f"""words AS MATERIALIZED (
     SELECT t.w AS w, CAST(count(*) AS BIGINT) AS freq
-    FROM documents, unnest(regexp_split_to_array(text, '\\s+')) AS t(w)
+    FROM documents, unnest(regexp_split_to_array(text, '{WS_SPLIT}')) AS t(w)
     WHERE t.w <> ''
     GROUP BY t.w
 ),
@@ -1508,7 +1517,7 @@ def _learn_wordpiece(spark: SparkSession, sf_dir: str) -> list[tuple]:
         return _WP_MERGE_CACHE[sf_dir]
     docs = t(spark, sf_dir, "documents")
     words = (
-        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        docs.select(F.explode(F.split("text", WS_SPLIT)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))

@@ -2387,15 +2387,20 @@ per AS (
     LEFT JOIN exact e ON e.g1 = c.g1 AND e.g2 = c.g2
     GROUP BY c.b, c.r
 )
-SELECT CAST(per.b AS INT) AS bands,
-       CAST(per.r AS INT) AS rows_per_band,
-       CAST(per.n_candidates AS BIGINT) AS n_candidates,
-       CAST(per.n_verified AS BIGINT) AS n_verified,
+SELECT CAST(cfg.b AS INT) AS bands,
+       CAST(cfg.r AS INT) AS rows_per_band,
+       CAST(coalesce(per.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(per.n_verified, 0) AS BIGINT) AS n_verified,
        CAST(ex.n_exact AS BIGINT) AS n_exact,
-       round(CAST(per.n_verified AS DOUBLE) / ex.n_exact, 6) AS recall,
-       round(CAST(per.n_verified AS DOUBLE) / per.n_candidates, 6)
-           AS precision_
-FROM per CROSS JOIN ex
+       CASE WHEN ex.n_exact > 0
+            THEN round(CAST(coalesce(per.n_verified, 0) AS DOUBLE)
+                       / ex.n_exact, 6) END AS recall,
+       CASE WHEN coalesce(per.n_candidates, 0) > 0
+            THEN round(CAST(per.n_verified AS DOUBLE)
+                       / per.n_candidates, 6) END AS precision_
+FROM cfg
+LEFT JOIN per ON per.b = cfg.b AND per.r = cfg.r
+CROSS JOIN ex
 """
 
 
@@ -2505,10 +2510,23 @@ def llm_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candidates",
         "n_verified",
         "n_exact",
-        F.round(
-            F.col("n_verified").cast("double") / F.col("n_exact"), 6
+        # ADVICE r11: guard both ratios so a sparser corpus (zero exact
+        # pairs, or a banding config yielding zero candidates) emits
+        # NULL instead of inf/NaN — mirrored in the oracle's CASE +
+        # cfg-driven LEFT JOIN, which always emits all three config
+        # rows just like this loop does.
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(
+                F.col("n_verified").cast("double") / F.col("n_exact"), 6
+            ),
         ).alias("recall"),
-        F.round(
-            F.col("n_verified").cast("double") / F.col("n_candidates"), 6
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                F.col("n_verified").cast("double")
+                / F.col("n_candidates"),
+                6,
+            ),
         ).alias("precision_"),
     )

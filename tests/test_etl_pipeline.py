@@ -623,3 +623,47 @@ def test_error_log_timestamp_format_property(spark, dts):
             "%d/%m/%Y %I:%M:%S %p"
         )
         assert r["j"] == want, (r["s"], r["j"], want)
+
+
+def test_materialize_quarantine_mixed_legacy_schema(spark, tmp_path):
+    """ADVICE r11: a quarantine dir written partly BEFORE batch_seq
+    existed has mixed-schema part files. Without mergeSchema the read
+    can drop the column (silently reverting to collect-order bytes);
+    with it, legacy rows surface as NULL batch_seq and must lose
+    deterministically (coalesce to 0) to any sequenced re-run row —
+    never feed a NULL raw to the file write."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from local_etl_spark.etl.pipeline import materialize_quarantine
+
+    qdir = tmp_path / "quarantine"
+    qdir.mkdir()
+    # legacy part: no batch_seq column
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {"file_path": ["/d/a.json"], "raw": ['{"v": "old"}']}
+            )
+        ),
+        str(qdir / "part-legacy.parquet"),
+    )
+    # current part: batch_seq carried (a later re-run of the same file
+    # plus a file only the legacy run saw stays legacy-only)
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "file_path": ["/d/a.json"],
+                    "raw": ['{"v": "new"}'],
+                    "batch_seq": [12345],
+                }
+            )
+        ),
+        str(qdir / "part-current.parquet"),
+    )
+    out = tmp_path / "mat"
+    n = materialize_quarantine(spark, str(qdir), str(out))
+    assert n == 1
+    assert (out / "a.json").read_text(encoding="utf-8") == '{"v": "new"}'

@@ -62,17 +62,22 @@ def test_kcore_matches_reference_peel(spark):
 def test_kcore_oracle_round_margin(spark):
     """The SQL witness unrolls KCORE_ORACLE_ROUNDS peel rounds
     (_kcore_oracle), so oracle ≡ engine only while the fixpoint arrives
-    within that budget. Pin the margin on the shipped corpora: the
-    driver-side peel must converge in ≤ KCORE_ORACLE_ROUNDS − 1 rounds
-    (measured: 1 at sf0.001/sf0.01, 2 at sf0.1) — a corpus change that
-    eats the margin fails HERE, not as an opaque oracle mismatch."""
+    within that budget. Pin the margin on ALL shipped corpora incl.
+    sf0.1 (ADVICE r11): the driver-side peel must converge in
+    ≤ KCORE_ORACLE_ROUNDS − 1 rounds (measured: 1 at sf0.001/sf0.01,
+    2 at sf0.1) — a corpus change that eats the margin fails HERE, not
+    as an opaque oracle mismatch in the sf0.1 sweep."""
     from local_etl_spark.queries.graph import (
         KCORE_K,
         KCORE_ORACLE_ROUNDS,
         trade_edges,
     )
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         edges = {
             (r["a"], r["b"])
             for r in trade_edges(spark, sf)

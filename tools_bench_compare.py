@@ -54,7 +54,9 @@ def _calib(d: dict) -> dict[int, float] | None:
     return c or None
 
 
-def _sidecar_calib(path: str, queries: dict[str, float]) -> float | None:
+def _sidecar_calib(
+    path: str, queries: dict[str, float]
+) -> dict[int, float] | None:
     """BENCH_ambient_last.json fallback for driver-wrapped artifacts.
     The sidecar is overwritten per bench run, so it is trusted ONLY
     when its timings match the compared file (same run): >=80% of the
