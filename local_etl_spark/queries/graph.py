@@ -700,7 +700,73 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ROUNDS = 6
 
 
-@query("graph_label_prop", family="graph", oracle=None)
+def _label_prop_oracle(rounds: int) -> str:
+    """Unrolled relational replay of the alternating-side LPA schedule
+    (rows-only→SQL conversion #14, round 12). Unlike the k-core peel
+    there is NO fixpoint margin to pin: the engine runs EXACTLY
+    LPA_ROUNDS rounds, so the witness unrolls the same fixed count and
+    equality is schedule-exact by construction. Each round is one
+    edge×label join + a (node, label) weight aggregate + a
+    deterministic argmax — row_number() ORDER BY sum(w) DESC, label
+    replays the engine's min(struct(-wt, nl)) tie-break exactly
+    (weights are exact BIGINT cents; labels are ASCII, binary order in
+    both engines). Cents via CAST(round(x*100) AS BIGINT), the
+    agg_minmax_by precedent that hash-matches on this DOUBLE column."""
+    parts = [
+        """
+    WITH pair AS MATERIALIZED (
+        SELECT 's' || l_suppkey AS a, 'c' || o_custkey AS b,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey, o_custkey
+    ),
+    edges AS MATERIALIZED (
+        SELECT a, b, w FROM pair
+        UNION ALL
+        SELECT b AS a, a AS b, w FROM pair
+    ),
+    lab0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node, a AS label FROM edges
+    )"""
+    ]
+    for r in range(rounds):
+        side = "s" if r % 2 == 0 else "c"
+        parts.append(
+            f""",
+    ad{r} AS MATERIALIZED (
+        SELECT node, new_label FROM (
+            SELECT e.a AS node, l.label AS new_label,
+                   row_number() OVER (
+                       PARTITION BY e.a
+                       ORDER BY sum(e.w) DESC, l.label
+                   ) AS rn
+            FROM edges e JOIN lab{r} l ON l.node = e.b
+            WHERE substr(e.a, 1, 1) = '{side}'
+            GROUP BY e.a, l.label
+        ) WHERE rn = 1
+    ),
+    lab{r + 1} AS MATERIALIZED (
+        SELECT n.node,
+               CASE WHEN substr(n.node, 1, 1) = '{side}'
+                    THEN coalesce(x.new_label, n.label)
+                    ELSE n.label END AS label
+        FROM lab{r} n LEFT JOIN ad{r} x ON x.node = n.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, label AS community, substr(node, 1, 1) AS kind
+    FROM lab{rounds}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_label_prop",
+    family="graph",
+    oracle=_label_prop_oracle(LPA_ROUNDS),
+)
 def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by label propagation (Raghavan et al. 2007)
     over the trade graph — the soft-clustering sibling of
@@ -720,9 +786,14 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per round, one join of the (side-filtered) edge list with
     the label vector on the neighbor key + one node-keyed aggregate —
-    the graph_pagerank shape; labels localCheckpoint per round. Rows-
-    only (iterative fixpoint); tests/test_graph.py replays the exact
-    schedule in pure Python and asserts label-for-label equality.
+    the graph_pagerank shape; labels localCheckpoint per round.
+
+    SQL-ORACLED since round 12 (the 14th rows-only→SQL conversion):
+    the schedule is a FIXED LPA_ROUNDS-round unroll (not a fixpoint),
+    so _label_prop_oracle replays it round-exact relationally with no
+    convergence margin to pin. tests/test_graph.py additionally
+    replays the exact schedule in pure Python and asserts
+    label-for-label equality.
     """
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice"
