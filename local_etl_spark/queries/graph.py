@@ -1121,7 +1121,126 @@ def _betweenness_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rnk") <= BETW_EDGE_BUDGET).select("a", "b")
 
 
-@query("graph_betweenness_sample", family="graph", oracle=None)
+BETW_ORACLE_DEPTH = 5  # unrolled BFS levels in the SQL witness
+
+
+def _betweenness_oracle(depth: int) -> str:
+    """Unrolled relational sampled-Brandes witness (rows-only→SQL
+    conversion #15, round 12). Forward: BETW_ORACLE_DEPTH BFS levels
+    with exact-BIGINT σ path counts (each level = candidate join +
+    anti-vs-visited + grouped σ sum — order-free integers). Backward:
+    per-depth dependency deltas where EVERY double fold is ordered —
+    the successor ratio sum folds ORDER BY the successor node and the
+    per-node betweenness sum folds ORDER BY source, replaying the
+    engine's array_sort(collect_list(...)) aggregates term for term
+    (the llm_mmr_diversify ordered-float-fold discipline). Equality
+    needs the BFS to exhaust within ``depth`` levels — measured max
+    depth 3 at every shipped SF, margin pinned by
+    tests/test_graph.py::test_betweenness_oracle_depth_margin (the
+    kcore margin-pin pattern)."""
+    parts = [
+        f"""
+    WITH w AS MATERIALIZED (
+        SELECT least(c_nationkey, s_nationkey) AS a,
+               greatest(c_nationkey, s_nationkey) AS b,
+               count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey
+        GROUP BY 1, 2
+    ),
+    backbone AS MATERIALIZED (
+        SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk
+            FROM w
+        ) WHERE rnk <= {BETW_EDGE_BUDGET}
+    ),
+    edges AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM backbone
+        UNION ALL SELECT b AS u, a AS v FROM backbone
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges),
+    sources AS MATERIALIZED (
+        SELECT node AS src FROM nodes WHERE node % {BETW_SOURCE_MOD} = 0
+    ),
+    lvl0 AS MATERIALIZED (
+        SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma FROM sources
+    ),
+    vis0 AS MATERIALIZED (SELECT src, node FROM lvl0)"""
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f""",
+    lvl{d} AS MATERIALIZED (
+        SELECT f.src, e.v AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        FROM lvl{d - 1} f
+        JOIN edges e ON e.u = f.node
+        LEFT JOIN vis{d - 1} x ON x.src = f.src AND x.node = e.v
+        WHERE x.node IS NULL
+        GROUP BY f.src, e.v
+    ),
+    vis{d} AS MATERIALIZED (
+        SELECT * FROM vis{d - 1} UNION ALL SELECT src, node FROM lvl{d}
+    )"""
+        )
+    parts.append(
+        f""",
+    del{depth} AS MATERIALIZED (
+        SELECT src, node, sigma, 0.0 AS delta FROM lvl{depth}
+    )"""
+    )
+    for d in range(depth, 1, -1):
+        parts.append(
+            f""",
+    con{d} AS MATERIALIZED (
+        SELECT d.src, e.u AS node,
+               list_sum(list((1.0 + d.delta) / CAST(d.sigma AS DOUBLE)
+                             ORDER BY d.node)) AS ratio_sum
+        FROM del{d} d JOIN edges e ON e.v = d.node
+        GROUP BY d.src, e.u
+    ),
+    del{d - 1} AS MATERIALIZED (
+        SELECT l.src, l.node, l.sigma,
+               coalesce(c.ratio_sum, 0.0) * CAST(l.sigma AS DOUBLE)
+                   AS delta
+        FROM lvl{d - 1} l
+        LEFT JOIN con{d} c ON c.src = l.src AND c.node = l.node
+    )"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT src, node, delta FROM del{d}"
+        for d in range(depth, 0, -1)
+    )
+    parts.append(
+        f""",
+    alld AS (
+        {union}
+    ),
+    bc AS (
+        SELECT node, list_sum(list(delta ORDER BY src)) AS raw
+        FROM alld WHERE node <> src GROUP BY node
+    ),
+    meta AS (
+        SELECT (SELECT CAST(count(*) AS DOUBLE) FROM nodes)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM sources)
+               / 2.0 AS scale,
+               (SELECT count(*) FROM sources) AS ns
+    )
+    SELECT n.node AS node,
+           round(coalesce(b.raw, 0.0) * m.scale, 6) + 0.0 AS betweenness,
+           CAST(m.ns AS BIGINT) AS n_sources
+    FROM nodes n LEFT JOIN bc b ON b.node = n.node CROSS JOIN meta m"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_betweenness_sample",
+    family="graph",
+    oracle=_betweenness_oracle(BETW_ORACLE_DEPTH),
+)
 def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source Brandes betweenness centrality on the trade
     backbone (VERDICT r8 #9 — completes the centrality pair with
@@ -1143,10 +1262,19 @@ def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         because BFS depths differ by exactly 1).
     Every frontier/visited/delta relation is (src, node)-sized —
     |S|·|V| rows max, never path-multiplied; σ multiplicities live in
-    one integer column. Rows-only: the float δ sums are
-    accumulation-order-dependent (grouped double sums), so the check
-    is the pure-Python Brandes replay in tests/test_graph.py rather
-    than a bit-exact SQL oracle.
+    one integer column.
+
+    SQL-ORACLED since round 12 (the 15th rows-only→SQL conversion):
+    the two float δ sums are ORDERED folds — the successor ratio sum
+    folds over array_sort(collect_list(struct(w_node, term))) and the
+    per-node betweenness sum folds by source — so every double
+    accumulates in a deterministic sequence that DuckDB's
+    list_sum(list(x ORDER BY k)) replays bit-for-bit
+    (_betweenness_oracle; BFS-depth margin pytest-pinned like the
+    kcore peel). The folds are per-(src, node) over its SP successors
+    (bounded by degree) and per-node over |S| sources — model-sized
+    lists, never corpus-sized. The pure-Python Brandes replay pytest
+    stays as the independent ground truth.
 
     100 TB: the heavy stage is the edge derivation (one fact-fact
     shuffle, the graph_triangles cost model); the Brandes loop runs on
@@ -1208,17 +1336,27 @@ def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for depth in range(maxd, 0, -1):
         acc.append(delta.select("src", "node", "delta"))
+        # ordered fold (r12 oracle conversion): each (src, node)'s
+        # ratio sum accumulates successor terms in w-node order —
+        # deterministic doubles the DuckDB witness replays exactly
         contrib = (
             delta.join(edges, delta.node == edges.v)
             .select(
                 "src",
                 F.col("u").alias("node"),
-                (F.lit(1.0) + F.col("delta")).alias("dw"),
-                F.col("sigma").alias("sigma_w"),
+                delta["node"].alias("w_node"),
+                (
+                    (F.lit(1.0) + F.col("delta"))
+                    / F.col("sigma").cast("double")
+                ).alias("term"),
             )
             .groupBy("src", "node")
             .agg(
-                F.sum(F.col("dw") / F.col("sigma_w")).alias("ratio_sum")
+                F.expr(
+                    "aggregate(array_sort(collect_list("
+                    "struct(w_node, term))), CAST(0.0 AS DOUBLE),"
+                    " (acc, x) -> acc + x.term)"
+                ).alias("ratio_sum")
             )
         )
         prev = levels[depth - 1].join(
@@ -1246,10 +1384,18 @@ def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in acc[1:]:
         all_delta = all_delta.unionAll(a)
     scale = float(n_nodes) / float(n_sources) / 2.0 if n_sources else 0.0
+    # ordered fold by source (each (src, node) appears once across the
+    # per-depth delta relations) — mirrors the oracle's
+    # list_sum(list(delta ORDER BY src))
     bc = (
         all_delta.filter(F.col("node") != F.col("src"))
         .groupBy("node")
-        .agg(F.sum("delta").alias("raw"))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(src, delta)))"
+                ", CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.delta)"
+            ).alias("raw")
+        )
     )
     # complete over the backbone node set: brokers-of-nothing score 0
     return nodes.join(bc, "node", "left").select(

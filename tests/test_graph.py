@@ -270,6 +270,65 @@ def test_betweenness_matches_python_brandes(spark):
     assert any(x > 0 for x in bc.values())
 
 
+def test_betweenness_oracle_depth_margin():
+    """The SQL witness unrolls BETW_ORACLE_DEPTH BFS levels
+    (_betweenness_oracle), so oracle ≡ engine only while every sampled
+    source exhausts its component within that budget. Pin the margin
+    on ALL shipped corpora: max BFS depth must be
+    ≤ BETW_ORACLE_DEPTH − 2 (measured 3 everywhere, budget 5) — a
+    corpus change that eats the margin fails HERE, not as an opaque
+    oracle mismatch (the kcore margin-pin pattern)."""
+    from collections import defaultdict, deque
+
+    import duckdb
+
+    from local_etl_spark.queries.graph import (
+        BETW_EDGE_BUDGET,
+        BETW_ORACLE_DEPTH,
+        BETW_SOURCE_MOD,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        try:
+            pairs = con.execute(
+                f"""
+                SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+                       greatest(c.c_nationkey, s.s_nationkey) AS b
+                FROM read_parquet('/root/testdata/{sf}/lineitem.parquet') l
+                JOIN read_parquet('/root/testdata/{sf}/orders.parquet') o
+                     ON l.l_orderkey = o.o_orderkey
+                JOIN read_parquet('/root/testdata/{sf}/customer.parquet') c
+                     ON o.o_custkey = c.c_custkey
+                JOIN read_parquet('/root/testdata/{sf}/supplier.parquet') s
+                     ON l.l_suppkey = s.s_suppkey
+                WHERE c.c_nationkey <> s.s_nationkey
+                GROUP BY 1, 2 ORDER BY count(*) DESC, a, b
+                LIMIT {BETW_EDGE_BUDGET}
+                """
+            ).fetchall()
+        finally:
+            con.close()
+        adj: dict[int, set[int]] = defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        maxd = 0
+        for s in sorted(adj):
+            if s % BETW_SOURCE_MOD != 0:
+                continue
+            dist = {s: 0}
+            dq = deque([s])
+            while dq:
+                v = dq.popleft()
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        dq.append(w)
+            maxd = max(maxd, max(dist.values()))
+        assert maxd <= BETW_ORACLE_DEPTH - 2, (sf, maxd)
+
+
 def test_closeness_matches_python_bfs(spark):
     """graph_closeness_sample ≡ pure-Python BFS harmonic sums from the
     same sampled sources on the same independently rebuilt backbone."""
