@@ -141,6 +141,12 @@ HEADLINE = [
     "win_croston",
     "win_rsi",
     "win_seasonality_strength",
+    # round-12 additions: the embedding-distribution drift monitor
+    # (two-level ordered folds over all 64 dims) and the tokenizer
+    # vocab-checkpoint sweep (three prefix segmentation passes off one
+    # trained chain)
+    "llm_embedding_drift",
+    "llm_bpe_vocab_sweep",
 ]
 
 # ETL throughput: the reference's own workload (validate → repair/route →

@@ -1072,6 +1072,135 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE vocab-checkpoint sweep (round 12) ------------------------------
+
+BPE_SWEEP_CHECKPOINTS = (2, 4, 8)  # merge counts audited off ONE chain
+
+_BPE_SWEEP_ORACLE = f"""
+WITH RECURSIVE {_BPE_MACHINE},
+ck AS (
+    SELECT step AS k, vocab FROM bpe
+    WHERE step IN {BPE_SWEEP_CHECKPOINTS}
+),
+per AS (
+    SELECT k,
+           CAST(count(*) AS BIGINT) AS n_word_types,
+           CAST(sum(struct_extract(u, 'freq')) AS BIGINT) AS total_words,
+           CAST(sum(length(struct_extract(u, 'w'))
+                    * struct_extract(u, 'freq')) AS BIGINT) AS total_chars,
+           CAST(sum(len(struct_extract(u, 'syms'))
+                    * struct_extract(u, 'freq')) AS BIGINT)
+               AS total_symbols,
+           CAST(sum(CASE WHEN len(struct_extract(u, 'syms')) >= 2
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS multi_piece_words
+    FROM ck, LATERAL unnest(ck.vocab) AS t(u)
+    GROUP BY k
+),
+vs AS (
+    SELECT k, CAST(count(DISTINCT s) AS BIGINT) AS vocab_size
+    FROM (SELECT k, unnest(struct_extract(u, 'syms')) AS s
+          FROM ck, LATERAL unnest(ck.vocab) AS t(u))
+    GROUP BY k
+)
+SELECT CAST(per.k AS INT) AS n_merges,
+       per.n_word_types, per.total_words, per.total_chars,
+       per.total_symbols, per.multi_piece_words, vs.vocab_size,
+       CAST(per.total_symbols AS DOUBLE) / per.total_words AS fertility,
+       CAST(per.total_symbols AS DOUBLE) / per.total_chars AS compression
+FROM per JOIN vs ON vs.k = per.k
+"""
+
+
+@query("llm_bpe_vocab_sweep", family="llm", oracle=_BPE_SWEEP_ORACLE)
+def llm_bpe_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-shelf sweep (VERDICT r11 #7): compression, fertility,
+    vocab size, and unmerged-word-type count at merge checkpoints
+    k ∈ {BPE_SWEEP_CHECKPOINTS} of the SAME trained merge chain — the
+    llm_lsh_band_sweep idea applied to the tokenizer: every vocab-size
+    decision trades fertility (tokens per word occurrence) against
+    vocab growth, and the trainer's own checkpoints answer it without
+    retraining (checkpoint k's state is a PREFIX of the chain).
+
+    Engine: one _learn_bpe chain (memoized), then per checkpoint the
+    first k lookaround substitutions apply map-only over the distinct
+    global word table; the per-k aggregates are exact-BIGINT
+    model-sized collects re-emitted as one DataFrame (the band-sweep
+    pattern) so the fertility/compression divisions happen in Spark
+    SQL as RAW int/int double divisions — bit-identical everywhere,
+    never rounded (the llm_pack_bfd banker's-rounding lesson). Oracle:
+    the _BPE_MACHINE recursion already materializes every step's vocab
+    state, so ONE machine run serves all checkpoints — the oracle just
+    filters step IN {BPE_SWEEP_CHECKPOINTS}.
+
+    Scale: vocab-sized everything (the corpus collapsed once to
+    (word, freq)); per checkpoint one map-only segmentation pass + two
+    vocab-keyed aggregates. At 100 TB the same audit reads the trained
+    merge table and the distinct-word table — no corpus pass at all.
+    """
+    merges = _learn_bpe(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", WS_SPLIT)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .persist()
+    )
+    rows = []
+    for k in BPE_SWEEP_CHECKPOINTS:
+        sym = F.array_join(F.split("w", ""), " ")
+        for _, l, r, merged, _w in merges[:k]:
+            pat = r"(?<!\S)" + _bpe_quote(l + " " + r) + r"(?!\S)"
+            repl = merged.replace("\\", "\\\\").replace("$", "\\$")
+            sym = F.regexp_replace(sym, pat, repl)
+        seg = words.select(
+            "w", "freq", F.split(sym, " ").alias("syms")
+        ).persist()
+        a = seg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("nt"),
+            F.sum("freq").cast("bigint").alias("tw"),
+            F.sum(F.length("w").cast("bigint") * F.col("freq"))
+            .cast("bigint")
+            .alias("tc"),
+            F.sum(F.size("syms").cast("bigint") * F.col("freq"))
+            .cast("bigint")
+            .alias("ts"),
+            F.sum((F.size("syms") >= 2).cast("bigint"))
+            .cast("bigint")
+            .alias("mp"),
+        ).collect()[0]
+        vocab_size = (
+            seg.select(F.explode("syms").alias("s")).distinct().count()
+        )
+        seg.unpersist()
+        rows.append(
+            (k, a["nt"], a["tw"], a["tc"], a["ts"], a["mp"], vocab_size)
+        )
+    words.unpersist()
+    out = spark.createDataFrame(
+        rows,
+        "n_merges int, n_word_types bigint, total_words bigint,"
+        " total_chars bigint, total_symbols bigint,"
+        " multi_piece_words bigint, vocab_size bigint",
+    )
+    return out.select(
+        "n_merges",
+        "n_word_types",
+        "total_words",
+        "total_chars",
+        "total_symbols",
+        "multi_piece_words",
+        "vocab_size",
+        (
+            F.col("total_symbols").cast("double") / F.col("total_words")
+        ).alias("fertility"),
+        (
+            F.col("total_symbols").cast("double") / F.col("total_chars")
+        ).alias("compression"),
+    )
+
+
 # --- Unigram-LM tokenizer trainer (Kudo 2018) ---------------------------
 
 UNI_MAX_PIECE = 4  # seed pieces: substrings up to this many chars

@@ -1308,3 +1308,234 @@ def llm_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# --- Embedding-distribution drift (round 12) ---------------------------
+
+DRIFT_BUCKET = 256  # fixed vec_id bucket width for the two-level fold
+
+# Deterministic distributed summation: every double sum is a TWO-LEVEL
+# ordered fold with a FIXED tree shape — fold values by vec_id inside
+# constant-width vec_id buckets, then fold the bucket partials in
+# bucket order. Level 1 is embarrassingly parallel (one task per
+# bucket), level 2 is bucket-count-sized; the shape depends only on
+# vec_id, never on partitioning, so Spark and DuckDB accumulate in the
+# exact same sequence (the llm_mmr_diversify ordered-fold discipline,
+# made scalable).
+_DRIFT_ORACLE = f"""
+WITH ex AS MATERIALIZED (
+    SELECT vec_id, (vec_id % {IVF_INCR_MOD} = 0) AS is_new,
+           vec_id // {DRIFT_BUCKET} AS bucket,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+vals AS MATERIALIZED (
+    SELECT vec_id, is_new, bucket, CAST(r.range AS INT) AS dim,
+           e[CAST(r.range AS INT) + 1] AS val
+    FROM ex CROSS JOIN range(64) r
+),
+b1 AS (
+    SELECT is_new, dim, bucket,
+           list_sum(list(val ORDER BY vec_id)) AS s,
+           count(*) AS n
+    FROM vals GROUP BY is_new, dim, bucket
+),
+dimstat AS MATERIALIZED (
+    SELECT is_new, dim,
+           list_sum(list(s ORDER BY bucket)) AS total,
+           CAST(sum(n) AS BIGINT) AS n
+    FROM b1 GROUP BY is_new, dim
+),
+means AS MATERIALIZED (
+    SELECT b.dim AS dim,
+           b.total / b.n AS mean_base,
+           w.total / w.n AS mean_new
+    FROM dimstat b JOIN dimstat w ON w.dim = b.dim
+    WHERE NOT b.is_new AND w.is_new
+),
+l2 AS (
+    SELECT sqrt(list_sum(list(
+               (mean_new - mean_base) * (mean_new - mean_base)
+               ORDER BY dim))) AS l2_shift
+    FROM means
+),
+norms AS MATERIALIZED (
+    SELECT vec_id, is_new, bucket,
+           sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+    FROM ex
+),
+nb1 AS (
+    SELECT is_new, bucket,
+           list_sum(list(nrm ORDER BY vec_id)) AS s,
+           list_sum(list(nrm * nrm ORDER BY vec_id)) AS ss,
+           count(*) AS n
+    FROM norms GROUP BY is_new, bucket
+),
+nstat AS (
+    SELECT is_new,
+           list_sum(list(s ORDER BY bucket)) AS tot,
+           list_sum(list(ss ORDER BY bucket)) AS tot2,
+           CAST(sum(n) AS BIGINT) AS n
+    FROM nb1 GROUP BY is_new
+),
+nsumm AS (
+    SELECT b.tot / b.n AS norm_mean_base,
+           w.tot / w.n AS norm_mean_new,
+           sqrt(greatest(b.tot2 / b.n - (b.tot / b.n) * (b.tot / b.n),
+                         0.0)) AS norm_std_base,
+           sqrt(greatest(w.tot2 / w.n - (w.tot / w.n) * (w.tot / w.n),
+                         0.0)) AS norm_std_new,
+           b.n AS n_base, w.n AS n_new
+    FROM nstat b, nstat w WHERE NOT b.is_new AND w.is_new
+)
+SELECT CAST(m.dim AS INT) AS dim,
+       round(m.mean_base, 6) + 0.0 AS mean_base,
+       round(m.mean_new, 6) + 0.0 AS mean_new,
+       round(m.mean_new - m.mean_base, 6) + 0.0 AS mean_shift,
+       round(l.l2_shift, 6) + 0.0 AS l2_shift,
+       round(s.norm_mean_base, 6) + 0.0 AS norm_mean_base,
+       round(s.norm_mean_new, 6) + 0.0 AS norm_mean_new,
+       round(s.norm_std_base, 6) + 0.0 AS norm_std_base,
+       round(s.norm_std_new, 6) + 0.0 AS norm_std_new,
+       round(s.norm_mean_new - s.norm_mean_base, 6) + 0.0 AS norm_shift,
+       s.n_base AS n_base, s.n_new AS n_new
+FROM means m CROSS JOIN l2 l CROSS JOIN nsumm s
+"""
+
+_OFOLD_VAL = (
+    "aggregate(array_sort(collect_list(struct({k}, {v}))), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.{v})"
+)
+
+
+@query("llm_embedding_drift", family="llm", oracle=_DRIFT_ORACLE)
+def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift of the NEW embedding batch vs the base corpus
+    (VERDICT r11 #6) — the retrain trigger that pairs with
+    llm_ann_ivf_incremental's per-cell share deltas: when the nightly
+    crawl's embedding distribution moves (new domains, model version
+    skew, encoder regression), per-dimension mean shift and
+    norm-distribution shift fire BEFORE cell shares visibly rot. Same
+    deterministic batch split (vec_id % 10 == 0 is "today's crawl").
+
+    Output: one row per dimension (64) with base/new means and the
+    per-dim shift, plus cross-dim summary columns — the L2 norm of the
+    mean-shift vector (the single drift scalar to alert on) and the
+    norm-distribution mean/std shift (catches scale drift a mean shift
+    misses, e.g. an un-normalized encoder rollout).
+
+    Determinism (SQL-oracled): every cross-row double sum is a
+    TWO-LEVEL ordered fold with a fixed tree shape — level 1 folds by
+    vec_id within constant DRIFT_BUCKET-wide vec_id buckets, level 2
+    folds the bucket partials in bucket order — so both engines
+    accumulate in the exact same sequence regardless of partitioning.
+    In-row norms are the _DOT sequential fold; embeddings pre-cast to
+    DOUBLE once (the float32 trap).
+
+    Scale: unlike a single corpus-wide collect_list fold (one task),
+    the bucket level parallelizes across N/DRIFT_BUCKET tasks and only
+    bucket partials cross the shuffle — at 100 TB add a third level
+    (bucket-of-buckets) and the tree stays fixed-shape deterministic;
+    the explode is map-side and 64× row-bounded, never array-dragging.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        (F.col("vec_id") % IVF_INCR_MOD == 0).alias("is_new"),
+        F.expr(f"vec_id DIV {DRIFT_BUCKET}").alias("bucket"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).persist()
+    vals = ex.select(
+        "vec_id",
+        "is_new",
+        "bucket",
+        F.posexplode("e").alias("dim", "val"),
+    )
+    b1 = vals.groupBy("is_new", "dim", "bucket").agg(
+        F.expr(_OFOLD_VAL.format(k="vec_id", v="val")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dimstat = b1.groupBy("is_new", "dim").agg(
+        F.expr(_OFOLD_VAL.format(k="bucket", v="s")).alias("total"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+    mean = (F.col("total") / F.col("n")).alias("m")
+    base = dimstat.filter(~F.col("is_new")).select(
+        "dim", mean.alias("mean_base")
+    )
+    new = dimstat.filter(F.col("is_new")).select(
+        "dim", mean.alias("mean_new")
+    )
+    means = base.join(new, "dim").persist()
+    l2 = means.select(
+        "dim",
+        (
+            (F.col("mean_new") - F.col("mean_base"))
+            * (F.col("mean_new") - F.col("mean_base"))
+        ).alias("sq"),
+    ).agg(
+        F.sqrt(
+            F.expr(_OFOLD_VAL.format(k="dim", v="sq"))
+        ).alias("l2_shift")
+    )
+    norms = ex.select(
+        "vec_id",
+        "is_new",
+        "bucket",
+        F.expr(
+            "sqrt(aggregate(transform(e, x -> x * x),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        ).alias("nrm"),
+    )
+    nb1 = norms.groupBy("is_new", "bucket").agg(
+        F.expr(_OFOLD_VAL.format(k="vec_id", v="nrm")).alias("s"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(vec_id,"
+            " nrm * nrm AS nrm2))), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x.nrm2)"
+        ).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    nstat = nb1.groupBy("is_new").agg(
+        F.expr(_OFOLD_VAL.format(k="bucket", v="s")).alias("tot"),
+        F.expr(_OFOLD_VAL.format(k="bucket", v="ss")).alias("tot2"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+    nmean = F.col("tot") / F.col("n")
+    nstd = F.sqrt(
+        F.greatest(
+            F.col("tot2") / F.col("n") - nmean * nmean, F.lit(0.0)
+        )
+    )
+    nbase = nstat.filter(~F.col("is_new")).select(
+        nmean.alias("norm_mean_base"),
+        nstd.alias("norm_std_base"),
+        F.col("n").alias("n_base"),
+    )
+    nnew = nstat.filter(F.col("is_new")).select(
+        nmean.alias("norm_mean_new"),
+        nstd.alias("norm_std_new"),
+        F.col("n").alias("n_new"),
+    )
+    r6 = lambda c: F.round(c, 6) + 0.0  # noqa: E731
+    return (
+        means.crossJoin(F.broadcast(l2))
+        .crossJoin(F.broadcast(nbase))
+        .crossJoin(F.broadcast(nnew))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            r6(F.col("mean_base")).alias("mean_base"),
+            r6(F.col("mean_new")).alias("mean_new"),
+            r6(F.col("mean_new") - F.col("mean_base")).alias("mean_shift"),
+            r6(F.col("l2_shift")).alias("l2_shift"),
+            r6(F.col("norm_mean_base")).alias("norm_mean_base"),
+            r6(F.col("norm_mean_new")).alias("norm_mean_new"),
+            r6(F.col("norm_std_base")).alias("norm_std_base"),
+            r6(F.col("norm_std_new")).alias("norm_std_new"),
+            r6(
+                F.col("norm_mean_new") - F.col("norm_mean_base")
+            ).alias("norm_shift"),
+            "n_base",
+            "n_new",
+        )
+    )

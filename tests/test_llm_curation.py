@@ -520,3 +520,61 @@ def test_wordpiece_train_matches_python_reference(spark):
         for r in get("llm_bpe_train").fn(spark, SF).orderBy("step").collect()
     ]
     assert [(l, r) for _, l, r, _, _, _ in want] != bpe
+
+
+def test_bpe_vocab_sweep_matches_python_prefix_replay(spark):
+    """Each checkpoint row must equal a pure-Python replay that applies
+    only the FIRST k learned merges — checkpoint states are prefixes of
+    one chain, so metrics must be monotone where theory says so
+    (total_symbols non-increasing in k, vocab_size trade visible)."""
+    import re
+
+    from local_etl_spark.queries.llm_curation import (
+        BPE_SWEEP_CHECKPOINTS,
+        _learn_bpe,
+    )
+
+    merges = _learn_bpe(spark, SF)
+    texts = [
+        r["text"]
+        for r in table(spark, SF, "documents").select("text").collect()
+    ]
+    freqs = Counter()
+    for t in texts:
+        for w in re.split("[ \t\n\x0b\f\r]+", t):
+            if w:
+                freqs[w] += 1
+    got = {
+        r["n_merges"]: r
+        for r in get("llm_bpe_vocab_sweep").fn(spark, SF).collect()
+    }
+    assert set(got) == set(BPE_SWEEP_CHECKPOINTS)
+    prev_ts = None
+    for k in BPE_SWEEP_CHECKPOINTS:
+        seg = {}
+        for w in freqs:
+            s = " ".join(w)
+            for _, l, rr, merged, _w in merges[:k]:
+                pat = re.compile(
+                    r"(?<!\S)" + re.escape(l + " " + rr) + r"(?!\S)"
+                )
+                s = pat.sub(merged.replace("\\", "\\\\"), s)
+            seg[w] = s.split(" ")
+        ts = sum(len(seg[w]) * n for w, n in freqs.items())
+        tw = sum(freqs.values())
+        tc = sum(len(w) * n for w, n in freqs.items())
+        vocab = {p for syms in seg.values() for p in syms}
+        row = got[k]
+        assert row["n_word_types"] == len(freqs)
+        assert row["total_words"] == tw
+        assert row["total_chars"] == tc
+        assert row["total_symbols"] == ts, k
+        assert row["vocab_size"] == len(vocab), k
+        assert row["multi_piece_words"] == sum(
+            1 for s in seg.values() if len(s) >= 2
+        )
+        assert row["fertility"] == ts / tw
+        assert row["compression"] == ts / tc
+        if prev_ts is not None:
+            assert ts <= prev_ts  # more merges never add symbols
+        prev_ts = ts

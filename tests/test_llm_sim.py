@@ -375,3 +375,47 @@ def test_ann_ivf_incremental_rebuild_parity(spark):
     ]
     want = [tuple(r) for r in get("llm_simsearch_ivf").fn(spark, SF).collect()]
     assert got == want and len(got) == K
+
+
+def test_embedding_drift_matches_numpy(spark):
+    """llm_embedding_drift ≡ NumPy means/stds computed independently
+    from the parquet (float64, tolerance-checked — the op's own
+    determinism story is the two-level ordered fold; this test checks
+    the MATH, the oracle checks the bits)."""
+    import numpy as np
+
+    from local_etl_spark.queries.llm_sim import IVF_INCR_MOD
+    from local_etl_spark.registry import get
+
+    rows = (
+        table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    base = np.array(
+        [r["embedding"] for r in rows if r["vec_id"] % IVF_INCR_MOD != 0],
+        dtype=np.float64,
+    )
+    new = np.array(
+        [r["embedding"] for r in rows if r["vec_id"] % IVF_INCR_MOD == 0],
+        dtype=np.float64,
+    )
+    got = {
+        r["dim"]: r for r in get("llm_embedding_drift").fn(spark, SF).collect()
+    }
+    assert set(got) == set(range(64))
+    mb, mn = base.mean(axis=0), new.mean(axis=0)
+    for d in range(64):
+        assert abs(got[d]["mean_base"] - mb[d]) < 2e-6, d
+        assert abs(got[d]["mean_new"] - mn[d]) < 2e-6, d
+        assert abs(got[d]["mean_shift"] - (mn[d] - mb[d])) < 2e-6, d
+    r0 = got[0]
+    assert r0["n_base"] == len(base) and r0["n_new"] == len(new)
+    l2 = float(np.sqrt(((mn - mb) ** 2).sum()))
+    assert abs(r0["l2_shift"] - l2) < 2e-6
+    nb = np.sqrt((base**2).sum(axis=1))
+    nn = np.sqrt((new**2).sum(axis=1))
+    assert abs(r0["norm_mean_base"] - nb.mean()) < 2e-6
+    assert abs(r0["norm_mean_new"] - nn.mean()) < 2e-6
+    assert abs(r0["norm_std_base"] - nb.std()) < 2e-6
+    assert abs(r0["norm_std_new"] - nn.std()) < 2e-6
