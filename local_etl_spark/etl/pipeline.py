@@ -154,14 +154,39 @@ def read_event_docs(spark: SparkSession, data_dir: str) -> DataFrame:
     """
     content = F.col("content")
     raw = content.cast("string")  # UTF-8 with U+FFFD replacement, never throws
-    scan = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.json")
-        .load(data_dir)
-        .select(
-            F.regexp_replace(F.col("path"), "^file:", "").alias("file_path"),
-            content.alias("content"),
+    reader = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.json"
+    )
+    colon = _colon_json_files(data_dir)
+    if colon:
+        # COLON-NAME repair (path fuzz, round 12): one ':'-named file
+        # poisons the ENTIRE dir scan — the task-side checksum path
+        # construction throws URISyntaxException, so the whole job
+        # dies, not just that file. Swap the main scan to an explicit
+        # glob-escaped path list WITHOUT the colon names (they join
+        # the driver-listed sidechannel below, like hidden files);
+        # every other dir keeps the plain single-path load.
+        visible = sorted(
+            os.path.join(data_dir, n)
+            for n in os.listdir(data_dir)
+            if n.endswith(".json")
+            and ":" not in n
+            and not (n.startswith(".") or n.startswith("_"))
+            and os.path.isfile(os.path.join(data_dir, n))
         )
+        if visible:
+            base = reader.load([_glob_escape(p) for p in visible])
+        else:
+            base = spark.createDataFrame(
+                [],
+                "path string, modificationTime timestamp,"
+                " length long, content binary",
+            )
+    else:
+        base = reader.load(data_dir)
+    scan = base.select(
+        F.regexp_replace(F.col("path"), "^file:", "").alias("file_path"),
+        content.alias("content"),
     )
     # HIDDEN-FILE repair (table fuzz, round 10): every Spark file
     # source — dir listing, explicit paths, even sc.binaryFiles —
@@ -175,7 +200,7 @@ def read_event_docs(spark: SparkSession, data_dir: str) -> DataFrame:
     # executor-side via mapInPandas, then union into the same scan
     # schema. Hidden files are by construction rare — one tiny extra
     # partition, no effect on the main scan's plan.
-    hidden = _hidden_json_files(data_dir)
+    hidden = _hidden_json_files(data_dir) + colon
     if hidden:
         hdf = spark.createDataFrame(
             [(p,) for p in hidden], "file_path string"
@@ -225,6 +250,39 @@ def _hidden_json_files(data_dir: str) -> list[str]:
         if f.endswith(".json")
         and (f.startswith(".") or f.startswith("_"))
         and os.path.isfile(os.path.join(data_dir, f))
+    )
+
+
+def _colon_json_files(data_dir: str) -> list[str]:
+    """Top-level non-hidden *.json files whose NAME contains ':' —
+    Hadoop cannot read these (path fuzz, round 12): the local
+    checksum layer constructs Path('.<name>.crc') and
+    java.net.URI parses the text before the colon as a scheme →
+    URISyntaxException mid-task, killing the whole scan. os.walk has
+    no such notion, so the reference processes them like any file.
+    [] when the dir can't be listed locally (object stores forbid ':'
+    in keys anyway)."""
+    try:
+        names = os.listdir(data_dir)
+    except OSError:
+        return []
+    return sorted(
+        os.path.join(data_dir, f)
+        for f in names
+        if f.endswith(".json")
+        and ":" in f
+        and not (f.startswith(".") or f.startswith("_"))
+        and os.path.isfile(os.path.join(data_dir, f))
+    )
+
+
+def _glob_escape(p: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters so a literal path
+    survives DataFrameReader.load()'s per-path glob expansion (a file
+    legitimately named 'ev[1].json' must not become a character
+    class)."""
+    return "".join(
+        ("\\" + ch) if ch in "*?[]{}\\" else ch for ch in p
     )
 
 
