@@ -50,15 +50,21 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected weighted edges: supplier s traded with customer c.
 
     Node ids: suppliers as 's<k>', customers as 'c<k>'. Weight =
-    revenue of the lines between them (used only for ranking flow,
-    so plain double sums suffice — the driver check is rows-only).
+    revenue of the lines between them in EXACT integer cents (round
+    12: the pagerank conversion needs order-free weights; the cents
+    sum is the agg_minmax_by precedent that hash-matches DuckDB on
+    this DOUBLE column, and every consumer only ranks by w).
     """
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pair = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_suppkey", "o_custkey")
-        .agg(F.sum("l_extendedprice").alias("w"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("w")
+        )
         .select(
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
             F.concat(F.lit("c"), F.col("o_custkey")).alias("b"),
@@ -71,7 +77,85 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank", family="graph", oracle=None)
+PR_SCALE = 10**15  # fixed-point rank units (round-12 oracle conversion)
+
+
+def _pagerank_oracle(rounds: int) -> str:
+    """Unrolled relational replay of the FIXED-POINT power iteration
+    (rows-only→SQL conversion #16, round 12 — the flagship). The trick
+    that makes the flagship iterative float op oracle-able WITHOUT the
+    ordered-fold slowdown: ranks live as exact BIGINTs in units of
+    1e-15, and each edge contribution rounds ONCE
+    (round(rank·p) — the only float step, identical in both engines),
+    so every cross-row sum is an ORDER-FREE exact integer aggregate —
+    plain hash aggregation, map-side combine, no collect_list anywhere.
+    Quantization error ≤ 0.5 ulp-of-1e-15 per edge per round, damped
+    geometrically — the NumPy pytest still holds at 1e-9. Equality
+    needs the engine to run the full ``rounds`` iterations: the L1
+    early-exit CANNOT trigger under damping-bound contraction
+    (SCALE.md §14.3) and tests/test_graph.py pins the per-round L1
+    margin by exact integer replay."""
+    # the 0.85/0.15e15 literals below are DAMPING baked into shared
+    # expression text — guard against a silent constant drift
+    assert DAMPING == 0.85, "update the baked oracle literals"
+    head = f"""
+    WITH pair AS MATERIALIZED (
+        SELECT 's' || l_suppkey AS a, 'c' || o_custkey AS b,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey, o_custkey
+    ),
+    edges AS MATERIALIZED (
+        SELECT a, b, w FROM pair
+        UNION ALL
+        SELECT b AS a, a AS b, w FROM pair
+    ),
+    outw AS (
+        SELECT a, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY a
+    ),
+    norm AS MATERIALIZED (
+        SELECT e.a, e.b, CAST(e.w AS DOUBLE) / o.outw AS p
+        FROM edges e JOIN outw o ON o.a = e.a
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM edges),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+        SELECT node, CAST(round(1e15 / nn.n) AS BIGINT) AS rank
+        FROM nodes CROSS JOIN nn
+    )"""
+    parts = [head]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+    r{k} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(round(0.15e15 / (SELECT nn.n FROM nn)) AS BIGINT)
+               + CAST(round(0.85 * CAST(coalesce(c.mass, 0) AS DOUBLE))
+                      AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.b AS node,
+                   CAST(sum(CAST(round(CAST(r.rank AS DOUBLE) * e.p)
+                                 AS BIGINT)) AS BIGINT) AS mass
+            FROM norm e JOIN r{k - 1} r ON r.node = e.a
+            GROUP BY e.b
+        ) c ON c.node = n.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(rank AS DOUBLE) / 1e15 AS rank,
+           substr(node, 1, 1) AS kind
+    FROM r{rounds}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_pagerank",
+    family="graph",
+    oracle=_pagerank_oracle(N_ITER),
+)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the supplier↔customer trade graph
     (damping 0.85, ≤12 synchronous iterations with an L1-delta
@@ -85,10 +169,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source id and one groupBy on the destination — both on node
     keys, so Catalyst reuses one partitioning; edges (with their
     precomputed outgoing-weight normalization) are computed once and
-    persisted. Rows-only for the driver (iterative float fixpoint, not
-    SQL-expressible); tests/test_graph.py checks convergence to a
-    NumPy power iteration of the same matrix within 1e-9 and that
-    total rank mass stays 1.
+    persisted.
+
+    SQL-ORACLED since round 12 (conversion #16, the flagship): ranks
+    are FIXED-POINT BIGINTs in units of 1e-15 — each edge term rounds
+    once (the only float step, bit-identical both engines), so every
+    cross-row sum is an order-free exact integer aggregate and the
+    plan keeps plain hash aggregation with map-side combine (no
+    ordered-fold collect_list cost, unlike the betweenness
+    conversion — at 100 TB hub nodes aggregate partial integer sums
+    exactly like any hot group key). _pagerank_oracle unrolls the
+    N_ITER rounds relationally; quantization error is ≤ 5e-16/round,
+    damped — tests/test_graph.py still checks convergence to a NumPy
+    power iteration within 1e-9, mass conservation, AND replays the
+    exact integer iteration in pure Python (which also pins that the
+    L1 early-exit cannot fire within the unrolled budget).
     """
     edges = trade_edges(spark, sf_dir)
     # normalize outgoing weights once: P(u→v) = w/outw(u)
@@ -130,7 +225,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm = packed
     nodes = norm.select(F.col("a").alias("node")).distinct().persist()
     n_nodes = nodes.count()  # model-sized scalar (drives the teleport term)
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint()
+    ranks = nodes.select(
+        "node",
+        F.expr(f"CAST(round(1e15 / {n_nodes}) AS BIGINT)").alias("rank"),
+    ).localCheckpoint()
     # rank-vector join strategy is SIZE-GATED (the llm_tfidf pattern):
     # below the threshold the per-iteration rank vector broadcasts
     # (~16 B/node), so the EDGE LIST — the big side — never shuffles
@@ -144,14 +242,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (
             norm.join(r, norm.a == r.node)
             .groupBy(F.col("b").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST(round(CAST(rank AS DOUBLE) * p) AS BIGINT)"
+                    )
+                ).alias("mass")
+            )
         )
         prev = (
             F.broadcast(ranks) if broadcast_ranks else ranks
         ).withColumnRenamed("rank", "prev")
-        new_rank = (
-            F.lit((1.0 - DAMPING) / n_nodes)
-            + F.lit(DAMPING) * F.coalesce("mass", F.lit(0.0))
+        new_rank = F.expr(
+            f"CAST(round(0.15e15 / {n_nodes}) AS BIGINT)"
+            " + CAST(round(0.85 * CAST(coalesce(mass, 0) AS DOUBLE))"
+            " AS BIGINT)"
         ).alias("rank")
         # convergence early-exit (VERDICT r5 #5): the L1 delta rides
         # the checkpoint materialization as an observe() metric over a
@@ -167,7 +272,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .observe(
                 obs,
                 F.sum(
-                    F.abs(F.col("rank") - F.coalesce("prev", F.lit(0.0)))
+                    F.abs(
+                        F.col("rank")
+                        - F.coalesce("prev", F.lit(0).cast("bigint"))
+                    )
                 ).alias("l1"),
             )
             .select("node", "rank")
@@ -176,13 +284,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # edge-list shuffle, not the checkpoint job, is the cost
             .localCheckpoint()
         )
-        if obs.get["l1"] < PR_TOL_L1:
+        if obs.get["l1"] < PR_TOL_L1 * PR_SCALE:
             break
     norm.unpersist()
     nodes.unpersist()
     return ranks.select(
         "node",
-        "rank",
+        (F.col("rank").cast("double") / F.lit(1e15)).alias("rank"),
         F.substring("node", 1, 1).alias("kind"),
     )
 

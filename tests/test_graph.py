@@ -453,3 +453,51 @@ def test_coreness_python_replay(spark):
         for r in graph_coreness(spark, SF).collect()
     }
     assert got == core
+
+
+def test_pagerank_integer_replay_and_no_early_exit(spark):
+    """The fixed-point iteration replayed EXACTLY in pure Python
+    (round-half-away on the exact double, matching Spark/DuckDB round
+    on positives): final scaled ranks equal the engine's bit-for-bit,
+    AND every round's integer L1 delta stays ≥ the early-exit
+    threshold — the unrolled oracle assumes all N_ITER rounds run, so
+    a corpus change that lets the exit fire fails HERE, not as an
+    opaque oracle mismatch."""
+    import math
+    from collections import defaultdict
+
+    from local_etl_spark.queries.graph import (
+        PR_SCALE,
+        PR_TOL_L1,
+        graph_pagerank,
+    )
+
+    def rha(x: float) -> int:  # round half away from zero, x >= 0
+        f = math.floor(x)
+        return f + 1 if x - f >= 0.5 else f
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        edges = trade_edges(spark, sf).collect()
+        outw: dict[str, int] = defaultdict(int)
+        for r in edges:
+            outw[r["a"]] += r["w"]
+        adj = [(r["a"], r["b"], r["w"] / outw[r["a"]]) for r in edges]
+        nodes = sorted(outw)
+        n = len(nodes)
+        rank = {v: rha(1e15 / n) for v in nodes}
+        teleport = rha(0.15e15 / n)
+        for it in range(N_ITER):
+            mass: dict[str, int] = defaultdict(int)
+            for a, b, p in adj:
+                mass[b] += rha(float(rank[a]) * p)
+            new = {
+                v: teleport + rha(0.85 * float(mass.get(v, 0)))
+                for v in nodes
+            }
+            l1 = sum(abs(new[v] - rank[v]) for v in nodes)
+            assert l1 >= PR_TOL_L1 * PR_SCALE, (sf, it, l1)
+            rank = new
+        got = {
+            r["node"]: r["rank"] for r in graph_pagerank(spark, sf).collect()
+        }
+        assert got == {v: float(rank[v]) / 1e15 for v in nodes}, sf
