@@ -1691,7 +1691,85 @@ LSH_SEED = 42
 LSH_BUCKET_CAP = 512  # max distinct vectors verified per task
 
 
-@query("llm_dedup_lsh_cosine", family="llm", oracle=None)
+def _lsh_planes():
+    """The SRP hyperplane matrix (64 × LSH_BANDS·LSH_BITS) — one fixed
+    seeded numpy draw shared by the engine UDF and the SQL witness
+    (embedded there as float-repr literals, which round-trip to the
+    identical doubles in both engines)."""
+    import numpy as np
+
+    return np.random.RandomState(LSH_SEED).standard_normal(
+        (64, LSH_BANDS * LSH_BITS)
+    )
+
+
+def _lsh_cosine_oracle() -> str:
+    """Relational replay of the SRP-LSH dedup (rows-only→SQL
+    conversion #17, round 12). Replayable because every float step is
+    deterministic in both engines: (a) the hyperplanes are literal
+    constants; (b) the engine computes sign dots by PER-DIM sequential
+    accumulation (acc += e[k]·plane[k]), which ≡ the oracle's
+    list_sum over the k-ordered products; (c) exact-cosine
+    verification is the established _DOT/list_sum fold with
+    per-vector precomputed norms — the same algebra as the engine's
+    vectorized per-dim verify. The oracle skips the engine's two
+    never-firing guards, both margin-pinned in tests/test_llm_dedup.py
+    (the df-cap-contract pattern): the identical-embedding collapse
+    (zero duplicate embeddings at every shipped SF) and the hot-bucket
+    sub-split (max bucket 73 « LSH_BUCKET_CAP=512). Oracle cost at
+    sf0.1 is ~6 s — inherent: the loose 0.4 audit threshold makes
+    ~40% of all pairs candidates and each needs the exact 64-dim fold
+    (the llm_dedup_embed 9.9 s precedent class)."""
+    planes = _lsh_planes()
+    vals = ",\n".join(
+        "({}, [{}])".format(
+            j,
+            ",".join(repr(float(planes[k, j])) for k in range(64)),
+        )
+        for j in range(LSH_BANDS * LSH_BITS)
+    )
+    return f"""
+WITH v AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+vn AS MATERIALIZED (
+    SELECT vec_id, e,
+           sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+    FROM v
+),
+pl(j, p) AS (VALUES {vals}),
+dots AS MATERIALIZED (
+    SELECT v.vec_id, pl.j,
+           list_sum(list_transform(list_zip(v.e, pl.p),
+                                   q -> q[1] * q[2])) AS d
+    FROM v CROSS JOIN pl
+),
+keys AS MATERIALIZED (
+    SELECT vec_id,
+           CAST((j // {LSH_BITS}) * {2 ** LSH_BITS} AS BIGINT)
+           + CAST(sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END
+                      * (1 << CAST({LSH_BITS - 1} - (j % {LSH_BITS})
+                                   AS INT))) AS BIGINT) AS bkey
+    FROM dots GROUP BY vec_id, j // {LSH_BITS}
+),
+cand AS MATERIALIZED (
+    SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+    FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT c.v1, c.v2,
+           list_sum(list_transform(list_zip(x.e, y.e), q -> q[1] * q[2]))
+               / (x.nrm * y.nrm) AS cos
+    FROM cand c JOIN vn x ON x.vec_id = c.v1 JOIN vn y ON y.vec_id = c.v2
+)
+SELECT v1, v2, round(cos, 6) AS score FROM scored WHERE cos >= {COSINE_T}
+"""
+
+
+@query(
+    "llm_dedup_lsh_cosine", family="llm", oracle=_lsh_cosine_oracle()
+)
 def llm_dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via sign-random-projection LSH
     (Charikar 2002): each vector hashes to 32 band keys of 6 sign bits
@@ -1744,7 +1822,15 @@ def llm_dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes = np.random.RandomState(LSH_SEED).standard_normal(
             (m.shape[1], bands * bits)
         )
-        sign = (m @ planes) >= 0
+        # per-dim SEQUENTIAL accumulation (r12 oracle conversion):
+        # a matmul's pairwise summation could flip a sign on a dot
+        # within an ulp of 0 vs the oracle's k-ordered list_sum fold;
+        # this loop is the verify_bucket discipline applied to the
+        # projection itself (64 vectorized outer-product adds)
+        acc = np.zeros((m.shape[0], bands * bits))
+        for k in range(m.shape[1]):
+            acc += m[:, k : k + 1] * planes[k]
+        sign = acc >= 0
         out = np.zeros((m.shape[0], bands), dtype=np.int64)
         for b in range(bands):
             key = np.zeros(m.shape[0], dtype=np.int64)

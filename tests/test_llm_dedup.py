@@ -484,3 +484,52 @@ def test_dedup_url_python_ground_truth(spark):
     # exist, and the real ?id= param splits pages rather than merging
     assert any(r["n_variants"] > 1 for r in out.values())
     assert any(c.endswith("?id=7") for c in out)
+
+
+def test_lsh_cosine_oracle_guards_inert(spark):
+    """The r12 SQL witness for llm_dedup_lsh_cosine skips two engine
+    guards that never fire on shipped corpora — pin BOTH margins
+    loudly (the kcore/df-cap contract pattern) so a corpus change
+    fails here, not as an opaque oracle mismatch:
+      (a) identical-embedding collapse: zero duplicate embeddings at
+          every shipped SF (the xxhash64 group step is a bijection);
+      (b) hot-bucket sub-split: every band bucket stays ≤ half of
+          LSH_BUCKET_CAP (measured max 73 vs cap 512 at sf0.1)."""
+    import numpy as np
+
+    from local_etl_spark.catalog import table
+    from local_etl_spark.queries.llm_dedup import (
+        LSH_BANDS,
+        LSH_BITS,
+        LSH_BUCKET_CAP,
+        _lsh_planes,
+    )
+
+    planes = _lsh_planes()
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        rows = (
+            table(spark, sf, "embeddings")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        embs = [tuple(r["embedding"]) for r in rows]
+        assert len(set(embs)) == len(embs), sf  # (a)
+        m = np.array(embs, dtype=np.float64)
+        acc = np.zeros((m.shape[0], LSH_BANDS * LSH_BITS))
+        for k in range(m.shape[1]):
+            acc += m[:, k : k + 1] * planes[k]
+        sign = acc >= 0
+        from collections import Counter
+
+        c: Counter = Counter()
+        for b in range(LSH_BANDS):
+            key = np.zeros(m.shape[0], dtype=np.int64)
+            for j in range(LSH_BITS):
+                key = (key << 1) | sign[:, b * LSH_BITS + j]
+            for k in (b << LSH_BITS) | key:
+                c[int(k)] += 1
+        assert max(c.values()) <= LSH_BUCKET_CAP // 2, (sf, max(c.values()))
