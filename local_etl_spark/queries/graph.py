@@ -696,21 +696,22 @@ def kcore_membership(edges: DataFrame, k: int) -> DataFrame:
     graph_kcore engine, factored out so tests can feed adversarial
     topologies (the >12-round long-chain cascade from ADVICE r5)."""
     edges = edges.localCheckpoint()
-    n_prev = edges.count()
     while True:
         deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        # cheap fixpoint probe BEFORE the expensive round (r12 sf1
+        # ledger: the peel is checkpoint-I/O-bound — every round
+        # rewrites the full surviving edge relation, and the final
+        # no-drop confirmation round used to pay that too; probing the
+        # drop count first makes confirmation one aggregate job,
+        # halving the rounds on fast-converging graphs at ANY scale)
+        if deg.filter(F.col("d") < k).isEmpty():
+            break
         keep = deg.filter(F.col("d") >= k).select("a").localCheckpoint()
         edges = (
             edges.join(keep, "a", "semi")
             .join(keep.select(F.col("a").alias("b")), "b", "semi")
             .localCheckpoint()
         )
-        # one count job per round: localCheckpoint already materialized
-        # the surviving edges, so this reads cached partition sizes
-        n_now = edges.count()
-        if n_now == n_prev:
-            break
-        n_prev = n_now
     return (
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -57,6 +57,17 @@ HEAVY = [
     "agg_corr_matrix",
     "win_sessionize",
     "sql_q2",
+    # r10-r12 heavy additions (folded into the standing ledger at the
+    # r12 full re-proof, VERDICT r11 #5)
+    "llm_audio_fingerprint",
+    "graph_betweenness_sample",
+    "graph_closeness_sample",
+    "graph_kcore",
+    "graph_coreness",
+    "llm_lsh_band_sweep",
+    "llm_ann_ivf_incremental",
+    "llm_embedding_drift",
+    "llm_bpe_vocab_sweep",
 ]
 
 
@@ -119,6 +130,17 @@ def main() -> None:
     from local_etl_spark.registry import all_queries
     from local_etl_spark.session import get_spark
 
+    import bench
+
+    print(
+        json.dumps(
+            {
+                "calib_miter_s_start": bench._cpu_calibration(),
+                "calib_mt_miter_s_start": bench._cpu_calibration_mt(),
+            }
+        ),
+        flush=True,
+    )
     spark = get_spark("scale-proof")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -163,7 +185,22 @@ def main() -> None:
         load = round(os.getloadavg()[0], 2)
     except OSError:
         load = None
-    print(json.dumps({"ledger": ledger, "loadavg_1m": load}))
+    import bench
+
+    print(
+        json.dumps(
+            {
+                "ledger": ledger,
+                "loadavg_1m": load,
+                # both host-clock probes (VERDICT r11 #5): the single-
+                # thread clock is bimodal and the all-core clock moves
+                # independently — cross-round ratio comparisons
+                # normalize by these
+                "calib_miter_s_end": bench._cpu_calibration(),
+                "calib_mt_miter_s_end": bench._cpu_calibration_mt(),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
