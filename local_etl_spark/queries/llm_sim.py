@@ -169,7 +169,161 @@ IVF_CELLS = 16
 IVF_NPROBE = 4
 
 
-@query("llm_simsearch_ivf", family="llm", oracle=None)
+def _lloyd_ctes(k: int, iters: int, spherical: bool) -> str:
+    """CTE chain replaying the full Lloyd's loop relationally (the r12
+    trainer-conversion core, shared by _kmeans_oracle and the
+    spherical IVF oracle). Emits: `v` (pre-cast vectors), `vu` (+ the
+    training vector u — unit-normalized when spherical), `c0..c{iters}`
+    (centroid relations). Per iteration: (a) assignment = argmin over
+    k squared-L2 sequential zip-folds, ties by cell (row_number ≡ the
+    engine's array_min struct); (b) per-(cell, dim) means via the SAME
+    two-level ordered fold _lloyd now uses (by vec_id inside 256-wide
+    buckets, then by bucket); (c) empty cells carry the previous
+    centroid, and the spherical variant RE-normalizes the carried
+    value too — exactly the engine's renorm(new_c.get(j, prev))."""
+    unit = (
+        "list_transform({e}, x -> x / "
+        "sqrt(list_sum(list_transform({e}, y -> y * y))))"
+    )
+
+    def renorm(expr: str) -> str:
+        if not spherical:
+            return expr
+        n = f"sqrt(list_sum(list_transform({expr}, x -> x * x)))"
+        return (
+            f"CASE WHEN {n} > 0 THEN "
+            f"list_transform({expr}, v -> v / {n}) ELSE {expr} END"
+        )
+
+    parts = [
+        f"""v AS MATERIALIZED (
+        SELECT vec_id, vec_id // 256 AS bucket,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    vu AS MATERIALIZED (
+        SELECT vec_id, bucket, e,
+               {unit.format(e='e') if spherical else 'e'} AS u
+        FROM v
+    ),
+    c0 AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cell,
+               {renorm('e')} AS arr
+        FROM vu WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{i} AS MATERIALIZED (
+        SELECT vec_id, bucket, u, cell FROM (
+            SELECT vu.vec_id, vu.bucket, vu.u, c.cell,
+                   row_number() OVER (PARTITION BY vu.vec_id
+                       ORDER BY list_sum(list_transform(
+                                    list_zip(vu.u, c.arr),
+                                    q -> (q[1] - q[2]) * (q[1] - q[2]))),
+                                c.cell) AS rn
+            FROM vu CROSS JOIN c{i - 1} c
+        ) WHERE rn = 1
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT pc.cell,
+               {renorm('coalesce(nc.arr, pc.arr)')} AS arr
+        FROM c{i - 1} pc LEFT JOIN (
+            SELECT cell, list(m ORDER BY dim) AS arr FROM (
+                SELECT cell, dim,
+                       list_sum(list(s ORDER BY bucket))
+                           / CAST(sum(n) AS BIGINT) AS m
+                FROM (
+                    SELECT a.cell, r.dim, a.bucket,
+                           list_sum(list(a.u[r.dim + 1]
+                                         ORDER BY a.vec_id)) AS s,
+                           count(*) AS n
+                    FROM a{i} a CROSS JOIN
+                         (SELECT CAST(range AS INT) AS dim
+                          FROM range(64)) r
+                    GROUP BY a.cell, r.dim, a.bucket
+                )
+                GROUP BY cell, dim
+            )
+            GROUP BY cell
+        ) nc ON nc.cell = pc.cell
+    )"""
+        )
+    return "".join(parts)
+
+
+
+def _ivf_oracle(k: int, iters: int, nprobe: int, topk: int) -> str:
+    """Relational replay of the WHOLE IVF search (rows-only→SQL
+    conversion #19, round 12): the spherical Lloyd machine
+    (_lloyd_ctes — unit-normalized training vectors, per-round
+    centroid renormalization), the query-side probe ranking (cosine of
+    the unit query against each centroid, ties by cell — replaying the
+    driver's (-sim, j) sort), the nprobe cell filter, and the exact
+    cosine top-k over the probed cells. Every float step is a
+    sequential fold shared with the engine; the final order is
+    (rounded score DESC, vec_id), deterministic in both engines."""
+    return f"""
+    WITH {_lloyd_ctes(k, iters, spherical=True)},
+    fin AS (
+        SELECT vec_id, cell FROM (
+            SELECT vu.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY vu.vec_id
+                       ORDER BY list_sum(list_transform(
+                                    list_zip(vu.u, c.arr),
+                                    q -> (q[1] - q[2]) * (q[1] - q[2]))),
+                                c.cell) AS rn
+            FROM vu CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT e AS q FROM v WHERE vec_id = 0),
+    qu AS (
+        SELECT list_transform(q, x -> x /
+                   sqrt(list_sum(list_transform(q, y -> y * y)))) AS qu
+        FROM q
+    ),
+    probe AS MATERIALIZED (
+        SELECT cell FROM (
+            SELECT c.cell,
+                   row_number() OVER (ORDER BY
+                       (list_sum(list_transform(list_zip(qu.qu, c.arr),
+                                                p -> p[1] * p[2]))
+                        / sqrt(list_sum(list_transform(c.arr,
+                                                       x -> x * x))))
+                           DESC,
+                       c.cell) AS rn
+            FROM c{iters} c CROSS JOIN qu
+        ) WHERE rn <= {nprobe}
+    ),
+    emb2 AS (
+        SELECT e.vec_id, e.label,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev
+        FROM embeddings e
+        JOIN fin f ON f.vec_id = e.vec_id
+        JOIN probe p ON p.cell = f.cell
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, score FROM (
+        SELECT e2.vec_id, e2.label,
+               round(list_sum(list_transform(list_zip(e2.ev, q.q),
+                                             p -> p[1] * p[2]))
+                     / (sqrt(list_sum(list_transform(e2.ev, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.q,
+                                                       x -> x * x)))),
+                     6) AS score
+        FROM emb2 e2 CROSS JOIN q
+    )
+    ORDER BY score DESC, vec_id
+    LIMIT {topk}"""
+
+
+@query(
+    "llm_simsearch_ivf",
+    family="llm",
+    oracle=_ivf_oracle(IVF_CELLS, 4, IVF_NPROBE, K),
+)
 def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over trained cells: probe only the nearest cells.
 
@@ -243,6 +397,9 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_K = 8
 KM_ITERS = 4
+# the IVF oracle above is decorated before this line executes, so it
+# bakes iters=4 — keep in lockstep
+assert KM_ITERS == 4, "update _ivf_oracle's baked iteration count"
 
 # in-row L2 normalization of the embedding column (unit vectors make
 # L2-argmin equivalent to cosine-argmax for cell assignment)
@@ -257,6 +414,18 @@ _UNIT_EMBEDDING = (
 # can't grow it without limit
 _MODEL_CACHE: dict[tuple, list[list[float]]] = {}
 _MODEL_CACHE_MAX = 8
+
+
+def _model_fp(centroids: list[list[float]]) -> str:
+    """Short fingerprint of a trained model, used to KEY the
+    marker-gated parquet layouts (r12): a trainer arithmetic change
+    (e.g. the avg→ordered-fold determinism fix) must invalidate any
+    layout written under the old centroids, or a stale cache would
+    silently desynchronize the read-back census from the live model
+    (the VERDICT r11 stale-cache note, fixed for the disk caches)."""
+    import hashlib
+
+    return hashlib.md5(repr(centroids).encode()).hexdigest()[:10]
 
 
 def _lloyd(
@@ -306,16 +475,44 @@ def _lloyd(
     #      interpreted HOF folds save at local scale; on a real cluster
     #      with big corpora the relational form wins and is what
     #      llm_kmeans_train documents as the scale path.
-    staged = emb.select(F.expr(vec).alias("v")).persist()
+    staged = emb.select(
+        "vec_id",
+        F.expr("vec_id DIV 256").alias("bucket"),
+        F.expr(vec).alias("v"),
+    ).persist()
+    _of = (
+        "aggregate(array_sort(collect_list(struct({k}, {v}))), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.{v})"
+    )
     for _ in range(iters):
         assigned = staged.select(
+            "vec_id",
+            "bucket",
             "v",
             _km_assign_expr(centroids, vector="v").alias("cell"),
         )
+        # per-(cell, dim) mean as a TWO-LEVEL ordered fold (the
+        # llm_embedding_drift tree: by vec_id inside 256-wide buckets,
+        # then by bucket) instead of F.avg — deterministic doubles the
+        # r12 SQL witness replays exactly, same distributed shape
         per_dim = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            assigned.select(
+                "vec_id",
+                "bucket",
+                "cell",
+                F.posexplode("v").alias("dim", "x"),
+            )
+            .groupBy("cell", "dim", "bucket")
+            .agg(
+                F.expr(_of.format(k="vec_id", v="x")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.expr(_of.format(k="bucket", v="s")).alias("ts"),
+                F.sum("n").cast("bigint").alias("n"),
+            )
+            .select("cell", "dim", (F.col("ts") / F.col("n")).alias("m"))
             .orderBy("cell", "dim")
             .collect()
         )
@@ -379,7 +576,38 @@ def _km_topp_expr(
     )
 
 
-@query("llm_kmeans_train", family="llm", oracle=None)
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled relational replay of the full Lloyd's loop (rows-only→
+    SQL conversion #18, round 12): the TRAINER itself is now
+    externally verifiable, not just its appliers. Machine in
+    _lloyd_ctes; centroids flow between rounds as SQL doubles, and
+    the engine's float-repr literal inlining round-trips to the
+    identical bits, so the two trainers agree centroid-for-centroid."""
+    return f"""
+    WITH {_lloyd_ctes(k, iters, spherical=False)},
+    fin AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY list_sum(list_transform(
+                                    list_zip(v.e, c.arr),
+                                    q -> (q[1] - q[2]) * (q[1] - q[2]))),
+                                c.cell) AS rn
+            FROM v CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    )
+    SELECT f.cell, CAST(count(*) AS BIGINT) AS n_members,
+           round(sqrt(list_sum(list_transform(c.arr, x -> x * x))), 4)
+               AS centroid_norm
+    FROM fin f JOIN c{iters} c ON c.cell = f.cell
+    GROUP BY f.cell, c.arr"""
+
+
+@query(
+    "llm_kmeans_train",
+    family="llm",
+    oracle=_kmeans_oracle(KM_K, KM_ITERS),
+)
 def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus — the
     same ``_lloyd`` trainer whose spherical variant produces the cells
@@ -398,9 +626,12 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic init (first k vec_ids, matching the IVF stand-in);
     fixed iteration count; ties broken by cell id in the argmin struct.
-    Rows-only: iterative fp means are not SQL-oracle-able; pytest
-    asserts the k-means invariant (objective monotonically
-    non-increasing) and full corpus coverage
+    SQL-ORACLED since round 12 (conversion #18 — the TRAINER itself):
+    per-(cell, dim) means are two-level ordered folds (see _lloyd) and
+    every other float step was already a sequential fold, so
+    _kmeans_oracle replays the whole Lloyd loop relationally,
+    centroid-for-centroid. pytest still asserts the k-means invariant
+    (objective monotonically non-increasing) and full corpus coverage
     (tests/test_llm_sim.py::test_kmeans_objective_decreases).
     Output: one row per cell with its size and centroid norm — the
     model summary a feature store would version."""
@@ -498,7 +729,48 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_T = 0.4  # same similarity bar as llm_dedup_embed's exact all-pairs
 
 
-@query("llm_semdedup", family="llm", oracle=None)
+def _semdedup_oracle(k: int, iters: int, t: float) -> str:
+    """Relational SemDeDup replay (rows-only→SQL conversion #22, round
+    12): the spherical machine assigns cells, same-cell pairs verify
+    with the exact sequential-fold cosine (per-vector precomputed
+    norms — the same values the engine's inline folds produce), and
+    greedy-by-id suppression is one DISTINCT + LEFT JOIN."""
+    return f"""
+    WITH {_lloyd_ctes(k, iters, spherical=True)},
+    fin AS (
+        SELECT vec_id, cell FROM (
+            SELECT vu.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY vu.vec_id
+                       ORDER BY list_sum(list_transform(
+                                    list_zip(vu.u, c.arr),
+                                    q -> (q[1] - q[2]) * (q[1] - q[2]))),
+                                c.cell) AS rn
+            FROM vu CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    ),
+    emb2 AS MATERIALIZED (
+        SELECT f.vec_id, f.cell, v.e,
+               sqrt(list_sum(list_transform(v.e, x -> x * x))) AS nrm
+        FROM fin f JOIN v ON v.vec_id = f.vec_id
+    ),
+    dropped AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id
+        FROM emb2 a JOIN emb2 b
+             ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE list_sum(list_transform(list_zip(a.e, b.e),
+                                      q -> q[1] * q[2]))
+              / (a.nrm * b.nrm) >= {t}
+    )
+    SELECT f.vec_id, CAST(f.cell AS INT) AS cid,
+           (d.vec_id IS NOT NULL) AS suppressed
+    FROM fin f LEFT JOIN dropped d ON d.vec_id = f.vec_id"""
+
+
+@query(
+    "llm_semdedup",
+    family="llm",
+    oracle=_semdedup_oracle(IVF_CELLS, 4, SEM_T),
+)
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup that only compares
     WITHIN k-means cells — the published answer to embedding dedup's
@@ -516,11 +788,12 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k grows with the corpus (cells of ~10⁴ vectors keep the per-cell
     pairing bounded), and cells are independent so parallelism = k.
     Cross-cell near-dups are the (paper-accepted) recall loss; the
-    pytest gate measures it against the exact pair set. Rows-only for
-    the driver (trained-centroid assignment is float-iterative);
-    tests/test_llm_sim.py recomputes the kept set from the SAME cell
-    assignment with a bit-identical sequential fold and asserts exact
-    equality, plus recall ≥ 0.8 of exact same-threshold dedup.
+    pytest gate measures it against the exact pair set. SQL-ORACLED
+    since round 12 (conversion #22 — _semdedup_oracle rides the
+    _lloyd_ctes machine); tests/test_llm_sim.py additionally
+    recomputes the kept set from the SAME cell assignment with a
+    bit-identical sequential fold and asserts exact equality, plus
+    recall ≥ 0.8 of exact same-threshold dedup.
     """
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = _lloyd(spark, sf_dir, k=IVF_CELLS, iters=KM_ITERS, spherical=True)
@@ -855,7 +1128,142 @@ def _pq_code_expr(books: list[list[list[float]]], unit: str = "_u") -> "F.Column
     return F.expr(f"array({', '.join(sub_codes)})")
 
 
-@query("llm_simsearch_pq", family="llm", oracle=None)
+def _pq_oracle() -> str:
+    """Relational replay of the ENTIRE PQ pipeline (rows-only→SQL
+    conversion #23, round 12): the per-subspace Lloyd trainer
+    (_train_pq is pure sequential Python over the vec_id-ordered
+    sample — first-min argmin ≡ row_number (d2, cell), per-cell sums
+    in vec_id order ≡ list_sum(ORDER BY vec_id), s/n raw division),
+    the corpus encoding (argmin per (vector, subspace) against the
+    final codebooks), the ADC table (query-subvector dots), the
+    adc-ranked shortlist, and the exact-cosine re-rank. All 8
+    subspaces train in lockstep as one (m, cell)-keyed relation, so
+    the 6 rounds unroll once, not per subspace."""
+    sub = 64 // PQ_M
+    dims8 = f"(SELECT CAST(range AS INT) AS dim FROM range({sub}))"
+    parts = [
+        f"""
+    WITH v AS MATERIALIZED (
+        SELECT e.vec_id, e.label,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings e
+    ),
+    u AS MATERIALIZED (
+        SELECT vec_id, label,
+               e,
+               list_transform(e, x -> x /
+                   sqrt(list_sum(list_transform(e, y -> y * y)))) AS uv
+        FROM v
+    ),
+    msel AS (SELECT CAST(range AS INT) AS m FROM range({PQ_M})),
+    sx AS MATERIALIZED (
+        SELECT s.vec_id, ms.m,
+               list_transform(generate_series(ms.m * {sub} + 1,
+                                              ms.m * {sub} + {sub}),
+                              i -> s.uv[i]) AS x
+        FROM u s CROSS JOIN msel ms
+        WHERE s.vec_id < {PQ_TRAIN_N}
+    ),
+    pc0 AS MATERIALIZED (
+        SELECT m, CAST(rn - 1 AS INT) AS cell, x AS arr FROM (
+            SELECT m, x,
+                   row_number() OVER (PARTITION BY m ORDER BY vec_id)
+                       AS rn
+            FROM sx
+        ) WHERE rn <= {PQ_K}
+    )"""
+    ]
+    for i in range(1, PQ_ITERS + 1):
+        parts.append(
+            f""",
+    pa{i} AS MATERIALIZED (
+        SELECT vec_id, m, x, cell FROM (
+            SELECT sx.vec_id, sx.m, sx.x, c.cell,
+                   row_number() OVER (PARTITION BY sx.vec_id, sx.m
+                       ORDER BY list_sum(list_transform(
+                                    list_zip(sx.x, c.arr),
+                                    q -> (q[1] - q[2]) * (q[1] - q[2]))),
+                                c.cell) AS rn
+            FROM sx JOIN pc{i - 1} c ON c.m = sx.m
+        ) WHERE rn = 1
+    ),
+    pc{i} AS MATERIALIZED (
+        SELECT pc.m, pc.cell, coalesce(nc.arr, pc.arr) AS arr
+        FROM pc{i - 1} pc LEFT JOIN (
+            SELECT m, cell, list(mn ORDER BY dim) AS arr FROM (
+                SELECT a.m, a.cell, r.dim,
+                       list_sum(list(a.x[r.dim + 1] ORDER BY a.vec_id))
+                           / CAST(count(*) AS BIGINT) AS mn
+                FROM pa{i} a CROSS JOIN {dims8} r
+                GROUP BY a.m, a.cell, r.dim
+            ) GROUP BY m, cell
+        ) nc ON nc.m = pc.m AND nc.cell = pc.cell
+    )"""
+        )
+    parts.append(
+        f""",
+    codes AS MATERIALIZED (
+        SELECT vec_id, m, cell AS code FROM (
+            SELECT u.vec_id, ms.m, c.cell,
+                   row_number() OVER (PARTITION BY u.vec_id, ms.m
+                       ORDER BY list_sum(list_transform(
+                                    list_zip(
+                                        list_transform(
+                                            generate_series(
+                                                ms.m * {sub} + 1,
+                                                ms.m * {sub} + {sub}),
+                                            i -> u.uv[i]),
+                                        c.arr),
+                                    q -> (q[1] - q[2]) * (q[1] - q[2]))),
+                                c.cell) AS rn
+            FROM u CROSS JOIN msel ms
+            JOIN pc{PQ_ITERS} c ON c.m = ms.m
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT e AS q FROM v WHERE vec_id = 0),
+    qu AS (
+        SELECT list_transform(q, x -> x /
+                   sqrt(list_sum(list_transform(q, y -> y * y)))) AS qu
+        FROM q
+    ),
+    adctab AS MATERIALIZED (
+        SELECT c.m, c.cell,
+               list_sum(list_transform(
+                   list_zip(list_transform(
+                       generate_series(c.m * {sub} + 1,
+                                       c.m * {sub} + {sub}),
+                       i -> qu.qu[i]), c.arr),
+                   p -> p[1] * p[2])) AS t
+        FROM pc{PQ_ITERS} c CROSS JOIN qu
+    ),
+    adc AS MATERIALIZED (
+        SELECT cd.vec_id, list_sum(list(at.t ORDER BY cd.m)) AS adc
+        FROM codes cd JOIN adctab at
+             ON at.m = cd.m AND at.cell = cd.code
+        WHERE cd.vec_id <> 0
+        GROUP BY cd.vec_id
+    ),
+    short AS (
+        SELECT vec_id, adc FROM adc
+        ORDER BY adc DESC, vec_id LIMIT {PQ_SHORTLIST * K}
+    )
+    SELECT vec_id, label, adc, score FROM (
+        SELECT s.vec_id, u2.label, round(s.adc, 6) AS adc,
+               round(list_sum(list_transform(list_zip(u2.e, q.q),
+                                             p -> p[1] * p[2]))
+                     / (sqrt(list_sum(list_transform(u2.e, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.q,
+                                                       x -> x * x)))),
+                     6) AS score
+        FROM short s JOIN u u2 ON u2.vec_id = s.vec_id CROSS JOIN q
+    )
+    ORDER BY score DESC, vec_id
+    LIMIT {K}"""
+    )
+    return "".join(parts)
+
+
+@query("llm_simsearch_pq", family="llm", oracle=_pq_oracle())
 def llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): the memory-bound
     scale path next to IVF's compute-bound one. Unit vectors are
@@ -874,7 +1282,9 @@ def llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives recall@10 = 1.0 (sf0.01) / 0.9 (sf0.1) on the synthetic
     corpus, vs 0.4-0.5 at 3×K — these near-uniform vectors are PQ's
     hard case (true neighbors barely separate from the bulk), so the
-    pool is deliberately generous. Rows-only (trained quantizer);
+    pool is deliberately generous. SQL-ORACLED since round 12
+    (conversion #23 — _pq_oracle replays the trainer, encoding, ADC
+    table and exact re-rank relationally);
     tests/test_llm_sim.py gates recall@10 vs the exact top-k and
     checks returned scores are exact cosines.
     """
@@ -921,7 +1331,15 @@ def llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_ivf_partitioned", family="llm", oracle=None)
+@query(
+    "llm_ivf_partitioned",
+    family="llm",
+    # identical result to llm_simsearch_ivf by construction (same
+    # model, probes, exact re-scoring) — the SAME oracle verifies both
+    # (conversion #20, round 12): the layout changes the access path,
+    # and now the external hash check proves it changes nothing else
+    oracle=_ivf_oracle(IVF_CELLS, 4, IVF_NPROBE, K),
+)
 def llm_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF claim REALIZED as storage layout: the corpus is written
     to parquet PARTITIONED BY its trained cell id, and a probe becomes
@@ -945,7 +1363,7 @@ def llm_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     centroids = _lloyd(spark, sf_dir, k=IVF_CELLS, iters=KM_ITERS, spherical=True)
-    path = _cache_dir(sf_dir, "embeddings_by_cell")
+    path = _cache_dir(sf_dir, f"embeddings_by_cell_{_model_fp(centroids)}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         emb.select(
@@ -1211,9 +1629,60 @@ def llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Incremental ANN maintenance (VERDICT r10 #7) -----------------------
 
 IVF_INCR_MOD = 10  # vec_id % MOD == 0 plays the "new daily batch" role
+# the incremental oracle above bakes mod=10 at decoration time
+assert IVF_INCR_MOD == 10, "update _INCR_ORACLE's baked modulus"
 
 
-@query("llm_ann_ivf_incremental", family="llm", oracle=None)
+_INCR_ORACLE = """
+WITH {machine},
+fin AS (
+    SELECT vec_id, cell FROM (
+        SELECT vu.vec_id, c.cell,
+               row_number() OVER (PARTITION BY vu.vec_id
+                   ORDER BY list_sum(list_transform(
+                                list_zip(vu.u, c.arr),
+                                q -> (q[1] - q[2]) * (q[1] - q[2]))),
+                            c.cell) AS rn
+        FROM vu CROSS JOIN c4 c
+    ) WHERE rn = 1
+),
+census AS (
+    SELECT cell AS cid,
+           CAST(sum(CASE WHEN vec_id % {mod} <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_base,
+           CAST(sum(CASE WHEN vec_id % {mod} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new
+    FROM fin GROUP BY cell
+),
+tot AS (
+    SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+           CAST(sum(n_new) AS BIGINT) AS tn
+    FROM census
+)
+SELECT CAST(cid AS INT) AS cid, n_base, n_new,
+       round(CAST(n_base AS DOUBLE) / tb, 6) AS share_base,
+       round(CAST(n_new AS DOUBLE) / tn, 6) AS share_new,
+       round(CAST(n_new AS DOUBLE) / tn
+             - CAST(n_base AS DOUBLE) / tb, 6) + 0.0 AS drift
+FROM census CROSS JOIN tot
+"""
+
+
+@query(
+    "llm_ann_ivf_incremental",
+    family="llm",
+    # conversion #21, round 12: the census is fully machine-derivable —
+    # the spherical Lloyd replay (_lloyd_ctes) assigns every vector,
+    # the layout is pytest-proven ≡ a full rebuild of exactly those
+    # assignments, so the oracle counts the machine's fin relation
+    # split by the deterministic vec_id % 10 batch rule. The engine
+    # still reads its counts back FROM THE WRITTEN LAYOUT (that's the
+    # op's point); the model fingerprint in the cache path guarantees
+    # the layout was written by THIS model.
+    oracle=_INCR_ORACLE.format(
+        machine=_lloyd_ctes(IVF_CELLS, 4, spherical=True), mod=10
+    ),
+)
 def llm_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance — the op every GROWING corpus
     needs between retrains: assign a NEW vector batch to the EXISTING
@@ -1234,8 +1703,12 @@ def llm_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output (one row per cell, IVF_CELLS rows): base/new counts read
     back FROM THE LAYOUT (so the append path itself is what is
-    witnessed), cell shares, and the share drift. Rows-only (trained
-    model in the path).
+    witnessed), cell shares, and the share drift. SQL-ORACLED since
+    round 12 (conversion #21): the _lloyd_ctes machine re-derives
+    every assignment and the oracle censuses its fin relation under
+    the same vec_id % 10 split — agreement therefore ALSO proves the
+    written layout matches the live model (the cache path carries a
+    model fingerprint so a trainer change invalidates old layouts).
 
     Scale: assignment is the in-row codegen fold (zero shuffles); the
     append writes only the new batch's files (partition-sized, not
@@ -1270,7 +1743,9 @@ def llm_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = emb.filter(F.col("vec_id") % IVF_INCR_MOD != 0)
     new = emb.filter(F.col("vec_id") % IVF_INCR_MOD == 0)
-    path = _cache_dir(sf_dir, "embeddings_ivf_incr")
+    path = _cache_dir(
+        sf_dir, f"embeddings_ivf_incr_{_model_fp(centroids)}"
+    )
     # two-phase marker: parquet's own _SUCCESS lands after the FIRST
     # write, so gating on it would skip the append forever if the
     # sequence were interrupted — the custom marker is only created

@@ -88,6 +88,9 @@ ALLOW_NESTED_LOOP = {
     # by definition (the spine IS the dimension)
     "llm_simsearch_pq",  # 1-row broadcast query vector for the exact
     # re-rank of the model-sized ADC shortlist (the llm_simsearch shape)
+    "llm_embedding_drift",  # three 1-row broadcast summary relations
+    # (L2-of-shift scalar, base norm stats, new norm stats) crossed
+    # onto the 64-row per-dim table — never data×data (round 12)
     "win_theil_sen",  # day-pair slope join over the CALENDAR-BOUNDED
     # day grid (grid-sized, never data-sized — the win_mann_kendall
     # class)
