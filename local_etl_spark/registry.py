@@ -210,6 +210,15 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
     "llm_lsh_band_sweep", "llm_mmr_diversify", "llm_pack_bfd",
     "llm_tokenizer_coverage", "llm_wordpiece_train", "win_croston",
     "win_rsi", "win_seasonality_strength",
+    # round 12 (CORRECTNESS_r12.json — 50/50 SQL checks green: the 12
+    # r12-new/converted ops on first presentation + 38 rechecks from
+    # the rotated fourth slate). Coverage stays TOTAL — zero external
+    # failures in twelve rounds.
+    "graph_betweenness_sample", "graph_label_prop", "graph_pagerank",
+    "llm_ann_ivf_incremental", "llm_bpe_vocab_sweep",
+    "llm_dedup_lsh_cosine", "llm_embedding_drift", "llm_ivf_partitioned",
+    "llm_kmeans_train", "llm_semdedup", "llm_simsearch_ivf",
+    "llm_simsearch_pq",
 })
 
 # Queries whose LAST driver-recorded status is a failure that has since
@@ -255,39 +264,38 @@ DEFER_FRESH: tuple[str, ...] = ()
 # #2). Listed most-fragile-first; anything beyond this list pads in
 # family round-robin as before.
 RECHECK_PRIORITY: tuple[str, ...] = (
-    # Round-12 rotation (FOURTH slate): the r9/r10/r11 slates re-greened
-    # ~124 distinct names with zero overlap and zero failures. 220
-    # SQL-oracled names remain never-rechecked in any of those three
-    # prefixes; this slate picks the heaviest machinery among them —
-    # TPC-H multi-join plans, streaming state machines, the temporal
-    # joins crowded out of the third slate's tail (join_asof .. etl_scd2
-    # never actually landed in the r11 prefix), ETL merge/SCD state,
-    # variant/XML/malformed-input parsing, and grouped-UDF plumbing —
-    # most-fragile-first.
-    # temporal/banded joins + SCD state (crowded out of the r11 prefix)
-    "join_asof", "join_asof_nearest", "join_range_banded",
-    "join_skew_salted", "join_interval_overlap", "etl_scd2",
-    # TPC-H multi-join / correlated-subquery plans
-    "sql_q9", "sql_q21", "sql_q8", "sql_q17", "sql_q20", "sql_q18",
-    "sql_q7", "sql_q5", "sql_q10", "sql_q22",
-    # streaming state machines (watermark/session/outer-join state)
-    "stream_session_dynamic", "stream_stateful",
-    "stream_full_outer_join", "stream_dedup_within_wm",
-    "stream_foreach_merge", "stream_chained_agg",
-    "stream_trigger_availablenow",
-    # ETL merge / routing / DQ state
-    "etl_cdc_apply", "etl_upsert", "etl_quarantine_replay",
-    "etl_pseudonymize", "etl_drift_psi", "etl_volume_anomaly",
-    # variant / XML / malformed-input parsing
-    "fn_variant", "fn_variant_explode", "fn_xml", "scan_json_variant",
-    "scan_xml", "scan_csv_malformed", "scan_csv_multiline",
-    "scan_python_ds",
-    # grouped / cogrouped / arrow UDF plumbing
-    "udf_cogrouped", "udf_grouped", "udf_arrow", "udf_table",
-    # bucketed/multiway join machinery + heavy aggs
-    "join_bucketed", "join_multiway", "join_theta",
-    "agg_fdr_bh", "agg_risk_ratio", "agg_power_mde", "agg_srm_check",
-    "agg_rfm_segments", "agg_outlier_mad",
+    # Round-13 rotation (FIFTH slate): four slates have re-greened 162
+    # distinct names with zero overlap and zero failures; 182
+    # SQL-oracled names remain never-rechecked in any prior prefix.
+    # This slate leads with the r12 slate's crowded-out tail (the
+    # grouped-UDF plumbing, bucketed/theta join machinery and stats
+    # aggs that never actually landed in the 38-recheck r12 prefix),
+    # then the heaviest remaining machinery: TPC-H plans, streaming
+    # state, ETL routing/diff state, pruning/lineage scans, packing
+    # and stratified-sampling llm ops — most-fragile-first.
+    # r12 tail that never landed (slate listed them, prefix cut at 38)
+    "udf_grouped", "udf_arrow", "udf_table", "join_bucketed",
+    "join_multiway", "join_theta", "agg_fdr_bh", "agg_risk_ratio",
+    "agg_power_mde", "agg_srm_check", "agg_rfm_segments",
+    "agg_outlier_mad",
+    # TPC-H / SQL-surface plans never rechecked
+    "sql_q1", "sql_q3", "sql_q6", "sql_q13", "sql_q14", "sql_q15",
+    "sql_q16", "sql_q19", "sql_q2a", "sql_q11a", "sql_q12a",
+    "sql_lateral", "sql_scripting",
+    # streaming state machines never rechecked
+    "stream_session", "stream_sliding", "stream_tumbling",
+    "stream_dedup", "stream_join", "stream_outer_join",
+    "stream_semi_join", "stream_static_join",
+    # ETL routing / diff / schema-evolution state
+    "etl_validate_route", "etl_split_fk", "etl_union_evolve",
+    "etl_table_diff", "etl_backfill_partitions", "etl_expectations",
+    "etl_gdpr_purge",
+    # pruning / lineage / footer scan machinery
+    "scan_parquet_bloomfilter", "scan_skipping", "scan_observe",
+    "scan_file_lineage", "scan_parquet_footer", "sink_zorder",
+    # packing / sampling / privacy llm machinery
+    "llm_pack_sequences", "llm_sample_stratified", "llm_kanon_suppress",
+    "llm_pii_scrub", "llm_curriculum", "llm_shard_assign",
 )
 
 
