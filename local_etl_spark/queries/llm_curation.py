@@ -1212,6 +1212,211 @@ _UNI_MODEL_CACHE: dict[str, list[tuple]] = {}
 _UNI_CACHE_MAX = 8
 
 
+# Per-word Viterbi DP as a DuckDB list_reduce (rows-only→SQL
+# conversions #24/#25, round 13 — the LAST convertible trainer). The
+# accumulator is the DP TABLE itself: a plain LIST of (score, npieces,
+# best-path pieces) structs, one per word position, grown left to
+# right; list_reduce's (acc, x, i) index IS the position (i = 1 for
+# the first lambda call after the seed element). A struct accumulator
+# with a LIST field is BROKEN in DuckDB 1.0 (the list field reads as
+# its initial value every iteration — measured), so each DP state
+# carries its full best path and no separate backwalk pass exists.
+#
+# Candidate argmax replays _viterbi_segment's tuple max EXACTLY:
+# maximize (score, -npieces, _desc(piece)). _desc prefers the
+# lexicographically SMALLER piece except on prefix ties, where the
+# LONGER piece wins (Python tuple compare: (-100,) < (-100, -100), so
+# max picks 'dd' over 'd') — encoded as 'invp': each char mapped to
+# format('%06x', 0x10FFFF - codepoint), fixed width so string order
+# over the hex blocks ≡ the (-ord) tuple order including the prefix
+# rule, then a single struct list_sort 'DESC' on (s, -np, invp).
+# Float identity: every score is the same left-to-right chain of IEEE
+# adds the CPython DP performs — same values, same order, bit-equal.
+# Missing vocab pieces: element_at(map)[1] is NULL, the candidate's
+# score goes NULL, list_filter drops it. Proven on 2 182 random +
+# adversarial-tie words (0 mismatches) before landing.
+_UNI_DP = f"""list_reduce(
+  [[{{'s': CAST(0.0 AS DOUBLE), 'np': 0, 'ps': CAST([] AS VARCHAR[])}}]] ||
+  list_transform(generate_series(1, length(w)),
+                 z -> CAST([] AS STRUCT(s DOUBLE, np INTEGER, ps VARCHAR[])[])),
+  (acc, x, i) -> acc || [
+    list_transform([
+      list_sort(list_filter(
+        list_transform(generate_series(1, least({UNI_MAX_PIECE}, i)),
+          l -> {{'s': struct_extract(acc[i - l + 1], 's')
+                      + element_at(m, substr(w, i - l + 1, l))[1],
+                'negn': -(struct_extract(acc[i - l + 1], 'np') + 1),
+                'invp': array_to_string(list_transform(
+                    string_split(substr(w, i - l + 1, l), ''),
+                    c -> format('{{:06x}}', 1114111 - unicode(c))), ''),
+                'piece': substr(w, i - l + 1, l),
+                'pps': struct_extract(acc[i - l + 1], 'ps')}}),
+        c -> struct_extract(c, 's') IS NOT NULL), 'DESC')[1]],
+      b -> {{'s': struct_extract(b, 's'),
+            'np': -struct_extract(b, 'negn'),
+            'ps': list_append(struct_extract(b, 'pps'),
+                              struct_extract(b, 'piece'))}})[1]
+  ])"""
+
+
+def _uni_map_cte(name: str, vocab_cte: str) -> str:
+    """One-row CTE holding the piece → log-prob MAP for an EM round:
+    lp = ln(cnt / total) — the int/int ratio cast to DOUBLE on both
+    operands before one correctly-rounded division (counts « 2^53),
+    then DuckDB ln ≡ CPython math.log bit-for-bit (SCALE.md §20.1:
+    ln IS bit-identical, unlike exp)."""
+    return f"""{name} AS (
+    SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m
+    FROM (SELECT piece,
+                 ln(CAST(cnt AS DOUBLE)
+                    / (SELECT CAST(sum(cnt) AS DOUBLE) FROM {vocab_cte})) AS lp
+          FROM {vocab_cte})
+)"""
+
+
+def _uni_seg_cte(name: str, words_cte: str, map_cte: str,
+                 with_lang: bool = False) -> str:
+    """Segmentation CTE: Viterbi-segment every (word, freq) row of
+    ``words_cte`` under ``map_cte``'s model; emits a pieces list per
+    word (the DP's last state carries the whole best path)."""
+    lang_out = "lang, " if with_lang else ""
+    lang_in = "t.lang AS lang, " if with_lang else ""
+    return f"""{name} AS MATERIALIZED (
+    SELECT {lang_out}w, freq,
+           struct_extract(dp[length(w) + 1], 'ps') AS pieces
+    FROM (SELECT {lang_in}t.w AS w, t.freq AS freq, mp.m AS m,
+                 {_UNI_DP} AS dp
+          FROM {words_cte} t, {map_cte} mp)
+)"""
+
+
+def _uni_round_ctes(r: int) -> str:
+    """One EM round: E-step (segment + exact BIGINT piece counts),
+    then the prune step — survivors = vocab LEFT JOIN used (count 0
+    when unused), drop the lowest-(count, piece) multi-char pieces,
+    at most nv // 4 (== int(nv * UNI_PRUNE_FRAC) exactly, 0.25 being
+    a power of two) and never below max(UNI_VOCAB, n_single_chars);
+    single chars are never dropped and zero counts floor to 1."""
+    return f"""{_uni_map_cte(f'umap{r}', f'uvocab{r}')},
+{_uni_seg_cte(f'useg{r}', 'uwords', f'umap{r}')},
+uused{r} AS MATERIALIZED (
+    SELECT f.piece AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM useg{r}, unnest(pieces) AS f(piece)
+    GROUP BY f.piece
+),
+usurv{r} AS (
+    SELECT v.piece AS piece, coalesce(u.cnt, CAST(0 AS BIGINT)) AS cnt
+    FROM uvocab{r} v LEFT JOIN uused{r} u ON v.piece = u.piece
+),
+ust{r} AS (
+    SELECT count(*) AS nv,
+           count(*) FILTER (WHERE length(piece) = 1) AS nc
+    FROM usurv{r}
+),
+uvocab{r + 1} AS MATERIALIZED (
+    SELECT piece, CASE WHEN cnt > 0 THEN cnt ELSE CAST(1 AS BIGINT) END AS cnt
+    FROM (SELECT piece, cnt,
+                 row_number() OVER (ORDER BY cnt, piece) AS rk
+          FROM usurv{r} WHERE length(piece) >= 2), ust{r}
+    WHERE rk > least(greatest(0, nv - greatest({UNI_VOCAB}, nc)), nv // 4)
+    UNION ALL
+    SELECT piece, CASE WHEN cnt > 0 THEN cnt ELSE CAST(1 AS BIGINT) END
+    FROM usurv{r} WHERE length(piece) = 1
+)"""
+
+
+# Full relational replay of _learn_unigram: seed substring counts →
+# UNI_EM_ROUNDS unrolled EM/prune rounds → final E-step → the model
+# with exact-integer counts and ln log-probs. Fixed unroll (the
+# kcore/Lloyd precedent) — rounds are a module constant, not data.
+_UNI_MACHINE = f"""uwords AS MATERIALIZED (
+    SELECT t.w AS w, CAST(count(*) AS BIGINT) AS freq
+    FROM documents, unnest(regexp_split_to_array(text, '{WS_SPLIT}')) AS t(w)
+    WHERE t.w <> ''
+    GROUP BY t.w
+),
+upieces AS (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS pfreq
+    FROM (SELECT f.piece AS piece, u.freq AS freq
+          FROM uwords u,
+               unnest(flatten(list_transform(
+                   generate_series(1, length(u.w)), i ->
+                   list_transform(
+                       generate_series(1, least({UNI_MAX_PIECE},
+                                                length(u.w) - i + 1)),
+                       l -> substr(u.w, i, l))))) AS f(piece))
+    GROUP BY piece
+),
+uvocab0 AS MATERIALIZED (
+    SELECT piece, pfreq AS cnt FROM upieces WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, pfreq FROM (
+        SELECT piece, pfreq,
+               row_number() OVER (ORDER BY pfreq DESC, piece) AS rk
+        FROM upieces WHERE length(piece) >= 2)
+    WHERE rk <= {UNI_SEED_SIZE}
+),
+{",".join(_uni_round_ctes(r) for r in range(UNI_EM_ROUNDS))},
+{_uni_map_cte(f'umap{UNI_EM_ROUNDS}', f'uvocab{UNI_EM_ROUNDS}')},
+{_uni_seg_cte(f'useg{UNI_EM_ROUNDS}', 'uwords', f'umap{UNI_EM_ROUNDS}')},
+uused{UNI_EM_ROUNDS} AS MATERIALIZED (
+    SELECT f.piece AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM useg{UNI_EM_ROUNDS}, unnest(pieces) AS f(piece)
+    GROUP BY f.piece
+),
+ufin AS MATERIALIZED (
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INTEGER)
+               AS rank,
+           piece, cnt,
+           ln(CAST(cnt AS DOUBLE)
+              / (SELECT CAST(sum(cnt) AS DOUBLE)
+                 FROM uused{UNI_EM_ROUNDS})) AS lp
+    FROM uused{UNI_EM_ROUNDS} WHERE cnt > 0
+)"""
+
+# logprob presentation: half-away-from-zero micro-units — micro =
+# sign · floor(|lp|·1e6 + 0.5) as an exact BIGINT, shown as
+# micro / 1e6. Python round() is BANKER'S and engine-arbitrary at a
+# midpoint; this formula is the same |x|·1e6 multiply, +0.5 add and
+# exact floor on both engines (the graph_pagerank fixed-point rule).
+_UNI_TRAIN_ORACLE = f"""
+WITH {_UNI_MACHINE}
+SELECT rank, piece, cnt AS "count",
+       (CASE WHEN lp < 0 THEN -1 ELSE 1 END
+        * CAST(floor(abs(lp) * 1e6 + 0.5) AS BIGINT)) / 1e6 AS logprob
+FROM ufin
+"""
+
+_UNI_APPLY_ORACLE = f"""
+WITH {_UNI_MACHINE},
+ulw AS MATERIALIZED (
+    SELECT lang, t.w AS w, CAST(count(*) AS BIGINT) AS freq
+    FROM documents, unnest(regexp_split_to_array(text, '{WS_SPLIT}')) AS t(w)
+    WHERE t.w <> ''
+    GROUP BY lang, t.w
+),
+uamap AS (
+    SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m
+    FROM ufin
+),
+{_uni_seg_cte('usega', 'ulw', 'uamap', with_lang=True)},
+uagg AS (
+    SELECT lang,
+           CAST(sum(freq * len(pieces)) AS BIGINT) AS total_pieces,
+           CAST(sum(freq * len(list_filter(pieces, p -> length(p) >= 2)))
+                AS BIGINT) AS multi_char_pieces,
+           CAST(sum(freq * list_sum(list_transform(pieces,
+                                                   p -> length(p))))
+                AS BIGINT) AS total_chars
+    FROM usega GROUP BY lang
+)
+SELECT lang, total_pieces, multi_char_pieces,
+       multi_char_pieces / total_pieces AS multi_frac,
+       total_chars / total_pieces AS chars_per_piece
+FROM uagg
+"""
+
+
 def _viterbi_segment(word: str, logp: dict[str, float], max_len: int) -> list[str]:
     """Best segmentation of ``word`` under piece log-probs: maximize
     total log-prob; ties broken by FEWER pieces, then lexicographically
@@ -1372,8 +1577,17 @@ def _learn_unigram(spark: SparkSession, sf_dir: str) -> list[tuple]:
         ((p, c) for p, c in final.items() if c > 0),
         key=lambda kv: (-kv[1], kv[0]),
     )
+
+    def _micro(x: float) -> int:
+        # half-away-from-zero at 6 dp as an exact integer — Python
+        # round() is banker's; this is the cross-engine-identical form
+        # shared with the oracle (|x|*1e6 multiply, +0.5 add, exact
+        # floor — same IEEE ops both sides)
+        m = math.floor(abs(x) * 1e6 + 0.5)
+        return -m if x < 0 else m
+
     out = [
-        (rank + 1, p, int(c), round(math.log(c / total), 6))
+        (rank + 1, p, int(c), _micro(math.log(c / total)) / 1e6)
         for rank, (p, c) in enumerate(model)
     ]
     words.unpersist()
@@ -1384,7 +1598,7 @@ def _learn_unigram(spark: SparkSession, sf_dir: str) -> list[tuple]:
     return out
 
 
-@query("llm_tokenizer_unigram", family="llm", oracle=None)
+@query("llm_tokenizer_unigram", family="llm", oracle=_UNI_TRAIN_ORACLE)
 def llm_tokenizer_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (Kudo 2018) — the second trainer
     of the tokenizer family next to llm_bpe_train: seed a substring
@@ -1397,10 +1611,17 @@ def llm_tokenizer_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern); the segmentation E-step is Arrow-batched with the
     vocab-sized model broadcast in the closure — per-word Viterbi is an
     inherently sequential DP, the textbook case for a pandas UDF over
-    rows rather than a JVM expression. Rows-only for the driver
-    (iterative EM); tests/test_llm_curation.py checks EXACT model
-    equality against a pure-Python reference running the same
-    algorithm on the collected (word, freq) table.
+    rows rather than a JVM expression.
+
+    SQL-ORACLED since round 13 (conversion #24, the LAST convertible
+    trainer): _UNI_TRAIN_ORACLE replays the whole seed → 3×(E-step +
+    prune) → final E-step loop in DuckDB; the per-word Viterbi DP is a
+    list_reduce whose accumulator IS the DP table (_UNI_DP), with the
+    exact _desc prefix-tie argmax via fixed-width inverted-codepoint
+    keys. Counts are exact BIGINTs end-to-end; log-probs are one
+    cast-to-double division + ln (bit-identical cross-engine, SCALE.md
+    §20.1); the presented logprob is half-away micro fixed-point.
+    tests/test_llm_curation.py keeps the exact pure-Python replay.
     """
     model = _learn_unigram(spark, sf_dir)
     return spark.createDataFrame(
@@ -1408,7 +1629,7 @@ def llm_tokenizer_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_unigram_apply", family="llm", oracle=None)
+@query("llm_unigram_apply", family="llm", oracle=_UNI_APPLY_ORACLE)
 def llm_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize with the learned Unigram-LM model — the apply half of
     llm_tokenizer_unigram (mirroring llm_bpe_apply): Viterbi-segment
@@ -1421,8 +1642,17 @@ def llm_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the memoized model (vocab-sized) rides the Arrow closure;
     segmentation runs once per DISTINCT (lang, word) — the corpus
     collapses before any Python is involved — and one lang-keyed
-    aggregate finishes. Rows-only; pytest checks exact equality with
-    a driver-side reference walk using the SAME shared _viterbi_segment.
+    aggregate finishes. SQL-ORACLED since round 13 (conversion #25):
+    the oracle re-runs _UNI_MACHINE and segments the (lang, word)
+    table with the final model's EXACT ln log-probs (the engine's
+    apply map is likewise rebuilt from exact count ratios, not the
+    rounded display logprob); ratio columns are RAW BIGINT/BIGINT
+    double divisions on both engines — never a rounded form. pytest
+    keeps the exact driver-side reference walk via the shared
+    _viterbi_segment. Reachability: every single char of every corpus
+    word survives into the final model on all shipped SFs (margin
+    pytest) so the oracle's DP never needs the engine's list(word)
+    fallback.
     """
     import math
 
@@ -1462,12 +1692,14 @@ def llm_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "total_pieces",
             "multi_char_pieces",
-            F.round(
-                F.col("multi_char_pieces") * F.lit(1.0) / F.col("total_pieces"), 6
-            ).alias("multi_frac"),
-            F.round(
-                F.col("total_chars") * F.lit(1.0) / F.col("total_pieces"), 6
-            ).alias("chars_per_piece"),
+            # RAW BIGINT/BIGINT double divisions (no round) — the one
+            # cross-engine-identical form (the llm_pack_bfd lesson)
+            (F.col("multi_char_pieces") / F.col("total_pieces")).alias(
+                "multi_frac"
+            ),
+            (F.col("total_chars") / F.col("total_pieces")).alias(
+                "chars_per_piece"
+            ),
         )
     )
 
