@@ -925,15 +925,23 @@ def materialize_quarantine(spark: SparkSession, quarantine_dir: str, out_dir: st
     # footer-sampling could drop the column entirely (silently reverting
     # to collect-order bytes). Legacy rows surface with NULL batch_seq;
     # coalesce to 0 so they lose deterministically to any re-run that
-    # carries a real (time_ns) sequence instead of max_by picking a
-    # NULL raw.
+    # carries a real (time_ns) sequence. When a file has MULTIPLE
+    # legacy versions and no sequenced re-run, every key ties at 0 and
+    # no recency exists to recover — the raw bytes themselves break the
+    # tie (max) so the emitted copy is at least DETERMINISTIC across
+    # runs/collect orders, a documented divergence from the
+    # unrecoverable keep-latest (ADVICE r12).
     df = spark.read.option("mergeSchema", "true").parquet(quarantine_dir)
     if "batch_seq" in df.columns:
         rows = (
             df.groupBy("file_path")
             .agg(
                 F.max_by(
-                    "raw", F.coalesce(F.col("batch_seq"), F.lit(0))
+                    "raw",
+                    F.struct(
+                        F.coalesce(F.col("batch_seq"), F.lit(0)).alias("seq"),
+                        F.col("raw").alias("raw"),
+                    ),
                 ).alias("raw")
             )
             .collect()

@@ -1332,9 +1332,14 @@ def _betweenness_oracle(depth: int) -> str:
         FROM alld WHERE node <> src GROUP BY node
     ),
     meta AS (
-        SELECT (SELECT CAST(count(*) AS DOUBLE) FROM nodes)
-               / (SELECT CAST(count(*) AS DOUBLE) FROM sources)
-               / 2.0 AS scale,
+        -- zero-source guard mirrors the engine's 'if n_sources else
+        -- 0.0' (ADVICE r12): an empty sample yields scale 0, not a
+        -- division by zero
+        SELECT CASE WHEN (SELECT count(*) FROM sources) > 0
+                    THEN (SELECT CAST(count(*) AS DOUBLE) FROM nodes)
+                         / (SELECT CAST(count(*) AS DOUBLE) FROM sources)
+                         / 2.0
+                    ELSE 0.0 END AS scale,
                (SELECT count(*) FROM sources) AS ns
     )
     SELECT n.node AS node,

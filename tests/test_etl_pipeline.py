@@ -667,3 +667,51 @@ def test_materialize_quarantine_mixed_legacy_schema(spark, tmp_path):
     n = materialize_quarantine(spark, str(qdir), str(out))
     assert n == 1
     assert (out / "a.json").read_text(encoding="utf-8") == '{"v": "new"}'
+
+
+def test_materialize_quarantine_two_legacy_versions_deterministic(
+    spark, tmp_path
+):
+    """ADVICE r12: a file with MULTIPLE legacy (pre-batch_seq) versions
+    and no sequenced re-run ties at coalesced key 0 — no recency exists
+    to recover, so the raw bytes break the tie (max) and the emitted
+    copy is DETERMINISTIC across collect orders, a documented
+    divergence from the unrecoverable keep-latest."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from local_etl_spark.etl.pipeline import materialize_quarantine
+
+    qdir = tmp_path / "quarantine"
+    qdir.mkdir()
+    # two legacy parts, SAME file, different bytes, no batch_seq —
+    # written as separate part files so collect order could pick either
+    for i, payload in enumerate(['{"v": "aaa"}', '{"v": "zzz"}']):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"file_path": ["/d/b.json"], "raw": [payload]}
+                )
+            ),
+            str(qdir / f"part-legacy{i}.parquet"),
+        )
+    # at least one part carries the column so the keyed branch runs
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "file_path": ["/d/other.json"],
+                    "raw": ['{"v": "x"}'],
+                    "batch_seq": [7],
+                }
+            )
+        ),
+        str(qdir / "part-current.parquet"),
+    )
+    out = tmp_path / "mat"
+    n = materialize_quarantine(spark, str(qdir), str(out))
+    assert n == 2
+    # max raw bytes win the legacy-only tie: 'zzz' > 'aaa'
+    assert (out / "b.json").read_text(encoding="utf-8") == '{"v": "zzz"}'
+    assert (out / "other.json").read_text(encoding="utf-8") == '{"v": "x"}'

@@ -476,7 +476,14 @@ def test_pagerank_integer_replay_and_no_early_exit(spark):
         f = math.floor(x)
         return f + 1 if x - f >= 0.5 else f
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    # all three shipped SFs — the oracle ships (and is swept) at sf0.1
+    # too, so the no-early-exit margin must hold there as well
+    # (ADVICE r12; the kcore/betweenness margin-pin pattern)
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         edges = trade_edges(spark, sf).collect()
         outw: dict[str, int] = defaultdict(int)
         for r in edges:

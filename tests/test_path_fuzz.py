@@ -23,6 +23,10 @@ worth guarding:
   - dir_named_json: a DIRECTORY named 'decoy.json' inside the data
     dir — os.walk's file_names skips it; the engine's listing must
     neither read it as a file nor recurse into it.
+  - colon_dir: colon-named child DIRECTORIES (ADVICE r12) — unlike a
+    colon FILE read as data, Hadoop's listing tolerates them
+    (measured); both sides skip dirs, full live diff clean, so no
+    repair branch is needed for colon dirs.
   - missing_data_dir: BOTH sides crash (parity of outcome, different
     shapes): reference StopIteration off next(os.walk), engine
     AnalysisException PATH_NOT_FOUND — documented divergence pinned
@@ -39,7 +43,8 @@ import tools_path_fuzz as pf
 import tools_schema_fuzz as sfz
 import tools_table_fuzz as tf
 
-SCEN = ["colon_name", "glob_meta", "uri_hazard", "dir_named_json"]
+SCEN = ["colon_name", "glob_meta", "uri_hazard", "dir_named_json",
+        "colon_dir"]
 
 
 @pytest.fixture(scope="module")
@@ -95,6 +100,28 @@ def test_glob_metachar_names_not_expanded(spark, tmp_path):
         rows = read_event_docs(spark, str(d)).collect()
         names = sorted(r["file_path"].rsplit("/", 1)[-1] for r in rows)
         assert names == sorted(expect), (with_colon, names)
+
+
+def test_colon_named_dirs_tolerated(spark, tmp_path):
+    """Unit pin for ADVICE r12: colon-named child DIRS (with and
+    without a '.json' suffix) leave the plain dir scan intact — no
+    crash, no rows from inside them, and _colon_json_files correctly
+    reports NO colon files (the explicit-path repair branch must NOT
+    trigger for dirs: it would skip every other file if the dir were
+    the only colon entry and the listing branch misfired)."""
+    import os
+
+    from local_etl_spark.etl.pipeline import _colon_json_files, read_event_docs
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "plain.json").write_text(json.dumps(sfz._user_doc(0)))
+    for dn in ("we:ird", "also:bad.json"):
+        os.makedirs(d / dn)
+        (d / dn / "inner.json").write_text(json.dumps(sfz._user_doc(7)))
+    assert _colon_json_files(str(d)) == []
+    rows = read_event_docs(spark, str(d)).collect()
+    assert [r["file_path"].rsplit("/", 1)[-1] for r in rows] == ["plain.json"]
 
 
 def test_missing_data_dir_raises(spark, tmp_path):

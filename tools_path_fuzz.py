@@ -138,6 +138,49 @@ def scen_colon_name(root: Path) -> list[str]:
     return _live_diff("colon_name", root, ["ev00000.json", "ev:1.json"])
 
 
+def scen_colon_dir(root: Path) -> list[str]:
+    """Colon-named child DIRECTORIES (ADVICE r12): unlike a colon
+    FILE read as data (whose checksum-sibling Path construction
+    throws), Hadoop's dir LISTING tolerates colon-named children —
+    measured: the scan completes and reads every normal file. The
+    reference's next(os.walk(...)) never opens dirs either, so both
+    engines skip them; this scenario pins that no repair branch is
+    needed for colon DIRS (with and without a '.json' suffix, plus a
+    file inside so os.walk's recursion difference can't surface)."""
+    ref1 = root / "ref1"
+    _write_corpus(ref1, ["ev00000.json", "ev00001.json"],
+                  {"bad0.json": _invalid_user_doc(9)})
+    for dname in ("we:ird", "also:bad.json"):
+        d = ref1 / "users" / dname
+        d.mkdir()
+        (d / "inner.json").write_text(json.dumps(sfz._user_doc(7), indent=2))
+    ref2 = root / "ref2"
+    shutil.copytree(ref1, ref2)
+    p1 = tfz._run_ref("/root/reference/main.py", ref1)
+    p2 = tfz._run_ref("/root/reference/main2.py", ref2)
+    diffs = []
+    for label, p in (("main.py", p1), ("main2.py", p2)):
+        if p.returncode != 0:
+            diffs.append(
+                f"[colon_dir] reference {label} CRASHED: "
+                + p.stderr.strip().splitlines()[-1][:200]
+            )
+    out = root / "engine"
+    cfg = tfz._engine_cfg(ref1, out)
+    for v in (1, 2):
+        try:
+            tfz._run_engine(cfg, v)
+        except Exception as ex:  # noqa: BLE001
+            diffs.append(
+                f"[colon_dir] engine v{v} CRASHED:"
+                f" {type(ex).__name__}: {str(ex)[:300]}"
+            )
+            return diffs
+    if p1.returncode == 0 and p2.returncode == 0:
+        diffs += tfz._std_diff("colon_dir", ref1, ref2, out)
+    return diffs
+
+
 def scen_dir_named_json(root: Path) -> list[str]:
     ref1 = root / "ref1"
     _write_corpus(ref1, ["ev00000.json", "ev00001.json"])
@@ -211,6 +254,7 @@ SCENARIOS = {
     "glob_meta": scen_glob_meta,
     "uri_hazard": scen_uri_hazard,
     "colon_name": scen_colon_name,
+    "colon_dir": scen_colon_dir,
     "dir_named_json": scen_dir_named_json,
     "missing_data_dir": scen_missing_data_dir,
 }
