@@ -13,6 +13,7 @@ agreement at these magnitudes.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint inference
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1037,30 +1038,83 @@ def _qc_margin(w: list[float]) -> F.Column:
     return z
 
 
+def _qc_sigmoid_udf():
+    """Arrow-batched libm sigmoid — the escape hatch that DEFEATS the
+    exp blocker (SCALE.md §20.1): JVM Math.exp is NOT bit-identical to
+    libm (4/4000 1-ulp diffs) and neither is numpy's vectorized exp
+    (measured 1931/8000 vs math.exp), but elementwise CPython math.exp
+    ≡ DuckDB exp at 0/8000. Routing ONLY the sigmoid through an Arrow
+    stage keeps every other float op (margins, contributions) in
+    whole-stage codegen — JVM +,-,*,/ are IEEE-identical to DuckDB's.
+    OverflowError on exp(|z|>709) maps to 0.0, mirroring DuckDB's
+    1/(1+inf). Built inside the function (module-level pandas_udf
+    gotcha)."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def sig(z: pd.Series) -> pd.Series:
+        def s(v: float) -> float:
+            try:
+                return 1.0 / (1.0 + math.exp(-v))
+            except OverflowError:
+                return 0.0
+
+        return z.map(s)
+
+    return sig
+
+
+def _qc_micro12(v: F.Column) -> F.Column:
+    """Per-row gradient contribution in exact 1e-12 fixed-point:
+    sign · floor(|v|·1e12 + 0.5) — one multiply, one add, one exact
+    floor, identical IEEE ops on both engines (the graph_pagerank
+    rule), then DECIMAL-cast pre-sum so the cross-row sum is an exact
+    integer hash aggregate: ORDER-FREE, map-side combinable, no
+    ordered-fold cost (ANSI long sums would overflow at ~7.6M rows;
+    DECIMAL(28,0) is exact to 1e16 rows)."""
+    m = F.floor(F.abs(v) * F.lit(1e12) + F.lit(0.5))
+    return F.when(v < 0, -m).otherwise(m).cast("decimal(28,0)")
+
+
 def _train_quality_logreg(
     spark: SparkSession, sf_dir: str, iters: int = QC_ITERS, lr: float = QC_LR
 ) -> list[float]:
     """Full-batch logistic-regression GD with the broadcast-model /
     distribute-data split (the llm_kmeans_train shape, llm_sim.py):
     per iteration the 6 current weights are inlined as literals, every
-    row computes sigmoid(w·x) IN-ROW (codegen — no UDF, no Python
-    stage, no shuffle), and ONE aggregate reduces the 6 gradient sums
+    row computes its margin IN-ROW (codegen), the sigmoid runs through
+    the Arrow/libm stage (_qc_sigmoid_udf — the ONLY non-JVM float
+    op), and ONE aggregate reduces 6 exact fixed-point gradient sums
     to the driver, which applies the k-sized update. Driver state and
-    per-iteration traffic are model-sized (6 doubles); each iteration
-    is one scan of the persisted feature relation. Deterministic: zero
-    init, fixed lr/iteration count."""
+    per-iteration traffic are model-sized (6 values); each iteration
+    is one scan of the persisted feature relation. Deterministic AND
+    SQL-replayable: integer gradient sums are order-free, the update
+    chain w − lr·(S/1e12)/n is the same float expression in Python and
+    the oracle."""
     if sf_dir in _QC_WEIGHT_CACHE:
         return _QC_WEIGHT_CACHE[sf_dir]
     feats = _qc_features(t(spark, sf_dir, "documents")).persist()
     n = feats.count()
+    sig = _qc_sigmoid_udf()
+    xcols = [f"x{i}" for i in range(QC_NFEAT)]
     w = [0.0] * QC_NFEAT
     for _ in range(iters):
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_qc_margin(w)))
-        g = p - F.col("y")
-        grads = feats.agg(
-            *[F.sum(g * F.col(f"x{i}")).alias(f"g{i}") for i in range(QC_NFEAT)]
+        staged = feats.select(
+            "y", *xcols, sig(_qc_margin(w)).alias("p")
+        )
+        g = F.col("p") - F.col("y")
+        grads = staged.agg(
+            *[
+                F.sum(_qc_micro12(g * F.col(f"x{i}"))).alias(f"g{i}")
+                for i in range(QC_NFEAT)
+            ]
         ).first()
-        w = [w[i] - lr * grads[f"g{i}"] / n for i in range(QC_NFEAT)]
+        w = [
+            w[i] - lr * (int(grads[f"g{i}"]) / 1e12) / n
+            for i in range(QC_NFEAT)
+        ]
     feats.unpersist()
     while len(_QC_WEIGHT_CACHE) >= _QC_CACHE_MAX:
         _QC_WEIGHT_CACHE.pop(next(iter(_QC_WEIGHT_CACHE)))
@@ -1068,36 +1122,110 @@ def _train_quality_logreg(
     return w
 
 
-@query("llm_quality_classifier", family="llm", oracle=None)
+def _qc_oracle() -> str:
+    """Full DuckDB replay of the fixed-point GD (rows-only→SQL
+    conversion #26, round 13 — the measured exp blocker DEFEATED, not
+    documented): features are the same +,-,*,/ and ln chains; each of
+    the QC_ITERS unrolled iterations carries the 6 weights in a
+    one-row CTE, computes per-row sigmoid with DuckDB exp (≡ libm ≡
+    the engine's Arrow stage), reduces exact BIGINT fixed-point
+    contribution sums, and applies the identical update expression."""
+    nf = range(QC_NFEAT)
+    feats = f"""qf AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN tt >= {QC_TTR_LABEL} THEN 1.0 ELSE 0.0 END AS y,
+           1.0 AS x0,
+           ln(1.0 + nw) / 10.0 AS x1,
+           (length(text) - len(ws) + 1) / nw / 10.0 AS x2,
+           tt AS x3,
+           len(list_filter(ws, w -> w IN ('the', 'a'))) / nw AS x4,
+           len(list_filter(ws, w -> length(w) >= 6)) / nw AS x5
+    FROM (SELECT doc_id, text, ws,
+                 CAST(len(ws) AS DOUBLE) AS nw,
+                 len(list_distinct(ws)) / len(ws) AS tt
+          FROM (SELECT doc_id, text,
+                       string_split(text, ' ') AS ws
+                FROM documents))
+),
+qn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qf)"""
+    z = "(0.0" + "".join(f" + w.a{i} * x{i}" for i in nf) + ")"
+    sig = f"1.0 / (1.0 + exp(-{z}))"
+    contribs = ", ".join(
+        f"""CASE WHEN (p - y) * x{i} < 0
+             THEN -CAST(floor(abs((p - y) * x{i}) * 1e12 + 0.5) AS BIGINT)
+             ELSE CAST(floor(abs((p - y) * x{i}) * 1e12 + 0.5) AS BIGINT)
+        END AS c{i}"""
+        for i in nf
+    )
+    parts = [
+        feats,
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS a{i}" for i in nf)
+        + ")",
+    ]
+    for r in range(1, QC_ITERS + 1):
+        parts.append(f"""g{r} AS MATERIALIZED (
+    SELECT {", ".join(f"sum(c{i}) AS s{i}" for i in nf)}
+    FROM (SELECT {contribs}
+          FROM (SELECT y, {", ".join(f"x{i}" for i in nf)}, {sig} AS p
+                FROM qf, w{r - 1} w))
+)""")
+        parts.append(f"""w{r} AS MATERIALIZED (
+    SELECT {", ".join(
+        f"w.a{i} - {QC_LR} * (CAST(g.s{i} AS DOUBLE) / 1e12) / n.n AS a{i}"
+        for i in nf)}
+    FROM w{r - 1} w, g{r} g, qn n
+)""")
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT doc_id,
+       CAST(y AS INTEGER) AS label_high_quality,
+       CAST(floor(p * 1e6 + 0.5) AS BIGINT) / 1e6 AS score,
+       CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS predicted
+FROM (SELECT doc_id, y, {sig} AS p FROM qf, w{QC_ITERS} w)
+"""
+
+
+@query("llm_quality_classifier", family="llm", oracle=_qc_oracle())
 def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed linear quality classifier over document features —
     the fastText/CCNet pattern: cheap per-doc features, a linear model
     trained ON the cluster, scores usable as filter/mixing weights.
 
-    Training: see _train_quality_logreg (broadcast weights →
-    in-row sigmoid → one 6-value gradient aggregate per iteration —
-    at 100 TB each iteration is one scan + one tiny agg, the canonical
-    iterative-training shape; the corpus-sized design matrix never
-    leaves the executors). Scoring: one more map-only pass with the
-    final weights inlined.
+    Training: see _train_quality_logreg (broadcast weights → in-row
+    margin → Arrow/libm sigmoid → one exact fixed-point 6-value
+    gradient aggregate per iteration — at 100 TB each iteration is one
+    scan + one tiny order-free agg, the canonical iterative-training
+    shape; the corpus-sized design matrix never leaves the executors).
+    Scoring: one more map-only pass with the final weights inlined.
 
-    Rows-only (iterative fp training is not SQL-expressible);
-    tests/test_llm_pipeline.py verifies the trained weights against a
-    NumPy logistic-regression reference on the identical features and
-    pins prediction agreement + separability on the engineered label.
+    SQL-ORACLED since round 13 (conversion #26): round 12 MEASURED
+    that JVM Math.exp breaks cross-engine bit-identity, and this round
+    measured the escape hatch — elementwise CPython math.exp ≡ DuckDB
+    exp (0/8000; numpy's vectorized exp is NOT, 1931/8000), so the
+    sigmoid rides an Arrow stage while gradients became order-free
+    exact fixed-point integers (the graph_pagerank rule), making the
+    whole 30-iteration GD replayable in _qc_oracle's unrolled CTEs.
+    tests/test_llm_pipeline.py keeps an exact integer Python replay
+    plus the separability/accuracy pins.
     """
     w = _train_quality_logreg(spark, sf_dir)
     feats = _qc_features(t(spark, sf_dir, "documents"))
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_qc_margin(w)))
+    sig = _qc_sigmoid_udf()
     scored = feats.select(
         "doc_id",
         F.col("y").cast("int").alias("label_high_quality"),
-        p.alias("_p"),
+        sig(_qc_margin(w)).alias("_p"),
     )
     return scored.select(
         "doc_id",
         "label_high_quality",
-        F.round("_p", 6).alias("score"),
+        # half-away micro fixed-point (p ≥ 0 so no sign branch), the
+        # shared presentation form — Spark round() would be HALF_UP on
+        # a BigDecimal of the double, not the same double
+        (F.floor(F.col("_p") * F.lit(1e6) + F.lit(0.5)).cast("long")
+         / F.lit(1e6)).alias("score"),
         F.when(F.col("_p") >= 0.5, 1).otherwise(0).alias("predicted"),
     ).orderBy("doc_id")
 

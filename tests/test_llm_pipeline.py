@@ -102,13 +102,19 @@ def test_stratified_sample_is_deterministic(spark):
     assert a == b and a
 
 
-def test_quality_classifier_matches_numpy(spark):
-    """The distributed GD trainer must reproduce a NumPy full-batch
-    logistic regression run on the IDENTICAL features: same zero init,
-    lr, iteration count. Spark's partition-order gradient sums differ
-    from numpy's pairwise sums only in low-order bits, so weights agree
-    to ~1e-9 and predictions agree exactly; the engineered TTR label is
-    linearly separable enough for >=0.95 train accuracy."""
+def test_quality_classifier_exact_integer_replay(spark):
+    """The fixed-point GD trainer must reproduce a pure-Python replay
+    EXACTLY (the graph_pagerank pattern): per iteration, per-row
+    margins are the same left-assoc float chain, the sigmoid is
+    CPython math.exp (the engine's Arrow stage uses exactly this —
+    JVM Math.exp and numpy's vectorized exp are both non-libm,
+    measured), contributions are half-away 1e-12 fixed-point ints,
+    sums exact integers, updates the identical w − lr·(S/1e12)/n
+    chain. Also pins the |S| « 2^53 margin that makes the oracle's
+    cast-then-divide equal Python's int/float true division, plus
+    separability (≥0.95 accuracy) and loss decrease."""
+    import math
+
     import numpy as np
 
     from local_etl_spark.queries.llm_text import (
@@ -122,31 +128,62 @@ def test_quality_classifier_matches_numpy(spark):
     from local_etl_spark.queries._util import t
     from local_etl_spark.registry import get
 
+    def micro12(v: float) -> int:
+        m = math.floor(abs(v) * 1e12 + 0.5)
+        return -m if v < 0 else m
+
+    def sigmoid(z: float) -> float:
+        try:
+            return 1.0 / (1.0 + math.exp(-z))
+        except OverflowError:
+            return 0.0
+
     sf = "/root/testdata/sf0.01"
     rows = _qc_features(t(spark, sf, "documents")).collect()
-    X = np.array([[r[f"x{i}"] for i in range(QC_NFEAT)] for r in rows])
-    y = np.array([r["y"] for r in rows])
-    w = np.zeros(QC_NFEAT)
+    X = [[r[f"x{i}"] for i in range(QC_NFEAT)] for r in rows]
+    y = [r["y"] for r in rows]
+    n = len(rows)
+    w = [0.0] * QC_NFEAT
+    max_s = 0
     for _ in range(QC_ITERS):
-        p = 1.0 / (1.0 + np.exp(-(X @ w)))
-        w = w - QC_LR * (X.T @ (p - y)) / len(y)
+        sums = [0] * QC_NFEAT
+        for xr, yr in zip(X, y):
+            z = 0.0
+            for i in range(QC_NFEAT):
+                z = z + w[i] * xr[i]
+            g = sigmoid(z) - yr
+            for i in range(QC_NFEAT):
+                sums[i] += micro12(g * xr[i])
+        max_s = max(max_s, max(abs(s) for s in sums))
+        w = [w[i] - QC_LR * (sums[i] / 1e12) / n for i in range(QC_NFEAT)]
+    # margin pin: every gradient sum far below 2^53, so the oracle's
+    # CAST(S AS DOUBLE)/1e12 is exact and equals Python's S/1e12
+    assert max_s < 2**52, max_s
 
     _QC_WEIGHT_CACHE.pop(sf, None)  # force a real training run
-    ws = np.array(_train_quality_logreg(spark, sf))
-    assert np.allclose(ws, w, rtol=1e-7, atol=1e-9), (ws, w)
+    ws = _train_quality_logreg(spark, sf)
+    assert ws == w, (ws, w)  # EXACT equality — no tolerance
 
-    out = {r["doc_id"]: r for r in get("llm_quality_classifier").fn(spark, sf).collect()}
+    out = {
+        r["doc_id"]: r
+        for r in get("llm_quality_classifier").fn(spark, sf).collect()
+    }
     assert len(out) == len(rows)
-    np_pred = (1.0 / (1.0 + np.exp(-(X @ w))) >= 0.5).astype(int)
     acc = 0
-    for r, pred in zip(rows, np_pred):
+    for r, xr in zip(rows, X):
+        z = 0.0
+        for i in range(QC_NFEAT):
+            z = z + w[i] * xr[i]
+        p = sigmoid(z)
         got = out[r["doc_id"]]
-        assert got["predicted"] == pred, r["doc_id"]
+        assert got["predicted"] == (1 if p >= 0.5 else 0), r["doc_id"]
+        assert got["score"] == math.floor(p * 1e6 + 0.5) / 1e6
         acc += int(got["predicted"] == got["label_high_quality"])
     assert acc / len(rows) >= 0.95, acc / len(rows)
     # training must actually have reduced the loss below the w=0 start
-    p = 1.0 / (1.0 + np.exp(-(X @ w)))
-    loss = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+    Xn, yn = np.array(X), np.array(y)
+    p = 1.0 / (1.0 + np.exp(-(Xn @ np.array(w))))
+    loss = -np.mean(yn * np.log(p) + (1 - yn) * np.log(1 - p))
     assert loss < np.log(2)
 
 
