@@ -508,3 +508,170 @@ def test_pagerank_integer_replay_and_no_early_exit(spark):
             r["node"]: r["rank"] for r in graph_pagerank(spark, sf).collect()
         }
         assert got == {v: float(rank[v]) / 1e15 for v in nodes}, sf
+
+
+def test_mst_equals_kruskal_and_networkx(spark):
+    """graph_mst's Borůvka forest must EQUAL an independent union-find
+    Kruskal under the same total key (w, u, v) — with a total edge
+    order the MSF is unique, so two different algorithms agreeing is a
+    real cross-check — and its total weight must equal networkx's
+    minimum_spanning_edges sum (weight totals are tie-break-invariant
+    across ALL minimum spanning forests)."""
+    import networkx as nx
+
+    from local_etl_spark.queries.graph import trade_edges
+    from local_etl_spark.registry import get
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        from pyspark.sql import functions as F
+
+        edges = [
+            (r["a"], r["b"], r["w"])
+            for r in trade_edges(spark, sf)
+            .filter(F.col("a") < F.col("b"))
+            .collect()
+        ]
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v, _w in edges:
+            parent[u] = u
+            parent[v] = v
+        want = set()
+        for w, u, v in sorted((w, u, v) for u, v, w in edges):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                want.add((u, v, w))
+        got_rows = get("graph_mst").fn(spark, sf).collect()
+        got = {(r["u"], r["v"], r["w"]) for r in got_rows}
+        assert got == want, sf
+        # networkx weight cross-check (independent implementation)
+        g = nx.Graph()
+        for u, v, w in edges:
+            g.add_edge(u, v, weight=w)
+        nx_w = sum(
+            d["weight"]
+            for _u, _v, d in nx.minimum_spanning_edges(g, data=True)
+        )
+        assert sum(w for _u, _v, w in got) == nx_w, sf
+        # component labels are the true min-label partition
+        comp_of = {}
+        for r in got_rows:
+            comp_of.setdefault(r["u"], r["component"])
+            assert r["component"] == comp_of[r["u"]]
+
+
+def test_mst_distributed_fallback_matches_fast_path(spark, monkeypatch):
+    """Force the gate to 0 so the distributed min-label loop runs
+    instead of the driver union-find — results must be IDENTICAL
+    (labels are partition-invariant; both paths compute min labels of
+    the same forest)."""
+    import local_etl_spark.queries.graph as G
+    from local_etl_spark.registry import get
+
+    sf = "/root/testdata/sf0.001"
+    fast = {
+        (r["u"], r["v"], r["w"], r["component"])
+        for r in get("graph_mst").fn(spark, sf).collect()
+    }
+    monkeypatch.setattr(G, "MST_UF_MAX_EDGES", 0)
+    slow = {
+        (r["u"], r["v"], r["w"], r["component"])
+        for r in get("graph_mst").fn(spark, sf).collect()
+    }
+    assert fast == slow
+
+
+def test_mst_oracle_margins(spark):
+    """The oracle unrolls MST_ROUNDS Borůvka rounds and MST_CC_ITERS
+    Jacobi CC iterations per round; pin BOTH margins on every shipped
+    SF by replaying the exact procedures in Python: fixpoint within
+    MST_ROUNDS − 2 selecting rounds, and every round's warm-started
+    lab' = min(lab, lab∘lab, neighbor-min) iteration reaching the true
+    partition within MST_CC_ITERS − 5."""
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries.graph import (
+        MST_CC_ITERS,
+        MST_ROUNDS,
+        trade_edges,
+    )
+
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        edges = [
+            (r["a"], r["b"], r["w"])
+            for r in trade_edges(spark, sf)
+            .filter(F.col("a") < F.col("b"))
+            .collect()
+        ]
+        nodes = sorted({u for u, v, w in edges} | {v for u, v, w in edges})
+
+        def true_cc(sel):
+            parent = {n: n for n in nodes}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for u, v, _w in sel:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+            groups = {}
+            for n in nodes:
+                groups.setdefault(find(n), []).append(n)
+            out = {}
+            for g in groups.values():
+                m = min(g)
+                for n in g:
+                    out[n] = m
+            return out
+
+        comp = {n: n for n in nodes}
+        sel = set()
+        rounds = 0
+        while True:
+            best = {}
+            for u, v, w in edges:
+                cu, cv = comp[u], comp[v]
+                if cu == cv:
+                    continue
+                k = (w, u, v)
+                for c in (cu, cv):
+                    if c not in best or k < best[c]:
+                        best[c] = k
+            if not best:
+                break
+            rounds += 1
+            sel |= {(u, v, w) for (w, u, v) in best.values()}
+            want = true_cc(sel)
+            adj = {}
+            for u, v, _w in sel:
+                adj.setdefault(u, []).append(v)
+                adj.setdefault(v, []).append(u)
+            lab = dict(comp)
+            j = 0
+            while lab != want:
+                j += 1
+                assert j <= MST_CC_ITERS - 5, (sf, rounds, j)
+                lab = {
+                    n: min(
+                        [lab[n], lab.get(lab[n], lab[n])]
+                        + [lab[x] for x in adj.get(n, ())]
+                    )
+                    for n in nodes
+                }
+            comp = want
+        assert rounds <= MST_ROUNDS - 2, (sf, rounds)
