@@ -233,8 +233,10 @@ FIXED_THIS_ROUND: tuple[str, ...] = ()
 # centrality ops); this slice carries only rows-only ops ADDED this
 # round, so each gets its first external record immediately.
 ROWS_ONLY_REPRESENT: tuple[str, ...] = (
-    # r11's llm_ann_ivf_incremental is now recorded (16 rows); this
-    # slice carries only rows-only ops ADDED this round (none yet).
+    # rows-only ops ADDED this round get their first external record
+    # immediately: r13's tri-channel cross-modal census (rows-only —
+    # media kernels; its text slice is SQL-verified in pytest).
+    "llm_dedup_cross_modal",
 )
 
 # The driver verifies this many registry-prefix entries per round.

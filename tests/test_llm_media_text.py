@@ -537,3 +537,170 @@ def test_audio_fingerprint_matches_numpy_reference_and_exact_pairs(spark):
     doubled = (2 * (s // 4)).astype("<i2").tobytes()
     hdr = raw[:40] + _struct.pack("<I", len(halved))
     assert audio_fp64(hdr + halved) == audio_fp64(hdr + doubled)
+
+
+def test_cross_modal_census_matches_brute_force(spark):
+    """llm_dedup_cross_modal's tri-channel census must equal a
+    brute-force all-pairs walk over the SAME engine fingerprints
+    (text simhash + image ahash + audio fp), AND its text-slice
+    columns must equal an independent DuckDB oracle that recomputes
+    the simhash machinery from the parquet (the SQL-oracle half of
+    VERDICT r12 #7: the media kernels are structurally rows-only, the
+    text channel is not)."""
+    import itertools
+
+    import duckdb
+
+    from local_etl_spark.multimodal.columns import (
+        audio_fingerprints,
+        image_hashes,
+        synthesize_media,
+    )
+    from local_etl_spark.queries.llm_dedup import (
+        HAMMING_T,
+        simhash_signatures,
+    )
+    from local_etl_spark.queries.llm_media import CROSSM_MEDIA_T
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs).collect()
+    }
+    media = synthesize_media(docs)
+    mfp = {}
+    for r in image_hashes(media).collect():
+        mfp[r["doc_id"]] = ("image", r["ahash"])
+    for r in audio_fingerprints(media).collect():
+        mfp[r["doc_id"]] = ("audio", r["fp"])
+    modality = {
+        d: ("image", "audio", "video")[d % 3] for d in sig
+    }
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        d: {
+            "n_text_dups": 0,
+            "min_text_hamming": -1,
+            "n_cross_container": 0,
+            "n_media_dups": 0,
+            "min_media_hamming": -1,
+        }
+        for d in sig
+    }
+    for d1, d2 in itertools.combinations(sorted(sig), 2):
+        h = ham(sig[d1], sig[d2])
+        if h <= HAMMING_T:
+            for x, y in ((d1, d2), (d2, d1)):
+                w = want[x]
+                w["n_text_dups"] += 1
+                w["min_text_hamming"] = (
+                    h
+                    if w["min_text_hamming"] < 0
+                    else min(w["min_text_hamming"], h)
+                )
+                if modality[x] != modality[y]:
+                    w["n_cross_container"] += 1
+    for d1, d2 in itertools.combinations(sorted(mfp), 2):
+        c1, f1 = mfp[d1]
+        c2, f2 = mfp[d2]
+        if c1 != c2:
+            continue
+        h = ham(f1, f2)
+        if h <= CROSSM_MEDIA_T:
+            for x in (d1, d2):
+                w = want[x]
+                w["n_media_dups"] += 1
+                w["min_media_hamming"] = (
+                    h
+                    if w["min_media_hamming"] < 0
+                    else min(w["min_media_hamming"], h)
+                )
+
+    got = {
+        r["doc_id"]: r
+        for r in get("llm_dedup_cross_modal").fn(spark, sf).collect()
+    }
+    assert set(got) == set(sig)
+    for d, w in want.items():
+        g = got[d]
+        assert g["modality"] == modality[d], d
+        for k, v in w.items():
+            assert g[k] == v, (d, k, g[k], v)
+    # non-degeneracy: every channel fires somewhere at this SF
+    assert any(w["n_text_dups"] > 0 for w in want.values())
+    assert any(w["n_cross_container"] > 0 for w in want.values())
+    assert any(w["n_media_dups"] > 0 for w in want.values())
+
+    # text-slice SQL oracle: recompute the simhash census entirely in
+    # DuckDB (independent of the engine's signatures) and compare the
+    # three text columns
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    orows = con.execute(f"""
+WITH tok AS (
+    SELECT doc_id, t.w AS w, count(*) AS cnt
+    FROM documents, unnest(string_split(text, ' ')) AS t(w)
+    WHERE t.w <> ''
+    GROUP BY doc_id, t.w
+),
+h AS (
+    SELECT doc_id, cnt,
+           CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS hi,
+           CAST(('0x' || substring(md5(w), 9, 8)) AS BIGINT) AS lo
+    FROM tok
+),
+bits AS (
+    SELECT doc_id, j,
+           sum(CASE WHEN ((CASE WHEN j < 32 THEN lo ELSE hi END)
+                          >> (j % 32)) & 1 = 1
+                    THEN cnt ELSE -cnt END) AS v
+    FROM h, unnest(range(0, 64)) AS t(j)
+    GROUP BY doc_id, j
+),
+sig AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 AND j < 63
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                         ELSE 0 END) AS BIGINT)
+           + CAST(CASE WHEN max(CASE WHEN j = 63 AND v > 0
+                                     THEN 1 ELSE 0 END) = 1
+                       THEN -9223372036854775808 ELSE 0 END AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+),
+m AS (
+    SELECT doc_id, simhash,
+           (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]
+               AS modality
+    FROM sig
+),
+pairs AS (
+    SELECT a.doc_id AS doc_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hm,
+           CASE WHEN a.modality <> b.modality THEN 1 ELSE 0 END AS xc
+    FROM m a JOIN m b ON a.doc_id <> b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+)
+SELECT m.doc_id,
+       coalesce(p.n, 0) AS n_text_dups,
+       coalesce(p.mh, -1) AS min_text_hamming,
+       coalesce(p.nx, 0) AS n_cross_container
+FROM m LEFT JOIN (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n, min(hm) AS mh,
+           CAST(sum(xc) AS BIGINT) AS nx
+    FROM pairs GROUP BY doc_id) p ON p.doc_id = m.doc_id
+""").fetchall()
+    oracle = {r[0]: (r[1], r[2], r[3]) for r in orows}
+    assert set(oracle) == set(got)
+    for d, g in got.items():
+        assert oracle[d] == (
+            g["n_text_dups"],
+            g["min_text_hamming"],
+            g["n_cross_container"],
+        ), d
