@@ -158,7 +158,7 @@ def read_event_docs(spark: SparkSession, data_dir: str) -> DataFrame:
         "pathGlobFilter", "*.json"
     )
     colon = _colon_json_files(data_dir)
-    if colon:
+    if colon or _symlinked_dirs(data_dir):
         # COLON-NAME repair (path fuzz, round 12): one ':'-named file
         # poisons the ENTIRE dir scan — the task-side checksum path
         # construction throws URISyntaxException, so the whole job
@@ -166,6 +166,14 @@ def read_event_docs(spark: SparkSession, data_dir: str) -> DataFrame:
         # glob-escaped path list WITHOUT the colon names (they join
         # the driver-listed sidechannel below, like hidden files);
         # every other dir keeps the plain single-path load.
+        # SYMLINK-CYCLE repair (fs fuzz, round 13): a symlinked dir
+        # anywhere under the data dir can cycle and the Hadoop leaf
+        # listing follows it FOREVER (measured hang; the reference's
+        # non-recursive os.walk is unaffected). The same explicit
+        # top-level path list never descends into any directory, so
+        # any symlinked-dir layout routes through it too — contents
+        # of subdirectories are excluded either way (the dir_named_
+        # json/colon_dir pinned semantics).
         visible = sorted(
             os.path.join(data_dir, n)
             for n in os.listdir(data_dir)
@@ -274,6 +282,27 @@ def _colon_json_files(data_dir: str) -> list[str]:
         and not (f.startswith(".") or f.startswith("_"))
         and os.path.isfile(os.path.join(data_dir, f))
     )
+
+
+def _symlinked_dirs(data_dir: str) -> list[str]:
+    """Directories under ``data_dir`` (any depth) that are SYMLINKS —
+    Spark's leaf-file listing FOLLOWS them, so a symlink cycle (a dir
+    link pointing back at an ancestor) spins the whole scan forever
+    (fs fuzz, round 13: measured unbounded hang in reader.load), while
+    the reference's non-recursive next(os.walk(...)) never descends.
+    os.walk(followlinks=False) is itself cycle-safe: it REPORTS link
+    dirs without entering them. [] when the tree can't be walked
+    locally (object stores have no symlinks)."""
+    out: list[str] = []
+    try:
+        for root, dirs, _files in os.walk(data_dir):
+            for d in dirs:
+                p = os.path.join(root, d)
+                if os.path.islink(p):
+                    out.append(p)
+    except OSError:
+        return []
+    return out
 
 
 def _glob_escape(p: str) -> str:
