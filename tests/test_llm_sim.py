@@ -342,7 +342,13 @@ def test_ann_ivf_incremental_rebuild_parity(spark):
         .select("vec_id", _km_assign_expr(centroids, vector="_u").alias("cid"))
         .collect()
     }
-    back = spark.read.parquet(_cache_dir(SF, "embeddings_ivf_incr"))
+    # r12 keyed the layout caches by the trained-model fingerprint
+    # (_model_fp); read the keyed path the query actually writes
+    from local_etl_spark.queries.llm_sim import _model_fp
+
+    back = spark.read.parquet(
+        _cache_dir(SF, f"embeddings_ivf_incr_{_model_fp(centroids)}")
+    )
     layout = {(r["cid"], r["vec_id"]) for r in back.select("cid", "vec_id").collect()}
     assert layout == rebuilt
 
