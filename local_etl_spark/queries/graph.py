@@ -78,6 +78,17 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PR_SCALE = 10**15  # fixed-point rank units (round-12 oracle conversion)
+# r13 optimization gate: below this node count the per-round rank
+# vector lives on the DRIVER (a dict of exact integers) instead of a
+# checkpointed distributed relation. Below PR_BROADCAST_MAX_NODES the
+# vector is already collected to the driver and shipped whole to every
+# executor each round (that is what a broadcast IS), so holding it
+# driver-side moves no new bytes — it just collapses the per-round job
+# count from 3 (broadcast build ×2 + localCheckpoint) to 1 (the
+# node-keyed aggregate collect). The middle regime
+# (PR_DRIVER_MAX_NODES, PR_BROADCAST_MAX_NODES] keeps the r12
+# broadcast loop; past the broadcast gate the shuffle join remains.
+PR_DRIVER_MAX_NODES = 250_000
 
 
 def _pagerank_oracle(rounds: int) -> str:
@@ -237,6 +248,65 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Past the threshold (a rank vector too big to ship) the plain
     # shuffle join remains, which is the 1000-executor shape anyway.
     broadcast_ranks = n_nodes <= PR_BROADCAST_MAX_NODES
+    if n_nodes <= PR_DRIVER_MAX_NODES:
+        # r13: driver-held rank vector (see PR_DRIVER_MAX_NODES). All
+        # ARITHMETIC stays in Spark SQL expressions — the same
+        # round/cast chains as the distributed branch, so no float op
+        # changes engines: the teleport/init constants evaluate once
+        # via a OneRowRelation, the per-edge contribution and the
+        # 0.85-damped mass run inside the one per-round aggregate job,
+        # and Python only holds the integer dict, fills absent nodes
+        # with the teleport constant (≡ coalesce(mass, 0)) and sums
+        # the exact-integer L1 delta for the early-exit safety net.
+        node_list = [r.node for r in nodes.collect()]
+        consts = spark.sql(
+            f"SELECT CAST(round(1e15 / {n_nodes}) AS BIGINT) AS r0,"
+            f" CAST(round(0.15e15 / {n_nodes}) AS BIGINT) AS tp"
+        ).first()
+        r0, teleport = consts.r0, consts.tp
+        state = dict.fromkeys(node_list, r0)
+        for _ in range(N_ITER):
+            rdf = spark.createDataFrame(
+                list(state.items()), "node string, rank bigint"
+            )
+            damped = (
+                norm.join(F.broadcast(rdf), norm.a == rdf.node)
+                .groupBy(F.col("b").alias("node"))
+                .agg(
+                    F.sum(
+                        F.expr(
+                            "CAST(round(CAST(rank AS DOUBLE) * p) AS BIGINT)"
+                        )
+                    ).alias("mass")
+                )
+                .select(
+                    "node",
+                    F.expr(
+                        "CAST(round(0.85 * CAST(mass AS DOUBLE)) AS BIGINT)"
+                    ).alias("dmass"),
+                )
+                .collect()
+            )
+            new_state = dict.fromkeys(node_list, teleport)
+            for row in damped:
+                if row.node in new_state:
+                    new_state[row.node] = teleport + row.dmass
+            l1 = sum(
+                abs(new_state[nd] - state[nd]) for nd in node_list
+            )
+            state = new_state
+            if l1 < PR_TOL_L1 * PR_SCALE:
+                break
+        norm.unpersist()
+        nodes.unpersist()
+        out = spark.createDataFrame(
+            list(state.items()), "node string, rank bigint"
+        )
+        return out.select(
+            "node",
+            (F.col("rank").cast("double") / F.lit(1e15)).alias("rank"),
+            F.substring("node", 1, 1).alias("kind"),
+        )
     for _ in range(N_ITER):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
@@ -944,17 +1014,57 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed.count()
         edges.unpersist()
         edges = packed
+    node_rel = edges.select(F.col("a").alias("node")).distinct()
+    n_nodes = node_rel.count()
+    if n_nodes <= PR_DRIVER_MAX_NODES:
+        # r13: driver-held label vector (the graph_pagerank
+        # PR_DRIVER_MAX_NODES rationale — below the broadcast gate the
+        # vector ships whole every round anyway; holding it driver-side
+        # collapses 3 jobs/round to 1). The weighted argmax — integer
+        # cent sums, min(struct(-wt, label)) — runs entirely in the one
+        # per-round Spark aggregate; Python only applies the adopted
+        # labels to the dict (exact string assignment, no arithmetic).
+        node_list = [r.node for r in node_rel.collect()]
+        state = {nd: nd for nd in node_list}
+        for r in range(LPA_ROUNDS):
+            side = "s" if r % 2 == 0 else "c"
+            ldf = spark.createDataFrame(
+                list(state.items()), "b string, nl string"
+            )
+            adopted = (
+                edges.filter(F.substring("a", 1, 1) == side)
+                .join(F.broadcast(ldf), "b")
+                .groupBy("a", "nl")
+                .agg(F.sum("w").cast("bigint").alias("wt"))
+                .groupBy("a")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("wt")).alias("nw"), F.col("nl"))
+                    )
+                    .getField("nl")
+                    .alias("new_label")
+                )
+                .collect()
+            )
+            for row in adopted:
+                if row.a in state:
+                    state[row.a] = row.new_label
+        edges.unpersist()
+        out = spark.createDataFrame(
+            list(state.items()), "node string, label string"
+        )
+        return out.select(
+            "node",
+            F.col("label").alias("community"),
+            F.substring("node", 1, 1).alias("kind"),
+        )
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        node_rel.select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
     # label vector broadcast below the pagerank gate: the EDGE list —
     # the big side — never shuffles for the per-round label join
-    broadcast_labels = (
-        labels.count() <= PR_BROADCAST_MAX_NODES
-    )
+    broadcast_labels = n_nodes <= PR_BROADCAST_MAX_NODES
     for r in range(LPA_ROUNDS):
         side = "s" if r % 2 == 0 else "c"
         nbr = labels.select(
@@ -1198,6 +1308,13 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BETW_EDGE_BUDGET = 40  # top trade edges kept (complete graph is degenerate)
 BETW_SOURCE_MOD = 3  # sample sources: nationkey % 3 == 0
+# r13 optimization gate: below this many backbone edges the BFS-family
+# loops (betweenness/closeness) run DRIVER-SIDE on the collected edge
+# list — the backbone is budget-bounded by construction, so at every
+# corpus size the loop input is model-sized and distributing it only
+# buys ~20 scheduler round-trips per query. Raising BETW_EDGE_BUDGET
+# past this gate re-enables the original distributed loops.
+GRAPH_DRIVER_MAX_EDGES = 10_000
 
 
 def _betweenness_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1397,8 +1514,126 @@ def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and source sampling is exactly the knob that bounds total work
     (Brandes-exact is |V| BFS passes; ε-approximation needs O(log|V|/ε²)
     sampled sources regardless of graph size).
+
+    ROUND-13 OPTIMIZATION (guide §1.2 — fix the distributed algorithm
+    first): the backbone is BOUNDED BY CONSTRUCTION (rnk ≤
+    BETW_EDGE_BUDGET edges at EVERY corpus size),
+    so the loop's input is model-sized no matter how big the corpus
+    is. Distributing a ≤40-edge BFS costs ~20 scheduler round-trips
+    (3 jobs/level forward + 1/depth backward, each over a handful of
+    rows) for zero parallelism. The corpus-sized work — the 4-table
+    edge derivation — stays in Spark; below GRAPH_DRIVER_MAX_EDGES the
+    collected backbone runs Brandes driver-side, replaying the
+    oracle's EXACT ordered-fold arithmetic (same level-synchronous σ
+    sums, successor terms folded in w-node order, per-node deltas
+    folded in source order; the final round/scale arithmetic stays in
+    Spark expressions on the local relation so no float op moves
+    engines). Above the gate — only reachable if the budget constant
+    is raised to cluster scale — the original distributed loop runs
+    unchanged (_betweenness_sample_distributed).
     """
     e = _betweenness_graph(spark, sf_dir)
+    pairs = [(r.a, r.b) for r in e.collect()]  # ≤ BETW_EDGE_BUDGET rows
+    if len(pairs) > GRAPH_DRIVER_MAX_EDGES:
+        return _betweenness_sample_distributed(spark, e)
+
+    from collections import defaultdict
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    sources = [v for v in nodes if v % BETW_SOURCE_MOD == 0]
+    n_nodes, n_sources = len(nodes), len(sources)
+
+    # forward: level-synchronous multi-source BFS with exact-int σ —
+    # candidate (src, child) sums parent σ BEFORE visited is updated,
+    # exactly like the engine's anti-join + grouped sum
+    dist: dict[tuple[int, int], int] = {(s, s): 0 for s in sources}
+    sigma: dict[tuple[int, int], int] = {(s, s): 1 for s in sources}
+    levels: list[list[tuple[int, int]]] = [[(s, s) for s in sources]]
+    frontier = levels[0]
+    while frontier:
+        nxt: dict[tuple[int, int], int] = {}
+        for src, node in frontier:
+            sg = sigma[(src, node)]
+            for v in adj[node]:
+                if (src, v) not in dist:
+                    nxt[(src, v)] = nxt.get((src, v), 0) + sg
+        if not nxt:
+            break
+        d = len(levels)
+        for k, sg in nxt.items():
+            dist[k] = d
+            sigma[k] = sg
+        frontier = list(nxt)
+        levels.append(frontier)
+    maxd = len(levels) - 1
+
+    # backward: per-depth dependency deltas; every float op replays
+    # the oracle's ordered folds — term = (1.0+δ_w)/σ_w, ratio sums
+    # fold 0.0-seeded in w-node ASC order, δ_v = ratio_sum·σ_v
+    acc: dict[tuple[int, int], float] = {}
+    delta: dict[tuple[int, int], float] = {
+        k: 0.0 for k in levels[maxd]
+    }
+    for depth in range(maxd, 0, -1):
+        acc.update(delta)
+        contrib: dict[tuple[int, int], list[tuple[int, float]]] = {}
+        for src, w_node in levels[depth]:
+            term = (1.0 + delta[(src, w_node)]) / float(
+                sigma[(src, w_node)]
+            )
+            for u in adj[w_node]:
+                contrib.setdefault((src, u), []).append((w_node, term))
+        delta = {}
+        for k in levels[depth - 1]:
+            lst = contrib.get(k)
+            if lst:
+                lst.sort()
+                rs = 0.0
+                for _, term in lst:
+                    rs += term
+                delta[k] = rs * float(sigma[k])
+            else:
+                delta[k] = 0.0
+    scale = float(n_nodes) / float(n_sources) / 2.0 if n_sources else 0.0
+
+    per_node: dict[int, list[tuple[int, float]]] = {}
+    for (src, node), dl in acc.items():
+        if node != src:
+            per_node.setdefault(node, []).append((src, dl))
+    raw: dict[int, float] = {}
+    for node, lst in per_node.items():
+        lst.sort()
+        r = 0.0
+        for _, dl in lst:
+            r += dl
+        raw[node] = r
+
+    out = spark.createDataFrame(
+        [(node, raw.get(node)) for node in nodes],
+        "node int, raw double",
+    )
+    return out.select(
+        "node",
+        (
+            F.round(
+                F.coalesce(F.col("raw"), F.lit(0.0)) * F.lit(scale), 6
+            )
+            + 0.0
+        ).alias("betweenness"),
+        F.lit(n_sources).cast("bigint").alias("n_sources"),
+    )
+
+
+def _betweenness_sample_distributed(
+    spark: SparkSession, e: DataFrame
+) -> DataFrame:
+    """The pre-r13 distributed Brandes loop — the shape a
+    million-node backbone would need (only reachable if
+    BETW_EDGE_BUDGET is raised past GRAPH_DRIVER_MAX_EDGES)."""
     edges = (
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -1617,8 +1852,85 @@ def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: identical cost model to betweenness — the edge derivation
     dominates; the BFS runs diameter rounds over node-sized relations,
     and the source-sample size is the precision/work knob.
+
+    ROUND-13 OPTIMIZATION: same gate as graph_betweenness_sample —
+    the backbone is budget-bounded by construction, so below
+    GRAPH_DRIVER_MAX_EDGES the multi-source BFS runs driver-side on
+    the collected edge list (the corpus-sized edge derivation stays in
+    Spark), replaying the oracle's dist-ASC ordered fold exactly; the
+    final round/scale arithmetic stays in Spark expressions. Above the
+    gate the original distributed loop runs unchanged.
     """
     e = _betweenness_graph(spark, sf_dir)
+    pairs = [(r.a, r.b) for r in e.collect()]  # ≤ BETW_EDGE_BUDGET rows
+    if len(pairs) > GRAPH_DRIVER_MAX_EDGES:
+        return _closeness_sample_distributed(spark, e)
+
+    from collections import defaultdict
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    sources = [v for v in nodes if v % BETW_SOURCE_MOD == 0]
+    n_nodes, n_sources = len(nodes), len(sources)
+
+    # level-synchronous multi-source BFS (exact integer distances)
+    dist: dict[tuple[int, int], int] = {(s, s): 0 for s in sources}
+    frontier = [(s, s) for s in sources]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        seen = set()
+        for src, node in frontier:
+            for v in adj[node]:
+                k = (src, v)
+                if k not in dist and k not in seen:
+                    seen.add(k)
+                    nxt.append(k)
+        for k in nxt:
+            dist[k] = d
+        frontier = nxt
+
+    scale = float(n_nodes - 1) / float(n_sources) if n_sources else 0.0
+    # per-distance terms folded in dist-ASC order — the oracle's
+    # list_reduce identity, replayed with the same 0.0-seeded
+    # sequential adds (term = count_d / d, both exact-int operands)
+    per_node: dict[int, dict[int, int]] = {}
+    for (src, node), dd in dist.items():
+        if dd > 0:
+            cnts = per_node.setdefault(node, {})
+            cnts[dd] = cnts.get(dd, 0) + 1
+    h_raw: dict[int, float] = {}
+    for node, cnts in per_node.items():
+        acc = 0.0
+        for dd in sorted(cnts):
+            acc += float(cnts[dd]) / float(dd)
+        h_raw[node] = acc
+
+    out = spark.createDataFrame(
+        [(node, h_raw.get(node)) for node in nodes],
+        "node int, h_raw double",
+    )
+    return out.select(
+        "node",
+        (
+            F.round(
+                F.coalesce(F.col("h_raw"), F.lit(0.0)) * F.lit(scale), 6
+            )
+            + 0.0
+        ).alias("harmonic"),
+        F.lit(n_sources).cast("bigint").alias("n_sources"),
+    )
+
+
+def _closeness_sample_distributed(
+    spark: SparkSession, e: DataFrame
+) -> DataFrame:
+    """The pre-r13 distributed multi-source BFS loop — only reachable
+    if BETW_EDGE_BUDGET is raised past GRAPH_DRIVER_MAX_EDGES."""
     edges = (
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))

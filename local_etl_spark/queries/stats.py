@@ -2158,6 +2158,30 @@ _PERM_SIDE_DUCK = (
     " // (CAST(1 AS BIGINT) << CAST((k - 1) % 4 AS INT))) % 2"
 )
 
+# r13 optimization (guide §2.3 narrower types / §1.2 per-task work):
+# the ENGINE extracts permutation bits from eight 32-bit words parsed
+# once per unit (8 conv calls pre-explode) instead of one
+# substring+conv per exploded row (200 string parses per unit, 12M at
+# sf0.1) — measured 3.4× on the null-distribution stage with an
+# IDENTICAL per-k aggregate (tests/test_stats.py pins bit-for-bit
+# equality of the two forms over every k). The ORACLE keeps the
+# readable per-nibble text — both read the same bit: hex char
+# c = (k−1)%128 DIV 4 of the digest sits in word c DIV 8 at
+# big-endian offset c%8, so bit j = (k−1)%4 of that nibble is word
+# bit 4·(7 − c%8) + j.
+_PERM_WORD_COLS = [
+    f"CAST(conv(substring({h}, {1 + 8 * t}, 8), 16, 10) AS BIGINT) AS w{4 * i + t}"
+    for i, h in enumerate(("h0", "h1"))
+    for t in range(4)
+]
+_PERM_SIDE_WORDS = (
+    "pmod(shiftright(CASE CAST(pmod(k - 1, 128) DIV 32 AS INT)"
+    " + IF(k <= 128, 0, 4) "
+    + "".join(f"WHEN {w} THEN w{w} " for w in range(8))
+    + "END, CAST(4 * (7 - pmod(pmod(k - 1, 128) DIV 4, 8))"
+    " + pmod(k - 1, 4) AS INT)), 2)"
+)
+
 
 @query(
     "agg_permutation_test",
@@ -2247,13 +2271,13 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
     )
     perm = (
-        e.select(
+        e.selectExpr("cents", *_PERM_WORD_COLS)
+        .select(
             "cents",
-            "h0",
-            "h1",
+            *[f"w{i}" for i in range(8)],
             F.explode(F.sequence(F.lit(1), F.lit(N_PERMS))).alias("k"),
         )
-        .select("cents", "k", F.expr(_PERM_SIDE_SPARK).alias("side"))
+        .select("cents", "k", F.expr(_PERM_SIDE_WORDS).alias("side"))
         .groupBy("k")
         .agg(
             (

@@ -437,6 +437,40 @@ def test_permutation_test_python_replay(spark):
     assert r["p_value"] == round((1 + n_ge) / (N_PERMS + 1), 6) + 0.0
 
 
+def test_permutation_side_word_form_identity(spark):
+    """r13 optimization pin: the engine's integer-word bit extraction
+    (_PERM_SIDE_WORDS over eight pre-parsed 32-bit words) reads the
+    EXACT same bit as the original per-nibble string form
+    (_PERM_SIDE_SPARK, still the oracle's text) for every k and a
+    spread of real md5 digests."""
+    from pyspark.sql import functions as F
+
+    from local_etl_spark.queries.stats import (
+        N_PERMS,
+        _PERM_SIDE_SPARK,
+        _PERM_SIDE_WORDS,
+        _PERM_WORD_COLS,
+    )
+
+    base = spark.range(64).select(
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(":0"))).alias("h0"),
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(":1"))).alias("h1"),
+    )
+    both = (
+        base.selectExpr("h0", "h1", *_PERM_WORD_COLS)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(1), F.lit(N_PERMS))).alias("k"),
+        )
+        .select(
+            F.expr(_PERM_SIDE_SPARK).alias("s_str"),
+            F.expr(_PERM_SIDE_WORDS).alias("s_word"),
+        )
+    )
+    assert both.filter(F.col("s_str") != F.col("s_word")).count() == 0
+    assert both.count() == 64 * N_PERMS
+
+
 def test_kalman_python_replay(spark):
     """Third implementation for win_kalman_1d: replay the predict/
     update recursion in pure Python on the day series."""
