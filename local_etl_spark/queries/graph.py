@@ -196,32 +196,49 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer iteration in pure Python (which also pins that the
     L1 early-exit cannot fire within the unrolled budget).
     """
-    edges = trade_edges(spark, sf_dir)
-    # normalize outgoing weights once: P(u→v) = w/outw(u)
-    outw = edges.groupBy("a").agg(F.sum("w").alias("outw"))
-    # NOT pre-repartitioned on purpose (A/B-measured round 4): pinning
-    # hashpartitioning(a) into the cache does let every iteration's
-    # join skip the edge-side exchange, but it also locks the plan to
-    # the static partition count — AQE can no longer coalesce the tiny
-    # per-iteration stages, and at local scale the extra task overhead
-    # LOSES (15.6 s → 19.0 s at sf0.1). On a 1000-executor cluster with
-    # edge lists that dwarf the rank vector the trade reverses; the
-    # module docstring documents that as the cluster-scale variant.
-    norm = (
-        edges.join(outw, "a")
-        .select("a", "b", (F.col("w") / F.col("outw")).alias("p"))
+    # r13: the directed (supplier, customer, cents) pair is PERSISTED
+    # before the symmetric union / out-weight normalization reference
+    # it — the union and the outw aggregate each embed the pair
+    # subtree, so without the cache the lineitem⋈orders join executed
+    # FOUR times inside one cache fill (measured 3.0 s → 1.6 s at
+    # sf0.1). Node keys are INTEGER ids from the start (supplier k →
+    # 2k, customer k → 2k+1 — a bijection; w/p values are unchanged,
+    # so every downstream sum is identical); the 's<k>'/'c<k>' strings
+    # are reconstructed only at the output edge.
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ipair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("w")
+        )
+        .select(
+            (F.col("l_suppkey") * 2).cast("int").alias("a"),
+            (F.col("o_custkey") * 2 + 1).cast("int").alias("b"),
+            "w",
+        )
         .persist()
     )
+    n_edges = 2 * ipair.count()
+    iedges = ipair.unionAll(
+        ipair.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    # normalize outgoing weights once: P(u→v) = w/outw(u)
+    ioutw = iedges.groupBy("a").agg(F.sum("w").alias("outw"))
+    inorm0 = iedges.join(ioutw, "a").select(
+        "a", "b", (F.col("w") / F.col("outw")).alias("p")
+    )
     # SIZE-AWARE edge-cache packing (round 6, A/B-measured): 12
-    # iterations × 3 stages × 32 tasks over a ~240k-row cache is task-
-    # overhead-dominated at local scale — re-caching the edge list at
-    # ~32k rows/partition took the sf0.1 loop 9.3 → 5.8 s (coalesce 8;
-    # 4 and 2 measured worse — the aggregate still wants parallelism).
-    # The clamp at defaultParallelism makes this a no-op in the big-
-    # edge regime: at 100 TB the formula exceeds the core count and
-    # the scan partitioning stands. Cache-to-cache repersist so the
-    # corpus is still scanned exactly once.
-    n_edges = norm.count()
+    # iterations × tiny stages × 32 tasks over a ~240k-row cache is
+    # task-overhead-dominated at local scale. The clamp at
+    # defaultParallelism makes this a no-op in the big-edge regime: at
+    # 100 TB the formula exceeds the core count and the scan
+    # partitioning stands.
     k_parts = max(
         1,
         min(
@@ -229,17 +246,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_edges // PR_EDGE_ROWS_PER_PART + 1,
         ),
     )
-    if k_parts < norm.rdd.getNumPartitions():
-        packed = norm.coalesce(k_parts).persist()
-        packed.count()
-        norm.unpersist()
-        norm = packed
-    nodes = norm.select(F.col("a").alias("node")).distinct().persist()
-    n_nodes = nodes.count()  # model-sized scalar (drives the teleport term)
-    ranks = nodes.select(
-        "node",
-        F.expr(f"CAST(round(1e15 / {n_nodes}) AS BIGINT)").alias("rank"),
-    ).localCheckpoint()
+    node_rel = (
+        ipair.select("a")
+        .unionAll(ipair.select(F.col("b").alias("a")))
+        .distinct()
+    )
+    n_nodes = node_rel.count()  # model-sized (drives the teleport term)
     # rank-vector join strategy is SIZE-GATED (the llm_tfidf pattern):
     # below the threshold the per-iteration rank vector broadcasts
     # (~16 B/node), so the EDGE LIST — the big side — never shuffles
@@ -258,19 +270,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and Python only holds the integer dict, fills absent nodes
         # with the teleport constant (≡ coalesce(mass, 0)) and sums
         # the exact-integer L1 delta for the early-exit safety net.
-        node_list = [r.node for r in nodes.collect()]
+        #
+        # Per-round plan shape (measured, guide §2.3/§2.4): integer
+        # node keys, and the edge cache is HASH-PARTITIONED BY b so
+        # the per-round aggregate reuses the cache partitioning and
+        # plans NO Exchange — each round is one single-stage job
+        # (+ the model-sized broadcast build) with Arrow transfers
+        # both ways. Round cost 0.77 → 0.36 s at sf0.1 from the
+        # exchange elision + int keys.
+        import pandas as pd
+
+        inorm = inorm0.repartition(k_parts, "b").persist()
+        inorm.count()
+        ids = sorted(r.a for r in node_rel.collect())
+        ipair.unpersist()
         consts = spark.sql(
             f"SELECT CAST(round(1e15 / {n_nodes}) AS BIGINT) AS r0,"
             f" CAST(round(0.15e15 / {n_nodes}) AS BIGINT) AS tp"
         ).first()
         r0, teleport = consts.r0, consts.tp
-        state = dict.fromkeys(node_list, r0)
+        state = dict.fromkeys(ids, r0)
         for _ in range(N_ITER):
             rdf = spark.createDataFrame(
-                list(state.items()), "node string, rank bigint"
+                pd.DataFrame(
+                    {"node": list(state.keys()),
+                     "rank": list(state.values())}
+                )
             )
-            damped = (
-                norm.join(F.broadcast(rdf), norm.a == rdf.node)
+            res = (
+                inorm.join(F.broadcast(rdf), inorm.a == rdf.node)
                 .groupBy(F.col("b").alias("node"))
                 .agg(
                     F.sum(
@@ -285,28 +313,53 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "CAST(round(0.85 * CAST(mass AS DOUBLE)) AS BIGINT)"
                     ).alias("dmass"),
                 )
-                .collect()
+                .toPandas()
             )
-            new_state = dict.fromkeys(node_list, teleport)
-            for row in damped:
-                if row.node in new_state:
-                    new_state[row.node] = teleport + row.dmass
-            l1 = sum(
-                abs(new_state[nd] - state[nd]) for nd in node_list
-            )
+            new_state = dict.fromkeys(ids, teleport)
+            for nid, dmass in zip(res["node"], res["dmass"]):
+                nid = int(nid)
+                if nid in new_state:
+                    new_state[nid] = teleport + int(dmass)
+            l1 = sum(abs(new_state[i] - state[i]) for i in ids)
             state = new_state
             if l1 < PR_TOL_L1 * PR_SCALE:
                 break
-        norm.unpersist()
-        nodes.unpersist()
+        inorm.unpersist()
         out = spark.createDataFrame(
-            list(state.items()), "node string, rank bigint"
+            pd.DataFrame(
+                {
+                    "node": [
+                        ("c" if i % 2 else "s") + str(i // 2) for i in ids
+                    ],
+                    "rank": [state[i] for i in ids],
+                }
+            )
         )
         return out.select(
             "node",
             (F.col("rank").cast("double") / F.lit(1e15)).alias("rank"),
             F.substring("node", 1, 1).alias("kind"),
         )
+    # distributed branches (> PR_DRIVER_MAX_NODES): derive the string
+    # relations from the int-keyed pair cache (one pass, identical
+    # values) and run the pre-r13 loop unchanged
+    _name = "concat(IF(pmod({c}, 2) = 0, 's', 'c'), CAST({c} DIV 2 AS STRING))"
+    norm = (
+        inorm0.selectExpr(
+            _name.format(c="a") + " AS a",
+            _name.format(c="b") + " AS b",
+            "p",
+        )
+        .coalesce(k_parts)
+        .persist()
+    )
+    norm.count()
+    ipair.unpersist()
+    nodes = norm.select(F.col("a").alias("node")).distinct().persist()
+    ranks = nodes.select(
+        "node",
+        F.expr(f"CAST(round(1e15 / {n_nodes}) AS BIGINT)").alias("rank"),
+    ).localCheckpoint()
     for _ in range(N_ITER):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
@@ -974,11 +1027,15 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the exact schedule in pure Python and asserts
     label-for-label equality.
     """
+    # r13: persist the directed int-keyed pair BEFORE the symmetric
+    # union references it twice (the graph_pagerank double-execution
+    # fix); supplier k → 2k, customer k → 2k+1, strings reconstructed
+    # at the output edge only.
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice"
     )
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pair = (
+    ipair = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_suppkey", "o_custkey")
         .agg(
@@ -987,21 +1044,16 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w")
         )
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("b"),
+            (F.col("l_suppkey") * 2).cast("int").alias("a"),
+            (F.col("o_custkey") * 2 + 1).cast("int").alias("b"),
             "w",
-        )
-    )
-    edges = (
-        pair.unionAll(
-            pair.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
         )
         .persist()
     )
     # same size-aware edge-cache packing as graph_pagerank (§14.5):
     # 6 rounds × tiny stages × 32 tasks is scheduler-bound locally;
     # the clamp no-ops once edges outgrow the cores
-    n_edges = edges.count()
+    n_edges = 2 * ipair.count()
     k_parts = max(
         1,
         min(
@@ -1009,13 +1061,12 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_edges // PR_EDGE_ROWS_PER_PART + 1,
         ),
     )
-    if k_parts < edges.rdd.getNumPartitions():
-        packed = edges.coalesce(k_parts).persist()
-        packed.count()
-        edges.unpersist()
-        edges = packed
-    node_rel = edges.select(F.col("a").alias("node")).distinct()
-    n_nodes = node_rel.count()
+    inode_rel = (
+        ipair.select("a")
+        .unionAll(ipair.select(F.col("b").alias("a")))
+        .distinct()
+    )
+    n_nodes = inode_rel.count()
     if n_nodes <= PR_DRIVER_MAX_NODES:
         # r13: driver-held label vector (the graph_pagerank
         # PR_DRIVER_MAX_NODES rationale — below the broadcast gate the
@@ -1024,15 +1075,43 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cent sums, min(struct(-wt, label)) — runs entirely in the one
         # per-round Spark aggregate; Python only applies the adopted
         # labels to the dict (exact string assignment, no arithmetic).
-        node_list = [r.node for r in node_rel.collect()]
+        # Join/group keys are INTEGER node ids and the edge cache is
+        # hash-partitioned by a, so BOTH aggregate levels reuse the
+        # cache partitioning (hashpartitioning(a) clusters (a, nl)
+        # too) and each round plans NO Exchange. Labels stay STRINGS —
+        # the min(struct(-wt, nl)) tie-break is lexicographic on the
+        # label and must not change order.
+        import pandas as pd
+
+        iedges = (
+            ipair.unionAll(
+                ipair.select(
+                    F.col("b").alias("a"), F.col("a").alias("b"), "w"
+                )
+            )
+            .repartition(k_parts, "a")
+            .persist()
+        )
+        iedges.count()
+        ids = sorted(r.a for r in inode_rel.collect())
+        ipair.unpersist()
+        node_list = [
+            ("c" if i % 2 else "s") + str(i // 2) for i in ids
+        ]
+        id_of = dict(zip(node_list, ids))
         state = {nd: nd for nd in node_list}
         for r in range(LPA_ROUNDS):
-            side = "s" if r % 2 == 0 else "c"
+            side_mod = 0 if r % 2 == 0 else 1  # 's' even, 'c' odd
             ldf = spark.createDataFrame(
-                list(state.items()), "b string, nl string"
+                pd.DataFrame(
+                    {
+                        "b": [id_of[nd] for nd in node_list],
+                        "nl": [state[nd] for nd in node_list],
+                    }
+                )
             )
             adopted = (
-                edges.filter(F.substring("a", 1, 1) == side)
+                iedges.filter(F.col("a") % 2 == side_mod)
                 .join(F.broadcast(ldf), "b")
                 .groupBy("a", "nl")
                 .agg(F.sum("w").cast("bigint").alias("wt"))
@@ -1044,22 +1123,50 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .getField("nl")
                     .alias("new_label")
                 )
-                .collect()
+                .toPandas()
             )
-            for row in adopted:
-                if row.a in state:
-                    state[row.a] = row.new_label
-        edges.unpersist()
+            for aid, nl in zip(adopted["a"], adopted["new_label"]):
+                nd = (
+                    ("c" if aid % 2 else "s") + str(int(aid) // 2)
+                )
+                if nd in state:
+                    state[nd] = nl
+        iedges.unpersist()
         out = spark.createDataFrame(
-            list(state.items()), "node string, label string"
+            pd.DataFrame(
+                {
+                    "node": node_list,
+                    "label": [state[nd] for nd in node_list],
+                }
+            )
         )
         return out.select(
             "node",
             F.col("label").alias("community"),
             F.substring("node", 1, 1).alias("kind"),
         )
+    # distributed branch (> PR_DRIVER_MAX_NODES): derive the string
+    # relations from the int-keyed pair cache (one pass, identical
+    # values) and run the pre-r13 loop unchanged
+    _name = "concat(IF(pmod({c}, 2) = 0, 's', 'c'), CAST({c} DIV 2 AS STRING))"
+    edges = (
+        ipair.unionAll(
+            ipair.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .selectExpr(
+            _name.format(c="a") + " AS a",
+            _name.format(c="b") + " AS b",
+            "w",
+        )
+        .coalesce(k_parts)
+        .persist()
+    )
+    edges.count()
+    ipair.unpersist()
     labels = (
-        node_rel.select("node", F.col("node").alias("label"))
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
     # label vector broadcast below the pagerank gate: the EDGE list —
