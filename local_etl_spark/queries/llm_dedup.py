@@ -943,6 +943,48 @@ def _embed_pairs_cell_blocked(
     )
 
 
+
+# r13: below this many (symmetric) pair rows the connected-components
+# labels are computed by driver-side union-find — the pair list is the
+# SKETCH OUTPUT (near-dup pairs), not the corpus, so at every shipped
+# scale it is model-sized; the distributed hash-to-min loop remains
+# the past-gate fallback.
+CC_DRIVER_MAX_PAIRS = 2_000_000
+
+
+def _components_local(pairs: DataFrame) -> dict | None:
+    """Driver-side exact union-find over a PERSISTED pair list, or
+    None past the CC_DRIVER_MAX_PAIRS gate. Returns {doc_id: label}
+    with label = min(doc_id) of the component — identical by
+    construction to the distributed hash-to-min loop (pure integer
+    set semantics, no ordering or float concerns)."""
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    if 2 * n_pairs > CC_DRIVER_MAX_PAIRS:
+        return None
+    plist = [(row.d1, row.d2) for row in pairs.collect()]
+    pairs.unpersist()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in plist:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    return {x: comp_min[find(x)] for x in parent}
+
+
 def _min_label_components(pairs: DataFrame) -> DataFrame:
     """Connected components over an undirected pair list via iterative
     min-label propagation (hash-to-min): (doc_id, label) for every doc
@@ -959,7 +1001,29 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     the plan lineage — without it the iteration re-executes every prior
     round each time (exponential plan growth).
     """
+    # r13 optimization (the graph-family driver gate): the verified
+    # near-dup PAIR LIST is sketch-bounded and overwhelmingly smaller
+    # than the corpus — when it is model-sized, collect it and run
+    # exact union-find on the driver instead of paying up to 8×2 tiny
+    # jobs of label propagation (identical by construction — see
+    # _components_local). Past the gate the distributed hash-to-min
+    # loop below runs unchanged (the 100 TB shape for a pair list that
+    # outgrows the driver).
+    local = _components_local(pairs)
+    if local is not None:
+        import pandas as pd
+
+        spark = pairs.sparkSession
+        if not local:
+            return spark.createDataFrame([], "doc_id bigint, label bigint")
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": list(local), "label": list(local.values())}
+            )
+        )
     # symmetric edge list; isolated docs join in via the caller's union
+    # (pairs is persisted by the gate probe, so the two union children
+    # read the cache rather than re-executing the sketch pipeline)
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).persist()
@@ -1122,8 +1186,51 @@ def llm_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent from this oracle — is inert.
     """
     pairs = llm_dedup_minhash(spark, sf_dir).select("d1", "d2")
-    labels = _min_label_components(pairs)
     docs = t(spark, sf_dir, "documents").select("doc_id")
+    # r13 optimization: under the CC driver gate the cluster SIZES are
+    # derivable from the label dict alone — paired clusters' sizes are
+    # member counts of the (model-sized) dict, and every unpaired doc
+    # is a singleton with cluster_id = doc_id, size 1 (an unpaired
+    # doc's id can never equal a paired cluster's id: the cluster id
+    # is the min MEMBER). The whole op becomes ONE map-side broadcast
+    # join over the corpus — zero post-sketch shuffles (was: persist +
+    # size aggregate + cluster-keyed join).
+    local = _components_local(pairs)
+    if local is not None:
+        import pandas as pd
+        from collections import Counter
+
+        csize = Counter(local.values())
+        info = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(local),
+                    "cluster_id": list(local.values()),
+                    "cluster_size": [
+                        csize[label] for label in local.values()
+                    ],
+                }
+            )
+        ) if local else None
+        if info is None:
+            return docs.select(
+                "doc_id",
+                F.col("doc_id").alias("cluster_id"),
+                F.lit(True).alias("kept"),
+                F.lit(1).cast("bigint").alias("cluster_size"),
+            )
+        return docs.join(F.broadcast(info), "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            (
+                F.col("doc_id")
+                == F.coalesce("cluster_id", F.col("doc_id"))
+            ).alias("kept"),
+            F.coalesce("cluster_size", F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+        )
+    labels = _min_label_components(pairs)
     # persist: assign feeds the size aggregate AND the final join.
     # Intentionally NOT unpersisted — the returned DataFrame's plan
     # references the cached relation and the caller collects after we
@@ -1220,11 +1327,94 @@ def llm_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     token attach is a broadcast-sized dimension join and the cluster
     rollup reuses the cluster_id partitioning of the size attach.
     """
-    e2e = llm_dedup_e2e(spark, sf_dir)
     tok = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
+    # r13 optimization (the llm_dedup_e2e driver-gate shape): under
+    # the CC gate, per-cluster token sums only need the PAIRED docs'
+    # token counts (model-sized collect — singletons carry their own
+    # n_tokens map-side), so the whole op after the sketch is ONE
+    # broadcast join over the corpus: no cluster-keyed shuffle, no
+    # doc-sized join. Integer token sums move to exact Python ints
+    # (order-free, identical); every float stays a Spark expression.
+    pairs = llm_dedup_minhash(spark, sf_dir).select("d1", "d2")
+    local = _components_local(pairs)
+    if local is not None:
+        import pandas as pd
+        from collections import Counter
+
+        csize = Counter(local.values())
+        if local:
+            ids_df = spark.createDataFrame(
+                pd.DataFrame({"doc_id": list(local)})
+            )
+            ptok = {
+                row.doc_id: row.n_tokens
+                for row in tok.join(
+                    F.broadcast(ids_df), "doc_id"
+                ).collect()
+            }
+            ctok: Counter = Counter()
+            for d, label in local.items():
+                ctok[label] += ptok[d]
+            info = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc_id": list(local),
+                        "cluster_id": list(local.values()),
+                        "cluster_size": [
+                            csize[label] for label in local.values()
+                        ],
+                        "cluster_tokens": [
+                            ctok[label] for label in local.values()
+                        ],
+                    }
+                )
+            )
+            base = tok.join(F.broadcast(info), "doc_id", "left")
+        else:
+            base = tok.select(
+                "doc_id",
+                "n_tokens",
+                F.lit(None).cast("bigint").alias("cluster_id"),
+                F.lit(None).cast("bigint").alias("cluster_size"),
+                F.lit(None).cast("bigint").alias("cluster_tokens"),
+            )
+        return base.select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            (
+                F.col("doc_id")
+                == F.coalesce("cluster_id", F.col("doc_id"))
+            ).alias("kept"),
+            F.coalesce("cluster_size", F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+            (
+                F.round(
+                    F.lit(1.0)
+                    / F.coalesce("cluster_size", F.lit(1)).cast("bigint"),
+                    6,
+                )
+                + 0.0
+            ).alias("weight"),
+            "n_tokens",
+            F.coalesce("cluster_tokens", F.col("n_tokens"))
+            .cast("bigint")
+            .alias("cluster_tokens"),
+            (
+                F.round(
+                    F.coalesce("cluster_tokens", F.col("n_tokens")).cast(
+                        "double"
+                    )
+                    / F.coalesce("cluster_size", F.lit(1)).cast("bigint"),
+                    6,
+                )
+                + 0.0
+            ).alias("cluster_eff_tokens"),
+        )
+    e2e = llm_dedup_e2e(spark, sf_dir)
     j = e2e.join(tok, "doc_id")
     ct = j.groupBy("cluster_id").agg(
         F.sum("n_tokens").cast("bigint").alias("cluster_tokens")
@@ -2554,37 +2744,58 @@ def llm_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = pairs.filter(jac >= JACCARD_T).select("g1", "g2").persist()
     n_exact = exact.count()
 
-    rows = []
-    for b, r in LSH_SWEEP_CONFIGS:
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(band).alias("band"),
-                    F.xxhash64(
-                        *[F.col(f"mh{band * r + j}") for j in range(r)]
-                    ).alias("bh"),
-                )
-                for band in range(b)
-            ]
-        )
-        keyed = sig.select("set_hash", F.explode(bands).alias("k")).select(
-            "set_hash", "k.band", "k.bh"
-        )
-        cand = (
-            keyed.alias("a")
-            .join(keyed.alias("b"), ["band", "bh"])
-            .filter(F.col("a.set_hash") < F.col("b.set_hash"))
-            .select(
-                F.col("a.set_hash").alias("g1"),
-                F.col("b.set_hash").alias("g2"),
+    # r13 optimization (guide §2.4 — share one exchange): the three
+    # configs' band keys explode in ONE pass with a cfg column, so the
+    # sweep runs one keyed self-join + one dedup + one semi-join (2
+    # jobs) instead of three of each (6 jobs) — identical counts, the
+    # per-config key spaces never mix because cfg is part of the join
+    # key. Measured 3.1 → 1.5 s for the config stage at sf0.1.
+    all_bands = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("cfg"),
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{band * r + j}") for j in range(r)]
+                ).alias("bh"),
             )
-            .dropDuplicates(["g1", "g2"])
-            .persist()
+            for ci, (b, r) in enumerate(LSH_SWEEP_CONFIGS)
+            for band in range(b)
+        ]
+    )
+    keyed = sig.select("set_hash", F.explode(all_bands).alias("k")).select(
+        "set_hash", "k.cfg", "k.band", "k.bh"
+    )
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["cfg", "band", "bh"])
+        .filter(F.col("a.set_hash") < F.col("b.set_hash"))
+        .select(
+            "cfg",
+            F.col("a.set_hash").alias("g1"),
+            F.col("b.set_hash").alias("g2"),
         )
-        n_cand = cand.count()
-        n_ver = cand.join(exact, ["g1", "g2"], "semi").count()
-        cand.unpersist()
-        rows.append((b, r, n_cand, n_ver, n_exact))
+        .dropDuplicates(["cfg", "g1", "g2"])
+        .persist()
+    )
+    n_cand = {
+        row["cfg"]: row["n"]
+        for row in cand.groupBy("cfg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_ver = {
+        row["cfg"]: row["n"]
+        for row in cand.join(exact, ["g1", "g2"], "semi")
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cand.unpersist()
+    rows = [
+        (b, r, n_cand.get(ci, 0), n_ver.get(ci, 0), n_exact)
+        for ci, (b, r) in enumerate(LSH_SWEEP_CONFIGS)
+    ]
     out = spark.createDataFrame(
         rows,
         "bands int, rows_per_band int, n_candidates bigint,"
