@@ -2366,37 +2366,150 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback is exercised in pytest with the gate forced to 0).
     Deterministic: integers and strings end to end, no floats
     anywhere."""
-    edges = (
-        trade_edges(spark, sf_dir)
-        .filter(F.col("a") < F.col("b"))
-        .select(F.col("a").alias("u"), F.col("b").alias("v"), "w")
-        .localCheckpoint()
+    # r13 optimization (the graph_pagerank shape): one persisted
+    # int-keyed pair cache (customer k → 2k+1, supplier k → 2k) —
+    # join/group keys are ints, while the argmin STRUCT keeps the
+    # 'c…'/'s…' strings so the (w, u, v) total order (and thus the
+    # unique MSF) is bit-identical to the oracle's.
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
     )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ipair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("w")
+        )
+        .select(
+            (F.col("o_custkey") * 2 + 1).cast("int").alias("ui"),
+            (F.col("l_suppkey") * 2).cast("int").alias("vi"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("v"),
+            "w",
+        )
+        .persist()
+    )
+    ipair.count()
+    inode_rel = (
+        ipair.select(F.col("ui").alias("i"))
+        .unionAll(ipair.select(F.col("vi").alias("i")))
+        .distinct()
+    )
+    n_nodes = inode_rel.count()
+    fast = n_nodes <= MST_UF_MAX_EDGES
+    if fast:
+        # Driver-held component map (node-sized, the pagerank
+        # PR_DRIVER_MAX_NODES rationale): per round ONE broadcast-join
+        # + argmin job over the cached pair relation — the component
+        # labels are partition-invariant, so int union-find roots
+        # serve as labels mid-round; min-STRING labels are computed
+        # once at the end exactly like before.
+        import pandas as pd
+
+        ids = [r.i for r in inode_rel.collect()]
+
+        def _nm(i: int) -> str:
+            return ("c" if i % 2 else "s") + str(i // 2)
+
+        iparent: dict[int, int] = {i: i for i in ids}
+
+        def ifind(x: int) -> int:
+            while iparent[x] != x:
+                iparent[x] = iparent[iparent[x]]
+                x = iparent[x]
+            return x
+
+        sel_fast: list[tuple] = []
+        comp_of = {i: i for i in ids}
+        for _ in range(MST_ROUNDS):
+            cdf = spark.createDataFrame(
+                pd.DataFrame(
+                    {"n": ids, "c": [comp_of[i] for i in ids]}
+                )
+            )
+            cu = F.broadcast(
+                cdf.select(F.col("n").alias("ui"), F.col("c").alias("cu"))
+            )
+            cv = F.broadcast(
+                cdf.select(F.col("n").alias("vi"), F.col("c").alias("cv"))
+            )
+            # non-cross edges drop in-flight (components only merge);
+            # both component sides argmin in ONE pass. Per-component
+            # winners come back via Arrow; the same-edge-picked-twice
+            # dedup happens in the driver set instead of a second
+            # shuffle (row order is irrelevant: the union-find
+            # PARTITION and the output multiset are order-invariant).
+            res = (
+                ipair.join(cu, "ui")
+                .join(cv, "vi")
+                .filter(F.col("cu") != F.col("cv"))
+                .select(
+                    F.explode(F.array("cu", "cv")).alias("c"),
+                    "u",
+                    "v",
+                    "w",
+                )
+                .groupBy("c")
+                .agg(F.min(F.struct("w", "u", "v")).alias("k"))
+                .select("k.u", "k.v", "k.w")
+                .toPandas()
+            )
+            new = {
+                (u, v, int(w))
+                for u, v, w in zip(res["u"], res["v"], res["w"])
+            }
+            if not new:
+                break
+            sel_fast.extend(new)
+            for ru, rv, _w in new:
+                a, b = int(ru[1:]) * 2 + 1, int(rv[1:]) * 2
+                ra, rb = ifind(a), ifind(b)
+                if ra != rb:
+                    iparent[ra] = rb
+            comp_of = {i: ifind(i) for i in ids}
+        ipair.unpersist()
+        if not sel_fast:
+            return spark.createDataFrame(
+                [], "u string, v string, w bigint, component string"
+            )
+        groups_f: dict[int, list[str]] = {}
+        for i in ids:
+            groups_f.setdefault(ifind(i), []).append(_nm(i))
+        lab_f: dict[str, str] = {}
+        for g in groups_f.values():
+            m = min(g)
+            for nm in g:
+                lab_f[nm] = m
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "u": [u for u, _, _ in sel_fast],
+                    "v": [v for _, v, _ in sel_fast],
+                    "w": [w for _, _, w in sel_fast],
+                    "component": [lab_f[u] for u, _, _ in sel_fast],
+                }
+            )
+        ).select(
+            "u", "v", F.col("w").cast("bigint").alias("w"), "component"
+        )
+    # distributed path (> MST_UF_MAX_EDGES): string relations derived
+    # from the pair cache, pre-r13 loop unchanged
+    edges = ipair.select("u", "v", "w").localCheckpoint()
     nodes = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select("v"))
         .distinct()
         .localCheckpoint()
     )
-    n_nodes = nodes.count()
-    fast = n_nodes <= MST_UF_MAX_EDGES
+    ipair.unpersist()
     comp = nodes.select("node", F.col("node").alias("lab")).localCheckpoint()
     bcast = n_nodes <= PR_BROADCAST_MAX_NODES  # node-sized map: the
     # pagerank broadcast gate — below it the edge relation never
     # shuffles for the component join
     sel: DataFrame | None = None  # distributed-path accumulator
-    sel_rows: list[tuple] = []  # fast-path accumulator (driver)
-    parent: dict[str, str] = {}  # fast-path union-find
-
-    def find(x: str) -> str:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    if fast:
-        for r in nodes.collect():
-            parent[r["node"]] = r["node"]
     for _ in range(MST_ROUNDS):
         cu = comp.withColumnRenamed("node", "u").withColumnRenamed(
             "lab", "cu"
@@ -2428,57 +2541,13 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("k.u", "k.v", "k.w")
             .distinct()
         )
-        if fast:
-            # incremental driver union-find (node-sized, gated like
-            # pagerank's rank broadcast): only this round's min edges
-            # cross the driver; labels rebuild once per round
-            new = mins.collect()
-            if not new:
-                break
-            sel_rows.extend((r["u"], r["v"], r["w"]) for r in new)
-            for ru, rv, _w in sel_rows[-len(new):]:
-                a, b = find(ru), find(rv)
-                if a != b:
-                    parent[a] = b
-            groups: dict[str, list[str]] = {}
-            for n in parent:
-                groups.setdefault(find(n), []).append(n)
-            # min(g) ONCE per group — inside the comprehension it
-            # re-evaluates per NODE (O(sum |g|^2): measured 7 s on one
-            # 16k-node component)
-            lab = {}
-            for g in groups.values():
-                m = min(g)
-                for n in g:
-                    lab[n] = m
-            comp = spark.createDataFrame(
-                list(lab.items()), "node string, lab string"
-            ).localCheckpoint()
-        else:
-            mins = mins.localCheckpoint()
-            if mins.isEmpty():
-                break
-            sel = (
-                mins if sel is None else sel.unionAll(mins).distinct()
-            ).localCheckpoint()
-            comp = _forest_components(spark, nodes, sel, comp)
-    if fast:
-        if not sel_rows:
-            return spark.createDataFrame(
-                [], "u string, v string, w bigint, component string"
-            )
-        groups2: dict[str, list[str]] = {}
-        for n in parent:
-            groups2.setdefault(find(n), []).append(n)
-        final_lab = {}
-        for g in groups2.values():
-            m = min(g)
-            for n in g:
-                final_lab[n] = m
-        return spark.createDataFrame(
-            [(u, v, w, final_lab[u]) for u, v, w in sel_rows],
-            "u string, v string, w bigint, component string",
-        )
+        mins = mins.localCheckpoint()
+        if mins.isEmpty():
+            break
+        sel = (
+            mins if sel is None else sel.unionAll(mins).distinct()
+        ).localCheckpoint()
+        comp = _forest_components(spark, nodes, sel, comp)
     if sel is None:
         return spark.createDataFrame(
             [], "u string, v string, w bigint, component string"
