@@ -652,6 +652,12 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pair.w1").alias("w1"),
             F.col("pair.w2").alias("w2"),
         )
+        # r13: the exploded bigram stream itself is read THREE times
+        # (unigram counts, bigram counts, the scoring join) — persist
+        # it so the explode runs once, not per consumer (guide §5;
+        # the ws persist above still guards the O(L²) generator-input
+        # re-evaluation inside the single fill pass)
+        .persist()
     )
     uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))

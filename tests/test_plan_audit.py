@@ -158,6 +158,17 @@ ALLOW_PYTHON = {
     # only (few large groups — the regime where per-group pandas
     # overhead amortizes)
     "llm_pack_bfd",
+    # r13 conversion: the logistic trainer's sigmoid is DELIBERATELY
+    # staged through Arrow — CPython math.exp ≡ DuckDB exp (libm)
+    # where JVM Math.exp is 1-ulp off (SCALE.md §20.1) — so the
+    # cross-engine oracle exists at all; one pandas pass per GD
+    # iteration over the feature relation, everything else JVM
+    "llm_quality_classifier",
+    # tri-channel census rides the media codec kernels (image aHash /
+    # audio energy dHash — the same Arrow-batched media contract as
+    # llm_image_phash / llm_audio_fingerprint); text simhash, banding
+    # and the census joins stay JVM-side
+    "llm_dedup_cross_modal",
 }
 
 
