@@ -568,6 +568,46 @@ def main() -> None:
     spark.stop()
 
 
+# Deterministic driver-visibility pin (VERDICT r13 #2). The old prune
+# dropped the CHEAPEST entries under the char cap, so ordinary timing
+# noise changed WHICH entries were visible round to round — r13's line
+# pushed llm_dedup_url out and pulled scan_parquet_evolve in, which the
+# driver's drop detector read as a (phantom) removal. Visibility must
+# never churn with noise: this set — EXACTLY the round-13 visible set
+# (which saturated the 1850-char cap; one more 4-char-value entry
+# overflows it, measured, so llm_dedup_url cannot be pinned back in —
+# its number lives at full precision in BENCH_ambient_last.json) — is
+# pruned last, and every prune decision keys on NAMES only, never on
+# measured seconds. Grow it only with matching cap headroom; never
+# shrink it.
+_PINNED_VISIBLE = frozenset({
+    "agg_corr_matrix", "agg_funnel", "agg_global", "agg_groupby",
+    "agg_gst_obrien_fleming", "agg_ks_test", "agg_minmax_by",
+    "agg_msprt", "agg_permutation_test", "agg_rollup", "etl_table_diff",
+    "etl_upsert", "graph_betweenness_sample", "graph_closeness_sample",
+    "graph_label_prop", "graph_pagerank", "graph_triangles",
+    "join_bloom", "join_broadcast", "join_dpp", "join_multiway",
+    "llm_ann_ivf_incremental", "llm_audio_fingerprint", "llm_bm25",
+    "llm_boilerplate_chunks", "llm_bpe_pairs", "llm_bpe_train",
+    "llm_bpe_vocab_sweep", "llm_curate_e2e", "llm_dedup_e2e",
+    "llm_dedup_incremental_near", "llm_dedup_lsh_cosine",
+    "llm_dedup_minhash", "llm_dedup_ngram", "llm_dedup_prefix",
+    "llm_dedup_simhash", "llm_dedup_substring",
+    "llm_dsir_weight", "llm_embedding_drift", "llm_image_phash",
+    "llm_lsh_band_sweep", "llm_mix_weighted", "llm_pack_bfd",
+    "llm_ppl_filter_sweep", "llm_quality_buckets", "llm_retrieval_eval",
+    "llm_rouge_overlap", "llm_semdedup", "llm_simsearch",
+    "llm_simsearch_ivf", "llm_simsearch_pq", "llm_softdedup",
+    "llm_span_corruption", "llm_tfidf", "llm_tokenizer_coverage",
+    "scan_parquet_evolve", "scan_skipping", "sink_compaction",
+    "sql_filter_clause", "sql_q2", "stream_chained_agg",
+    "stream_session", "stream_sliding", "stream_tumbling",
+    "topk_per_group", "win_bollinger", "win_croston", "win_drawdown",
+    "win_interpolate", "win_match_recognize", "win_rsi",
+    "win_seasonality_strength", "win_sessionize", "win_sessionize_split",
+})
+
+
 def contract_line(
     total: float, timings: dict, sf_num: float, cap: int = 1850
 ) -> str:
@@ -578,17 +618,19 @@ def contract_line(
     in SIGNIFICANT digits, not decimals, so a 0.357 s entry keeps its
     ratio-comparable value at the same char cost as a 48.8 s one.
     If even 2 significant digits overflow (80 entries crossed the cap
-    in round 10), drop the CHEAPEST entries — the heavy entries are the
-    ones perf review audits — and record how many were cut
-    (full-precision timings for every entry stay in
-    BENCH_ambient_last.json). The prune has a PROTECTED FLOOR (VERDICT
-    r10 #6): the ETL entries (the only baseline-comparable numbers)
-    and the top-10 heaviest always survive, whatever the registry
-    grows to; the drop count is found by bisection rather than
-    pop-and-reserialize (ADVICE r10). For a pathological cap where
-    even the protected floor overflows, the queries map is dropped
-    entirely — the line NEVER exceeds cap. Pinned by
-    tests/test_bench_contract.py.
+    in round 10), entries are pruned under a DETERMINISTIC priority
+    (VERDICT r13 #2 — the old cheapest-first prune let timing noise
+    change which entries were visible, manufacturing phantom drops):
+    ALL non-pinned entries drop as one block (so the visible set is a
+    function of the NAME set alone, never of measured seconds — a
+    partial drop would leave a value-width-dependent boundary entry
+    that flips with noise); only if the pinned set itself overflows do
+    pinned entries drop, in name order with the ETL entries (the only
+    baseline-comparable numbers) last — the never-over-cap escape
+    hatch. Full-precision timings for every entry, visible or not,
+    stay in BENCH_ambient_last.json. For a pathological cap where even
+    the ETL floor overflows, the queries map is dropped entirely — the
+    line NEVER exceeds cap. Pinned by tests/test_bench_contract.py.
     """
 
     def _dump(queries: dict, omitted: int, sig: int) -> str:
@@ -601,7 +643,7 @@ def contract_line(
             },
         }
         if omitted:
-            payload["omitted_cheapest"] = omitted
+            payload["omitted"] = omitted
         payload["sf"] = sf_num
         return json.dumps(payload, separators=(",", ":"))
 
@@ -610,31 +652,42 @@ def contract_line(
         line = _dump(timings, 0, sig)
         if len(line) <= cap:
             return line
-    heavy = {
-        n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    }
-    protected = heavy | {n for n in timings if n.startswith("etl_")}
-    # unprotected cheapest first; kept entries re-sorted by name below
-    order = sorted(
-        timings.items(), key=lambda kv: (kv[0] in protected, kv[1], kv[0])
-    )
-    droppable = len(order) - len(protected)
+
+    # dropped-first order: names only — timing-independent by design
+    def _prio(name: str) -> tuple:
+        if name.startswith("etl_"):
+            tier = 2
+        elif name in _PINNED_VISIBLE:
+            tier = 1
+        else:
+            tier = 0
+        return (tier, name)
+
+    order = sorted(timings, key=_prio)
+    n_extra = sum(1 for n in order if _prio(n)[0] == 0)
 
     def _pruned(k: int) -> str:
-        return _dump(dict(sorted(order[k:])), k, 2)
+        return _dump(
+            {n: timings[n] for n in sorted(order[k:])}, k, 2
+        )
 
-    if droppable > 0:
-        lo, hi = 1, droppable
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if len(_pruned(mid)) <= cap:
-                hi = mid
-            else:
-                lo = mid + 1
-        line = _pruned(lo)
+    if n_extra and len(_pruned(n_extra)) <= cap:
+        # the stable regime: every non-pinned entry drops, every
+        # pinned entry survives — no value-dependent boundary
+        return _pruned(n_extra)
+    # escape hatch: the pinned set itself overflows — bisect the
+    # smallest name-ordered drop count that fits
+    lo, hi = max(1, n_extra), len(order)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if len(_pruned(mid)) <= cap:
+            hi = mid
+        else:
+            lo = mid + 1
+    line = _pruned(lo)
     if len(line) > cap:
-        # even the protected floor overflows this cap: contract fields
-        # outrank the floor — ship totals only, never an over-cap line
+        # even one entry overflows this cap: contract fields outrank
+        # the floor — ship totals only, never an over-cap line
         line = _dump({}, len(timings), 2)
     return line
 

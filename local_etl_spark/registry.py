@@ -219,6 +219,13 @@ DRIVER_CHECKED: frozenset[str] = frozenset({
     "llm_dedup_lsh_cosine", "llm_embedding_drift", "llm_ivf_partitioned",
     "llm_kmeans_train", "llm_semdedup", "llm_simsearch_ivf",
     "llm_simsearch_pq",
+    # round 13 (CORRECTNESS_r13.json — 49/49 SQL checks green: the 4
+    # r13-new/converted ops on first presentation + 45 rechecks from
+    # the rotated fifth slate; llm_dedup_cross_modal recorded 500
+    # rows). Coverage stays TOTAL — zero external failures in thirteen
+    # rounds.
+    "graph_mst", "llm_quality_classifier", "llm_tokenizer_unigram",
+    "llm_unigram_apply",
 })
 
 # Queries whose LAST driver-recorded status is a failure that has since
@@ -233,10 +240,10 @@ FIXED_THIS_ROUND: tuple[str, ...] = ()
 # centrality ops); this slice carries only rows-only ops ADDED this
 # round, so each gets its first external record immediately.
 ROWS_ONLY_REPRESENT: tuple[str, ...] = (
-    # rows-only ops ADDED this round get their first external record
-    # immediately: r13's tri-channel cross-modal census (rows-only —
-    # media kernels; its text slice is SQL-verified in pytest).
-    "llm_dedup_cross_modal",
+    # empty for round 14: llm_dedup_cross_modal got its first external
+    # record in CORRECTNESS_r13 (500 rows); every rows-only op now has
+    # a driver spark_rows record and no rows-only op was added this
+    # round (optimization rounds add no surface).
 )
 
 # The driver verifies this many registry-prefix entries per round.
@@ -266,38 +273,36 @@ DEFER_FRESH: tuple[str, ...] = ()
 # #2). Listed most-fragile-first; anything beyond this list pads in
 # family round-robin as before.
 RECHECK_PRIORITY: tuple[str, ...] = (
-    # Round-13 rotation (FIFTH slate): four slates have re-greened 162
-    # distinct names with zero overlap and zero failures; 182
-    # SQL-oracled names remain never-rechecked in any prior prefix.
-    # This slate leads with the r12 slate's crowded-out tail (the
-    # grouped-UDF plumbing, bucketed/theta join machinery and stats
-    # aggs that never actually landed in the 38-recheck r12 prefix),
-    # then the heaviest remaining machinery: TPC-H plans, streaming
-    # state, ETL routing/diff state, pruning/lineage scans, packing
-    # and stratified-sampling llm ops — most-fragile-first.
-    # r12 tail that never landed (slate listed them, prefix cut at 38)
-    "udf_grouped", "udf_arrow", "udf_table", "join_bucketed",
-    "join_multiway", "join_theta", "agg_fdr_bh", "agg_risk_ratio",
-    "agg_power_mde", "agg_srm_check", "agg_rfm_segments",
-    "agg_outlier_mad",
-    # TPC-H / SQL-surface plans never rechecked
-    "sql_q1", "sql_q3", "sql_q6", "sql_q13", "sql_q14", "sql_q15",
-    "sql_q16", "sql_q19", "sql_q2a", "sql_q11a", "sql_q12a",
-    "sql_lateral", "sql_scripting",
-    # streaming state machines never rechecked
-    "stream_session", "stream_sliding", "stream_tumbling",
-    "stream_dedup", "stream_join", "stream_outer_join",
-    "stream_semi_join", "stream_static_join",
-    # ETL routing / diff / schema-evolution state
-    "etl_validate_route", "etl_split_fk", "etl_union_evolve",
-    "etl_table_diff", "etl_backfill_partitions", "etl_expectations",
-    "etl_gdpr_purge",
-    # pruning / lineage / footer scan machinery
-    "scan_parquet_bloomfilter", "scan_skipping", "scan_observe",
-    "scan_file_lineage", "scan_parquet_footer", "sink_zorder",
-    # packing / sampling / privacy llm machinery
-    "llm_pack_sequences", "llm_sample_stratified", "llm_kanon_suppress",
-    "llm_pii_scrub", "llm_curriculum", "llm_shard_assign",
+    # Round-14 rotation (optimization round 2): the r13 OPTIMIZATION
+    # round rewrote the physical execution of 12 registered queries
+    # AFTER the r13 prefix was already rotated, so only graph_mst of
+    # the touched set landed in the r13 external check. VERDICT r13 #3:
+    # the r14 prefix MUST front-load every r13-touched query so the
+    # driver's sf0.01 hash check re-attests the rewrites. Queries
+    # touched AGAIN in r14 stay in this head (same rationale).
+    "graph_pagerank", "graph_label_prop", "graph_betweenness_sample",
+    "graph_closeness_sample", "graph_mst", "agg_permutation_test",
+    "llm_lsh_band_sweep", "llm_dedup_e2e", "llm_softdedup",
+    "llm_dedup_cluster", "llm_ppl_filter_sweep", "llm_quality_buckets",
+    # r14-touched queries not already above (updated at round end):
+    "llm_dedup_minhash", "llm_dedup_simhash",
+    # SIXTH recheck slate: from the 137 SQL-oracled names never
+    # rechecked in any r9–r13 prefix — the heaviest remaining
+    # machinery first (TPC-H/SQL-surface templating + windowed SQL,
+    # packing/format/sampling llm ops, sink/scan layout machinery,
+    # grouping-set aggregates, window-frame state).
+    "sql_q4", "sql_window_rollup", "sql_pipe", "sql_identifier",
+    "sql_params", "sql_exec_immediate", "sql_udf", "sql_table_fn",
+    "sql_window_clause", "sql_group_by_all", "sql_star_except",
+    "llm_pack_sequences", "llm_fim_transform", "llm_span_corruption",
+    "llm_dpo_format", "llm_sample_stratified", "llm_curriculum",
+    "llm_shard_assign", "llm_kanon_suppress", "llm_mix_capped",
+    "llm_token_fertility", "sink_python_ds", "sink_zorder",
+    "sink_snapshot", "sink_codec", "scan_binaryfile",
+    "scan_recursive_glob", "scan_parquet_evolve", "agg_cube",
+    "agg_gsets", "agg_pivot", "agg_histogram", "agg_percentile",
+    "agg_approx_topk", "agg_bitmap_distinct", "win_frame", "win_dist",
+    "win_analytic",
 )
 
 
