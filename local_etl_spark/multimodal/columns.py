@@ -114,8 +114,25 @@ def _gen_payload(doc_id: int, text: str) -> tuple[str, bytes]:
     return "video", hdr + body
 
 
-def synthesize_media(docs: DataFrame) -> DataFrame:
-    """Deterministic real-format media table from `documents`."""
+_MODALITY_IDX = {"image": 0, "audio": 1, "video": 2}
+
+
+def synthesize_media(
+    docs: DataFrame, modality: str | None = None
+) -> DataFrame:
+    """Deterministic real-format media table from `documents`.
+
+    ``modality`` pre-filters the doc side to one modality's rows.
+    Modality is a pure function of doc_id (media_dims: doc_id % 3), so
+    a modality-specific consumer — image hashing, audio
+    fingerprinting, scene cuts — can skip synthesizing the other two
+    thirds entirely instead of paying full payload construction (video
+    frames are the most expensive to build) for rows its kernel drops
+    on arrival. Spark cannot push this filter below the opaque
+    mapInPandas itself (guide §2.3/§4.1 — project/filter before the
+    Python boundary), so the filter is applied to the INPUT relation;
+    the synthesized rows for the kept modality are byte-identical to
+    the unfiltered run's."""
 
     def gen(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
@@ -130,7 +147,14 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(gen, schema=MEDIA_SCHEMA)
+    src = docs.select("doc_id", "text")
+    if modality is not None:
+        from pyspark.sql import functions as F
+
+        src = src.filter(
+            F.pmod(F.col("doc_id"), F.lit(3)) == _MODALITY_IDX[modality]
+        )
+    return src.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def _ppm_header(raw: bytes) -> tuple[int, int, int]:

@@ -18,18 +18,53 @@ convergence scalar and the final model-sized result.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from local_etl_spark.queries._util import ordered_prefix, t
 from local_etl_spark.registry import query
 
+
+def _env_int(name: str, default: int) -> int:
+    """Scale gates are env-parameterised (round rule: scale-dependent
+    settings live in conf/env with local defaults) so a cluster deploy
+    — or the sf1 8-vs-32-core scaling artifact — can force any tier
+    without code edits."""
+    try:
+        return int(os.environ.get(name, str(default)))
+    except ValueError:
+        return default
+
+
+def _dec_key(n):
+    """Exact integer key whose order equals the LEXICOGRAPHIC order of
+    str(n) over nonnegative int64 arrays (n < 10^12): decimal strings
+    compare like the pair (n / 10^digits, digits) — scale the fraction
+    to 10^12 exactly (n · 10^(12−digits), an integer) and pack the
+    digit count into the low 4 bits. Digit count via exact integer
+    threshold compares, never float log10. Lets the graph driver tiers
+    reproduce Spark's binary-UTF8 string comparisons on 'c<k>'/'s<k>'
+    node names with pure int64 numpy ops (pytest-pinned against str
+    sort on randomized inputs)."""
+    import numpy as np
+
+    n = np.asarray(n, np.int64)
+    digits = np.ones(n.shape, np.int64)
+    for j in range(1, 13):
+        digits += n >= np.int64(10**j)
+    return (n * np.int64(10) ** (12 - digits)) * 16 + digits
+
+
 DAMPING = 0.85
 N_ITER = 12
 # broadcast the per-iteration rank vector while it plausibly fits an
 # executor (~16 B/node → ~32 MB at the cap); past this the shuffle
 # join takes over (see graph_pagerank body)
-PR_BROADCAST_MAX_NODES = 2_000_000
+PR_BROADCAST_MAX_NODES = _env_int(
+    "SPARK_GRAFT_PR_BROADCAST_MAX_NODES", 2_000_000
+)
 # convergence early-exit: stop once the per-round L1 rank delta drops
 # below PR_TOL_L1 (VERDICT r5 #5). NOTE the measured negative result
 # (SCALE.md §14.3): PageRank's update is a DAMPING-contraction in L1,
@@ -88,7 +123,23 @@ PR_SCALE = 10**15  # fixed-point rank units (round-12 oracle conversion)
 # node-keyed aggregate collect). The middle regime
 # (PR_DRIVER_MAX_NODES, PR_BROADCAST_MAX_NODES] keeps the r12
 # broadcast loop; past the broadcast gate the shuffle join remains.
-PR_DRIVER_MAX_NODES = 250_000
+PR_DRIVER_MAX_NODES = _env_int("SPARK_GRAFT_PR_DRIVER_MAX_NODES", 250_000)
+
+# r14 optimization gate (optimization round 2 — the betweenness/
+# closeness driver-replay pattern one level up): below this DIRECTED
+# pair count the whole iteration replays on the driver in numpy over
+# the collected (a, b, w) pair list — ~20 B/row, ≤ ~160 MB at the
+# default gate, the llm CC_DRIVER_MAX_PAIRS collect-budget class. The
+# replay is arithmetic-identical to the Spark expressions (float64
+# multiply/divide are IEEE-correctly-rounded in both; round-half-away
+# = floor(x) + (frac ≥ 0.5) replicates Spark's HALF_UP round on
+# positive doubles — the SAME replay tests/test_graph.py has pinned
+# bit-for-bit since round 12; integer mass sums are order-free), so
+# the tier changes job count (12 per-round jobs → 1 collect), never
+# values. Past the gate the r13 driver-vector tier, the broadcast
+# tier, then the shuffle tier stand unchanged — all three
+# pytest-forced via these env-overridable gates.
+PR_LOCAL_MAX_EDGES = _env_int("SPARK_GRAFT_PR_LOCAL_MAX_EDGES", 8_000_000)
 
 
 def _pagerank_oracle(rounds: int) -> str:
@@ -224,7 +275,86 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    n_edges = 2 * ipair.count()
+    n_pairs = ipair.count()
+    n_edges = 2 * n_pairs
+    if n_pairs == 0:
+        # empty-graph guard (ADVICE r13): the driver tiers build
+        # pandas frames that cannot carry an explicit schema when
+        # empty — return one here instead (reachable via corpus knobs,
+        # never on shipped testdata)
+        ipair.unpersist()
+        return spark.createDataFrame(
+            [], "node string, rank double, kind string"
+        )
+    if n_pairs <= PR_LOCAL_MAX_EDGES:
+        # r14 tier (see PR_LOCAL_MAX_EDGES): collect the pair list
+        # once and replay the whole fixed-point iteration in numpy —
+        # 12 per-round Spark jobs collapse to ONE Arrow collect. Every
+        # arithmetic step mirrors the Spark expressions exactly:
+        #   p        = w / outw            (int64→float64 exact ≤2^53,
+        #                                   IEEE division both engines)
+        #   contrib  = round(rank_f · p)   (float64 product; HALF_UP on
+        #                                   positives ≡ floor + frac≥.5)
+        #   mass     = Σ contrib per dst   (int64, order-free exact)
+        #   new      = teleport + round(0.85 · mass_f)
+        # — the identical pure-Python replay is pinned bit-for-bit
+        # against this query by tests/test_graph.py (r12), and the
+        # tier-parity test forces this gate off and asserts equality.
+        import numpy as np
+
+        pdf = ipair.toPandas()
+        ipair.unpersist()
+        a = pdf["a"].to_numpy(np.int64)
+        b = pdf["b"].to_numpy(np.int64)
+        w = pdf["w"].to_numpy(np.int64)
+        ids = np.unique(np.concatenate([a, b]))
+        n_nodes = int(ids.size)
+        ai = np.searchsorted(ids, a)
+        bi = np.searchsorted(ids, b)
+        outw = np.zeros(n_nodes, np.int64)
+        np.add.at(outw, ai, w)
+        np.add.at(outw, bi, w)
+        src = np.concatenate([ai, bi])
+        dst = np.concatenate([bi, ai])
+        p = np.concatenate([w / outw[ai], w / outw[bi]])
+        consts = spark.sql(
+            f"SELECT CAST(round(1e15 / {n_nodes}) AS BIGINT) AS r0,"
+            f" CAST(round(0.15e15 / {n_nodes}) AS BIGINT) AS tp"
+        ).first()
+        r0, teleport = consts.r0, consts.tp
+
+        def _rha(x):  # round half away from zero, x >= 0 (exact: the
+            # frac subtraction is Sterbenz-exact for x ≥ 0)
+            f = np.floor(x)
+            return (f + (x - f >= 0.5)).astype(np.int64)
+
+        rank = np.full(n_nodes, r0, np.int64)
+        for _ in range(N_ITER):
+            mass = np.zeros(n_nodes, np.int64)
+            np.add.at(mass, dst, _rha(rank[src].astype(np.float64) * p))
+            new_rank = teleport + _rha(DAMPING * mass.astype(np.float64))
+            l1 = int(np.abs(new_rank - rank).sum())
+            rank = new_rank
+            if l1 < PR_TOL_L1 * PR_SCALE:
+                break
+        import pandas as pd
+
+        out = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "node": [
+                        ("c" if i % 2 else "s") + str(i // 2)
+                        for i in ids.tolist()
+                    ],
+                    "rank": rank.tolist(),
+                }
+            )
+        )
+        return out.select(
+            "node",
+            (F.col("rank").cast("double") / F.lit(1e15)).alias("rank"),
+            F.substring("node", 1, 1).alias("kind"),
+        )
     iedges = ipair.unionAll(
         ipair.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
     )
@@ -1050,10 +1180,84 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    n_pairs = ipair.count()
+    if n_pairs == 0:
+        # empty-graph guard (ADVICE r13): explicit schema, never an
+        # empty pandas frame
+        ipair.unpersist()
+        return spark.createDataFrame(
+            [], "node string, community string, kind string"
+        )
+    if n_pairs <= PR_LOCAL_MAX_EDGES:
+        # r14 tier (the graph_pagerank PR_LOCAL_MAX_EDGES shape):
+        # collect the pair list once and replay all LPA_ROUNDS in
+        # numpy — 6 per-round jobs collapse to ONE Arrow collect.
+        # Everything is exact: weights sum as int64 (order-free), and
+        # the argmax min(struct(-wt, nl)) is replayed as a lexsort on
+        # (-wt, string-rank) where string-rank is each label's index
+        # in the LEXICOGRAPHICALLY sorted node-name universe — node
+        # names are pure-ASCII 'c<k>'/'s<k>', so Python/numpy string
+        # sort order ≡ Spark's binary UTF8 order, and rank order ≡
+        # label order. The tier-parity test forces this gate off and
+        # asserts label-for-label equality.
+        import numpy as np
+        import pandas as pd
+
+        pdf = ipair.toPandas()
+        ipair.unpersist()
+        a = pdf["a"].to_numpy(np.int64)
+        b = pdf["b"].to_numpy(np.int64)
+        w = pdf["w"].to_numpy(np.int64)
+        ids = np.unique(np.concatenate([a, b]))
+        n = int(ids.size)
+        names = np.array(
+            [("c" if i % 2 else "s") + str(i // 2) for i in ids.tolist()]
+        )
+        order = np.argsort(names)  # lexicographic ≡ Spark UTF8 order
+        lrank = np.empty(n, np.int64)
+        lrank[order] = np.arange(n)
+        names_by_rank = names[order]
+        ai = np.searchsorted(ids, a)
+        bi = np.searchsorted(ids, b)
+        # symmetric edges: adopter column first
+        src = np.concatenate([ai, bi])
+        dst = np.concatenate([bi, ai])
+        ww = np.concatenate([w, w])
+        src_parity = ids[src] % 2
+        state = lrank.copy()  # each node starts labeled with itself
+        for r in range(LPA_ROUNDS):
+            side_mod = 0 if r % 2 == 0 else 1  # 's' even, 'c' odd
+            m = src_parity == side_mod
+            aa = src[m]
+            nl = state[dst[m]]
+            wv = ww[m]
+            key = aa * n + nl
+            uniq, inv = np.unique(key, return_inverse=True)
+            wt = np.zeros(uniq.size, np.int64)
+            np.add.at(wt, inv, wv)
+            ga = uniq // n
+            gnl = uniq % n
+            o2 = np.lexsort((gnl, -wt, ga))
+            first = np.ones(o2.size, bool)
+            first[1:] = ga[o2][1:] != ga[o2][:-1]
+            state[ga[o2][first]] = gnl[o2][first]
+        out = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "node": names.tolist(),
+                    "label": names_by_rank[state].tolist(),
+                }
+            )
+        )
+        return out.select(
+            "node",
+            F.col("label").alias("community"),
+            F.substring("node", 1, 1).alias("kind"),
+        )
     # same size-aware edge-cache packing as graph_pagerank (§14.5):
     # 6 rounds × tiny stages × 32 tasks is scheduler-bound locally;
     # the clamp no-ops once edges outgrow the cores
-    n_edges = 2 * ipair.count()
+    n_edges = 2 * n_pairs
     k_parts = max(
         1,
         min(
@@ -2244,6 +2448,17 @@ MST_ROUNDS = 8  # Borůvka rounds unrolled in the oracle (measured
 # fixpoint 3/4/6 at sf0.001/0.01/0.1 — margin ≥ 2, pytest-pinned)
 MST_CC_ITERS = 34  # per-round CC Jacobi iterations in the oracle
 # (measured max 27 at sf0.1 — margin 7, pytest-pinned)
+# r14 tier gate (the graph_pagerank PR_LOCAL_MAX_EDGES shape): below
+# this directed pair count the WHOLE Borůvka loop replays in numpy on
+# the collected pair list — the per-round Spark argmin jobs collapse
+# to one Arrow collect. The per-component argmin min(struct(w, u, v))
+# is replayed as a lexsort on (w, u_rank, v_rank), where the ranks
+# index the lexicographically sorted node-name universe (pure-ASCII
+# names: numpy string sort ≡ Spark binary UTF8 order), so the unique
+# MSF's total order is bit-identical. Tier-parity pytest forces the
+# gate off and asserts row equality.
+MST_LOCAL_MAX_EDGES = _env_int("SPARK_GRAFT_MST_LOCAL_MAX_EDGES", 8_000_000)
+
 MST_UF_MAX_EDGES = 2_000_000  # driver union-find fast-path gate: the
 # accumulated forest is NODE-sized (≤ V−1 edges), so below this it
 # collects like pagerank's rank broadcast; above, the distributed
@@ -2392,7 +2607,111 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    ipair.count()
+    n_pairs = ipair.count()
+    if n_pairs == 0:
+        # empty-graph guard (ADVICE r13)
+        ipair.unpersist()
+        return spark.createDataFrame(
+            [], "u string, v string, w bigint, component string"
+        )
+    if n_pairs <= MST_LOCAL_MAX_EDGES:
+        # r14 tier (see MST_LOCAL_MAX_EDGES): one Arrow collect of the
+        # INT columns only, then the SAME Borůvka rounds —
+        # per-component argmin over cross edges, both component sides,
+        # same-edge-picked-twice dedup, driver union-find — entirely
+        # in numpy/Python. The (w, u, v) total order is encoded ONCE
+        # as a global integer edge rank: string order of 'c<digits>'
+        # names is reproduced by the exact integer key _dec_key
+        # (pytest-pinned against str sort), edges are lexsorted once
+        # by (w, key(u), key(v)), and every per-round argmin becomes a
+        # plain np.minimum.at over int64 ranks — so the selected edge
+        # multiset and the final min-name component labels are
+        # bit-identical to the Spark-argmin tier below.
+        import numpy as np
+        import pandas as pd
+
+        pdf = ipair.select("ui", "vi", "w").toPandas()
+        ipair.unpersist()
+        uiA = pdf["ui"].to_numpy(np.int64)
+        viA = pdf["vi"].to_numpy(np.int64)
+        we = pdf["w"].to_numpy(np.int64)
+        ids = np.unique(np.concatenate([uiA, viA]))
+        nn = int(ids.size)
+        uix = np.searchsorted(ids, uiA)
+        vix = np.searchsorted(ids, viA)
+        # global edge rank under (w, u, v): u is always 'c<k>' and v
+        # always 's<k>', so within each column the string order is the
+        # decimal-string order of k — _dec_key exactly
+        o = np.lexsort((_dec_key(viA // 2), _dec_key(uiA // 2), we))
+        edge_rank = np.empty(o.size, np.int64)
+        edge_rank[o] = np.arange(o.size)
+        rank2edge = o
+        iparent = list(range(nn))
+
+        def ifind(x: int) -> int:
+            while iparent[x] != x:
+                iparent[x] = iparent[iparent[x]]
+                x = iparent[x]
+            return x
+
+        big = np.int64(o.size)
+        sel_idx: list[int] = []
+        for _ in range(MST_ROUNDS):
+            comp = np.fromiter(
+                (ifind(k) for k in range(nn)), np.int64, nn
+            )
+            cu, cv = comp[uix], comp[vix]
+            m = cu != cv
+            if not m.any():
+                break
+            best = np.full(nn, big, np.int64)
+            er = edge_rank[m]
+            np.minimum.at(best, cu[m], er)
+            np.minimum.at(best, cv[m], er)
+            win = np.unique(best[best < big])  # both-sides dedup
+            edges_w = rank2edge[win]
+            sel_idx.extend(edges_w.tolist())
+            for i in edges_w.tolist():
+                ra, rb = ifind(int(uix[i])), ifind(int(vix[i]))
+                if ra != rb:
+                    iparent[ra] = rb
+        if not sel_idx:
+            return spark.createDataFrame(
+                [], "u string, v string, w bigint, component string"
+            )
+        # component label = lexicographically least member NAME; the
+        # per-node name key gives the min via exact integer compare
+        nkey = np.where(
+            ids % 2 == 1,  # odd = customer 'c…' < supplier 's…'
+            _dec_key(ids // 2),
+            _dec_key(ids // 2) + (np.int64(1) << 60),
+        )
+        min_key: dict[int, int] = {}
+        min_node: dict[int, int] = {}
+        for k in range(nn):
+            r = ifind(k)
+            kk = int(nkey[k])
+            if r not in min_key or kk < min_key[r]:
+                min_key[r] = kk
+                min_node[r] = k
+        def _nm(i: int) -> str:
+            return ("c" if i % 2 else "s") + str(i // 2)
+
+        lab_of_root = {r: _nm(int(ids[k])) for r, k in min_node.items()}
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "u": [_nm(int(uiA[i])) for i in sel_idx],
+                    "v": [_nm(int(viA[i])) for i in sel_idx],
+                    "w": [int(we[i]) for i in sel_idx],
+                    "component": [
+                        lab_of_root[ifind(int(uix[i]))] for i in sel_idx
+                    ],
+                }
+            )
+        ).select(
+            "u", "v", F.col("w").cast("bigint").alias("w"), "component"
+        )
     inode_rel = (
         ipair.select(F.col("ui").alias("i"))
         .unionAll(ipair.select(F.col("vi").alias("i")))

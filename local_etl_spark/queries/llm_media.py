@@ -56,7 +56,8 @@ def llm_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sampled-frame fan-out isn't SQL-expressible."""
     from local_etl_spark.multimodal.columns import frame_sample
 
-    media = synthesize_media(t(spark, sf_dir, "documents"))
+    # r14: frame sampling reads only video rows — synthesize only them
+    media = synthesize_media(t(spark, sf_dir, "documents"), "video")
     return frame_sample(media, every_n=10)
 
 
@@ -71,7 +72,10 @@ def llm_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible."""
     from local_etl_spark.multimodal.columns import resize_images
 
-    media = synthesize_media(t(spark, sf_dir, "documents"))
+    # r14: the resize kernel drops non-image rows on arrival, so only
+    # the image third is synthesized (guide §2.3 — filter before the
+    # opaque Python op; payloads for kept rows are byte-identical)
+    media = synthesize_media(t(spark, sf_dir, "documents"), "image")
     return resize_images(media, factor=2)
 
 
@@ -85,7 +89,8 @@ def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same bytes driver-side."""
     from local_etl_spark.multimodal.columns import audio_features
 
-    media = synthesize_media(t(spark, sf_dir, "documents"))
+    # r14: audio-only kernel — synthesize only the audio third
+    media = synthesize_media(t(spark, sf_dir, "documents"), "audio")
     return audio_features(media, win=64)
 
 
@@ -99,7 +104,8 @@ def llm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad, flag) row."""
     from local_etl_spark.multimodal.columns import scene_cuts
 
-    media = synthesize_media(t(spark, sf_dir, "documents"))
+    # r14: video-only kernel — synthesize only the video third
+    media = synthesize_media(t(spark, sf_dir, "documents"), "video")
     return scene_cuts(media)
 
 
@@ -126,7 +132,10 @@ def llm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes every hash with an independent NumPy reference and the
     exact pair set by brute force.
     """
-    media = synthesize_media(t(spark, sf_dir, "documents"))
+    # r14: image-only kernel — synthesize only the image third
+    # (guide §2.3; video payloads are the most expensive to build and
+    # were thrown away by the kernel's modality check)
+    media = synthesize_media(t(spark, sf_dir, "documents"), "image")
     from local_etl_spark.multimodal.columns import image_hashes
 
     hashes = image_hashes(media).persist()
@@ -196,7 +205,8 @@ def llm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from local_etl_spark.multimodal.columns import audio_fingerprints
 
-    media = synthesize_media(t(spark, sf_dir, "documents"))
+    # r14: audio-only kernel — synthesize only the audio third
+    media = synthesize_media(t(spark, sf_dir, "documents"), "audio")
     fps = audio_fingerprints(media).persist()
     bands = fps.select(
         "doc_id",
@@ -340,17 +350,24 @@ def llm_dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     sig = simhash_signatures(docs).persist()
-    media = synthesize_media(docs)
     from local_etl_spark.multimodal.columns import (
         audio_fingerprints,
         image_hashes,
     )
 
+    # r14: each union child synthesizes ONLY its own modality third.
+    # The previous shared `synthesize_media(docs)` relation was
+    # unpersisted, so each union child re-ran the full synthesis
+    # (2 complete passes incl. the video payloads BOTH kernels drop —
+    # the most expensive third to build). Now the image child builds
+    # image payloads only and the audio child audio payloads only:
+    # total synthesis work falls from 2 full passes to 2/3 of one
+    # (guide §2.3 — filter before the opaque Python op).
     mfp = (
-        image_hashes(media)
+        image_hashes(synthesize_media(docs, "image"))
         .select("doc_id", F.col("ahash").alias("mfp"), F.lit("image").alias("chan"))
         .unionByName(
-            audio_fingerprints(media).select(
+            audio_fingerprints(synthesize_media(docs, "audio")).select(
                 "doc_id", F.col("fp").alias("mfp"), F.lit("audio").alias("chan")
             )
         )

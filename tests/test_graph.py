@@ -568,10 +568,12 @@ def test_mst_equals_kruskal_and_networkx(spark):
 
 
 def test_mst_distributed_fallback_matches_fast_path(spark, monkeypatch):
-    """Force the gate to 0 so the distributed min-label loop runs
-    instead of the driver union-find — results must be IDENTICAL
-    (labels are partition-invariant; both paths compute min labels of
-    the same forest)."""
+    """Force the gates to 0 so the Spark-argmin fast path and then the
+    distributed min-label loop run instead of the r14 numpy tier —
+    results must be IDENTICAL (labels are partition-invariant; all
+    paths compute min labels of the same unique forest). NOTE: the r14
+    MST_LOCAL_MAX_EDGES tier sits in FRONT of MST_UF_MAX_EDGES, so the
+    distributed leg must zero both."""
     import local_etl_spark.queries.graph as G
     from local_etl_spark.registry import get
 
@@ -580,12 +582,101 @@ def test_mst_distributed_fallback_matches_fast_path(spark, monkeypatch):
         (r["u"], r["v"], r["w"], r["component"])
         for r in get("graph_mst").fn(spark, sf).collect()
     }
+    monkeypatch.setattr(G, "MST_LOCAL_MAX_EDGES", 0)
+    mid = {
+        (r["u"], r["v"], r["w"], r["component"])
+        for r in get("graph_mst").fn(spark, sf).collect()
+    }
+    assert fast == mid
     monkeypatch.setattr(G, "MST_UF_MAX_EDGES", 0)
     slow = {
         (r["u"], r["v"], r["w"], r["component"])
         for r in get("graph_mst").fn(spark, sf).collect()
     }
     assert fast == slow
+
+
+def test_dec_key_matches_decimal_string_order():
+    """_dec_key (the graph driver tiers' integer stand-in for Spark's
+    binary-UTF8 string comparisons on node names) must induce EXACTLY
+    the lexicographic order of str(n) — boundary values + randomized
+    sweep."""
+    import random
+
+    import numpy as np
+
+    from local_etl_spark.queries.graph import _dec_key
+
+    rng = random.Random(42)
+    vals = [0, 1, 2, 9, 10, 11, 99, 100, 101, 999, 1000, 10**12 - 1] + [
+        rng.randrange(0, 10**12) for _ in range(5000)
+    ]
+    k = _dec_key(np.array(vals, np.int64))
+    by_str = sorted(range(len(vals)), key=lambda i: str(vals[i]))
+    by_key = sorted(range(len(vals)), key=lambda i: (int(k[i]), str(vals[i])))
+    assert [str(vals[i]) for i in by_str] == [str(vals[i]) for i in by_key]
+    # equal keys only for equal values
+    seen: dict[int, int] = {}
+    for v, kk in zip(vals, k.tolist()):
+        assert seen.setdefault(kk, v) == v
+
+
+def test_graph_driver_tier_parity(spark, monkeypatch):
+    """ADVICE r13 (medium) + the r14 local tiers: every gate tier of
+    graph_pagerank / graph_label_prop must produce identical rows —
+    the r14 numpy replay, the r13 driver-vector loop, the broadcast
+    loop, and the full shuffle loop. The distributed fallbacks contain
+    code (the _name selectExpr reconstruction) that no shipped SF
+    reaches; this forces each gate to 0 in turn and diffs against the
+    default path."""
+    import local_etl_spark.queries.graph as G
+    from local_etl_spark.registry import get
+
+    for name in ("graph_pagerank", "graph_label_prop"):
+        fn = get(name).fn
+        sf = "/root/testdata/sf0.01"
+        base = sorted(map(tuple, fn(spark, sf).collect()))
+        monkeypatch.setattr(G, "PR_LOCAL_MAX_EDGES", 0)
+        r13_tier = sorted(map(tuple, fn(spark, sf).collect()))
+        assert r13_tier == base, f"{name}: r13 driver tier diverges"
+        # the deep distributed tiers are slower per round — sf0.001
+        sf = "/root/testdata/sf0.001"
+        monkeypatch.setattr(G, "PR_LOCAL_MAX_EDGES", 8_000_000)
+        base_small = sorted(map(tuple, fn(spark, sf).collect()))
+        monkeypatch.setattr(G, "PR_LOCAL_MAX_EDGES", 0)
+        monkeypatch.setattr(G, "PR_DRIVER_MAX_NODES", 0)
+        bcast = sorted(map(tuple, fn(spark, sf).collect()))
+        assert bcast == base_small, f"{name}: broadcast tier diverges"
+        monkeypatch.setattr(G, "PR_BROADCAST_MAX_NODES", 0)
+        shuffle = sorted(map(tuple, fn(spark, sf).collect()))
+        assert shuffle == base_small, f"{name}: shuffle tier diverges"
+        monkeypatch.undo()
+
+
+def test_graph_empty_corpus_guard(spark, tmp_path):
+    """ADVICE r13 (low): a zero-edge corpus must return explicit-schema
+    empty results, not crash in createDataFrame(pandas) schema
+    inference. Build a corpus whose orders/lineitem share no keys."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "empty_graph")
+    shutil.copytree(src, dst)
+    # orders keyed far away from every lineitem orderkey -> empty join
+    spark.read.parquet(f"{src}/orders.parquet").selectExpr(
+        "o_orderkey + 900000000 AS o_orderkey",
+        *[c for c in spark.read.parquet(f"{src}/orders.parquet").columns if c != "o_orderkey"],
+    ).write.mode("overwrite").parquet(f"{dst}/orders.parquet")
+    from local_etl_spark.registry import get
+
+    for name, cols in (
+        ("graph_pagerank", ["node", "rank", "kind"]),
+        ("graph_label_prop", ["node", "community", "kind"]),
+        ("graph_mst", ["u", "v", "w", "component"]),
+    ):
+        df = get(name).fn(spark, dst)
+        assert df.columns == cols
+        assert df.count() == 0
 
 
 def test_mst_oracle_margins(spark):

@@ -46,6 +46,25 @@ def _guarded_collect(self):
 
 _CDF.collect = _guarded_collect
 
+# r14: the graph driver tiers collect the GATED pair relation via
+# toPandas (Arrow path — bypasses collect()). Those collects are
+# corpus-shaped but bounded by an absolute env-tunable gate
+# (PR_LOCAL_MAX_EDGES / MST_LOCAL_MAX_EDGES, default 8M rows ≈ 160 MB;
+# past it the distributed tiers run), so the sim enforces that bound
+# rather than the model-sized one.
+TOPANDAS_BOUND = 8_000_000
+_topandas_orig = _CDF.toPandas
+
+
+def _guarded_topandas(self):
+    pdf = _topandas_orig(self)
+    if _cur_op[0] is not None and len(pdf) > TOPANDAS_BOUND:
+        _over.append((_cur_op[0], len(pdf)))
+    return pdf
+
+
+_CDF.toPandas = _guarded_topandas
+
 df = e.entry(spark)
 rows = df.collect()
 print(f"entry: {len(rows)} rows, schema {[f.name for f in df.schema.fields]}", flush=True)

@@ -29,6 +29,7 @@ if str(REPO) not in sys.path:
 args = sys.argv[1:]
 reps = 2
 plan_suffix = None
+plan_round = "r14"
 sf_dir = "/root/testdata/sf0.1"
 names = []
 i = 0
@@ -37,6 +38,8 @@ while i < len(args):
         reps = int(args[i + 1]); i += 2
     elif args[i] == "--plans":
         plan_suffix = args[i + 1]; i += 2
+    elif args[i] == "--plandir":
+        plan_round = args[i + 1]; i += 2
     elif args[i] == "--sf":
         sf_dir = args[i + 1]; i += 2
     else:
@@ -46,6 +49,13 @@ from local_etl_spark.registry import all_queries  # noqa: E402
 from local_etl_spark.session import get_spark  # noqa: E402
 from local_etl_spark.catalog import TABLES, table  # noqa: E402
 
+import time as _t
+_s = 0
+_t0 = _t.perf_counter()
+for _i in range(10_000_000):
+    _s += _i
+print(f"calib_st_miter_s: {10.0 / (_t.perf_counter() - _t0):.1f}", flush=True)
+
 spark = get_spark("opt-measure")
 spark.sparkContext.setLogLevel("ERROR")
 qs = all_queries()
@@ -53,7 +63,7 @@ qs = all_queries()
 for name in TABLES:  # warm page cache + JVM, bench parity
     table(spark, sf_dir, name).count()
 
-plans_dir = REPO / "plans" / "r13"
+plans_dir = REPO / "plans" / plan_round
 plans_dir.mkdir(parents=True, exist_ok=True)
 
 for name in names:
