@@ -240,10 +240,17 @@ FIXED_THIS_ROUND: tuple[str, ...] = ()
 # centrality ops); this slice carries only rows-only ops ADDED this
 # round, so each gets its first external record immediately.
 ROWS_ONLY_REPRESENT: tuple[str, ...] = (
-    # empty for round 14: llm_dedup_cross_modal got its first external
-    # record in CORRECTNESS_r13 (500 rows); every rows-only op now has
-    # a driver spark_rows record and no rows-only op was added this
-    # round (optimization rounds add no surface).
+    # r14 (optimization round): every rows-only op already has a
+    # driver record; re-present the rows-only media ops whose
+    # synthesis input was modality-filtered this round so the external
+    # spark_rows check re-attests the row sets are unchanged.
+    "llm_image_phash",
+    "llm_audio_fingerprint",
+    "llm_video_scenes",
+    "llm_media_resize",
+    "llm_audio_features",
+    "llm_media_framesample",
+    "llm_dedup_cross_modal",
 )
 
 # The driver verifies this many registry-prefix entries per round.
