@@ -718,7 +718,8 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = sig.select(
         "doc_id", "simhash", F.explode(blocks).alias("k")
     ).select("doc_id", "simhash", "k.blk", "k.bv")
-    cand = (
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
         keyed.alias("a")
         .join(keyed.alias("b"), ["blk", "bv"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -728,11 +729,15 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.simhash").alias("h1"),
             F.col("b.simhash").alias("h2"),
         )
+        # r14 (guide §2.3 — shuffle fewer bytes): verify the hamming
+        # bar BEFORE the dropDuplicates exchange. h1/h2 are functions
+        # of (d1, d2), so filter∘dedup ≡ dedup∘filter row-for-row; the
+        # dedup shuffle now carries only the near-dup pairs instead of
+        # every block-collision candidate (the same order the other
+        # banded ops — phash, audio, cross_modal — already use).
+        .filter(ham <= HAMMING_T)
         .dropDuplicates(["d1", "d2"])
-    )
-    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return cand.filter(ham <= HAMMING_T).select(
-        "d1", "d2", ham.cast("bigint").alias("hamming")
+        .select("d1", "d2", ham.cast("bigint").alias("hamming"))
     )
 
 
